@@ -1,0 +1,174 @@
+"""Deterministic hashing primitives shared by the dedup/ANN operators.
+
+Design constraint: every hash here must be computable *identically* in
+ANSI-ish SQL (the DuckDB oracle) and in Spark Column expressions, so the
+driver's value-hash correctness gate can verify the approximate operators
+(MinHash, SimHash, LSH) exactly, not just statistically. We therefore build
+everything on md5 (identical in both engines) rather than engine-native
+hashes (xxhash64 vs duckdb hash, which differ).
+
+Base hash: h32(s) = first 8 hex chars of md5(s) as an integer in [0, 2^32).
+Derived families: hⱼ(x) = (aⱼ·x + bⱼ) mod p with p = 2^31−1 and odd
+constants aⱼ,bⱼ < p derived from j — the classic Carter-Wegman linear
+congruential family used by MinHash implementations (e.g. Spark's own
+pyspark.ml.feature.MinHashLSH uses the same construction). Products stay
+below 2^62, so 64-bit integer arithmetic never overflows in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from victor_spark.functions.vector import _col, ColumnOrName
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
+
+
+def hash_params(num: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the linear-congruential hash family.
+
+    Pure integer recurrence (no RNG) so the DuckDB oracle can state the same
+    constants literally.
+    """
+    params = []
+    state = seed
+    for _ in range(num):
+        state = (state * 1_103_515_245 + 12_345) % MERSENNE31
+        a = state | 1  # odd, nonzero
+        state = (state * 1_103_515_245 + 12_345) % MERSENNE31
+        b = state
+        params.append((a, b))
+    return params
+
+
+def md5_32(s: ColumnOrName) -> Column:
+    """First 32 bits of md5(s) as a bigint in [0, 2^32).
+
+    Oracle equivalent: CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT).
+    """
+    return F.conv(F.substring(F.md5(_col(s)), 1, 8), 16, 10).cast("long")
+
+
+def char_shingles(s: ColumnOrName, n: int = 3) -> Column:
+    """Distinct character n-grams of a string, as array<string>.
+
+    Built with sequence+transform (no UDF). Shorter-than-n strings yield a
+    single shingle = the whole string.
+    """
+    s = _col(s)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+    )
+
+
+def shingle_hashes(s: ColumnOrName, n: int = 3) -> Column:
+    """Distinct 32-bit hashes of the character n-grams of s."""
+    return F.array_distinct(F.transform(char_shingles(s, n), lambda g: _md5_32_expr(g)))
+
+
+def _md5_32_expr(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(hashes: ColumnOrName, num_hashes: int = 16, seed: int = 42) -> Column:
+    """MinHash signature: for each hⱼ, min over the element hashes.
+
+    array<bigint> of length num_hashes. Empty input → signature of p (the
+    hash family's max), keeping the column total.
+    """
+    hashes = _col(hashes)
+    sig = []
+    for a, b in hash_params(num_hashes, seed):
+        sig.append(
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31),
+                )
+            )
+        )
+    return F.array(*[F.coalesce(c, F.lit(MERSENNE31)).alias(f"h{i}") for i, c in enumerate(sig)])
+
+
+def band_keys(sig: ColumnOrName, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: split the signature into `bands` bands of `rows_per_band`
+    and key each band by its joined values. array<string> of length bands;
+    element j = 'j:v1_v2_...'. Docs sharing any band key are candidates.
+    """
+    sig = _col(sig)
+    keys = []
+    for j in range(bands):
+        parts = [F.lit(str(j))] + [
+            sig.getItem(j * rows_per_band + r).cast("string") for r in range(rows_per_band)
+        ]
+        keys.append(F.concat_ws("_", *parts))
+    return F.array(*keys)
+
+
+def simhash32(token_hashes: ColumnOrName) -> Column:
+    """32-bit SimHash over a bag of token hashes (Charikar 2002).
+
+    bit i of the fingerprint = 1 iff (count of tokens with bit i set) >
+    n_tokens/2. Strict majority in both engines. Returns bigint.
+    """
+    th = _col(token_hashes)
+    n = F.size(th)
+    acc = F.lit(0).cast("long")
+    for i in range(32):
+        ones = F.size(F.filter(th, lambda x, i=i: x.bitwiseAND(F.lit(1 << i)) != 0))
+        bit = F.when(ones * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = acc + bit
+    return acc
+
+
+def hamming32(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Hamming distance between two 32-bit fingerprints stored as bigint."""
+    x = _col(a).bitwiseXOR(_col(b))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(x.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(0),
+    )
+
+
+def hyperplane_value(j: int, i: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in (−1, 1).
+
+    plane_j[i] = sin(j·12.9898 + i·78.233) — the classic shader-noise
+    formula truncated to its sin() core so that Spark and the SQL oracle
+    (both IEEE-754 double sin) produce bitwise-identical planes without
+    shipping a matrix literal.
+    """
+    return F.sin(F.lit(float(j) * 12.9898) + i.cast("double") * F.lit(78.233))
+
+
+def hyperplane_bucket(v: ColumnOrName, num_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id of a vector: bit j = sign(v·plane_j).
+
+    Cosine-similar vectors land in the same bucket with probability
+    1 − θ/π per plane (Charikar 2002) — the bucket is a coarse partition key
+    for ANN; at 100 TB the bucket column is what the join shuffles on
+    instead of the O(n²) cross product.
+    """
+    v = _col(v)
+    acc = F.lit(0).cast("long")
+    for j in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda i, j=j: hyperplane_value(j, i),
+                ),
+                lambda x, p: x * p,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(proj > 0.0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc

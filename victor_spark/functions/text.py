@@ -1,0 +1,136 @@
+"""Text-analysis column functions for the LLM-data-pipeline extension ops.
+
+All native Column expressions (regexp/length/array fns) — these run inside
+whole-stage codegen over the `documents` table and scale linearly with a
+100 TB text corpus; there is no Python in any of these paths.
+
+Regex patterns are kept in the common subset of Java regex (Spark) and RE2
+(DuckDB oracle) — character classes and + quantifiers only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from victor_spark.functions.vector import _col, ColumnOrName
+
+# Tiny per-language marker-word lists for the n-gram/stopword language-ID
+# heuristic. Deterministic and oracle-expressible; real deployments would
+# swap in fastText/CLD3 behind the same column contract.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "de"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+WORD_RE = "[A-Za-z0-9]+"
+PUNCT_RE = "[^A-Za-z0-9 ]"
+
+
+def tokens(s: ColumnOrName) -> Column:
+    """Whitespace tokens (empties removed) — array<string>."""
+    return F.filter(F.split(_col(s), " "), lambda t: t != "")
+
+
+def token_count(s: ColumnOrName) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(s))
+
+
+def word_count(s: ColumnOrName) -> Column:
+    """Count of [A-Za-z0-9]+ word tokens (BPE-ish pre-tokenizer count)."""
+    return F.size(F.regexp_extract_all(_col(s), F.lit(WORD_RE), 0))
+
+
+def char_count(s: ColumnOrName) -> Column:
+    return F.length(_col(s))
+
+
+def avg_token_len(s: ColumnOrName) -> Column:
+    """Mean token length in characters; 0 for empty docs."""
+    t = tokens(s)
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(t, F.lit(0.0), lambda a, x: a + F.length(x)) / F.size(t)
+    )
+
+
+def punct_ratio(s: ColumnOrName) -> Column:
+    """Fraction of characters that are neither alphanumeric nor space."""
+    s = _col(s)
+    n = F.length(s)
+    punct = F.size(F.regexp_extract_all(s, F.lit(PUNCT_RE), 0))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def stopword_ratio(s: ColumnOrName) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    t = tokens(s)
+    hits = F.size(
+        F.filter(t, lambda x: F.lower(x).isin(*[F.lit(w) for w in STOPWORDS]))
+    )
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(t)
+    )
+
+
+def quality_score(s: ColumnOrName) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    Combines length sufficiency, reasonable mean token length, punctuation
+    sanity and stopword presence — the standard cheap pre-filter stack for
+    pretraining-data curation (C4/Gopher-style rules).
+    """
+    n_tok = token_count(s).cast("double")
+    atl = avg_token_len(s)
+    pr = punct_ratio(s)
+    sr = stopword_ratio(s)
+    len_ok = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    tok_ok = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    stop_ok = F.least(sr * F.lit(10.0), F.lit(1.0))
+    return (len_ok + tok_ok + punct_ok + stop_ok) / F.lit(4.0)
+
+
+def lang_scores(s: ColumnOrName) -> dict[str, Column]:
+    """Marker-word hit count per language over the lowercased tokens."""
+    t = F.transform(tokens(s), F.lower)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        out[lang] = F.size(
+            F.filter(t, lambda x, m=markers: x.isin(*[F.lit(w) for w in m]))
+        )
+    return out
+
+
+def lang_id(s: ColumnOrName) -> Column:
+    """Predicted language = argmax marker count; 'und' if all zero.
+
+    Ties break by the fixed language order en>de>fr>es>zh (strictly-greater
+    comparison), identically in the SQL oracle.
+    """
+    scores = lang_scores(s)
+    langs = list(scores)
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint64(s: ColumnOrName) -> Column:
+    """Deterministic document fingerprint: min 32-bit hash over 8-gram
+    character shingles (winnowing-style min-sampling, Schleimer et al. 2003).
+
+    Equal fingerprints ⇒ likely shared content; used for cheap containment
+    checks. Oracle-expressible via the shared md5-based hash.
+    """
+    from victor_spark.functions.hashing import shingle_hashes
+
+    return F.coalesce(F.array_min(shingle_hashes(s, 8)), F.lit(0).cast("long"))

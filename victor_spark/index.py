@@ -1,0 +1,249 @@
+"""VectorIndex — the reference's entire public API, Spark-native.
+
+Reference surface (/root/reference/src/db.rs, src/lib.rs): insert
+(content, embedding, tags) records; top-k nearest neighbors by cosine
+similarity filtered by tag-superset; clear; always-on 8-bit quantized
+storage; PCA projected mode under storage pressure.
+
+Physical design (SURVEY.md §1.4):
+- one parquet table partitioned by `tag_set_id` = sha256 of the canonical
+  sorted tag list (reference filename_for_tags, db.rs:645-650). Partition
+  pruning over tag_set_id IS the reference's index.bin — no side index to
+  keep in sync; the partition listing is the set of tag-sets.
+- vectors stored quantized (qmin/qmax/quant columns, packed_vector.rs
+  semantics) exactly as the reference always stores packed; search
+  dequantizes in the scan projection (a codegen'd transform, free relative
+  to I/O).
+- PCA mode: a saved PCAModel artifact next to the table flips inserts to
+  project before write and search to euclidean-ascending scoring
+  (db.rs:233-255 — with the farthest-k bug fixed, SURVEY.md §2.3).
+
+Scale posture: inserts are append-only blind writes (no read-modify-write —
+the reference rewrites content.bin wholesale per batch, db.rs:558-588; we
+don't). Search is scan → prune → score → TakeOrderedAndProject: no shuffle,
+k rows to the driver. A hot tag-set is just a big partition — AQE and
+maxPartitionBytes split it across executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from victor_spark.functions.vector import (
+    cosine_to_literal,
+    dequantize,
+    euclidean_to_literal,
+    quantize,
+)
+from victor_spark.operators.pca import PCAModel, fit_pca, project_column
+from victor_spark.operators.topk import topk
+
+INSERT_SCHEMA = StructType(
+    [
+        StructField("content", StringType(), False),
+        StructField("embedding", ArrayType(FloatType()), False),
+        StructField("tags", ArrayType(StringType()), True),
+    ]
+)
+
+
+def tag_set_id(tags: list[str]) -> str:
+    """Canonical partition key for a tag set: sha256 of the sorted,
+    deduplicated, comma-joined tags (reference: sha256 of the Debug format
+    of the sorted BTreeSet, db.rs:645-650 — same canonicalization, cleaner
+    encoding)."""
+    canon = ",".join(sorted(set(tags)))
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()
+
+
+class DimensionMismatchError(ValueError):
+    """Insert batch contains vectors of a different dimension than the
+    index (reference panics on record-size mismatch, db.rs:516-539)."""
+
+
+class VectorIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.data_path = os.path.join(path, "data")
+        self.model_path = os.path.join(path, "pca_model.npz")
+
+    # -- DML ---------------------------------------------------------------
+
+    def insert(self, rows: list[tuple[str, list[float], list[str]]]) -> None:
+        """Batch insert of (content, embedding, tags) triples.
+
+        Reference add_embeddings (db.rs:142-164): uuid per row, route to the
+        tag-set file, quantize via serde, append. Here: one DataFrame append
+        partitioned by tag_set_id; `uuid()` is a codegen'd expression.
+        """
+        df = self.spark.createDataFrame(
+            [(c, [float(x) for x in v], sorted(set(t))) for c, v, t in rows],
+            schema=INSERT_SCHEMA,
+        )
+        self.insert_df(df)
+
+    def insert_df(self, df: DataFrame) -> None:
+        """Insert from a DataFrame with (content, embedding, tags) columns."""
+        dim = self.dimension()
+        batch_dims = [r["d"] for r in df.select(F.size("embedding").alias("d")).distinct().collect()]
+        if len(batch_dims) > 1 or (dim is not None and batch_dims and batch_dims[0] != dim):
+            raise DimensionMismatchError(
+                f"index dimension {dim}, batch dimensions {sorted(batch_dims)}"
+            )
+
+        tags_norm = F.array_sort(F.array_distinct(F.coalesce(F.col("tags"), F.array())))
+        vec = F.col("embedding").cast("array<double>")
+        model = self._load_model()
+        if model is not None:
+            # projected-insert path (db.rs:480-499)
+            vec = project_column(vec, model).cast("array<double>")
+
+        out = df.select(
+            F.expr("uuid()").alias("id"),
+            F.col("content"),
+            tags_norm.alias("tags"),
+            quantize(vec).alias("q"),
+        ).select(
+            "id",
+            "content",
+            "tags",
+            F.col("q.qmin").alias("qmin"),
+            F.col("q.qmax").alias("qmax"),
+            F.col("q.quant").alias("quant"),
+            F.sha2(F.array_join(F.col("tags"), ","), 256).alias("tag_set_id"),
+        )
+        out.write.mode("append").partitionBy("tag_set_id").parquet(self.data_path)
+
+    def clear(self) -> None:
+        """Drop everything (reference clear_db, db.rs:608-625)."""
+        for p in (self.data_path, self.model_path):
+            if os.path.exists(p):
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+
+    # -- scan --------------------------------------------------------------
+
+    def is_empty(self) -> bool:
+        return not os.path.exists(self.data_path)
+
+    def scan(self, tags: list[str] | None = None) -> DataFrame:
+        """Dequantized view of the stored rows, partition-pruned by
+        tag-superset (reference get_matching_db_files, db.rs:687-706:
+        a stored tag-set matches iff it ⊇ the query tags; empty query
+        matches everything).
+
+        The superset predicate is evaluated over the tiny distinct tag-set
+        listing and turned into an IN-list on the partition column, so the
+        parquet scan prunes directories exactly like the reference selects
+        files."""
+        df = self.spark.read.parquet(self.data_path)
+        if tags:
+            query_tags = sorted(set(tags))
+            listing = [
+                r["tag_set_id"]
+                for r in df.select("tag_set_id", "tags")
+                .distinct()
+                .filter(
+                    F.forall(
+                        F.array(*[F.lit(t) for t in query_tags]),
+                        lambda t: F.array_contains(F.col("tags"), t),
+                    )
+                )
+                .collect()
+            ]
+            if not listing:
+                df = df.filter(F.lit(False))
+            else:
+                df = df.filter(F.col("tag_set_id").isin(listing))
+        return df.withColumn("embedding", dequantize("quant", "qmin", "qmax"))
+
+    def dimension(self) -> int | None:
+        if self.is_empty():
+            return None
+        row = self.spark.read.parquet(self.data_path).select(F.size("quant").alias("d")).first()
+        return row["d"] if row else None
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, query: list[float], k: int = 10,
+               tags: list[str] | None = None) -> DataFrame:
+        """Top-k nearest neighbors (reference search_embedding,
+        db.rs:217-283). Returns (id, content, tags, score) — cosine
+        descending, or euclidean ascending in projected mode.
+
+        Plan: pruned scan → dequantize → score (codegen) →
+        TakeOrderedAndProject(k) — the reference's bounded heap,
+        distributed."""
+        model = self._load_model()
+        df = self.scan(tags)
+        q = [float(x) for x in query]
+        if model is not None:
+            q = model.project_vector(q)
+            scored = topk(df, euclidean_to_literal("embedding", q), k, ascending=True)
+        else:
+            scored = topk(df, cosine_to_literal("embedding", q), k, ascending=False)
+        return scored.select("id", "content", "tags", "score")
+
+    # -- PCA maintenance (db.rs:287-299, trigger :551-553) ------------------
+
+    def storage_bytes(self) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(self.data_path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    def maybe_project(self, threshold_bytes: int = 1_000_000, k: int = 500) -> bool:
+        """Storage-pressure hook: if the table exceeds the threshold and is
+        not yet projected, fit PCA on all vectors, persist the model, and
+        rewrite the table projected (reference: wasm ∧ file>1MB ∧
+        ¬projected, db.rs:551-553)."""
+        if self._load_model() is not None or self.is_empty():
+            return False
+        if self.storage_bytes() <= threshold_bytes:
+            return False
+        self.project(k)
+        return True
+
+    def project(self, k: int = 500) -> PCAModel:
+        """Fit + persist + backfill (reference project_embeddings,
+        db.rs:287-299; we center with the global means everywhere, fixing
+        the per-file re-centering drift of db.rs:301-367)."""
+        full = self.scan()
+        dim = self.dimension()
+        model = fit_pca(full, "embedding", min(k, dim))
+        projected = full.select(
+            "id",
+            "content",
+            "tags",
+            quantize(project_column("embedding", model)).alias("q"),
+            "tag_set_id",
+        ).select(
+            "id", "content", "tags",
+            F.col("q.qmin").alias("qmin"),
+            F.col("q.qmax").alias("qmax"),
+            F.col("q.quant").alias("quant"),
+            "tag_set_id",
+        )
+        tmp = self.data_path + ".projected"
+        projected.write.mode("overwrite").partitionBy("tag_set_id").parquet(tmp)
+        shutil.rmtree(self.data_path)
+        os.rename(tmp, self.data_path)
+        model.save(self.model_path)
+        return model
+
+    def _load_model(self) -> PCAModel | None:
+        if os.path.exists(self.model_path):
+            return PCAModel.load(self.model_path)
+        return None

@@ -1,0 +1,116 @@
+"""PCA dimensionality reduction (the reference's projected mode).
+
+The reference fits PCA over ALL embeddings when a vector file exceeds 1 MB
+(/root/reference/src/db.rs:287-299, trigger :551-553): covariance +
+symmetric eigendecomposition, keep top-500 components (db.rs:290), persist
+eigen+means (eigen.bin), rewrite every stored vector projected, and project
+queries at search time (db.rs:456-471).
+
+Spark-first mapping: the covariance of a d-dim corpus is a d×d matrix —
+tiny (64²..1536²) regardless of row count — so we compute the Gram matrix
+distributed in one aggregation pass (map-side partial sums of outer
+products via array expressions) and eigendecompose driver-side with numpy.
+That is exactly how pyspark.ml.feature.PCA works internally (RowMatrix
+computePrincipalComponents); we implement it directly over array<double>
+columns to avoid the mllib Vector conversion round-trip, and we fix the
+reference's per-file re-centering inconsistency (db.rs:301-367) by always
+centering with the global means.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from victor_spark.functions.vector import to_double_array
+
+
+@dataclass
+class PCAModel:
+    """Fitted projection: components (d×k, columns = eigenvectors in
+    descending-eigenvalue order) and per-dimension means."""
+
+    components: np.ndarray  # (d, k)
+    means: np.ndarray  # (d,)
+    explained_variance: np.ndarray  # (k,)
+
+    def save(self, path: str) -> None:
+        np.savez(path, components=self.components, means=self.means,
+                 explained_variance=self.explained_variance)
+
+    @staticmethod
+    def load(path: str) -> "PCAModel":
+        z = np.load(path)
+        return PCAModel(z["components"], z["means"], z["explained_variance"])
+
+    def project_vector(self, v: list[float]) -> list[float]:
+        """Driver-side single-vector projection (query path, db.rs:456-471)."""
+        x = np.asarray(v, dtype=np.float64) - self.means
+        return (x @ self.components).tolist()
+
+
+def fit_pca(df: DataFrame, vec_col: str, k: int = 500) -> PCAModel:
+    """Fit PCA with one distributed pass + driver-side eigh.
+
+    The single aggregation computes n, Σx (d values) and Σ xxᵀ (d² values,
+    flattened) — partial-aggregated map-side, so the shuffle is one d²-sized
+    row per partition; at 1000 executors and d=1536 that is ~18 MB total,
+    independent of corpus size.
+    """
+    v = to_double_array(vec_col)
+    d = df.select(F.size(v).alias("d")).first()["d"]
+    k = min(k, d)
+
+    flat_outer = F.flatten(
+        F.transform(v, lambda x: F.transform(v, lambda y: x * y))
+    )
+    agg = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.array(*[F.sum(F.element_at(v, i + 1)) for i in range(d)]).alias("sums"),
+        F.array(*[F.sum(F.element_at(flat_outer, i + 1)) for i in range(d * d)]).alias("gram"),
+    ).first()
+
+    n = agg["n"]
+    sums = np.asarray(agg["sums"], dtype=np.float64)
+    gram = np.asarray(agg["gram"], dtype=np.float64).reshape(d, d)
+    means = sums / n
+    # covariance = E[xxT] - mean meanT  (population, matching the reference's
+    # X_c^T X_c / n in decomposition.rs:51-56)
+    cov = gram / n - np.outer(means, means)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:k]
+    return PCAModel(eigvecs[:, order], means, eigvals[order])
+
+
+def project_column(vec: Column | str, model: PCAModel) -> Column:
+    """(v - means) @ components as a native column expression.
+
+    Emits k dot-products against literal component arrays — all inside
+    codegen; no UDF, no mllib Vector conversion. Fine for k up to a few
+    hundred (the reference's k=500)."""
+    v = to_double_array(vec)
+    d, k = model.components.shape
+    centered = F.zip_with(
+        v,
+        F.array(*[F.lit(float(m)) for m in model.means]),
+        lambda x, m: x - m,
+    )
+    comps = []
+    for j in range(k):
+        col_j = F.array(*[F.lit(float(c)) for c in model.components[:, j]])
+        comps.append(
+            F.aggregate(
+                F.zip_with(centered, col_j, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias(f"pc{j}")
+        )
+    return F.array(*comps)
+
+
+def project_dataframe(df: DataFrame, vec_col: str, model: PCAModel,
+                      out_col: str = "projected") -> DataFrame:
+    return df.withColumn(out_col, project_column(vec_col, model))
