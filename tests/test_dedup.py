@@ -1,0 +1,72 @@
+"""Dedup operator semantics on small controlled corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from victor_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    df = _docs(spark, [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")])
+    groups = dedup.exact_duplicates(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3
+    assert groups[0]["keep_id"] == 1
+
+
+def test_minhash_finds_exact_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = _docs(
+        spark,
+        [(1, base), (2, base), (3, "completely different words in this one here now"),
+         (4, "another unrelated document with its own distinct content entirely")],
+    )
+    pairs = dedup.minhash_near_duplicates(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert abs(pairs[0]["jaccard"] - 1.0) < 1e-9
+
+
+def test_minhash_near_dup_one_word_change(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = a.replace("theta", "thetaX")
+    df = _docs(spark, [(1, a), (2, b), (3, "zzz yyy xxx www vvv uuu ttt sss")])
+    pairs = dedup.minhash_near_duplicates(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert 0.5 <= pairs[0]["jaccard"] < 1.0
+
+
+def test_simhash_exact_dups_distance_zero(spark):
+    base = "one two three four five six seven eight nine ten"
+    df = _docs(spark, [(1, base), (2, base), (3, "foo bar baz qux quux corge grault")])
+    pairs = dedup.simhash_near_duplicates(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_ngram_jaccard_values(spark):
+    df = _docs(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "a b c x y")])
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    res = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard(pairs, df, "doc_id", "text", shingle_n=3).collect()
+    }
+    assert res[(1, 2)] == 1.0
+    # shingles(1): {a b c, b c d, c d e}; shingles(3): {a b c, b c x, c x y}
+    # intersection {a b c} = 1, union = 5 → 0.2
+    assert abs(res[(1, 3)] - 0.2) < 1e-9
+
+
+def test_embedding_near_duplicates(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),   # same direction → cosine 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    pairs = dedup.embedding_near_duplicates(df, "vec_id", "v", threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert abs(pairs[0]["cos_sim"] - 1.0) < 1e-9

@@ -1,0 +1,96 @@
+"""VectorIndex integration tests — the reference's own scenarios
+(/root/reference/src/tests.rs) against the Spark-native index."""
+
+from __future__ import annotations
+
+import pytest
+
+from victor_spark.index import DimensionMismatchError, VectorIndex
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    return VectorIndex(spark, str(tmp_path / "idx"))
+
+
+def test_store_and_retrieve(idx):
+    # tests.rs:3-22
+    idx.insert([("hello", [1.0, 2.0, 3.0], [])])
+    rows = idx.search([1.0, 2.0, 3.0], k=1).collect()
+    assert [r["content"] for r in rows] == ["hello"]
+    assert abs(rows[0]["score"] - 1.0) < 1e-6
+
+
+def test_two_vectors_retrieve_own_content(idx):
+    # tests.rs:24-60
+    idx.insert([("hello", [1.0, 2.0, 3.0], []), ("goodbye", [-1.0, -2.0, -3.0], [])])
+    assert idx.search([1.0, 2.0, 3.0], k=1).first()["content"] == "hello"
+    assert idx.search([-1.0, -2.0, -3.0], k=1).first()["content"] == "goodbye"
+
+
+def test_tag_isolation(idx):
+    # tests.rs:62-127
+    idx.insert([("hello", [1.0, 2.0, 3.0], ["greetings"])])
+    idx.insert([("goodbye", [-1.0, -2.0, -3.0], ["goodbyes"])])
+    all_hits = idx.search([1.0, 2.0, 3.0], k=10).collect()
+    assert sorted(r["content"] for r in all_hits) == ["goodbye", "hello"]
+    scoped = idx.search([1.0, 2.0, 3.0], k=10, tags=["goodbyes"]).collect()
+    assert [r["content"] for r in scoped] == ["goodbye"]
+    assert idx.search([1.0, 2.0, 3.0], k=10, tags=["mysterious"]).count() == 0
+
+
+def test_k_greater_than_n(idx):
+    # README.md:36-39 — k>n returns n rows, best first
+    idx.insert([("a", [1.0, 0.0], []), ("b", [0.0, 1.0], [])])
+    rows = idx.search([1.0, 0.1], k=10).collect()
+    assert len(rows) == 2
+    assert rows[0]["content"] == "a"
+    assert rows[0]["score"] >= rows[1]["score"]
+
+
+def test_dimension_mismatch_rejected(idx):
+    # tests.rs:129-143 (reference panics; we raise)
+    idx.insert([("ok", [1.0, 2.0, 3.0], [])])
+    with pytest.raises(DimensionMismatchError):
+        idx.insert([("bad", [1.0, 2.0, 3.0, 4.0], [])])
+    with pytest.raises(DimensionMismatchError):
+        idx.insert([("a", [1.0, 2.0], []), ("b", [1.0, 2.0, 3.0], [])])
+
+
+def test_clear(idx):
+    # db.rs:608-625
+    idx.insert([("x", [1.0, 2.0], [])])
+    assert not idx.is_empty()
+    idx.clear()
+    assert idx.is_empty()
+
+
+def test_projected_mode_euclidean_ascending(spark, tmp_path):
+    # db.rs:233-255 projected mode — with nearest-k (ascending) semantics,
+    # fixing the reference's farthest-k bug (SURVEY.md §2.3)
+    import random
+
+    rng = random.Random(7)
+    idx = VectorIndex(spark, str(tmp_path / "pidx"))
+    rows = [(f"doc{i}", [rng.gauss(0, 1) for _ in range(16)], []) for i in range(40)]
+    idx.insert(rows)
+    model = idx.project(k=8)
+    assert model.components.shape == (16, 8)
+    res = idx.search(rows[13][1], k=3).collect()
+    assert res[0]["content"] == "doc13"
+    # ascending distance order
+    assert res[0]["score"] <= res[1]["score"] <= res[2]["score"]
+
+
+def test_projected_insert_path(spark, tmp_path):
+    # db.rs:480-499 — inserts after projection are projected too
+    import random
+
+    rng = random.Random(9)
+    idx = VectorIndex(spark, str(tmp_path / "pidx2"))
+    rows = [(f"doc{i}", [rng.gauss(0, 1) for _ in range(8)], []) for i in range(20)]
+    idx.insert(rows)
+    idx.project(k=4)
+    idx.insert([("late", [1.0] * 8, [])])
+    assert idx.dimension() == 4  # stored projected
+    assert idx.search([1.0] * 8, k=1).first() is not None

@@ -1,0 +1,52 @@
+"""Multimodal binary-column plumbing: schema, batch shape, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from victor_spark.operators import multimodal as M
+
+
+def _media(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc"), (3, "x")], "id long, text string"
+    )
+    return M.synthesize_media(df, "id", "text", kind="image")
+
+
+def test_media_schema(spark):
+    m = _media(spark)
+    assert [f.name for f in m.schema.fields] == [
+        "media_id", "kind", "payload", "meta_width", "meta_height", "meta_sample_rate",
+    ]
+    assert m.schema["payload"].dataType.typeName() == "binary"
+
+
+def test_extract_features_one_row_per_input(spark):
+    m = _media(spark)
+    feats = M.extract_features(m)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_bytes"] == len(b"hello world")
+    assert rows[1]["checksum"] == sum(b"hello world")
+    assert len(rows[1]["features"]) == 8  # image histogram stub
+
+
+def test_extract_features_deterministic(spark):
+    m = _media(spark)
+    a = sorted(M.extract_features(m).collect())
+    b = sorted(M.extract_features(m).collect())
+    assert a == b
+
+
+def test_unknown_kind_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    bad = M.synthesize_media(df, "id", "text", kind="hologram")
+    with pytest.raises(Exception, match="hologram"):
+        M.extract_features(bad).collect()
+
+
+def test_kinds_route_to_decoders(spark):
+    df = spark.createDataFrame([(1, "abc")], "id long, text string")
+    audio = M.extract_features(M.synthesize_media(df, "id", "text", kind="audio"))
+    assert len(audio.first()["features"]) == 4  # audio stub: mean/max/min/len

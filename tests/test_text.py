@@ -1,0 +1,61 @@
+"""Text-analysis column function semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from victor_spark.functions import text as T
+
+
+def _one(spark, s):
+    return spark.createDataFrame([(s,)], "text string")
+
+
+def _val(spark, s, col):
+    return _one(spark, s).select(col.alias("x")).first()["x"]
+
+
+def test_token_count(spark):
+    assert _val(spark, "a b  c", T.token_count("text")) == 3
+    assert _val(spark, "", T.token_count("text")) == 0
+
+
+def test_word_count_regex(spark):
+    assert _val(spark, "hello, world! 42", T.word_count("text")) == 3
+
+
+def test_avg_token_len(spark):
+    assert _val(spark, "ab cd", T.avg_token_len("text")) == 2.0
+    assert _val(spark, "", T.avg_token_len("text")) == 0.0
+
+
+def test_punct_ratio(spark):
+    assert abs(_val(spark, "ab!?", T.punct_ratio("text")) - 0.5) < 1e-12
+    assert _val(spark, "", T.punct_ratio("text")) == 0.0
+
+
+def test_stopword_ratio(spark):
+    assert abs(_val(spark, "the cat and dog", T.stopword_ratio("text")) - 0.5) < 1e-12
+
+
+def test_quality_score_bounds(spark):
+    q = _val(spark, "the quick brown fox is in the yard " * 10, T.quality_score("text"))
+    assert 0.0 <= q <= 1.0
+    assert q > 0.8  # long, clean, stopword-bearing text scores high
+
+
+def test_lang_id_markers(spark):
+    assert _val(spark, "der hund und die katze ist da", T.lang_id("text")) == "de"
+    assert _val(spark, "the cat and the dog of the town", T.lang_id("text")) == "en"
+    assert _val(spark, "xyzzy plugh", T.lang_id("text")) == "und"
+
+
+def test_fingerprint_equal_for_equal_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "some identical document text"), (2, "some identical document text"),
+         (3, "a different text body here")],
+        "id long, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", T.fingerprint64("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]

@@ -65,9 +65,33 @@ def char_shingles(s: ColumnOrName, n: int = 3) -> Column:
     )
 
 
-def shingle_hashes(s: ColumnOrName, n: int = 3) -> Column:
-    """Distinct 32-bit hashes of the character n-grams of s."""
-    return F.array_distinct(F.transform(char_shingles(s, n), lambda g: _md5_32_expr(g)))
+def word_shingles(s: ColumnOrName, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of a string, as array<string>.
+
+    Word shingles discriminate much better than character shingles on
+    shared-vocabulary corpora; this is the unit MinHash dedup uses by
+    default. Docs shorter than n tokens yield one shingle = the space-
+    normalized text.
+    """
+    from victor_spark.functions.text import tokens
+
+    t = tokens(s)
+    joined = F.array_join(t, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + off) for off in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(t) >= n, grams).otherwise(F.array(joined))
+    )
+
+
+def shingle_hashes(s: ColumnOrName, n: int = 3, unit: str = "char") -> Column:
+    """Distinct 32-bit hashes of the n-grams (char or word) of s."""
+    grams = char_shingles(s, n) if unit == "char" else word_shingles(s, n)
+    return F.array_distinct(F.transform(grams, lambda g: _md5_32_expr(g)))
 
 
 def _md5_32_expr(c: Column) -> Column:
@@ -81,16 +105,13 @@ def minhash_signature(hashes: ColumnOrName, num_hashes: int = 16, seed: int = 42
     hash family's max), keeping the column total.
     """
     hashes = _col(hashes)
+
+    def _lin(a: int, b: int):
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+
     sig = []
     for a, b in hash_params(num_hashes, seed):
-        sig.append(
-            F.array_min(
-                F.transform(
-                    hashes,
-                    lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31),
-                )
-            )
-        )
+        sig.append(F.array_min(F.transform(hashes, _lin(a, b))))
     return F.array(*[F.coalesce(c, F.lit(MERSENNE31)).alias(f"h{i}") for i, c in enumerate(sig)])
 
 
@@ -117,23 +138,27 @@ def simhash32(token_hashes: ColumnOrName) -> Column:
     """
     th = _col(token_hashes)
     n = F.size(th)
+
+    def _bit_set(mask: int):
+        return lambda x: x.bitwiseAND(F.lit(mask)) != 0
+
     acc = F.lit(0).cast("long")
     for i in range(32):
-        ones = F.size(F.filter(th, lambda x, i=i: x.bitwiseAND(F.lit(1 << i)) != 0))
+        ones = F.size(F.filter(th, _bit_set(1 << i)))
         bit = F.when(ones * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
         acc = acc + bit
     return acc
 
 
 def hamming32(a: ColumnOrName, b: ColumnOrName) -> Column:
-    """Hamming distance between two 32-bit fingerprints stored as bigint."""
+    """Hamming distance between two 32-bit fingerprints stored as bigint.
+
+    Unrolled popcount over literal masks (bit_count(xor) in the oracle)."""
     x = _col(a).bitwiseXOR(_col(b))
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(31)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(x.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(0),
-    )
+    total = F.lit(0)
+    for i in range(32):
+        total = total + F.when(x.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)
+    return total
 
 
 def hyperplane_value(j: int, i: Column) -> Column:
@@ -156,15 +181,16 @@ def hyperplane_bucket(v: ColumnOrName, num_planes: int = 8) -> Column:
     instead of the O(n²) cross product.
     """
     v = _col(v)
+
+    def _plane(j: int):
+        return lambda i: hyperplane_value(j, i)
+
     acc = F.lit(0).cast("long")
     for j in range(num_planes):
         proj = F.aggregate(
             F.zip_with(
                 v,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(v) - 1),
-                    lambda i, j=j: hyperplane_value(j, i),
-                ),
+                F.transform(F.sequence(F.lit(0), F.size(v) - 1), _plane(j)),
                 lambda x, p: x * p,
             ),
             F.lit(0.0),

@@ -99,12 +99,14 @@ def quality_score(s: ColumnOrName) -> Column:
 def lang_scores(s: ColumnOrName) -> dict[str, Column]:
     """Marker-word hit count per language over the lowercased tokens."""
     t = F.transform(tokens(s), F.lower)
-    out = {}
-    for lang, markers in LANG_MARKERS.items():
-        out[lang] = F.size(
-            F.filter(t, lambda x, m=markers: x.isin(*[F.lit(w) for w in m]))
-        )
-    return out
+
+    def _in_markers(markers: tuple[str, ...]):
+        return lambda x: x.isin(*[F.lit(w) for w in markers])
+
+    return {
+        lang: F.size(F.filter(t, _in_markers(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
 
 
 def lang_id(s: ColumnOrName) -> Column:

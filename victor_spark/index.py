@@ -95,9 +95,41 @@ class VectorIndex:
         )
         self.insert_df(df)
 
+    def add(self, texts: list[str], tags: list[str] | None = None,
+            dim: int = 64) -> None:
+        """Embed documents with the batch embedder and insert (reference
+        `add`, db.rs:102-114: fastembed over docs → add_embeddings). The
+        embedding runs as an Arrow-batched pandas_udf inside the insert
+        job — one distributed pass, no driver materialization."""
+        from victor_spark.functions.embedder import embed
+
+        df = self.spark.createDataFrame(
+            [(t,) for t in texts], "content string"
+        ).select(
+            "content",
+            embed("content", dim).alias("embedding"),
+            F.array(*[F.lit(t) for t in sorted(set(tags or []))]).alias("tags"),
+        )
+        self.insert_df(df)
+
+    def search_text(self, text: str, k: int = 10,
+                    tags: list[str] | None = None) -> DataFrame:
+        """Text-entry search (reference `search`, db.rs:198-213): embed the
+        query string driver-side with the same model, then vector search."""
+        from victor_spark.functions.embedder import embed_query
+
+        dim = self.dimension()
+        model = self._load_model()
+        query_dim = dim if model is None else model.components.shape[0]
+        return self.search(embed_query(text, query_dim or 64), k=k, tags=tags)
+
     def insert_df(self, df: DataFrame) -> None:
         """Insert from a DataFrame with (content, embedding, tags) columns."""
-        dim = self.dimension()
+        model = self._load_model()
+        # In projected mode incoming vectors carry the ORIGINAL dimension
+        # (the model's input side) and are projected before write
+        # (db.rs:480-499); otherwise they must match the stored dimension.
+        dim = model.components.shape[0] if model is not None else self.dimension()
         batch_dims = [r["d"] for r in df.select(F.size("embedding").alias("d")).distinct().collect()]
         if len(batch_dims) > 1 or (dim is not None and batch_dims and batch_dims[0] != dim):
             raise DimensionMismatchError(
@@ -106,7 +138,6 @@ class VectorIndex:
 
         tags_norm = F.array_sort(F.array_distinct(F.coalesce(F.col("tags"), F.array())))
         vec = F.col("embedding").cast("array<double>")
-        model = self._load_model()
         if model is not None:
             # projected-insert path (db.rs:480-499)
             vec = project_column(vec, model).cast("array<double>")

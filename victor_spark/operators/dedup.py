@@ -44,16 +44,38 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
 
 
 def with_minhash(df: DataFrame, content_col: str, num_hashes: int = 16,
-                 shingle_n: int = 3) -> DataFrame:
+                 shingle_n: int = 3, unit: str = "word") -> DataFrame:
     """Attach `sig` (MinHash signature array<bigint>) to each row."""
     return df.withColumn(
-        "sig", H.minhash_signature(H.shingle_hashes(content_col, shingle_n), num_hashes)
+        "sig",
+        H.minhash_signature(H.shingle_hashes(content_col, shingle_n, unit), num_hashes),
     )
+
+
+def _hashed_shingles(df: DataFrame, id_col: str, content_col: str,
+                     shingle_n: int, unit: str) -> DataFrame:
+    """(doc, shing, h): shingle set + 32-bit shingle hashes, CACHED.
+
+    The cache is a deliberate recompute barrier: the MinHash pipeline reads
+    this three times (both sides of the band self-join + the Jaccard
+    verify), and without the barrier Catalyst's projection collapsing would
+    re-run the md5 shingle hashing for each of the 16 signature components
+    and each consumer. At cluster scale the same role is played by
+    persisting to a staging table.
+    """
+    grams = (H.char_shingles(content_col, shingle_n) if unit == "char"
+             else H.word_shingles(content_col, shingle_n))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        grams.alias("shing"),
+    ).withColumn(
+        "h", F.array_distinct(F.transform("shing", H._md5_32_expr))
+    ).cache()
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, content_col: str,
                             num_hashes: int = 16, bands: int = 8,
-                            shingle_n: int = 3) -> DataFrame:
+                            shingle_n: int = 3, unit: str = "word") -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing at least one band bucket.
 
     Plan shape: signature is computed map-side; explode(bands) multiplies
@@ -62,10 +84,13 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, content_col: str,
     thing to watch — a degenerate corpus (one giant near-dup cluster) makes
     a hot key, which AQE skew-join splitting handles.
     """
+    hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
+    return _candidates_from_hashed(hashed, num_hashes, bands)
+
+
+def _candidates_from_hashed(hashed: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     rows_per_band = num_hashes // bands
-    sig = with_minhash(df, content_col, num_hashes, shingle_n).select(
-        F.col(id_col).alias("doc"), "sig"
-    )
+    sig = hashed.select("doc", H.minhash_signature("h", num_hashes).alias("sig"))
     banded = sig.select(
         "doc", F.explode(H.band_keys("sig", bands, rows_per_band)).alias("band_key")
     )
@@ -80,15 +105,15 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, content_col: str,
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, id_col: str,
-                  content_col: str, shingle_n: int = 3) -> DataFrame:
+                  content_col: str, shingle_n: int = 3, unit: str = "word") -> DataFrame:
     """Exact character-n-gram Jaccard for each (id_a, id_b) pair.
 
     Joins the shingle sets in (both joins broadcast when docs is small;
     sort-merge on id otherwise) and computes |∩|/|∪| natively.
     """
-    sh = docs.select(
-        F.col(id_col).alias("_id"), H.char_shingles(content_col, shingle_n).alias("_sh")
-    )
+    grams = (H.char_shingles(content_col, shingle_n) if unit == "char"
+             else H.word_shingles(content_col, shingle_n))
+    sh = docs.select(F.col(id_col).alias("_id"), grams.alias("_sh"))
     return (
         df_pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
@@ -103,11 +128,26 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, id_col: str,
 
 def minhash_near_duplicates(df: DataFrame, id_col: str, content_col: str,
                             threshold: float = 0.7, num_hashes: int = 16,
-                            bands: int = 8, shingle_n: int = 3) -> DataFrame:
+                            bands: int = 8, shingle_n: int = 3,
+                            unit: str = "word") -> DataFrame:
     """Full MinHash-LSH dedup: candidates by banding, verified by exact
-    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    cands = minhash_candidate_pairs(df, id_col, content_col, num_hashes, bands, shingle_n)
-    verified = ngram_jaccard(cands, df, id_col, content_col, shingle_n)
+    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    The shingle/hash table is computed once (cached) and shared by the
+    candidate join and the verify joins."""
+    hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
+    cands = _candidates_from_hashed(hashed, num_hashes, bands)
+    sh = hashed.select("doc", "shing")
+    verified = (
+        cands.join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("shing", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc", "id_b").withColumnRenamed("shing", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+    )
     return verified.filter(F.col("jaccard") >= threshold)
 
 

@@ -55,27 +55,42 @@ class PCAModel:
 def fit_pca(df: DataFrame, vec_col: str, k: int = 500) -> PCAModel:
     """Fit PCA with one distributed pass + driver-side eigh.
 
-    The single aggregation computes n, Σx (d values) and Σ xxᵀ (d² values,
-    flattened) — partial-aggregated map-side, so the shuffle is one d²-sized
-    row per partition; at 1000 executors and d=1536 that is ~18 MB total,
-    independent of corpus size.
+    Each partition emits one (n, Σx, Σxxᵀ) partial — computed by numpy over
+    Arrow batches (mapInPandas), so the heavy outer-product accumulation
+    runs at BLAS speed and the driver receives one d²-sized row per
+    partition: at 1000 executors and d=1536 that is ~18 MB total,
+    independent of corpus size. (A pure-codegen d²-column aggregate works
+    too but compiles a 4096-expression aggregate; this shape is both faster
+    and the standard RowMatrix strategy.)
     """
-    v = to_double_array(vec_col)
-    d = df.select(F.size(v).alias("d")).first()["d"]
+    d = df.select(F.size(to_double_array(vec_col)).alias("d")).first()["d"]
     k = min(k, d)
+    vdf = df.select(to_double_array(vec_col).alias("v"))
 
-    flat_outer = F.flatten(
-        F.transform(v, lambda x: F.transform(v, lambda y: x * y))
-    )
-    agg = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.array(*[F.sum(F.element_at(v, i + 1)) for i in range(d)]).alias("sums"),
-        F.array(*[F.sum(F.element_at(flat_outer, i + 1)) for i in range(d * d)]).alias("gram"),
-    ).first()
+    def _partials(batches):
+        import pandas as pd
 
-    n = agg["n"]
-    sums = np.asarray(agg["sums"], dtype=np.float64)
-    gram = np.asarray(agg["gram"], dtype=np.float64).reshape(d, d)
+        n = 0
+        sums = np.zeros(d)
+        gram = np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arr = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            n += arr.shape[0]
+            sums += arr.sum(axis=0)
+            gram += arr.T @ arr
+        yield pd.DataFrame(
+            {"n": [n], "sums": [sums.tolist()], "gram": [gram.ravel().tolist()]}
+        )
+
+    parts = vdf.mapInPandas(
+        _partials, schema="n long, sums array<double>, gram array<double>"
+    ).collect()
+
+    n = sum(p["n"] for p in parts)
+    sums = np.sum([np.asarray(p["sums"]) for p in parts], axis=0)
+    gram = np.sum([np.asarray(p["gram"]).reshape(d, d) for p in parts], axis=0)
     means = sums / n
     # covariance = E[xxT] - mean meanT  (population, matching the reference's
     # X_c^T X_c / n in decomposition.rs:51-56)

@@ -1,0 +1,1057 @@
+"""The query catalog: every operator from SURVEY.md §2 (+ the LLM-pipeline
+extensions) as a named (Spark builder, DuckDB oracle SQL) pair.
+
+Contract (driver's correctness gate): for each entry, the Spark DataFrame
+and the oracle SQL must produce identical row sets — same column names,
+compatible types, and, after round(…, 6) applied inside the query itself,
+identical values. Both sides therefore:
+
+- compute in double precision with the same sequential fold order,
+- use the shared md5-based hash family (functions/hashing.py) so even the
+  approximate operators (MinHash/SimHash/hyperplane-LSH) compare exactly,
+- alias every output column identically and round floats at the end.
+
+Each builder takes (spark, sf_dir) and stays fully declarative — scans are
+partition-pruned/pushed-down parquet reads, joins are broadcast where one
+side is a dim/query set, and no builder collects to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from victor_spark.functions import hashing as H
+from victor_spark.functions import text as T
+from victor_spark.functions.vector import (
+    dequantize,
+    dot,
+    euclidean,
+    norm,
+    quantize,
+    to_double_array,
+)
+from victor_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# shared constants (stated literally in the oracle SQL)
+# ---------------------------------------------------------------------------
+
+MINHASH_NUM = 16
+MINHASH_BANDS = 8
+MINHASH_R = MINHASH_NUM // MINHASH_BANDS
+MINHASH_PARAMS = H.hash_params(MINHASH_NUM)
+P31 = H.MERSENNE31
+
+# SQL fragment: 32-bit md5 hash of expression {x}
+SQL_H32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+
+# SQL fragment: whitespace tokens of {s}
+SQL_TOKS = "list_filter(string_split({s}, ' '), t -> t <> '')"
+
+# SQL fragment: word 3-gram shingles over token list {t}
+SQL_WORD_SHINGLES = (
+    "list_distinct(CASE WHEN len({t}) >= 3 THEN "
+    "list_transform(range(1, len({t}) - 1), "
+    "i -> concat({t}[i], ' ', {t}[i+1], ' ', {t}[i+2])) "
+    "ELSE [array_to_string({t}, ' ')] END)"
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → non-SQL-expressible; driver does rows-only
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, oracle: Optional[str], doc: str = ""):
+    def wrap(fn):
+        QUERIES[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return wrap
+
+
+def _emb(spark, sf_dir, alias_v="v"):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias(alias_v)
+    )
+
+
+# ===========================================================================
+# §2.3 search path — cosine / euclidean / tagged / batch / content join
+# ===========================================================================
+
+_COS_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qnorm FROM e WHERE vec_id = {qid})
+SELECT vec_id,
+       round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * qnorm), 6) AS sim
+FROM e, q
+ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * qnorm) DESC, vec_id
+LIMIT {k}
+"""
+
+
+def _cosine_topk(spark, sf_dir, qid: int, k: int) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == qid)
+        .select(F.col("v").alias("qv"))
+        .withColumn("qnorm", norm("qv"))
+    )
+    scored = e.crossJoin(q).select(
+        "vec_id", (dot("v", "qv") / (norm("v") * F.col("qnorm"))).alias("_s")
+    )
+    return (
+        scored.orderBy(F.desc("_s"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("_s", 6).alias("sim"))
+    )
+
+
+@_q(
+    "topk_cosine",
+    _COS_ORACLE.format(qid=0, k=10),
+    "flagship: top-10 cosine neighbors of vec 0 (reference search_embedding, db.rs:217-283)",
+)
+def q_topk_cosine(spark, sf_dir):
+    return _cosine_topk(spark, sf_dir, qid=0, k=10)
+
+
+# tag-superset filtering: tags derived deterministically from `label`
+# (lbl_<label>, par_<label%2>) — reference get_matching_db_files db.rs:687-706.
+_TAGGED_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+         ['lbl_' || CAST(label AS VARCHAR), 'par_' || CAST(label % 2 AS VARCHAR)] tags
+  FROM embeddings
+),
+f AS (SELECT * FROM e WHERE list_has_all(tags, ['par_1'])),
+q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qnorm FROM e WHERE vec_id = 5)
+SELECT vec_id,
+       round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * qnorm), 6) AS sim
+FROM f, q
+ORDER BY list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * qnorm) DESC, vec_id
+LIMIT 10
+"""
+
+
+@_q(
+    "topk_cosine_tagged",
+    _TAGGED_ORACLE,
+    "tag-superset filtered search (reference P4 db.rs:687-706): query tags ['par_1']",
+)
+def q_topk_cosine_tagged(spark, sf_dir):
+    e = _emb(spark, sf_dir).withColumn(
+        "tags",
+        F.array(
+            F.concat(F.lit("lbl_"), F.col("label").cast("string")),
+            F.concat(F.lit("par_"), (F.col("label") % 2).cast("string")),
+        ),
+    )
+    query_tags = F.array(F.lit("par_1"))
+    filtered = e.filter(F.forall(query_tags, lambda t: F.array_contains(F.col("tags"), t)))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 5).select(F.col("v").alias("qv")).withColumn("qnorm", norm("qv"))
+    )
+    scored = filtered.crossJoin(q).select(
+        "vec_id", (dot("v", "qv") / (norm("v") * F.col("qnorm"))).alias("_s")
+    )
+    return (
+        scored.orderBy(F.desc("_s"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("_s", 6).alias("sim"))
+    )
+
+
+_EUC_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+d AS (
+  SELECT vec_id,
+         sqrt(CAST(list_sum(list_transform(range(1, len(v) + 1),
+              i -> (v[i] - qv[i]) * (v[i] - qv[i]))) AS DOUBLE)) AS dist
+  FROM e, q
+)
+SELECT vec_id, round(dist, 6) AS dist FROM d
+ORDER BY dist ASC, vec_id LIMIT 10
+"""
+
+
+@_q(
+    "topk_euclidean",
+    _EUC_ORACLE,
+    "euclidean nearest-k ASCENDING (projected-mode scoring, similarity.rs:26-43; "
+    "fixes the reference's farthest-k bug, SURVEY.md §2.3)",
+)
+def q_topk_euclidean(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(e.filter(F.col("vec_id") == 1).select(F.col("v").alias("qv")))
+    scored = e.crossJoin(q).select("vec_id", euclidean("v", "qv").alias("_d"))
+    return (
+        scored.orderBy(F.asc("_d"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("_d", 6).alias("dist"))
+    )
+
+
+_BATCH_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qnorm
+      FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS corpus_id,
+         list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * q.qnorm) AS s
+  FROM e, q
+),
+ranked AS (
+  SELECT query_id, corpus_id, s,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, corpus_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, corpus_id, rank, round(s, 6) AS sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+@_q(
+    "topk_batch",
+    _BATCH_ORACLE,
+    "batch multi-query search: 8 queries × corpus, per-query top-5 via window "
+    "(the distributed form of repeated search_embedding calls)",
+)
+def q_topk_batch(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("qnorm", norm("qv"))
+    )
+    scored = e.crossJoin(q).select(
+        "query_id",
+        F.col("vec_id").alias("corpus_id"),
+        (dot("v", "qv") / (norm("v") * F.col("qnorm"))).alias("_s"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "corpus_id", "rank", F.round("_s", 6).alias("sim"))
+    )
+
+
+_CONTENT_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qnorm FROM e WHERE vec_id = 2),
+hits AS (
+  SELECT vec_id,
+         list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * qnorm) AS s
+  FROM e, q
+  ORDER BY s DESC, vec_id LIMIT 10
+)
+SELECT h.vec_id, round(h.s, 6) AS sim, d.text
+FROM hits h LEFT JOIN documents d ON h.vec_id = d.doc_id
+"""
+
+
+@_q(
+    "search_with_content",
+    _CONTENT_ORACLE,
+    "search + content fetch: top-k then ONE broadcast join to documents "
+    "(replaces the reference's per-candidate content.bin reload, db.rs:590-605)",
+)
+def q_search_with_content(spark, sf_dir):
+    hits = _cosine_topk(spark, sf_dir, qid=2, k=10)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        hits.join(F.broadcast(docs), hits.vec_id == docs.doc_id, "left")
+        .select("vec_id", "sim", "text")
+    )
+
+
+# ===========================================================================
+# §2.4 compression — quantization round-trip, storage; index listing; dims
+# ===========================================================================
+
+_QUANT_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+rng AS (
+  SELECT vec_id, v,
+         CAST(CAST(list_min(v) AS FLOAT) AS DOUBLE) lo,
+         CAST(CAST(list_max(v) AS FLOAT) AS DOUBLE) hi,
+         list_min(v) lo_d, list_max(v) hi_d
+  FROM e
+),
+qd AS (
+  SELECT vec_id, v, lo,
+         CASE WHEN hi - lo = 0 THEN 1.0 ELSE hi - lo END span,
+         CASE WHEN hi_d - lo_d = 0 THEN 1.0 ELSE hi_d - lo_d END span_d
+  FROM rng
+),
+bins AS (
+  SELECT vec_id, v, lo, span,
+         list_transform(v, x -> least(255.0, greatest(0.0, round((x - lo) / span_d * 255.0)))) b
+  FROM qd
+),
+err AS (
+  SELECT vec_id,
+         list_transform(range(1, len(v) + 1), i -> abs(v[i] - (lo + b[i] / 255.0 * span))) ae
+  FROM bins
+)
+SELECT vec_id,
+       round(CAST(list_max(ae) AS DOUBLE), 8) AS max_err,
+       round(CAST(list_sum(ae) AS DOUBLE) / len(ae), 8) AS avg_err
+FROM err
+"""
+
+
+@_q(
+    "quantize_roundtrip",
+    _QUANT_ORACLE,
+    "8-bit scalar quantization pack→unpack error per vector "
+    "(reference packed_vector.rs:11-35; min==max guarded per FIXTURES.md §2)",
+)
+def q_quantize_roundtrip(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.withColumn("q", quantize("v")).withColumn(
+        "back", dequantize(F.col("q.quant"), F.col("q.qmin"), F.col("q.qmax"))
+    )
+    ae = F.zip_with("v", "back", lambda a, b: F.abs(a - b))
+    return q.select(
+        "vec_id",
+        F.round(F.array_max(ae), 8).alias("max_err"),
+        F.round(
+            F.aggregate(ae, F.lit(0.0), lambda acc, x: acc + x) / F.size(ae), 8
+        ).alias("avg_err"),
+    )
+
+
+_INDEX_ORACLE = """
+SELECT sha256(concat('lbl_', CAST(label AS VARCHAR), ',par_', CAST(label % 2 AS VARCHAR))) AS tag_set_id,
+       count(*) AS n_vectors
+FROM embeddings
+GROUP BY 1
+"""
+
+
+@_q(
+    "tag_index_listing",
+    _INDEX_ORACLE,
+    "the tag-set 'index': distinct canonical tag-set ids + sizes "
+    "(reference Index/index.bin db.rs:629-685 → partition listing)",
+)
+def q_tag_index_listing(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    tags = F.array(
+        F.concat(F.lit("lbl_"), F.col("label").cast("string")),
+        F.concat(F.lit("par_"), (F.col("label") % 2).cast("string")),
+    )
+    return (
+        e.select(F.sha2(F.array_join(F.array_sort(tags), ","), 256).alias("tag_set_id"))
+        .groupBy("tag_set_id")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@_q(
+    "dim_check",
+    "SELECT CAST(len(embedding) AS INTEGER) AS dim, count(*) AS n_vectors "
+    "FROM embeddings GROUP BY 1",
+    "uniform-dimension audit (reference asserts fixed record size, db.rs:516-539)",
+)
+def q_dim_check(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy(F.size("embedding").alias("dim"))
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@_q(
+    "embedding_stats",
+    """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+SELECT label, count(*) AS n,
+       round(CAST(sum(CAST(sqrt(list_dot_product(v, v)) AS DECIMAL(20,12))) AS DOUBLE)
+             / count(*), 6) AS avg_norm
+FROM e GROUP BY label
+""",
+    "per-label corpus stats (vector-column aggregate demo); the per-row norm "
+    "is summed as exact decimal so the distributed sum is order-independent",
+)
+def q_embedding_stats(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(norm("v").cast("decimal(20,12)")).cast("double") / F.count("*"), 6
+        ).alias("avg_norm"),
+    )
+
+
+# ===========================================================================
+# extensions: dedup family (on a corpus with synthesized duplicates)
+# ===========================================================================
+#
+# The testdata documents are all distinct, so each dedup query unions in
+# deterministic duplicates (every 10th doc re-inserted with doc_id+100000)
+# — both engines state the same corpus, so the found pairs must agree.
+
+_DUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+def _dup_corpus(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionAll(dups)
+
+
+@_q(
+    "dedup_exact",
+    f"""
+WITH corpus AS ({_DUP_CORPUS_SQL})
+SELECT sha256(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+""",
+    "exact dedup: sha256 hash-groupBy, keep min id",
+)
+def q_dedup_exact(spark, sf_dir):
+    from victor_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_dup_corpus(spark, sf_dir), "doc_id", "text")
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(h, x -> (x * {a} + {b}) % {P31})), {P31})"
+        for a, b in MINHASH_PARAMS
+    )
+    return f"[{mins}]"
+
+
+def _band_keys_sql() -> str:
+    keys = []
+    for j in range(MINHASH_BANDS):
+        parts = " , '_', ".join(
+            f"CAST(sig[{j * MINHASH_R + r + 1}] AS VARCHAR)" for r in range(MINHASH_R)
+        )
+        keys.append(f"concat('{j}_', {parts})")
+    return "[" + ", ".join(keys) + "]"
+
+
+_MINHASH_ORACLE = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+toks AS (SELECT doc_id, {SQL_TOKS.format(s='text')} t FROM corpus),
+sh AS (SELECT doc_id, {SQL_WORD_SHINGLES.format(t='t')} shing FROM toks),
+hs AS (SELECT doc_id, shing,
+              list_distinct(list_transform(shing, s -> {SQL_H32.format(x='s')})) h
+       FROM sh),
+sig AS (SELECT doc_id, shing, {_minhash_sig_sql()} sig FROM hs),
+bands AS (SELECT doc_id, unnest({_band_keys_sql()}) band_key FROM sig),
+cand AS (SELECT DISTINCT l.doc_id id_a, r.doc_id id_b
+         FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
+ver AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.shing, sb.shing)) AS DOUBLE)
+           / len(list_distinct(sa.shing || sb.shing)) AS jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.7
+"""
+
+
+@_q(
+    "dedup_minhash",
+    _MINHASH_ORACLE,
+    "MinHash+LSH near-dup dedup: word-3-gram shingles → 16-hash signature → "
+    "8 bands → bucket join → exact-Jaccard verify ≥ 0.7",
+)
+def q_dedup_minhash(spark, sf_dir):
+    from victor_spark.operators.dedup import minhash_near_duplicates
+
+    res = minhash_near_duplicates(
+        _dup_corpus(spark, sf_dir), "doc_id", "text",
+        threshold=0.7, num_hashes=MINHASH_NUM, bands=MINHASH_BANDS,
+        shingle_n=3, unit="word",
+    )
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_NGRAM_ORACLE = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+d AS (SELECT doc_id, text, doc_id % 7 AS blk FROM corpus),
+sh AS (SELECT doc_id, blk,
+              {SQL_WORD_SHINGLES.format(t=SQL_TOKS.format(s='text'))} shing
+       FROM d),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b,
+         CAST(len(list_intersect(a.shing, b.shing)) AS DOUBLE)
+           / len(list_distinct(a.shing || b.shing)) AS jaccard
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    _NGRAM_ORACLE,
+    "exact n-gram Jaccard similarity join (blocked on doc_id%7 to bound the "
+    "pair count; the full-corpus scale path is dedup_minhash)",
+)
+def q_dedup_ngram(spark, sf_dir):
+    c = _dup_corpus(spark, sf_dir).withColumn("blk", F.col("doc_id") % 7)
+    sh = c.select("doc_id", "blk", H.word_shingles("text", 3).alias("shing"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        (
+            F.size(F.array_intersect("a.shing", "b.shing")).cast("double")
+            / F.size(F.array_union("a.shing", "b.shing"))
+        ).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _simhash_sql(th: str, n: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({th}, x -> (x & {1 << i}) <> 0)) > {n} "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"({terms})"
+
+
+_SIMHASH_ORACLE = f"""
+WITH corpus AS ({_DUP_CORPUS_SQL}),
+th AS (SELECT doc_id,
+              list_transform({SQL_TOKS.format(s='text')}, tok -> {SQL_H32.format(x='tok')}) h,
+              len({SQL_TOKS.format(s='text')}) n
+       FROM corpus),
+fp AS (SELECT doc_id, {_simhash_sql('h', 'n')} simhash FROM th),
+blocked AS (SELECT doc_id, simhash, simhash >> 16 blk FROM fp),
+pairs AS (
+  SELECT a.doc_id id_a, b.doc_id id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) hamming
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+@_q(
+    "dedup_simhash",
+    _SIMHASH_ORACLE,
+    "SimHash near-dup dedup: 32-bit fingerprint over token hashes, blocked on "
+    "high 16 bits, Hamming ≤ 3",
+)
+def q_dedup_simhash(spark, sf_dir):
+    from victor_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _dup_corpus(spark, sf_dir), "doc_id", "text", max_hamming=3, block_bits=16
+    )
+
+
+def _bucket_sql(v: str, num_planes: int = 8, d: int = 64) -> str:
+    terms = []
+    for j in range(num_planes):
+        proj = (
+            f"CAST(list_sum(list_transform(range(1, {d + 1}), "
+            f"i -> {v}[i] * sin({j} * 12.9898 + (i - 1) * 78.233))) AS DOUBLE)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_EMB_DUP_SQL = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings UNION ALL "
+    "SELECT vec_id + 100000 AS vec_id, "
+    "list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) v "
+    "FROM embeddings WHERE vec_id % 10 = 0"
+)
+
+_EMB_DEDUP_ORACLE = f"""
+WITH corpus AS ({_EMB_DUP_SQL}),
+b AS (SELECT vec_id, v, {_bucket_sql('v')} bucket FROM corpus),
+pairs AS (
+  SELECT a.vec_id id_a, b2.vec_id id_b,
+         list_dot_product(a.v, b2.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) cs
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM pairs WHERE cs >= 0.99
+"""
+
+
+def _emb_dup_corpus(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    dups = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x * 2.0).alias("v"),
+    )
+    return e.unionAll(dups)
+
+
+@_q(
+    "dedup_embedding",
+    _EMB_DEDUP_ORACLE,
+    "embedding-cosine near-dup pairs ≥ 0.99, blocked by 8-plane hyperplane-LSH "
+    "bucket (O(n²) → per-bucket join)",
+)
+def q_dedup_embedding(spark, sf_dir):
+    from victor_spark.operators.dedup import embedding_near_duplicates
+
+    res = embedding_near_duplicates(
+        _emb_dup_corpus(spark, sf_dir), "vec_id", "v", threshold=0.99, num_planes=8
+    )
+    return res.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# ===========================================================================
+# extensions: ANN (LSH-bucketed approximate search)
+# ===========================================================================
+
+_ANN_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql('v')} bucket FROM e),
+q AS (SELECT v qv, bucket qb, sqrt(list_dot_product(v, v)) qn FROM b WHERE vec_id = 3),
+cand AS (
+  SELECT b.vec_id, b.v, q.qv, q.qn FROM b, q
+  WHERE b.bucket = q.qb OR xor(b.bucket, q.qb) IN (1, 2, 4, 8, 16, 32, 64, 128)
+),
+scored AS (
+  SELECT vec_id, list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * qn) s
+  FROM cand
+)
+SELECT vec_id, round(s, 6) AS sim FROM scored ORDER BY s DESC, vec_id LIMIT 5
+"""
+
+
+@_q(
+    "ann_lsh_topk",
+    _ANN_ORACLE,
+    "approximate top-5 for vec 3: scan only the query's hyperplane bucket ± "
+    "one-bit probes, exact cosine within candidates (at scale: partition "
+    "pruning on a bucket-partitioned table)",
+)
+def q_ann_lsh(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    b = e.withColumn("bucket", H.hyperplane_bucket("v", 8))
+    q = F.broadcast(
+        b.filter(F.col("vec_id") == 3).select(
+            F.col("v").alias("qv"), F.col("bucket").alias("qb")
+        ).withColumn("qn", norm("qv"))
+    )
+    probes = F.col("bucket").bitwiseXOR(F.col("qb"))
+    cand = b.join(
+        q,
+        (F.col("bucket") == F.col("qb"))
+        | probes.isin([1, 2, 4, 8, 16, 32, 64, 128]),
+    )
+    scored = cand.select(
+        "vec_id", (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("_s")
+    )
+    return (
+        scored.orderBy(F.desc("_s"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("_s", 6).alias("sim"))
+    )
+
+
+# ===========================================================================
+# extensions: text analysis over documents
+# ===========================================================================
+
+_SQL_T = SQL_TOKS.format(s="text")
+
+_TEXT_STATS_ORACLE = f"""
+WITH d AS (SELECT doc_id, text, {_SQL_T} t FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(t) AS INTEGER) n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) n_words,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) END atl,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text) END pr,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(t, x -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it'], lower(x)))) AS DOUBLE)
+                   / len(t) END sr
+  FROM d
+)
+SELECT doc_id, n_tokens, n_words,
+       round(atl, 6) AS avg_token_len,
+       round(pr, 6) AS punct_ratio,
+       round(sr, 6) AS stopword_ratio,
+       round((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+              + (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END)
+              + least(sr * 10.0, 1.0)) / 4.0, 6) AS quality
+FROM s
+"""
+
+
+@_q(
+    "text_stats",
+    _TEXT_STATS_ORACLE,
+    "per-doc quality metrics: token counts, avg token length, punctuation & "
+    "stopword ratios, composite quality score (C4/Gopher-style pre-filters)",
+)
+def q_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.word_count("text").alias("n_words"),
+        F.round(T.avg_token_len("text"), 6).alias("avg_token_len"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(T.quality_score("text"), 6).alias("quality"),
+    )
+
+
+def _lang_id_sql() -> str:
+    score = {
+        lang: (
+            f"len(list_filter(lt, x -> list_contains({list(markers)!r}, x)))".replace("'", "'")
+        )
+        for lang, markers in T.LANG_MARKERS.items()
+    }
+    # fold mirroring text.lang_id: first language wins ties, strictly-greater replaces
+    langs = list(T.LANG_MARKERS)
+    expr_lang = f"'{langs[0]}'"
+    expr_score = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        expr_lang = f"(CASE WHEN s_{lang} > {expr_score} THEN '{lang}' ELSE {expr_lang} END)"
+        expr_score = f"greatest(s_{lang}, {expr_score})"
+    selects = ", ".join(
+        f"len(list_filter(lt, x -> list_contains({[m for m in T.LANG_MARKERS[lang]]!r}, x))) s_{lang}".replace(
+            '"', "'"
+        )
+        for lang in langs
+    )
+    return f"""
+WITH d AS (SELECT doc_id, lang, list_transform({_SQL_T}, x -> lower(x)) lt FROM documents),
+sc AS (SELECT doc_id, lang, {selects} FROM d)
+SELECT doc_id, lang AS actual_lang,
+       (CASE WHEN {expr_score} > 0 THEN {expr_lang} ELSE 'und' END) AS pred_lang
+FROM sc
+"""
+
+
+@_q(
+    "lang_id",
+    _lang_id_sql(),
+    "marker-word language-ID heuristic per doc (argmax, first-wins ties)",
+)
+def q_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        T.lang_id("text").alias("pred_lang"),
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(text) >= 8 THEN
+                list_transform(range(1, len(text) - 6), i -> substr(text, CAST(i AS INT), 8))
+                ELSE [text] END) g
+       FROM d)
+SELECT doc_id,
+       coalesce(list_min(list_transform(list_distinct(
+         list_transform(g, s -> {SQL_H32.format(x='s')})), x -> x)), 0) AS fp
+FROM sh
+""",
+    "winnowing-style document fingerprint: min 32-bit hash over char-8-gram shingles",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint64("text").alias("fp"))
+
+
+# ===========================================================================
+# extensions: relational / events (engine generality; streaming-shaped aggs)
+# ===========================================================================
+
+
+@_q(
+    "events_hourly",
+    """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "hourly windowed aggregation over the event stream table (the batch twin "
+    "of the Structured Streaming ingest in streaming/)",
+)
+def q_events_hourly(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(24,8)")).cast("double"), 4).alias("sum_value"),
+    )
+
+
+@_q(
+    "events_topn_per_user",
+    """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) rank
+  FROM events
+)
+SELECT user_id, event_id, CAST(rank AS INTEGER) AS rank, round(value, 6) AS value
+FROM r WHERE rank <= 3
+""",
+    "per-user top-3 events by value (ranking window)",
+)
+def q_events_topn(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank", F.round("value", 6).alias("value"))
+    )
+
+
+@_q(
+    "events_json_props",
+    """
+SELECT event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+             / count(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY 1
+""",
+    "semi-structured props column: JSON extraction + aggregate",
+)
+def q_events_json(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(k).cast("double") / F.count(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@_q(
+    "tpch_q1",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "TPC-H Q1 pricing summary: scan-filter-aggregate with map-side partials "
+    "(filter pushed to parquet; verify PushedFilters in explain)",
+)
+def q_tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(24,8)")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast("decimal(24,8)")).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge.cast("decimal(24,8)")).cast("double"), 4).alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(24,8)")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(24,8)")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3",
+    """
+SELECT l.l_orderkey AS orderkey,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority AS orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""",
+    "TPC-H Q3-style shipping priority: selective dim filter + two joins + "
+    "top-10 (customer side broadcast)",
+)
+def q_tpch_q3(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.round(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")).cast("double"), 4
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+    )
+
+
+@_q(
+    "revenue_by_nation",
+    """
+SELECT n.n_name AS nation,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    "multi-join star query: fact → orders → customer → nation, dims broadcast",
+)
+def q_revenue_by_nation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")).cast("double"), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ===========================================================================
+# extensions: multimodal (binary columns) — SQL-checkable metadata pass +
+# rows-only Arrow decode pass
+# ===========================================================================
+
+
+@_q(
+    "multimodal_stats",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         encode(text) AS payload
+  FROM documents
+)
+SELECT kind, count(*) AS n_media,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       round(CAST(sum(octet_length(payload)) AS DOUBLE) / count(*), 4) AS avg_bytes
+FROM media GROUP BY kind
+""",
+    "multimodal metadata pass (no decode): per-kind byte stats over the "
+    "binary payload column",
+)
+def q_multimodal_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.round(
+            F.sum(F.octet_length("payload")).cast("double") / F.count("*"), 4
+        ).alias("avg_bytes"),
+    )
+
+
+@_q(
+    "multimodal_features",
+    None,  # Python decode stubs are not SQL-expressible → rows-only check
+    "Arrow-batched mapInPandas decode/feature-extraction over binary media "
+    "columns (decoders are deterministic stubs; plumbing is real)",
+)
+def q_multimodal_features(spark, sf_dir):
+    from victor_spark.operators.multimodal import extract_features, synthesize_media
+
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(d, "doc_id", "text", kind="image")
+    return extract_features(media).select("media_id", "kind", "n_bytes", "checksum")
+
+
+@_q(
+    "pca_project",
+    None,  # eigendecomposition (sign/order indeterminacy) — rows-only check
+    "PCA fit (distributed Gram matrix + driver eigh) and projection to k=8 "
+    "(reference projected mode, db.rs:287-299); variance column is "
+    "deterministic up to eigensolver",
+)
+def q_pca_project(spark, sf_dir):
+    from victor_spark.operators.pca import fit_pca, project_dataframe
+
+    e = _emb(spark, sf_dir)
+    model = fit_pca(e, "v", k=8)
+    proj = project_dataframe(e, "v", model, out_col="pc")
+    return proj.select(
+        "vec_id",
+        F.round(norm("pc"), 4).alias("proj_norm"),
+    )

@@ -27,10 +27,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    events.ts is TIMESTAMP(NANOS) in the files — Spark reads it as a long
+    (spark.sql.legacy.parquet.nanosAsLong) and we truncate to microseconds
+    here, exactly as DuckDB's reader does, so both engines see the same
+    timestamps.
+    """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
