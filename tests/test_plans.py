@@ -1,0 +1,97 @@
+"""Physical-plan shape assertions — the 100 TB posture, enforced.
+
+Correctness tests prove the operators compute the right answer at small SF;
+these prove the PLANS are the ones that survive a 1000-executor scale-up:
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, top-k is a bounded heap (TakeOrderedAndProject), and nothing
+degenerates into a cartesian product over the corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_T2
+from victor_spark.plans import QUERIES
+
+
+def plan(name, spark, sf=SF_T2) -> str:
+    df = QUERIES[name].build(spark, sf)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_topk_is_bounded_heap_not_global_sort(spark):
+    # reference Q5 (db.rs:244-282) == TakeOrderedAndProject: per-partition
+    # bounded heap + driver merge of k rows, never a full shuffle sort
+    p = plan("topk_cosine", spark)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # a global sort would show this
+
+
+def test_tpch_q1_filter_pushed_to_scan(spark):
+    p = plan("tpch_q1", spark)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_tpch_q1_column_pruning(spark):
+    # the scan must read only the 7 needed columns, not all 16
+    p = plan("tpch_q1", spark)
+    scan = p[p.index("Scan parquet"):]
+    schema = scan[scan.index("ReadSchema:"):].splitlines()[0]
+    assert "l_orderkey" not in schema  # unused column stays unread
+    assert "l_comment" not in schema
+    assert "l_quantity" in schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    # fact-side stays shuffle-free on the dim joins: customer+nation go
+    # broadcast, never sort-merge
+    p = plan("revenue_by_nation", spark)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_search_query_side_broadcast(spark):
+    # the 1-row query vector must broadcast to the corpus scan, not shuffle it
+    p = plan("topk_cosine", spark)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Exchange hashpartitioning" not in p  # corpus never shuffles
+
+
+def test_batch_topk_partial_rank_no_corpus_shuffle_before_score(spark):
+    # scoring happens map-side against the broadcast query set; the only
+    # shuffle is the per-query window over scored rows
+    p = plan("topk_batch", spark)
+    assert "BroadcastExchange" in p
+
+
+def test_dedup_exact_is_partial_agg(spark):
+    # hash-groupBy dedup must partial-aggregate map-side (HashAggregate
+    # appears twice: partial + final)
+    p = plan("dedup_exact", spark)
+    assert p.count("HashAggregate") >= 2
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # every catalog query must avoid an unbounded cross product over the
+    # corpus; the only cross joins allowed are against 1-row/broadcast sides
+    for name, spec in QUERIES.items():
+        if name == "pca_project":
+            continue  # fit collects d² partials by design (driver eigh)
+        p = plan(name, spark)
+        assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"
+
+
+def test_quantized_index_storage_is_bytes_not_floats(spark, tmp_path):
+    # the VectorIndex table stores u8 quant + 2 floats per vector
+    # (packed_vector.rs layout); parquet must see tinyint, not float array
+    from victor_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "storage_idx"))
+    idx.insert([("a", [0.1] * 16, ["t"]), ("b", [0.2] * 16, ["t"])])
+    stored = spark.read.parquet(idx.data_path)
+    types = dict(stored.dtypes)
+    assert types["quant"] == "array<tinyint>"
+    assert types["qmin"] == "float" and types["qmax"] == "float"

@@ -153,7 +153,10 @@ class VectorIndex:
             "tags",
             F.col("q.qmin").alias("qmin"),
             F.col("q.qmax").alias("qmax"),
-            F.col("q.quant").alias("quant"),
+            # bins shifted to signed [-128,127] so parquet stores a true
+            # 1-byte column — the reference's exact u8/dim + 2×f32 layout
+            # (packed_vector.rs:3-9); scan() shifts back before dequantize
+            F.transform(F.col("q.quant"), lambda b: (b - 128).cast("tinyint")).alias("quant"),
             F.sha2(F.array_join(F.col("tags"), ","), 256).alias("tag_set_id"),
         )
         out.write.mode("append").partitionBy("tag_set_id").parquet(self.data_path)
@@ -198,7 +201,8 @@ class VectorIndex:
                 df = df.filter(F.lit(False))
             else:
                 df = df.filter(F.col("tag_set_id").isin(listing))
-        return df.withColumn("embedding", dequantize("quant", "qmin", "qmax"))
+        bins = F.transform(F.col("quant"), lambda b: b.cast("int") + 128)
+        return df.withColumn("embedding", dequantize(bins, "qmin", "qmax"))
 
     def dimension(self) -> int | None:
         if self.is_empty():
@@ -264,7 +268,8 @@ class VectorIndex:
             "id", "content", "tags",
             F.col("q.qmin").alias("qmin"),
             F.col("q.qmax").alias("qmax"),
-            F.col("q.quant").alias("quant"),
+            # same signed-byte storage shift as insert_df
+            F.transform(F.col("q.quant"), lambda b: (b - 128).cast("tinyint")).alias("quant"),
             "tag_set_id",
         )
         tmp = self.data_path + ".projected"

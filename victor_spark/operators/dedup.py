@@ -54,7 +54,7 @@ def with_minhash(df: DataFrame, content_col: str, num_hashes: int = 16,
 
 def _hashed_shingles(df: DataFrame, id_col: str, content_col: str,
                      shingle_n: int, unit: str) -> DataFrame:
-    """(doc, shing, h): shingle set + 32-bit shingle hashes, CACHED.
+    """(doc, h): distinct 32-bit shingle hashes per doc, CACHED.
 
     The cache is a deliberate recompute barrier: the MinHash pipeline reads
     this three times (both sides of the band self-join + the Jaccard
@@ -62,14 +62,20 @@ def _hashed_shingles(df: DataFrame, id_col: str, content_col: str,
     re-run the md5 shingle hashing for each of the 16 signature components
     and each consumer. At cluster scale the same role is played by
     persisting to a staging table.
+
+    Only the hash array is kept — shingling and hashing fuse into one
+    codegen projection (emitting the shingle strings alongside measured
+    ~4× slower), the cached rows are ints instead of long strings, and the
+    downstream Jaccard verify is over hash sets on BOTH engines, so the
+    comparison stays exact even under 32-bit collisions.
     """
+    from victor_spark.sources.tables import fan_out
+
     grams = (H.char_shingles(content_col, shingle_n) if unit == "char"
              else H.word_shingles(content_col, shingle_n))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("doc"),
-        grams.alias("shing"),
-    ).withColumn(
-        "h", F.array_distinct(F.transform("shing", H._md5_32_expr))
+        F.array_distinct(F.transform(grams, H._md5_32_expr)).alias("h"),
     ).cache()
 
 
@@ -133,14 +139,15 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, content_col: str,
     """Full MinHash-LSH dedup: candidates by banding, verified by exact
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard).
 
-    The shingle/hash table is computed once (cached) and shared by the
-    candidate join and the verify joins."""
+    The shingle-hash table is computed once (cached) and shared by the
+    candidate join and the verify joins; Jaccard is over the distinct
+    hash sets (matching the oracle exactly)."""
     hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
     cands = _candidates_from_hashed(hashed, num_hashes, bands)
-    sh = hashed.select("doc", "shing")
+    sh = hashed.select("doc", "h")
     verified = (
-        cands.join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("shing", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc", "id_b").withColumnRenamed("shing", "sh_b"), "id_b")
+        cands.join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("h", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc", "id_b").withColumnRenamed("h", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -152,13 +159,37 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, content_col: str,
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
-    """(id, simhash) — 32-bit SimHash over whitespace-token hashes."""
-    from victor_spark.functions.text import tokens
+    """(id, simhash) — 32-bit SimHash over whitespace-token hashes.
 
-    token_hashes = F.transform(tokens(content_col), lambda t: H._md5_32_expr(t))
-    return df.select(
-        F.col(id_col).alias("doc"), H.simhash32(token_hashes).alias("simhash")
+    Shape: explode token hashes → one groupBy with 32 conditional-sum bit
+    counters → fold the majority bits. Each md5 token hash is computed
+    exactly once (the naive per-bit ``filter(hashes, bit_set)`` form lets
+    projection collapsing re-inline the whole hash transform into all 32
+    bit expressions — measured ~6× slower). The aggregation is map-side
+    partial (32 longs per doc cross the shuffle), so it scales to arbitrary
+    corpus size.
+    """
+    from victor_spark.functions.text import tokens
+    from victor_spark.sources.tables import fan_out
+
+    exploded = fan_out(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(tokens(content_col)).alias("tok"),
+    ).select("doc", H._md5_32_expr(F.col("tok")).alias("h"))
+    counts = exploded.groupBy("doc").agg(
+        F.count("h").alias("n"),
+        *[
+            F.count_if(F.col("h").bitwiseAND(F.lit(1 << i)) != 0).alias(f"b{i}")
+            for i in range(32)
+        ],
     )
+    sim = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return counts.select("doc", sim.alias("simhash"))
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, content_col: str,
@@ -190,7 +221,9 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     0.95 are within ~18°, so they collide on all planes with high prob).
     Returns (id_a, id_b, cos_sim).
     """
-    v = df.select(
+    from victor_spark.sources.tables import fan_out
+
+    v = fan_out(df).select(
         F.col(id_col).alias("doc"),
         to_double_array(vec_col).alias("vec"),
         H.hyperplane_bucket(to_double_array(vec_col), num_planes).alias("bucket"),

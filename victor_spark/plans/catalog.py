@@ -35,6 +35,7 @@ from victor_spark.functions.vector import (
     to_double_array,
 )
 from victor_spark.sources import load_table
+from victor_spark.sources.tables import fan_out
 
 # ---------------------------------------------------------------------------
 # shared constants (stated literally in the oracle SQL)
@@ -457,17 +458,17 @@ _MINHASH_ORACLE = f"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 toks AS (SELECT doc_id, {SQL_TOKS.format(s='text')} t FROM corpus),
 sh AS (SELECT doc_id, {SQL_WORD_SHINGLES.format(t='t')} shing FROM toks),
-hs AS (SELECT doc_id, shing,
+hs AS (SELECT doc_id,
               list_distinct(list_transform(shing, s -> {SQL_H32.format(x='s')})) h
        FROM sh),
-sig AS (SELECT doc_id, shing, {_minhash_sig_sql()} sig FROM hs),
+sig AS (SELECT doc_id, h, {_minhash_sig_sql()} sig FROM hs),
 bands AS (SELECT doc_id, unnest({_band_keys_sql()}) band_key FROM sig),
 cand AS (SELECT DISTINCT l.doc_id id_a, r.doc_id id_b
          FROM bands l JOIN bands r ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
 ver AS (
   SELECT c.id_a, c.id_b,
-         CAST(len(list_intersect(sa.shing, sb.shing)) AS DOUBLE)
-           / len(list_distinct(sa.shing || sb.shing)) AS jaccard
+         CAST(len(list_intersect(sa.h, sb.h)) AS DOUBLE)
+           / len(list_distinct(sa.h || sb.h)) AS jaccard
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.id_a
   JOIN sig sb ON sb.doc_id = c.id_b
@@ -516,7 +517,7 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5
     "pair count; the full-corpus scale path is dedup_minhash)",
 )
 def q_dedup_ngram(spark, sf_dir):
-    c = _dup_corpus(spark, sf_dir).withColumn("blk", F.col("doc_id") % 7)
+    c = fan_out(_dup_corpus(spark, sf_dir)).withColumn("blk", F.col("doc_id") % 7)
     sh = c.select("doc_id", "blk", H.word_shingles("text", 3).alias("shing"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(
@@ -721,7 +722,7 @@ FROM s
     "stopword ratios, composite quality score (C4/Gopher-style pre-filters)",
 )
 def q_text_stats(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -768,7 +769,7 @@ FROM sc
     "marker-word language-ID heuristic per doc (argmax, first-wins ties)",
 )
 def q_lang_id(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
@@ -793,7 +794,7 @@ FROM sh
     "winnowing-style document fingerprint: min 32-bit hash over char-8-gram shingles",
 )
 def q_doc_fingerprint(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", T.fingerprint64("text").alias("fp"))
 
 
@@ -1033,7 +1034,7 @@ def q_multimodal_stats(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     from victor_spark.operators.multimodal import extract_features, synthesize_media
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     media = synthesize_media(d, "doc_id", "text", kind="image")
     return extract_features(media).select("media_id", "kind", "n_bytes", "checksum")
 

@@ -44,6 +44,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Widen a narrow scan to the session's parallelism before CPU-bound work.
+
+    The parquet reader cannot split inside a row group, so a small-file
+    corpus (like the testdata: one row group per table) enters the pipeline
+    with 1-2 partitions and leaves the other 30 cores idle through the
+    expensive per-row stages (md5 shingling, SimHash, regex token stats).
+    A round-robin repartition of a few MB buys full CPU parallelism.
+
+    Guarded by a metadata-only partition count: when the scan is already
+    wide (the 100 TB case — thousands of splits) this is a no-op, so
+    operators can call it unconditionally without risking a full-table
+    shuffle at scale.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLES:
