@@ -24,17 +24,20 @@ HEADLINE = [
     "topk_batch",
     "topk_euclidean",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "quantize_roundtrip",
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding",
     "text_stats",
+    "token_count_bpe",
     "doc_fingerprint",
     "tpch_q1",
     "tpch_q3",
     "revenue_by_nation",
     "events_hourly",
+    "events_sessionize",
     "multimodal_features",
 ]
 

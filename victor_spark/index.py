@@ -137,16 +137,27 @@ class VectorIndex:
             )
 
         tags_norm = F.array_sort(F.array_distinct(F.coalesce(F.col("tags"), F.array())))
-        vec = F.col("embedding").cast("array<double>")
+        staged = df.select(
+            F.col("content"),
+            F.col("embedding").cast("array<double>").alias("_vec"),
+            tags_norm.alias("_tags"),
+        )
         if model is not None:
-            # projected-insert path (db.rs:480-499)
-            vec = project_column(vec, model).cast("array<double>")
+            # projected-insert path (db.rs:480-499); the projection gets its
+            # own select so the large-model pandas_udf path is a standalone
+            # projection stage (a UDF can't appear inside quantize's
+            # transform() lambdas)
+            staged = staged.select(
+                "content",
+                project_column("_vec", model).cast("array<double>").alias("_vec"),
+                "_tags",
+            )
 
-        out = df.select(
+        out = staged.select(
             F.expr("uuid()").alias("id"),
             F.col("content"),
-            tags_norm.alias("tags"),
-            quantize(vec).alias("q"),
+            F.col("_tags").alias("tags"),
+            quantize("_vec").alias("q"),
         ).select(
             "id",
             "content",
@@ -262,7 +273,15 @@ class VectorIndex:
             "id",
             "content",
             "tags",
-            quantize(project_column("embedding", model)).alias("q"),
+            # standalone projection stage (see insert_df: UDF-path models
+            # can't project inside quantize's lambdas)
+            project_column("embedding", model).alias("_pv"),
+            "tag_set_id",
+        ).select(
+            "id",
+            "content",
+            "tags",
+            quantize("_pv").alias("q"),
             "tag_set_id",
         ).select(
             "id", "content", "tags",

@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -68,8 +69,6 @@ def fit_pca(df: DataFrame, vec_col: str, k: int = 500) -> PCAModel:
     vdf = df.select(to_double_array(vec_col).alias("v"))
 
     def _partials(batches):
-        import pandas as pd
-
         n = 0
         sums = np.zeros(d)
         gram = np.zeros((d, d))
@@ -100,14 +99,28 @@ def fit_pca(df: DataFrame, vec_col: str, k: int = 500) -> PCAModel:
     return PCAModel(eigvecs[:, order], means, eigvals[order])
 
 
-def project_column(vec: Column | str, model: PCAModel) -> Column:
-    """(v - means) @ components as a native column expression.
+# Above this many model coefficients (d×k), literal-array expressions stop
+# being the right physical form: the plan would embed hundreds of thousands
+# of literals and codegen a method per component. The Arrow/numpy path does
+# one BLAS matmul per batch instead.
+_EXPR_PATH_MAX_COEFFS = 16_384
 
-    Emits k dot-products against literal component arrays — all inside
-    codegen; no UDF, no mllib Vector conversion. Fine for k up to a few
-    hundred (the reference's k=500)."""
-    v = to_double_array(vec)
+
+def project_column(vec: Column | str, model: PCAModel) -> Column:
+    """(v - means) @ components as a column expression.
+
+    Two physical forms, same semantics:
+    - small models (d×k ≤ 16k coefficients): k dot-products against literal
+      component arrays — pure codegen, no Python.
+    - large models (the reference's 1536×500 = 768k coefficients): an
+      Arrow-batched pandas_udf doing one numpy matmul per batch — the plan
+      stays a single projection and the coefficients ship once per executor
+      inside the serialized function, not as plan literals.
+    """
     d, k = model.components.shape
+    if d * k > _EXPR_PATH_MAX_COEFFS:
+        return _project_udf(model)(to_double_array(vec))
+    v = to_double_array(vec)
     centered = F.zip_with(
         v,
         F.array(*[F.lit(float(m)) for m in model.means]),
@@ -124,6 +137,21 @@ def project_column(vec: Column | str, model: PCAModel) -> Column:
             ).alias(f"pc{j}")
         )
     return F.array(*comps)
+
+
+def _project_udf(model: PCAModel):
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    comps = model.components
+    means = model.means
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def _proj(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs.values])
+        P = (X - means) @ comps
+        return pd.Series(list(P))
+
+    return _proj
 
 
 def project_dataframe(df: DataFrame, vec_col: str, model: PCAModel,

@@ -681,6 +681,86 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+# IVF (inverted-file) ANN: a deterministic coarse quantizer — every 250th
+# vector is a centroid (standing in for a kmeans fit job) — assigns each
+# vector to its nearest centroid cell; a query probes only its nprobe=2
+# nearest cells. At scale: cells are the partition key of the index table,
+# so the probe is partition pruning over ~nprobe/n_cells of the data, and
+# the centroid set (≤ a few thousand rows) is always broadcast.
+
+_IVF_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv, sqrt(list_dot_product(v, v)) cn
+         FROM e WHERE vec_id % 250 = 0),
+assign AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * cn) DESC,
+                    cell) rn
+  FROM e, cent
+),
+cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+q AS (SELECT v qv, sqrt(list_dot_product(v, v)) qn FROM e WHERE vec_id = 7),
+qcells AS (
+  SELECT cell FROM cent, q
+  ORDER BY list_dot_product(cv, qv) / (cn * qn) DESC, cell LIMIT 2
+),
+cand AS (SELECT c.vec_id, c.v FROM cells c JOIN qcells p ON c.cell = p.cell),
+scored AS (
+  SELECT cand.vec_id,
+         list_dot_product(cand.v, q.qv) / (sqrt(list_dot_product(cand.v, cand.v)) * q.qn) s
+  FROM cand, q
+)
+SELECT vec_id, round(s, 6) AS sim FROM scored ORDER BY s DESC, vec_id LIMIT 5
+"""
+
+
+@_q(
+    "ann_ivf_topk",
+    _IVF_ORACLE,
+    "IVF approximate top-5 for vec 7: nearest-centroid cell assignment "
+    "(inverted lists), query probes its 2 nearest cells, exact cosine "
+    "within candidates (at scale: cell = partition key, centroids broadcast)",
+)
+def q_ann_ivf(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") % 250 == 0).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        ).withColumn("cn", norm("cv"))
+    )
+    # cell assignment: argmax cosine over the broadcast centroid set
+    scored_cells = e.crossJoin(cent).select(
+        "vec_id", "v", "cell",
+        (dot("v", "cv") / (norm("v") * F.col("cn"))).alias("_cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cell"))
+    cells = (
+        scored_cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 7).select(F.col("v").alias("qv")).withColumn("qn", norm("qv"))
+    )
+    qcells = F.broadcast(
+        cent.crossJoin(q)
+        .select("cell", (dot("cv", "qv") / (F.col("cn") * F.col("qn"))).alias("_qs"))
+        .orderBy(F.desc("_qs"), F.asc("cell"))
+        .limit(2)
+        .select("cell")
+    )
+    cand = cells.join(qcells, "cell")
+    out = cand.crossJoin(q).select(
+        "vec_id", (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("_s")
+    )
+    return (
+        out.orderBy(F.desc("_s"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", F.round("_s", 6).alias("sim"))
+    )
+
+
 # ===========================================================================
 # extensions: text analysis over documents
 # ===========================================================================
@@ -761,6 +841,51 @@ SELECT doc_id, lang AS actual_lang,
        (CASE WHEN {expr_score} > 0 THEN {expr_lang} ELSE 'und' END) AS pred_lang
 FROM sc
 """
+
+
+# BPE-ish subword tokenization: letter runs, digit runs, and single
+# punctuation marks as separate tokens (the GPT-2 pre-tokenizer's shape,
+# minus unicode categories). Token COUNTING is the pipeline need (context
+# budgeting / pricing) — counts per doc plus corpus totals per language.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_BPE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len({SQL_TOKS.format(s='text')}) ws_tokens,
+         len(regexp_extract_all(text, '{_BPE_RE}')) bpe_tokens
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       round(CAST(sum(bpe_tokens) AS DOUBLE) / sum(ws_tokens), 6) AS bpe_per_ws
+FROM d GROUP BY lang
+"""
+
+
+@_q(
+    "token_count_bpe",
+    _BPE_ORACLE,
+    "token counting with a BPE-ish regex pre-tokenizer (letter runs / digit "
+    "runs / punctuation) vs whitespace tokens, aggregated per language",
+)
+def q_token_count_bpe(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    counted = d.select(
+        "lang",
+        T.token_count("text").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias("bpe_tokens"),
+    )
+    return counted.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("bpe_tokens").cast("double") / F.sum("ws_tokens"), 6
+        ).alias("bpe_per_ws"),
+    )
 
 
 @_q(
@@ -845,6 +970,63 @@ def q_events_topn(spark, sf_dir):
         e.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("user_id", "event_id", "rank", F.round("value", 6).alias("value"))
+    )
+
+
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END new_s
+  FROM o
+),
+sess AS (
+  SELECT user_id, tus,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                          ROWS UNBOUNDED PRECEDING) session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+       count(*) AS n_events,
+       CAST(min(tus) AS BIGINT) AS start_us,
+       CAST(max(tus) AS BIGINT) AS end_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@_q(
+    "events_sessionize",
+    _SESSION_ORACLE,
+    "sessionization: per-user event-time sessions split on >30 min gaps "
+    "(lag + running sum of boundaries; one shuffle on user_id shared by "
+    "both windows and the final aggregate — the batch twin of "
+    "session_window in streaming)",
+)
+def q_events_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("tus").over(w_order).isNull()
+            | (F.col("tus") - F.lag("tus").over(w_order) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w_order.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("tus").alias("start_us"),
+        F.max("tus").alias("end_us"),
     )
 
 
