@@ -84,6 +84,23 @@ def test_no_cartesian_products_anywhere(spark):
         assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"
 
 
+def test_index_tag_scan_prunes_partitions(spark, tmp_path):
+    # the tag-superset filter must become partition pruning on tag_set_id —
+    # the reference's data skipping (db.rs:687-706) as directory pruning;
+    # a pruned scan never lists the other tag-set's files
+    from victor_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "prune_idx"))
+    idx.insert([("a", [1.0, 0.0], ["red"]), ("b", [0.0, 1.0], ["blue"])])
+    df = idx.scan(tags=["red"])
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan = p[p.index("Scan parquet"):]
+    part_line = scan[scan.index("PartitionFilters:"):].splitlines()[0]
+    assert "tag_set_id" in part_line  # filter applied to the partition listing
+
+
 def test_quantized_index_storage_is_bytes_not_floats(spark, tmp_path):
     # the VectorIndex table stores u8 quant + 2 floats per vector
     # (packed_vector.rs layout); parquet must see tinyint, not float array
