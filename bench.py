@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding",
+    "embed_documents",
     "text_stats",
     "token_count_bpe",
     "doc_fingerprint",

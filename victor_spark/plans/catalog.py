@@ -843,6 +843,69 @@ FROM sc
 """
 
 
+# The batch embedder (reference S3 `add`/Q1 `search`, db.rs:102-114: model
+# over docs before insert). The stand-in feature-hashing encoder is
+# md5-defined (functions/embedder.py), so the oracle can replay it exactly:
+# token → dimension = first 4 md5 bytes % dim, sign = bit 0 of byte 4.
+# Compared features are scale-invariant integers (count of non-zero dims,
+# argmax/argmin dimension), so float32-vs-float64 normalization differences
+# cannot flake the value-hash.
+_EMBED_DIM = 64
+
+_EMBED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKS.format(s='lower(text)')}) AS t FROM documents
+),
+comp AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {_EMBED_DIM} AS idx,
+         CASE WHEN CAST(concat('0x', substr(md5(t), 10, 1)) AS INTEGER) % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM toks
+),
+sums AS (SELECT doc_id, idx, sum(s) AS v FROM comp GROUP BY 1, 2),
+grid AS (SELECT d.doc_id, r.range AS idx FROM documents d, range(0, {_EMBED_DIM}) r),
+vecs AS (
+  SELECT g.doc_id, g.idx, coalesce(s.v, 0.0) AS v
+  FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.idx = s.idx
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (WHERE v <> 0) AS INTEGER) AS n_nonzero,
+         max(v) AS mx, min(v) AS mn
+  FROM vecs GROUP BY doc_id
+)
+SELECT a.doc_id, a.n_nonzero,
+       CAST(min(f.idx) FILTER (WHERE f.v = a.mx) AS INTEGER) AS max_idx,
+       CAST(min(f.idx) FILTER (WHERE f.v = a.mn) AS INTEGER) AS min_idx
+FROM vecs f JOIN agg a ON f.doc_id = a.doc_id
+GROUP BY a.doc_id, a.n_nonzero
+"""
+
+
+@_q(
+    "embed_documents",
+    _EMBED_ORACLE,
+    "batch embedding of every document via the Arrow pandas_udf hash-encoder "
+    "(reference add/search model seam, db.rs:102-114) — scale-invariant "
+    "integer features of each embedding, oracle-replayed from the md5 family",
+)
+def q_embed_documents(spark, sf_dir):
+    from victor_spark.functions.embedder import embed
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    e = d.select("doc_id", embed("text", _EMBED_DIM).alias("v"))
+    # argmax/argmin dimension over the full vector (zeros included),
+    # 0-based, smallest index on ties — array_position returns the first
+    # occurrence; order is normalization-invariant (positive scale)
+    return e.select(
+        "doc_id",
+        F.size(F.filter("v", lambda x: x != 0.0)).cast("int").alias("n_nonzero"),
+        (F.array_position("v", F.array_max("v")) - 1).cast("int").alias("max_idx"),
+        (F.array_position("v", F.array_min("v")) - 1).cast("int").alias("min_idx"),
+    )
+
+
 # BPE-ish subword tokenization: letter runs, digit runs, and single
 # punctuation marks as separate tokens (the GPT-2 pre-tokenizer's shape,
 # minus unicode categories). Token COUNTING is the pipeline need (context
