@@ -89,8 +89,16 @@ def main() -> None:
     times: dict[str, float] = {}
     bench_start = time.perf_counter()
     for _pass in range(2):
-        for name in HEADLINE:
-            if _pass > 0 and time.perf_counter() - bench_start > 240:
+        # Retry pass: revisit queries worst-first, so whatever budget a
+        # jitter-stormy pass 0 leaves is spent re-measuring the queries most
+        # likely to be stall-inflated (a 150s minhash, not a 0.4s topk).
+        order = (
+            HEADLINE
+            if _pass == 0
+            else sorted(HEADLINE, key=lambda n: times.get(n, 0.0), reverse=True)
+        )
+        for name in order:
+            if _pass > 0 and time.perf_counter() - bench_start > 300:
                 break
             t0 = time.perf_counter()
             run(name)
