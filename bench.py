@@ -39,6 +39,7 @@ HEADLINE = [
     "revenue_by_nation",
     "events_hourly",
     "events_sessionize",
+    "events_asof_join",
     "multimodal_features",
 ]
 

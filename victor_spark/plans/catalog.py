@@ -1093,6 +1093,40 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+_ASOF_ORACLE = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+SELECT c.event_id, c.user_id,
+       epoch_us(c.ts) AS t_us,
+       e.event_id AS err_event_id,
+       epoch_us(c.ts) - epoch_us(e.ts) AS err_age_us
+FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+"""
+
+
+@_q(
+    "events_asof_join",
+    _ASOF_ORACLE,
+    "as-of join: each click matched to the user's most recent error at or "
+    "before it (union + last-ignorenulls window — one shuffle on user_id, "
+    "no range-join explosion; operators/asof.py)",
+)
+def q_events_asof(spark, sf_dir):
+    from victor_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    j = asof_join(clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts", suffix="_err")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_id_err").alias("err_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_err")).alias("err_age_us"),
+    )
+
+
 @_q(
     "events_json_props",
     """
