@@ -36,6 +36,20 @@ def test_asof_join_semantics(spark):
     assert got[4] == (None, None)  # no right rows for key
 
 
+def test_asof_join_null_payload_atomicity(spark):
+    """A NULL payload column in the matched right row must come through as
+    NULL — not backfilled from an older right row (row atomicity; pandas
+    merge_asof / DuckDB ASOF semantics)."""
+    left = spark.createDataFrame([(1, 1, _ts(30))], "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, "old", 1, _ts(10)), (101, None, 1, _ts(20))],
+        "rid long, label string, k long, ts timestamp",
+    )
+    [row] = asof_join(left, right, on=["k"], suffix="_r").collect()
+    assert row["rid_r"] == 101
+    assert row["label_r"] is None  # from row 101, NOT "old" from row 100
+
+
 def test_asof_join_plan_single_shuffle(spark):
     left = spark.range(10).select(
         F.col("id").alias("lid"),

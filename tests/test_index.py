@@ -65,6 +65,16 @@ def test_clear(idx):
     assert idx.is_empty()
 
 
+def test_empty_index_search_returns_empty(idx):
+    # reference search on a fresh DB returns an empty vec (db.rs:229-231),
+    # not an error; ours must not raise on the missing parquet path
+    rows = idx.search([1.0, 0.0], k=5).collect()
+    assert rows == []
+    assert idx.search([1.0, 0.0], k=5).columns == ["id", "content", "tags", "score"]
+    rows = idx.search_text("anything", k=3).collect()
+    assert rows == []
+
+
 def test_projected_mode_euclidean_ascending(spark, tmp_path):
     # db.rs:233-255 projected mode — with nearest-k (ascending) semantics,
     # fixing the reference's farthest-k bug (SURVEY.md §2.3)

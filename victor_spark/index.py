@@ -231,7 +231,15 @@ class VectorIndex:
 
         Plan: pruned scan → dequantize → score (codegen) →
         TakeOrderedAndProject(k) — the reference's bounded heap,
-        distributed."""
+        distributed.
+
+        An empty index returns an empty result (the reference's search over
+        a fresh DB yields an empty vec — db.rs:229-231 loads an empty index
+        and selects no files), not a scan error on the missing path."""
+        if self.is_empty():
+            return self.spark.createDataFrame(
+                [], "id string, content string, tags array<string>, score double"
+            )
         model = self._load_model()
         df = self.scan(tags)
         q = [float(x) for x in query]

@@ -20,6 +20,16 @@ shuffle any per-key window needs — the minimum for the semantics.
 Ties: right rows sort before left rows at equal timestamps, so a right
 row at exactly the left timestamp IS matched (allow_exact_matches=True,
 DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+Row atomicity: the matched right row's payload travels as ONE struct
+through a single ``last(ignorenulls=True)``, so the output columns always
+come from the *same* right row even when some payload columns are
+legitimately NULL (a per-column carry would mix rows: a NULL payload field
+would fall back to an older right row's value, diverging from
+``merge_asof``). Right rows tying on (key, ts) are broken by the payload
+struct itself (lexicographic, ascending — the max struct wins), making the
+operator deterministic run-to-run; payload columns must therefore be of
+orderable types (no maps).
 """
 
 from __future__ import annotations
@@ -44,15 +54,16 @@ def asof_join(
     r = right.select(
         *on,
         F.col(right_ts).alias("__asof_ts"),
-        *[F.col(c).alias(c + suffix) for c in rcols],
+        F.struct(*[F.col(c).alias(c + suffix) for c in rcols]).alias("__asof_row"),
     ).withColumn("__side", F.lit(0))
     l = left.withColumn("__asof_ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)
-        .orderBy("__asof_ts", "__side")
+        .orderBy("__asof_ts", "__side", "__asof_row")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in rcols:
-        u = u.withColumn(c + suffix, F.last(c + suffix, ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).drop("__side", "__asof_ts")
+    u = u.withColumn("__asof_row", F.last("__asof_row", ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).select(
+        *left.columns, *[F.col("__asof_row")[c + suffix].alias(c + suffix) for c in rcols]
+    )

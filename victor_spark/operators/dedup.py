@@ -52,6 +52,24 @@ def with_minhash(df: DataFrame, content_col: str, num_hashes: int = 16,
     )
 
 
+# Live shingle-hash caches (at most one: each build evicts the previous).
+# Bounding this matters on a long-lived session — bench warmup + measured
+# passes + repeated minhash queries would otherwise accumulate cached
+# blocks in the JVM until full-GC stalls.
+_SHINGLE_CACHE: list[DataFrame] = []
+
+
+def release_shingle_caches() -> None:
+    """Unpersist every live shingle-hash cache.
+
+    Safe to call at any time: unpersisting only removes the recompute
+    barrier, so a still-held pipeline built on an evicted cache recomputes
+    instead of erroring.
+    """
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.pop().unpersist()
+
+
 def _hashed_shingles(df: DataFrame, id_col: str, content_col: str,
                      shingle_n: int, unit: str) -> DataFrame:
     """(doc, h): distinct 32-bit shingle hashes per doc, CACHED.
@@ -73,10 +91,13 @@ def _hashed_shingles(df: DataFrame, id_col: str, content_col: str,
 
     grams = (H.char_shingles(content_col, shingle_n) if unit == "char"
              else H.word_shingles(content_col, shingle_n))
-    return fan_out(df).select(
+    release_shingle_caches()
+    out = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(F.transform(grams, H._md5_32_expr)).alias("h"),
     ).cache()
+    _SHINGLE_CACHE.append(out)
+    return out
 
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str, content_col: str,

@@ -33,9 +33,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (spark.sql.legacy.parquet.nanosAsLong) and we truncate to microseconds
     here, exactly as DuckDB's reader does, so both engines see the same
     timestamps.
+
+    ``nanosAsLong`` is a *runtime* SQL conf, so it is set here rather than
+    only in :func:`victor_spark.session.get_spark`'s builder: callers hand
+    us arbitrary SparkSessions (the correctness driver builds its own), and
+    without the conf the events scan fails with PARQUET_TYPE_ILLEGAL before
+    any query runs.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
