@@ -70,3 +70,26 @@ def test_embedding_near_duplicates(spark):
     pairs = dedup.embedding_near_duplicates(df, "vec_id", "v", threshold=0.99).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
     assert abs(pairs[0]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_duplicate_clusters_transitive(spark):
+    # A~B, B~C, (D~E) — components {1,2,3} and {10,11} keyed by min id;
+    # the A~C edge is never given, only reachable transitively
+    from victor_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["doc"]: r["cluster"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a 12-node path graph needs several label-propagation rounds
+    from victor_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = {r["doc"]: r["cluster"] for r in duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(13)}

@@ -45,6 +45,40 @@ def test_tpch_q1_column_pruning(spark):
     assert "l_quantity" in schema
 
 
+def test_tpch_q6_all_predicates_pushed(spark):
+    # Q6 is the pure-pushdown query: every predicate must reach the reader
+    # and the scan must read only the 4 referenced columns
+    p = plan("tpch_q6", spark)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
+    assert "GreaterThanOrEqual(l_discount,0.03)" in p
+    assert "LessThan(l_quantity,24.0)" in p
+    scan = p[p.index("Scan parquet"):]
+    schema = scan[scan.index("ReadSchema:"):].splitlines()[0]
+    assert "l_orderkey" not in schema and "l_returnflag" not in schema
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    # EXISTS must plan as a semi join (no row duplication, no count fixup)
+    p = plan("tpch_q4", spark)
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q5_dims_broadcast(spark):
+    # supplier/nation/region all broadcast; the fact spine shuffles only on
+    # its join keys
+    p = plan("tpch_q5", spark)
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q18_having_semi_join_single_fact_agg(spark):
+    # the HAVING subquery feeds a semi join — the big-orders list must not
+    # round-trip through the driver as a literal IN-list
+    p = plan("tpch_q18", spark)
+    assert "LeftSemi" in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_star_join_broadcasts_dims(spark):
     # fact-side stays shuffle-free on the dim joins: customer+nation go
     # broadcast, never sort-merge

@@ -78,3 +78,97 @@ def test_windowed_stream_agg_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert expected[k] == v
     assert len(got) >= len(expected) * 2 // 3
+
+
+def test_stream_dedup_drops_replayed_events(spark, tmp_path):
+    # stage the same file TWICE (at-least-once upstream); stream dedup must
+    # emit each event_id exactly once
+    from victor_spark.streaming import dedup_events_stream
+
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    shutil.copy(os.path.join(SF_SMOKE, "events.parquet"), d / "part-0.parquet")
+    shutil.copy(os.path.join(SF_SMOKE, "events.parquet"), d / "part-1.parquet")
+    deduped = dedup_events_stream(_stream_events(spark, str(d)))
+    sink = str(tmp_path / "dd_sink")
+    ckpt = str(tmp_path / "dd_ckpt")
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.read.parquet(sink)
+    n_distinct = load_table(spark, SF_SMOKE, "events").count()
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    # applyInPandasWithState sessionizer vs the batch lag+cumsum rule.
+    # Which sessions are emitted depends on micro-batch layout (sessions
+    # closed by a later in-batch event always; each user's final session
+    # only if a later batch advances the watermark past its timeout), so
+    # assert the layout-independent invariants: everything emitted is a
+    # true batch session, and everything closed by data is emitted.
+    from pyspark.sql import Window
+    from victor_spark.streaming import sessionize_stream
+
+    src = _stage_dir(tmp_path)
+    sessions = sessionize_stream(_stream_events(spark, src))
+    sink = str(tmp_path / "sess_sink")
+    ckpt = str(tmp_path / "sess_ckpt")
+    (
+        sessions.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    gap_us = 30 * 60 * 1_000_000
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus")
+    sess = (
+        e.withColumn("prev", F.lag("tus").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull() | (F.col("tus") - F.col("prev") > gap_us), 1
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.timestamp_micros(F.min("tus")).alias("session_start"),
+            F.timestamp_micros(F.max("tus")).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    all_sessions = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sess.collect()
+    }
+    last = sess.groupBy("user_id").agg(F.max("sess_id").alias("last_id"))
+    closed_by_data = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sess.join(
+            last,
+            (sess.user_id == last.user_id) & (sess.sess_id == last.last_id),
+            "left_anti",
+        ).collect()
+    }
+    assert got <= all_sessions  # nothing invented, boundaries/counts exact
+    assert closed_by_data <= got  # every data-closed session emitted
+    assert got  # the smoke data must actually close some sessions

@@ -259,3 +259,62 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                       max_iterations: int = 15) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc, cluster),
+    cluster = the smallest doc id in the component.
+
+    Pair emitters (minhash/simhash/embedding dedup) return edges; keeping
+    one representative per *transitive* duplicate group needs components,
+    not pairs (A~B, B~C must collapse A,B,C together even when A~C was
+    never emitted).
+
+    Algorithm: distributed min-label propagation — every node starts
+    labeled with itself; each round every node takes the min label over
+    itself and its neighbors; stop when a round changes nothing. Rounds =
+    graph diameter, which for near-dup clusters is tiny (duplicate groups
+    are dense); the hard cap is a safety net, and the operator raises if
+    it is hit rather than returning half-merged clusters. Each round is
+    one shuffle join + one aggregation over the EDGE list (never the
+    corpus), and ``localCheckpoint`` truncates the growing lineage so
+    round N's plan doesn't replay rounds 1..N-1. This is the standard
+    scale path (GraphX/GraphFrames run the same iteration); at 100 TB the
+    edge list is the minhash output — orders of magnitude smaller than
+    the corpus.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("label") != F.least("label", F.coalesce("nbr_label", "label"))).alias("changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc"), F.col("label").alias("cluster"))
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iterations} rounds "
+        "(pathological graph diameter); raise max_iterations"
+    )

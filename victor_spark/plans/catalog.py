@@ -454,8 +454,9 @@ def _band_keys_sql() -> str:
     return "[" + ", ".join(keys) + "]"
 
 
-_MINHASH_ORACLE = f"""
-WITH corpus AS ({_DUP_CORPUS_SQL}),
+# CTE chain shared by dedup_minhash (emits the verified pairs) and
+# dedup_clusters (runs connected components over them)
+_MINHASH_CTES = f"""corpus AS ({_DUP_CORPUS_SQL}),
 toks AS (SELECT doc_id, {SQL_TOKS.format(s='text')} t FROM corpus),
 sh AS (SELECT doc_id, {SQL_WORD_SHINGLES.format(t='t')} shing FROM toks),
 hs AS (SELECT doc_id,
@@ -472,7 +473,10 @@ ver AS (
   FROM cand c
   JOIN sig sa ON sa.doc_id = c.id_a
   JOIN sig sb ON sb.doc_id = c.id_b
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CTES}
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.7
 """
 
@@ -492,6 +496,39 @@ def q_dedup_minhash(spark, sf_dir):
         shingle_n=3, unit="word",
     )
     return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_MINHASH_CTES},
+dup_edges AS (
+  SELECT id_a AS a, id_b AS b FROM ver WHERE jaccard >= 0.7
+  UNION
+  SELECT id_b AS a, id_a AS b FROM ver WHERE jaccard >= 0.7
+),
+reach(node, r) AS (
+  SELECT a, a FROM dup_edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN dup_edges e ON e.a = r.node
+)
+SELECT node AS doc, min(r) AS cluster FROM reach GROUP BY node
+""",
+    "transitive duplicate groups: distributed connected components "
+    "(min-label propagation over the verified minhash pair graph, "
+    "operators/dedup.py::duplicate_clusters) — A~B, B~C collapse into one "
+    "cluster keyed by the smallest doc id even when A~C was never emitted; "
+    "the oracle replays it as a recursive transitive closure",
+)
+def q_dedup_clusters(spark, sf_dir):
+    from victor_spark.operators.dedup import duplicate_clusters, minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(
+        _dup_corpus(spark, sf_dir), "doc_id", "text",
+        threshold=0.7, num_hashes=MINHASH_NUM, bands=MINHASH_BANDS,
+        shingle_n=3, unit="word",
+    )
+    return duplicate_clusters(pairs)
 
 
 _NGRAM_ORACLE = f"""
@@ -1150,6 +1187,67 @@ def q_events_json(spark, sf_dir):
 
 
 @_q(
+    "events_rollup",
+    """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE), 4) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+""",
+    "hierarchical ROLLUP (type, day) → (type) → () in ONE aggregation pass "
+    "— Spark expands the grouping sets map-side, so the cube costs one "
+    "shuffle, not three scans; NULL group markers coalesced to 'ALL' on "
+    "both engines",
+)
+def q_events_rollup(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "value",
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(24,8)")).cast("double"), 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "events_quantiles",
+    """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+    "exact interpolated percentiles per group (Spark `percentile` == SQL "
+    "percentile_cont semantics); at 100 TB the approx_percentile sketch is "
+    "the drop-in scale path, this query pins the exact-path parity",
+)
+def q_events_quantiles(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
+@_q(
     "tpch_q1",
     """
 SELECT l_returnflag, l_linestatus,
@@ -1256,6 +1354,243 @@ def q_revenue_by_nation(spark, sf_dir):
             ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
+    )
+
+
+@_q(
+    "tpch_q4",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    "TPC-H Q4 order-priority checking, adapted to this schema (testdata "
+    "lineitem has no commit/receipt dates, so the EXISTS probes returned "
+    "lines instead): EXISTS → left-semi hash join, no row duplication",
+)
+def q_tpch_q4(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_q(
+    "tpch_q5",
+    """
+SELECT n.n_name AS nation,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+    "TPC-H Q5 local-supplier volume: six-way join (fact spine + three "
+    "broadcast dims) with the customer-nation = supplier-nation theta "
+    "condition folded into the supplier join",
+)
+def q_tpch_q5(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")).cast("double"), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q6",
+    """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24
+""",
+    "TPC-H Q6 forecast revenue: pure scan-filter-aggregate; every predicate "
+    "pushes into the parquet reader (PushedFilters) and the aggregate is a "
+    "single map-side partial — the cheapest possible shape at 100 TB",
+)
+def q_tpch_q6(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,8)")).cast("double"), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "tpch_q10",
+    """
+SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue,
+       round(c.c_acctbal, 4) AS acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-07-01' AND o.o_orderdate < TIMESTAMP '1996-10-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, custkey
+LIMIT 20
+""",
+    "TPC-H Q10 returned-item reporting: selective fact filter, customer "
+    "rollup, top-20 by lost revenue (TakeOrderedAndProject over the agg)",
+)
+def q_tpch_q10(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.round("c_acctbal", 4).alias("acctbal"),
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")).cast("double"), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+        .select("custkey", "name", "nation", "revenue", "acctbal")
+    )
+
+
+@_q(
+    "tpch_q14",
+    """
+SELECT round(CAST(100.0 * sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(24,8)))
+         / sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE), 6) AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01' AND l.l_shipdate < TIMESTAMP '1996-10-01'
+""",
+    "TPC-H Q14 promotion effect: conditional aggregation over a fact-dim "
+    "join (part broadcasts; the CASE folds into one map-side partial)",
+)
+def q_tpch_q14(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast("decimal(24,8)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round((F.lit(100.0) * F.sum(promo) / F.sum(disc_price)).cast("double"), 6).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "tpch_q18",
+    """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name AS name, c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o.o_totalprice, 4) AS totalprice,
+       round(CAST(sum(CAST(l.l_quantity AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_qty
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY totalprice DESC, orderkey
+LIMIT 100
+""",
+    "TPC-H Q18 large-volume customer: grouped HAVING subquery feeding a "
+    "semi join back against the same fact (the aggregate runs once; the "
+    "IN-list never leaves the executors)",
+)
+def q_tpch_q18(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"), li.l_orderkey == F.col("bk"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(24,8)")).cast("double"), 4).alias("sum_qty")
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(100)
+        .select("name", "custkey", "orderkey", "orderdate", "totalprice", "sum_qty")
     )
 
 

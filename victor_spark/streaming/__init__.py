@@ -2,5 +2,14 @@ from victor_spark.streaming.ingest import (
     hourly_event_counts_stream,
     stream_events_to_table,
 )
+from victor_spark.streaming.stateful import (
+    dedup_events_stream,
+    sessionize_stream,
+)
 
-__all__ = ["stream_events_to_table", "hourly_event_counts_stream"]
+__all__ = [
+    "stream_events_to_table",
+    "hourly_event_counts_stream",
+    "dedup_events_stream",
+    "sessionize_stream",
+]
