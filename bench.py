@@ -34,12 +34,21 @@ HEADLINE = [
     "text_stats",
     "token_count_bpe",
     "doc_fingerprint",
+    "dedup_clusters",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
     "revenue_by_nation",
     "events_hourly",
     "events_sessionize",
     "events_asof_join",
+    "events_rollup",
+    "events_quantiles",
     "multimodal_features",
 ]
 
