@@ -1594,6 +1594,660 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+@_q(
+    "tpch_q2",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem),
+cand AS (
+  SELECT p.p_partkey, p.p_name, s.s_acctbal, s.s_name, s.s_suppkey, n.n_name,
+         row_number() OVER (PARTITION BY p.p_partkey
+                            ORDER BY s.s_acctbal DESC, s.s_suppkey) AS rn
+  FROM part p
+  JOIN ps ON ps.partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = ps.suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE p.p_size = 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+)
+SELECT round(s_acctbal, 4) AS acctbal, s_name AS supp_name, n_name AS nation,
+       p_partkey AS partkey, p_name AS part_name
+FROM cand WHERE rn = 1
+ORDER BY acctbal DESC, partkey
+LIMIT 100
+""",
+    "TPC-H Q2 minimum-cost supplier, adapted to this schema (no partsupp "
+    "table, so the part↔supplier relation is derived from lineitem and the "
+    "per-part argmin over ps_supplycost becomes an argmax over s_acctbal): "
+    "distinct projection → dim joins → per-group top-1 window",
+)
+def q_tpch_q2(spark, sf_dir):
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    w = Window.partitionBy("p_partkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        ps.join(F.broadcast(p), ps.partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.round("s_acctbal", 4).alias("acctbal"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+        )
+        .orderBy(F.desc("acctbal"), F.asc("partkey"))
+        .limit(100)
+    )
+
+
+@_q(
+    "tpch_q7",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    "TPC-H Q7 volume shipping: nation self-join twice (both broadcast, "
+    "pre-filtered to the two nations of interest so the disjunctive pair "
+    "predicate prunes before the fact join), revenue by direction and year",
+)
+def q_tpch_q7(spark, sf_dir):
+    nations = ("NATION_1", "NATION_2")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")).cast("double"), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q8",
+    """
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8)) AS volume,
+         n1.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                           ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year
+""",
+    "TPC-H Q8 national market share: eight-way join (five broadcast dims), "
+    "conditional share of NATION_1 supplier volume per order-year",
+)
+def q_tpch_q8(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
+    nation_one = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
+        F.lit(0).cast("decimal(24,8)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nation_one).cast("double") / F.sum(volume).cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "tpch_q9",
+    """
+SELECT n.n_name AS nation, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - 0.08 * p.p_retailprice * l.l_quantity AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_profit
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY nation, o_year
+""",
+    "TPC-H Q9 product-type profit, adapted to this schema (no partsupp, so "
+    "supply cost is proxied as 8% of p_retailprice per unit): LIKE-filtered "
+    "part broadcast, profit by supplier nation and order year",
+)
+def q_tpch_q9(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.08) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(24,8)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 4).alias("sum_profit"))
+    )
+
+
+@_q(
+    "tpch_q11",
+    """
+WITH value_by_part AS (
+  SELECT n.n_name AS nation, l.l_partkey AS partkey,
+         sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY nation, partkey
+)
+SELECT nation, partkey, round(CAST(val AS DOUBLE), 4) AS value
+FROM value_by_part
+WHERE CAST(val AS DOUBLE) > (SELECT 0.001 * CAST(sum(val) AS DOUBLE) FROM value_by_part)
+ORDER BY value DESC, nation, partkey
+LIMIT 100
+""",
+    "TPC-H Q11 important stock, adapted to this schema (no partsupp, so "
+    "'stock value' is shipped line value per supplier-nation × part): "
+    "grouped aggregate filtered against a broadcast scalar aggregate of "
+    "itself (the global-total subquery)",
+)
+def q_tpch_q11(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    vbp = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")).alias("val")
+        )
+    )
+    total = vbp.agg((F.lit(0.001) * F.sum("val").cast("double")).alias("threshold"))
+    return (
+        vbp.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("nation", "partkey", F.round(F.col("val").cast("double"), 4).alias("value"))
+        .orderBy(F.desc("value"), F.asc("nation"), F.asc("partkey"))
+        .limit(100)
+    )
+
+
+@_q(
+    "tpch_q12",
+    """
+SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high' ELSE 'low' END AS priority_class,
+       CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+       CAST(sum(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS ontime_lines
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY priority_class
+""",
+    "TPC-H Q12 shipping modes, adapted to this schema (no l_shipmode / "
+    "commit / receipt dates, so 'late' is shipped >60 days after order "
+    "date and grouping is by priority class): conditional counts over the "
+    "orders-lineitem join",
+)
+def q_tpch_q12(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    deadline = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    pclass = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(pclass.alias("priority_class"))
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") > deadline, 1).otherwise(0)).cast("long").alias("late_lines"),
+            F.sum(F.when(F.col("l_shipdate") <= deadline, 1).otherwise(0)).cast("long").alias("ontime_lines"),
+        )
+    )
+
+
+@_q(
+    "tpch_q13",
+    """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    "TPC-H Q13 customer order-count distribution: outer join preserved "
+    "through a two-level aggregation (count of counts; zero-order "
+    "customers survive via the left join)",
+)
+def q_tpch_q13(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_q(
+    "tpch_q15",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,8))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS supp_name,
+       round(CAST(r.total AS DOUBLE), 4) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total = (SELECT max(total) FROM revenue)
+ORDER BY suppkey
+""",
+    "TPC-H Q15 top supplier: quarterly revenue view, equality against its "
+    "own broadcast max (decimal-exact so the tie semantics match the "
+    "oracle bit-for-bit)",
+)
+def q_tpch_q15(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")).alias("total")
+    )
+    mx = revenue.agg(F.max("total").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.round(F.col("total").cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+@_q(
+    "tpch_q16",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand AS brand, p.p_type AS type, CAST(p.p_size AS BIGINT) AS size,
+       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+GROUP BY brand, type, size
+ORDER BY supplier_cnt DESC, brand, type, size
+LIMIT 100
+""",
+    "TPC-H Q16 parts/supplier relationship, adapted to this schema (no "
+    "partsupp, relation derived from lineitem; no supplier complaints "
+    "column to exclude): distinct-project → broadcast dim filter → "
+    "count-distinct rollup",
+)
+def q_tpch_q16(spark, sf_dir):
+    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
+        .limit(100)
+    )
+
+
+@_q(
+    "tpch_q17",
+    """
+WITH a AS (
+  SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(24,8))) AS sq, count(*) AS cq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(24,8))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.5 * (CAST(a.sq AS DOUBLE) / a.cq)
+""",
+    "TPC-H Q17 small-quantity-order revenue: correlated per-part average "
+    "quantity (decimal-exact so the < boundary matches the oracle) joined "
+    "back against the same fact; threshold raised to 0.5×avg for this "
+    "data's uniform quantities",
+)
+def q_tpch_q17(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    a = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(24,8)")).alias("sq"),
+        F.count("*").alias("cq"),
+    )
+    threshold = F.lit(0.5) * (F.col("sq").cast("double") / F.col("cq"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(a, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < threshold)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(24,8)")).cast("double") / F.lit(7.0), 4
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "tpch_q19",
+    """
+SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(24,8))) AS DOUBLE), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    "TPC-H Q19 discounted revenue, adapted to this schema (no p_container "
+    "/ l_shipmode legs, so the three disjunctive arms combine brand, size "
+    "and quantity ranges): OR-of-ANDs predicate spanning both join sides",
+)
+def q_tpch_q19(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#3", 15, 20, 30))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")).cast("double"), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "tpch_q20",
+    """
+WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+shipped AS (
+  SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(24,8))) AS qty
+  FROM lineitem JOIN red ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+),
+part_tot AS (SELECT l_partkey, sum(qty) AS tot FROM shipped GROUP BY l_partkey),
+heavy AS (
+  SELECT DISTINCT s2.l_suppkey
+  FROM shipped s2 JOIN part_tot t ON t.l_partkey = s2.l_partkey
+  WHERE CAST(s2.qty AS DOUBLE) > 0.3 * CAST(t.tot AS DOUBLE)
+)
+SELECT s.s_name AS supp_name, n.n_name AS nation
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+ORDER BY supp_name
+""",
+    "TPC-H Q20 potential part promotion, adapted to this schema (no "
+    "partsupp availability, so a supplier qualifies by shipping >30% of a "
+    "red part's 1996 volume): two-level aggregate → threshold join → "
+    "IN-subquery as a left-semi join into supplier",
+)
+def q_tpch_q20(spark, sf_dir):
+    red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(24,8)")).alias("qty"))
+    )
+    part_tot = shipped.groupBy(F.col("l_partkey").alias("tp")).agg(F.sum("qty").alias("tot"))
+    heavy = (
+        shipped.join(part_tot, shipped.l_partkey == F.col("tp"))
+        .filter(F.col("qty").cast("double") > F.lit(0.3) * F.col("tot").cast("double"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(F.col("s_name").alias("supp_name"), F.col("n_name").alias("nation"))
+        .orderBy("supp_name")
+    )
+
+
+@_q(
+    "tpch_q21",
+    """
+WITH f AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship, count(DISTINCT l_suppkey) AS n_supp
+  FROM f GROUP BY l_orderkey
+),
+lastg AS (
+  SELECT f.l_orderkey, min(f.l_suppkey) AS the_supp, count(DISTINCT f.l_suppkey) AS n_last
+  FROM f JOIN per_order p ON p.l_orderkey = f.l_orderkey AND f.l_shipdate = p.max_ship
+  WHERE p.n_supp > 1
+  GROUP BY f.l_orderkey
+)
+SELECT s.s_name AS supp_name, count(*) AS numwait
+FROM lastg JOIN supplier s ON s.s_suppkey = lastg.the_supp
+WHERE lastg.n_last = 1
+GROUP BY supp_name
+ORDER BY numwait DESC, supp_name
+LIMIT 100
+""",
+    "TPC-H Q21 suppliers who kept orders waiting, adapted to this schema "
+    "(no receipt/commit dates, so the waiting supplier is the unique "
+    "latest shipper in a multi-supplier finalized order): the EXISTS / "
+    "NOT-EXISTS pair becomes two grouped aggregates over the same fact",
+)
+def q_tpch_q21(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    f = li.join(o, li.l_orderkey == F.col("o_orderkey"), "left_semi").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = f.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    lastg = (
+        f.join(
+            per_order,
+            (f.l_orderkey == F.col("po_key")) & (f.l_shipdate == F.col("max_ship")),
+        )
+        .filter(F.col("n_supp") > 1)
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("the_supp"),
+            F.countDistinct("l_suppkey").alias("n_last"),
+        )
+        .filter(F.col("n_last") == 1)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        lastg.join(F.broadcast(s), lastg.the_supp == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supp_name"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "supp_name")
+        .limit(100)
+    )
+
+
+@_q(
+    "tpch_q22",
+    """
+WITH cust AS (
+  SELECT c_custkey, c_acctbal, CAST(c_nationkey % 7 AS BIGINT) AS cntrycode
+  FROM customer WHERE c_nationkey % 7 IN (0, 1, 2, 3)
+),
+ab AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(24,8))) AS DOUBLE) / count(*) AS ab
+  FROM cust WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(24,8))) AS DOUBLE), 4) AS totacctbal
+FROM cust, ab
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cust.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+""",
+    "TPC-H Q22 global sales opportunity, adapted to this schema (no "
+    "c_phone, country code derived from c_nationkey; 'never ordered' "
+    "becomes 'lapsed: no order since 2000'): above-average balances via a "
+    "broadcast scalar (decimal-exact mean), NOT EXISTS as a left-anti join",
+)
+def q_tpch_q22(spark, sf_dir):
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("c_nationkey") % 7).cast("long").alias("cntrycode"),
+        )
+        .filter(F.col("cntrycode").isin(0, 1, 2, 3))
+    )
+    ab = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(24,8)")).cast("double") / F.count("*")).alias("ab")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(recent, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(24,8)")).cast("double"), 4).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 # ===========================================================================
 # extensions: multimodal (binary columns) — SQL-checkable metadata pass +
 # rows-only Arrow decode pass
