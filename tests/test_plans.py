@@ -79,6 +79,44 @@ def test_tpch_q18_having_semi_join_single_fact_agg(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_tpch_q2_per_part_top1_is_single_window(spark):
+    # the per-part argmax must be a rank-limit window (row_number <= 1 pushed
+    # down as WindowGroupLimit: per-partition partial top-1 before the
+    # shuffle, final after — the distributed bounded-heap shape), not a
+    # self-join of the candidate set against its own per-group max
+    p = plan("tpch_q2", spark)
+    assert "WindowGroupLimit" in p
+    assert "TakeOrderedAndProject" in p  # final top-100
+
+
+def test_tpch_q19_part_broadcast_under_disjunction(spark):
+    # OR-of-ANDs spanning both join sides: the join itself must stay a
+    # broadcast hash join on p_partkey (the disjunction filters after)
+    p = plan("tpch_q19", spark)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q20_q21_in_subqueries_are_semi_joins(spark):
+    # the IN (SELECT …) / finalized-orders probes must stay executor-side
+    # semi joins, never driver-collected IN-lists
+    assert "LeftSemi" in plan("tpch_q20", spark)
+    assert "LeftSemi" in plan("tpch_q21", spark)
+
+
+def test_tpch_q22_not_exists_is_anti_join(spark):
+    # NOT EXISTS → left-anti hash join (no row expansion, no subquery loop)
+    p = plan("tpch_q22", spark)
+    assert "LeftAnti" in p
+
+
+def test_tpch_q13_outer_join_preserved(spark):
+    # zero-order customers must survive: the join may not be rewritten to
+    # inner by the count aggregate
+    p = plan("tpch_q13", spark)
+    assert "LeftOuter" in p or "RightOuter" in p
+
+
 def test_star_join_broadcasts_dims(spark):
     # fact-side stays shuffle-free on the dim joins: customer+nation go
     # broadcast, never sort-merge
