@@ -35,6 +35,9 @@ HEADLINE = [
     "token_count_bpe",
     "doc_fingerprint",
     "dedup_clusters",
+    "hash_split",
+    "stratified_sample",
+    "contamination_check",
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",

@@ -93,3 +93,21 @@ def test_duplicate_clusters_long_chain_converges(spark):
     )
     got = {r["doc"]: r["cluster"] for r in duplicate_clusters(pairs).collect()}
     assert got == {i: 0 for i in range(13)}
+
+
+def test_duplicate_clusters_strategies_agree(spark):
+    # the driver union-find (small-graph path) and the distributed
+    # min-label propagation (driver_edge_limit=0 forces it) must produce
+    # identical components on the same graph
+    from victor_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 9), (9, 4), (20, 21), (7, 3)],
+        "id_a long, id_b long",
+    )
+    local = {r["doc"]: r["cluster"] for r in duplicate_clusters(pairs).collect()}
+    dist = {
+        r["doc"]: r["cluster"]
+        for r in duplicate_clusters(pairs, driver_edge_limit=0).collect()
+    }
+    assert local == dist == {1: 1, 2: 1, 3: 1, 7: 1, 5: 4, 9: 4, 4: 4, 20: 20, 21: 20}

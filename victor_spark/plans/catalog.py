@@ -1826,8 +1826,10 @@ LIMIT 100
 """,
     "TPC-H Q11 important stock, adapted to this schema (no partsupp, so "
     "'stock value' is shipped line value per supplier-nation × part): "
-    "grouped aggregate filtered against a broadcast scalar aggregate of "
-    "itself (the global-total subquery)",
+    "grouped aggregate filtered against its own global total via an "
+    "unpartitioned window — one fact scan instead of the two a "
+    "scalar-subquery formulation costs; the window's single-partition "
+    "exchange moves only the aggregated (nation, part) rows, never the fact",
 )
 def q_tpch_q11(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
@@ -1841,9 +1843,9 @@ def q_tpch_q11(spark, sf_dir):
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")).alias("val")
         )
     )
-    total = vbp.agg((F.lit(0.001) * F.sum("val").cast("double")).alias("threshold"))
+    threshold = F.lit(0.001) * F.sum("val").over(Window.partitionBy()).cast("double")
     return (
-        vbp.crossJoin(F.broadcast(total))
+        vbp.withColumn("threshold", threshold)
         .filter(F.col("val").cast("double") > F.col("threshold"))
         .select("nation", "partkey", F.round(F.col("val").cast("double"), 4).alias("value"))
         .orderBy(F.desc("value"), F.asc("nation"), F.asc("partkey"))
@@ -2245,6 +2247,100 @@ def q_tpch_q22(spark, sf_dir):
             F.round(F.sum(F.col("c_acctbal").cast("decimal(24,8)")).cast("double"), 4).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+# ===========================================================================
+# extensions: training-pipeline curation — deterministic splits, sampling,
+# benchmark contamination
+# ===========================================================================
+
+_SPLIT_BUCKET = SQL_H32.format(x="concat('split:', CAST(doc_id AS VARCHAR))") + " % 1000"
+_SAMPLE_BUCKET = SQL_H32.format(x="concat('sample:', CAST(doc_id AS VARCHAR))") + " % 1000"
+
+
+@_q(
+    "hash_split",
+    f"""
+WITH b AS (SELECT doc_id, n_chars, {_SPLIT_BUCKET} AS bucket FROM documents)
+SELECT CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY split
+""",
+    "deterministic 80/10/10 train/val/test assignment from a salted md5 of "
+    "the doc id — reproducible across runs/engines/cluster sizes, no "
+    "shuffle, no RNG state; audited here as per-split counts",
+)
+def q_hash_split(spark, sf_dir):
+    from victor_spark.operators.sampling import hash_split
+
+    d = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    return d.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@_q(
+    "stratified_sample",
+    f"""
+WITH s AS (SELECT lang, {_SAMPLE_BUCKET} AS bucket FROM documents)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN bucket < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(CAST(sum(CASE WHEN bucket < 200 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS sample_rate
+FROM s GROUP BY lang
+""",
+    "deterministic ~20% hash sample audited per language stratum: "
+    "membership is a pure function of the doc id, so realized rates "
+    "concentrate around the target within every stratum with zero "
+    "per-stratum coordination",
+)
+def q_stratified_sample(spark, sf_dir):
+    from victor_spark.operators.sampling import BUCKETS, sample_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    in_sample = sample_bucket("doc_id", "sample") < int(0.2 * BUCKETS)
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.round(
+            F.sum(F.when(in_sample, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("sample_rate"),
+    )
+
+
+@_q(
+    "contamination_check",
+    f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKS.format(s='text')} t FROM documents),
+sh AS (SELECT doc_id, {SQL_WORD_SHINGLES.format(t='t')} shing FROM toks),
+hs AS (SELECT doc_id,
+              list_distinct(list_transform(shing, s -> {SQL_H32.format(x='s')})) h
+       FROM sh),
+bench AS (SELECT list_distinct(flatten(list(h))) bl FROM hs WHERE doc_id < 20)
+SELECT doc_id, CAST(len(h) AS INTEGER) AS n_shingles,
+       CAST(len(list_intersect(h, bl)) AS BIGINT) AS n_shared
+FROM hs, bench
+WHERE doc_id >= 20 AND len(list_intersect(h, bl)) >= 1
+ORDER BY n_shared DESC, doc_id
+LIMIT 20
+""",
+    "benchmark-contamination check: word-3-gram hash overlap between each "
+    "corpus doc and a held-out benchmark set (docs 0-19) — benchmark "
+    "shingle set collapses to one broadcast array, each corpus row "
+    "intersects map-side (zero added shuffles), top-20 offenders by "
+    "shared-shingle count",
+)
+def q_contamination(spark, sf_dir):
+    from victor_spark.operators.contamination import ngram_overlap_small_bench
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") < 20)
+    cand = d.filter(F.col("doc_id") >= 20)
+    return (
+        ngram_overlap_small_bench(cand, bench, "doc_id", "text", shingle_n=3, unit="word")
+        .orderBy(F.desc("n_shared"), F.asc("doc_id"))
+        .limit(20)
     )
 
 
