@@ -250,6 +250,37 @@ class VectorIndex:
             scored = topk(df, cosine_to_literal("embedding", q), k, ascending=False)
         return scored.select("id", "content", "tags", "score")
 
+    # -- interchange --------------------------------------------------------
+
+    def export_jsonl(self, path: str, tags: list[str] | None = None) -> None:
+        """Export (id, content, tags, embedding) as JSON Lines.
+
+        Embeddings are dequantized to doubles — the standard corpus
+        interchange shape for downstream training pipelines. The export is
+        a distributed write (one shard per partition); no driver collect.
+        """
+        from victor_spark.sources.formats import write_jsonl
+
+        write_jsonl(
+            self.scan(tags).select("id", "content", "tags", "embedding"), path
+        )
+
+    def import_jsonl(self, path: str) -> None:
+        """Insert records from JSON Lines with (content, embedding, tags).
+
+        Schema is explicit (no inference pass over the input); rows flow
+        through :meth:`insert_df`, so dimension checks, tag normalization,
+        quantization, and the projected-insert path all apply.
+        """
+        from victor_spark.sources.formats import read_jsonl
+
+        df = read_jsonl(
+            self.spark,
+            path,
+            "content string, embedding array<double>, tags array<string>",
+        )
+        self.insert_df(df)
+
     # -- PCA maintenance (db.rs:287-299, trigger :551-553) ------------------
 
     def storage_bytes(self) -> int:
