@@ -21,6 +21,44 @@ def _stage_dir(tmp_path) -> str:
     return str(d)
 
 
+def test_stream_search_matches_batch(spark, tmp_path):
+    """A drained query stream produces exactly the batch per-query top-k."""
+    import json
+
+    from victor_spark.functions.vector import to_double_array
+    from victor_spark.sources import load_table
+    from victor_spark.streaming.search import search_microbatch, stream_search
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # stage the query feed as a file-source stream
+    qdir = tmp_path / "queries"
+    queries.coalesce(1).write.parquet(str(qdir))
+    qstream = spark.readStream.schema(queries.schema).format("parquet").load(str(qdir))
+
+    got = []
+    q = stream_search(
+        qstream, corpus, k=3,
+        sink=lambda df, epoch: got.extend(
+            (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+            for r in df.collect()
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    expect = {
+        (r["query_id"], r["vec_id"], round(r["score"], 9), r["rank"])
+        for r in search_microbatch(queries, corpus, k=3).collect()
+    }
+    assert set(got) == expect
+    assert len(got) == 4 * 3  # 4 queries × top-3
+
+
 def _stream_events(spark, src):
     """readStream over the events file; ts arrives as nanos-long (see
     sources/tables.py) and is truncated to a microsecond timestamp."""

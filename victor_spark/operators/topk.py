@@ -34,13 +34,16 @@ def topk(df: DataFrame, score: Column, k: int, ascending: bool = False,
 
 
 def topk_per_group(df: DataFrame, group_cols: list[str], score_col: str, k: int,
-                   ascending: bool = False, rank_name: str = "rank") -> DataFrame:
+                   ascending: bool = False, rank_name: str = "rank",
+                   tie_cols: list[str] | None = None) -> DataFrame:
     """Per-group top-k via row_number window (batch multi-query search).
 
-    One shuffle on the group columns; deterministic tie-break columns should
-    be appended to the ordering by the caller if scores can tie.
+    One shuffle on the group columns; `tie_cols` (ascending) break score
+    ties deterministically — required whenever results feed a hash-checked
+    comparison.
     """
     order = [F.col(score_col).asc() if ascending else F.col(score_col).desc()]
+    order += [F.col(c).asc() for c in (tie_cols or [])]
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn(rank_name, F.row_number().over(w))

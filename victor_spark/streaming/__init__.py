@@ -2,6 +2,10 @@ from victor_spark.streaming.ingest import (
     hourly_event_counts_stream,
     stream_events_to_table,
 )
+from victor_spark.streaming.search import (
+    search_microbatch,
+    stream_search,
+)
 from victor_spark.streaming.stateful import (
     dedup_events_stream,
     sessionize_stream,
@@ -12,4 +16,6 @@ __all__ = [
     "hourly_event_counts_stream",
     "dedup_events_stream",
     "sessionize_stream",
+    "search_microbatch",
+    "stream_search",
 ]
