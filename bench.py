@@ -19,55 +19,11 @@ import time
 from victor_spark import get_spark
 from victor_spark.plans import QUERIES
 
-HEADLINE = [
-    "topk_cosine",
-    "topk_batch",
-    "topk_euclidean",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "quantize_roundtrip",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_embedding",
-    "embed_documents",
-    "text_stats",
-    "token_count_bpe",
-    "doc_fingerprint",
-    "dedup_clusters",
-    "hash_split",
-    "stratified_sample",
-    "contamination_check",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "revenue_by_nation",
-    "events_hourly",
-    "events_sessionize",
-    "events_asof_join",
-    "events_rollup",
-    "events_quantiles",
-    "multimodal_features",
-]
+# The headline suite is the WHOLE catalog: every oracle-checked operator
+# plus the two rows-only ones (multimodal decode, PCA). Deriving it from
+# QUERIES keeps the bench honest as the catalog grows - a new operator is
+# automatically timed, so a slow addition can't hide outside the headline.
+HEADLINE = list(QUERIES)
 
 
 def main() -> None:
