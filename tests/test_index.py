@@ -57,6 +57,21 @@ def test_dimension_mismatch_rejected(idx):
         idx.insert([("a", [1.0, 2.0], []), ("b", [1.0, 2.0, 3.0], [])])
 
 
+def test_nan_score_policy(spark, tmp_path):
+    # reference panics when comparing NaN similarities (db.rs:742-748); a
+    # zero-norm stored vector scores 0/0 = NaN under cosine. strict mode
+    # mirrors the panic as a job failure; non-strict drops the row.
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from victor_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "nan_idx"))
+    idx.insert([("ok", [1.0, 2.0], []), ("zero", [0.0, 0.0], [])])
+    with pytest.raises(SparkRuntimeException, match="NaN similarity"):
+        idx.search([1.0, 1.0], k=2).collect()
+    got = idx.search([1.0, 1.0], k=2, strict_nan=False).collect()
+    assert [r["content"] for r in got] == ["ok"]
+
+
 def test_clear(idx):
     # db.rs:608-625
     idx.insert([("x", [1.0, 2.0], [])])

@@ -65,7 +65,14 @@ def cosine_to_literal(v: ColumnOrName, q: list[float]) -> Column:
     (reference db.rs:250 scoring loop) and stays fully inside codegen.
     """
     qnorm = sum(x * x for x in q) ** 0.5
-    return dot(v, F.array(*[F.lit(float(x)) for x in q])) / (norm(v) * F.lit(qnorm))
+    denom = norm(v) * F.lit(qnorm)
+    # Spark 4 runs ANSI SQL by default, so 0/0 would be DIVIDE_BY_ZERO
+    # instead of the reference's IEEE NaN (f32 division, similarity.rs:
+    # 10-22); restore NaN explicitly so zero-norm vectors score NaN and
+    # the caller's NaN policy (VectorIndex.search strict/drop) decides.
+    return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
+        dot(v, F.array(*[F.lit(float(x)) for x in q])) / denom
+    )
 
 
 def euclidean(a: ColumnOrName, b: ColumnOrName) -> Column:

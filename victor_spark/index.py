@@ -224,7 +224,8 @@ class VectorIndex:
     # -- search ------------------------------------------------------------
 
     def search(self, query: list[float], k: int = 10,
-               tags: list[str] | None = None) -> DataFrame:
+               tags: list[str] | None = None,
+               strict_nan: bool = True) -> DataFrame:
         """Top-k nearest neighbors (reference search_embedding,
         db.rs:217-283). Returns (id, content, tags, score) — cosine
         descending, or euclidean ascending in projected mode.
@@ -235,7 +236,13 @@ class VectorIndex:
 
         An empty index returns an empty result (the reference's search over
         a fresh DB yields an empty vec — db.rs:229-231 loads an empty index
-        and selects no files), not a scan error on the missing path."""
+        and selects no files), not a scan error on the missing path.
+
+        NaN policy (reference NearestNeighborsResult::cmp panics on NaN
+        similarity, db.rs:742-748): with ``strict_nan`` a NaN score (a
+        zero-norm vector under cosine, or NaN inputs) fails the job —
+        the distributed mirror of the panic. ``strict_nan=False`` drops
+        NaN-scored rows instead, for callers that prefer skip-and-serve."""
         if self.is_empty():
             return self.spark.createDataFrame(
                 [], "id string, content string, tags array<string>, score double"
@@ -245,9 +252,17 @@ class VectorIndex:
         q = [float(x) for x in query]
         if model is not None:
             q = model.project_vector(q)
-            scored = topk(df, euclidean_to_literal("embedding", q), k, ascending=True)
+            score = euclidean_to_literal("embedding", q)
         else:
-            scored = topk(df, cosine_to_literal("embedding", q), k, ascending=False)
+            score = cosine_to_literal("embedding", q)
+        if strict_nan:
+            score = F.when(
+                F.isnan(score),
+                F.raise_error(F.lit("NaN similarity score (strict NaN mode)")),
+            ).otherwise(score)
+        else:
+            df = df.filter(~F.isnan(score))
+        scored = topk(df, score, k, ascending=model is not None)
         return scored.select("id", "content", "tags", "score")
 
     # -- interchange --------------------------------------------------------

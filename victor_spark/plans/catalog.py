@@ -454,9 +454,11 @@ def _band_keys_sql() -> str:
     return "[" + ", ".join(keys) + "]"
 
 
-# CTE chain shared by dedup_minhash (emits the verified pairs) and
-# dedup_clusters (runs connected components over them)
-_MINHASH_CTES = f"""corpus AS ({_DUP_CORPUS_SQL}),
+# CTE chain shared by dedup_minhash (emits the verified pairs),
+# dedup_clusters (connected components over them), and curation_pipeline
+# (dedup stage over the raw documents table)
+def _minhash_ctes(corpus_sql: str) -> str:
+    return f"""corpus AS ({corpus_sql}),
 toks AS (SELECT doc_id, {SQL_TOKS.format(s='text')} t FROM corpus),
 sh AS (SELECT doc_id, {SQL_WORD_SHINGLES.format(t='t')} shing FROM toks),
 hs AS (SELECT doc_id,
@@ -474,6 +476,9 @@ ver AS (
   JOIN sig sa ON sa.doc_id = c.id_a
   JOIN sig sb ON sb.doc_id = c.id_b
 )"""
+
+
+_MINHASH_CTES = _minhash_ctes(_DUP_CORPUS_SQL)
 
 _MINHASH_ORACLE = f"""
 WITH {_MINHASH_CTES}
@@ -857,14 +862,10 @@ def q_text_stats(spark, sf_dir):
     )
 
 
-def _lang_id_sql() -> str:
-    score = {
-        lang: (
-            f"len(list_filter(lt, x -> list_contains({list(markers)!r}, x)))".replace("'", "'")
-        )
-        for lang, markers in T.LANG_MARKERS.items()
-    }
-    # fold mirroring text.lang_id: first language wins ties, strictly-greater replaces
+def _lang_sql_parts() -> tuple[str, str, str]:
+    """(score selects over column `lt`, winning-lang fold, max-score fold)
+    mirroring text.lang_id: first language wins ties, strictly-greater
+    replaces."""
     langs = list(T.LANG_MARKERS)
     expr_lang = f"'{langs[0]}'"
     expr_score = f"s_{langs[0]}"
@@ -877,6 +878,11 @@ def _lang_id_sql() -> str:
         )
         for lang in langs
     )
+    return selects, expr_lang, expr_score
+
+
+def _lang_id_sql() -> str:
+    selects, expr_lang, expr_score = _lang_sql_parts()
     return f"""
 WITH d AS (SELECT doc_id, lang, list_transform({_SQL_T}, x -> lower(x)) lt FROM documents),
 sc AS (SELECT doc_id, lang, {selects} FROM d)
@@ -2347,6 +2353,83 @@ def q_contamination(spark, sf_dir):
         ngram_overlap_small_bench(cand, bench, "doc_id", "text", shingle_n=3, unit="word")
         .orderBy(F.desc("n_shared"), F.asc("doc_id"))
         .limit(20)
+    )
+
+
+def _curation_oracle() -> str:
+    selects, expr_lang, expr_score = _lang_sql_parts()
+    stop = list(T.STOPWORDS)
+    return f"""
+WITH {_minhash_ctes("SELECT doc_id, text FROM documents")},
+losers AS (SELECT DISTINCT id_b FROM ver WHERE jaccard >= 0.7),
+kept AS (SELECT doc_id, text, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+t2 AS (SELECT doc_id, n_chars, text, {SQL_TOKS.format(s='text')} t FROM kept),
+qm AS (SELECT doc_id, n_chars, t, text,
+         CAST(len(t) AS INTEGER) n_tokens,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) END atl,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text) END pr,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(t, x -> list_contains({stop!r}, lower(x)))) AS DOUBLE)
+                   / len(t) END sr
+       FROM t2),
+qs AS (SELECT doc_id, n_chars, list_transform(t, x -> lower(x)) lt,
+         (least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+          + (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END)
+          + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END)
+          + least(sr * 10.0, 1.0)) / 4.0 AS quality
+       FROM qm),
+sc AS (SELECT doc_id, n_chars, quality, {selects} FROM qs),
+lp AS (SELECT doc_id, n_chars, quality,
+         (CASE WHEN {expr_score} > 0 THEN {expr_lang} ELSE 'und' END) AS pred_lang
+       FROM sc),
+sp AS (SELECT n_chars, pred_lang, {_SPLIT_BUCKET} AS bucket
+       FROM lp WHERE quality >= 0.5 AND pred_lang <> 'und')
+SELECT CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+       pred_lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM sp GROUP BY split, pred_lang
+""".replace("'", "'")
+
+
+@_q(
+    "curation_pipeline",
+    _curation_oracle(),
+    "capstone composition — the full curation pass a training corpus gets, "
+    "as ONE dataflow: MinHash-LSH dedup (drop the larger id of every "
+    "verified near-dup pair) → quality-score filter (≥ 0.5) → language-ID "
+    "filter (drop 'und') → deterministic train/val/test hash split → "
+    "per-(split, lang) audit counts. Every stage is an existing catalog "
+    "operator; the composed plan still scans documents once per branch, "
+    "broadcasts only band buckets, and shuffles on band_key / split only",
+)
+def q_curation_pipeline(spark, sf_dir):
+    from victor_spark.operators.dedup import minhash_near_duplicates
+    from victor_spark.operators.sampling import split_label
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = minhash_near_duplicates(
+        d, "doc_id", "text",
+        threshold=0.7, num_hashes=MINHASH_NUM, bands=MINHASH_BANDS,
+        shingle_n=3, unit="word",
+    )
+    losers = pairs.select(F.col("id_b").alias("rm")).distinct()
+    kept = d.join(losers, d.doc_id == F.col("rm"), "left_anti")
+    enriched = kept.select(
+        "doc_id",
+        "n_chars",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("pred_lang"),
+        split_label("doc_id").alias("split"),
+    )
+    return (
+        enriched.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") != "und"))
+        .groupBy("split", "pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
     )
 
 
