@@ -156,6 +156,17 @@ def test_no_cartesian_products_anywhere(spark):
         assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"
 
 
+def test_session_scale_configs(spark):
+    # the 100 TB runtime levers must be on in every session the factory
+    # builds: AQE (runtime coalesce + skew-join splitting) and Arrow for
+    # the pandas-UDF paths
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+
+
 def test_index_tag_scan_prunes_partitions(spark, tmp_path):
     # the tag-superset filter must become partition pruning on tag_set_id —
     # the reference's data skipping (db.rs:687-706) as directory pruning;
