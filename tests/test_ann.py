@@ -57,3 +57,66 @@ def test_lsh_topk_recall_on_clusters(spark):
     approx = {r["vec_id"] for r in ann.lsh_topk(df, "v", q, k=5, num_planes=6).collect()}
     # tight cluster ⇒ all true neighbors share the query's bucket
     assert len(exact & approx) >= 4
+
+
+# ---------------------------------------------------------------------------
+# product quantization + ADC (operators/pq.py)
+# ---------------------------------------------------------------------------
+
+from victor_spark.operators import pq
+
+
+def test_pq_codebook_deterministic(spark):
+    df = _clustered(spark)
+    cb1 = pq.codebook_vectors(df, "vec_id", "v", k=4)
+    cb2 = pq.codebook_vectors(df, "vec_id", "v", k=4)
+    assert cb1 == cb2
+    assert len(cb1) == 4 and all(len(c) == 16 for c in cb1)
+
+
+def test_pq_encode_shape_and_range(spark):
+    df = _clustered(spark)
+    cb = pq.codebook_vectors(df, "vec_id", "v", k=4)
+    enc = pq.encode(df, "v", cb, m=4)
+    rows = enc.select("pq_code").collect()
+    assert all(len(r["pq_code"]) == 4 for r in rows)
+    assert all(1 <= c <= 4 for r in rows for c in r["pq_code"])
+
+
+def test_pq_codebook_row_encodes_to_itself(spark):
+    """A vector that IS a codebook row must get its own index in every
+    subvector (distance 0 is the unique minimum on distinct rows)."""
+    df = _clustered(spark)
+    cb = pq.codebook_vectors(df, "vec_id", "v", k=4)
+    cb_df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cb)], "vec_id long, v array<double>"
+    )
+    enc = {r["vec_id"]: r["pq_code"] for r in pq.encode(cb_df, "v", cb, m=4).collect()}
+    for i in range(4):
+        assert enc[i] == [i + 1] * 4, enc
+
+
+def test_pq_adc_matches_exact_on_codebook_rows(spark):
+    """ADC distance to a codebook row equals the exact squared L2, because
+    the row reconstructs losslessly; and top-1 for a near-centroid query is
+    the centroid itself."""
+    df = _clustered(spark)
+    cb = pq.codebook_vectors(df, "vec_id", "v", k=4)
+    enc = pq.encode(df.limit(0).unionByName(
+        spark.createDataFrame([(999, cb[0])], "vec_id long, v array<double>")
+    ), "v", cb, m=4)
+    hit = pq.adc_topk(enc, cb[0], cb, k=1, m=4).collect()[0]
+    assert hit["vec_id"] == 999
+    assert abs(hit["adc_dist"]) < 1e-12
+
+
+def test_pq_adc_ranking_respects_clusters(spark):
+    """With one codebook row per cluster, ADC ranks same-cluster vectors
+    strictly closer than cross-cluster ones."""
+    df = _clustered(spark)
+    cb = pq.codebook_vectors(df, "vec_id", "v", k=8)
+    enc = pq.encode(df, "v", cb, m=4)
+    q = [1.0] + [0.0] * 15
+    hits = pq.adc_topk(enc, q, cb, k=10, m=4).collect()
+    assert all(h["vec_id"] < 100 for h in hits)
+    assert all(hits[i]["adc_dist"] <= hits[i + 1]["adc_dist"] for i in range(9))

@@ -1,0 +1,122 @@
+"""Product quantization (PQ) with asymmetric-distance (ADC) search.
+
+The third leg of the ANN triad (brute-force / LSH+IVF / PQ): vectors are
+encoded as `m` small code indices — one per contiguous subvector — against
+a shared codebook, and search scores a query by summing per-subvector
+lookup-table entries instead of touching the original floats. At 100 TB
+this is the standard memory-bound trade: a 64-d float vector (256 B)
+becomes `m` 1-byte codes, and the scan that serves a query reads codes
+only; the codebook and the per-query LUT are O(k·d) driver-side objects.
+
+Two deliberate design choices keep the operator oracle-checkable:
+
+- **Deterministic codebook**: the k codebook rows are the corpus vectors
+  with the smallest salted md5 of their id (then ordered by id) — no
+  k-means RNG, reproducible in SQL. Real k-means plugs in behind the same
+  interface; the encode/search algebra is identical.
+- **Native-expression encode and score**: the per-subvector argmin and the
+  ADC sum are Column expressions (whole-stage codegen), not UDFs, with
+  explicit left-to-right float folds that the DuckDB oracle replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from victor_spark.functions import hashing as H
+
+
+def codebook_vectors(df: DataFrame, id_col: str, vec_col: str,
+                     k: int = 16, salt: str = "pq") -> list[list[float]]:
+    """Pick k codebook rows deterministically: smallest salted md5 of id.
+
+    Returned ordered by id (stable). This is a driver-side collect of k
+    full vectors — k·d floats, tiny. A trained k-means model would replace
+    exactly this function.
+    """
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", H.md5_32(F.concat(F.lit(salt + ":"), F.col("_id").cast("string"))))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .orderBy("_id")
+        .collect()
+    )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def _sub(v: Column, j: int, dsub: int) -> Column:
+    return F.slice(v, j * dsub + 1, dsub)
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    # sequential left-to-right fold — the order the oracle replays
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+
+def encode(df: DataFrame, vec_col: str, codebook: list[list[float]],
+           m: int = 8, out_col: str = "pq_code") -> DataFrame:
+    """Attach `out_col`: array<int> of length m, the 1-based codebook index
+    whose j-th subvector is nearest (squared L2; first minimum wins ties).
+    """
+    d = len(codebook[0])
+    dsub = d // m
+    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebook])
+
+    def dists(j: int) -> Column:
+        return F.transform(
+            cb, lambda c: _sqdist(_sub(F.col(vec_col), j, dsub), _sub(c, j, dsub))
+        )
+
+    codes = F.array(
+        *[F.array_position(dists(j), F.array_min(dists(j))) for j in range(m)]
+    )
+    return df.withColumn(out_col, codes.cast("array<int>"))
+
+
+def adc_lut(query: list[float], codebook: list[list[float]], m: int = 8) -> list[list[float]]:
+    """Per-(subvector, code) squared distances from the query — the ADC
+    lookup table, computed once per query with the same sequential fold
+    as the executors' encode path."""
+    d = len(codebook[0])
+    dsub = d // m
+    lut = []
+    for j in range(m):
+        row = []
+        for c in codebook:
+            s = 0.0
+            for i in range(j * dsub, (j + 1) * dsub):
+                diff = query[i] - c[i]
+                s = s + diff * diff
+            row.append(s)
+        lut.append(row)
+    return lut
+
+
+def adc_topk(encoded: DataFrame, query: list[float], codebook: list[list[float]],
+             k: int, m: int = 8, id_col: str = "vec_id",
+             code_col: str = "pq_code") -> DataFrame:
+    """Top-k by ADC distance: score = Σ_j LUT[j][code_j], smallest first.
+
+    The scan touches ONLY the code column; scoring is m array lookups into
+    a broadcast-literal LUT inside codegen — no floats read, no UDF, no
+    shuffle beyond the bounded top-k merge.
+    """
+    lut = adc_lut(query, codebook, m)
+    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in lut])
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(lut_lit, j + 1), F.element_at(F.col(code_col), j + 1)
+        )
+        score = term if score is None else score + term
+    return (
+        encoded.select(F.col(id_col), score.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -13,7 +13,10 @@ identical values. Both sides therefore:
 
 Each builder takes (spark, sf_dir) and stays fully declarative — scans are
 partition-pruned/pushed-down parquet reads, joins are broadcast where one
-side is a dim/query set, and no builder collects to the driver.
+side is a dim/query set, and no builder collects to the driver. One
+sanctioned exception: O(k·d) *model artifacts* (the PQ codebook/LUT, a
+fitted PCA basis) are collected once and baked into the plan as literals —
+the Spark analog of broadcasting a trained model, not a data collect.
 """
 
 from __future__ import annotations
@@ -807,6 +810,69 @@ def q_ann_ivf(spark, sf_dir):
         .limit(5)
         .select("vec_id", F.round("_s", 6).alias("sim"))
     )
+
+
+# Product quantization + ADC: the third ANN strategy (after hyperplane LSH
+# and IVF cells). Codebook rows are picked deterministically (smallest
+# salted md5 of vec_id — standing in for a k-means fit job, same seam as
+# IVF's every-250th centroid rule), collected driver-side as a model
+# artifact (k·d floats — the one sanctioned collect in this catalog, like a
+# trained PCAModel), and baked into the plan as literals. Encode and ADC
+# scoring are pure Column expressions: the scan that serves a query reads
+# the m-byte code column only, never the float vectors.
+
+_PQ_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+cb AS (SELECT vec_id, v FROM e
+       ORDER BY CAST(concat('0x', substr(md5(concat('pq:', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT),
+                vec_id
+       LIMIT 16),
+cbo AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) code, v cv FROM cb),
+subs AS (SELECT CAST(j AS INTEGER) j FROM range(0, 8) t(j)),
+dists AS (
+  SELECT e.vec_id, s.j, c.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (e.v[CAST(s.j*8 + i AS INTEGER)] - c.cv[CAST(s.j*8 + i AS INTEGER)])^2)) dist
+  FROM e, subs s, cbo c
+),
+enc AS (
+  SELECT vec_id, j, code,
+         row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) rn
+  FROM dists
+),
+codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
+q AS (SELECT v qv FROM e WHERE vec_id = 11),
+scored AS (
+  SELECT codes.vec_id,
+         sum(list_sum(list_transform(range(1, 9),
+           i -> (q.qv[CAST(codes.j*8 + i AS INTEGER)] - c.cv[CAST(codes.j*8 + i AS INTEGER)])^2))) adc
+  FROM codes JOIN cbo c ON codes.code = c.code, q
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, round(adc, 6) AS adc_dist FROM scored ORDER BY adc, vec_id LIMIT 5
+"""
+
+
+@_q(
+    "ann_pq_topk",
+    _PQ_ORACLE,
+    "product-quantization ADC top-5 for vec 11: m=8 subvectors encoded "
+    "against a 16-row deterministic codebook, query scored by LUT sums over "
+    "the 8-byte code column alone (at scale: the float vectors are never "
+    "read at query time)",
+)
+def q_ann_pq(spark, sf_dir):
+    from victor_spark.operators import pq
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    cb = pq.codebook_vectors(e, "vec_id", "v", k=16, salt="pq")
+    enc = pq.encode(e, "v", cb, m=8)
+    # the query vector is part of the LUT model artifact (driver-side by
+    # construction of ADC); collect just that one row
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 11).select("v").first()["v"]]
+    out = pq.adc_topk(enc, qv, cb, k=5, m=8, id_col="vec_id")
+    return out.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
 
 # ===========================================================================
