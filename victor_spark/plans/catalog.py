@@ -1325,6 +1325,54 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
+# Range join: match every event to the 15-minute incident windows opened by
+# high-value error events. No equi-key exists, so the naive join is a
+# nested-loop/cartesian; operators/ranges.py rewrites it as an equi-join on
+# time bins (interval side exploded to <=2 bins) + residual containment
+# filter — a plain shuffleable join at any scale.
+
+_RANGE_JOIN_ORACLE = """
+WITH inc AS (SELECT event_id AS incident_id, epoch_us(ts) s
+             FROM events WHERE event_type = 'error' AND value > 150),
+p AS (SELECT epoch_us(ts) t, value FROM events)
+SELECT incident_id,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS avg_value
+FROM inc JOIN p ON p.t >= inc.s AND p.t < inc.s + 900000000
+GROUP BY incident_id
+"""
+
+
+@_q(
+    "events_range_join",
+    _RANGE_JOIN_ORACLE,
+    "point-in-interval range join via bin bucketing: events joined to the "
+    "15-min windows after high-value errors (equi-join on time bin + "
+    "residual filter; no nested-loop, no row explosion)",
+)
+def q_events_range_join(spark, sf_dir):
+    from victor_spark.operators.ranges import range_join_binned
+
+    e = load_table(spark, sf_dir, "events")
+    win_us = 900_000_000  # 15 min
+    inc = (
+        e.filter((F.col("event_type") == "error") & (F.col("value") > 150))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.unix_micros("ts").alias("w_start"),
+            (F.unix_micros("ts") + win_us).alias("w_end"),
+        )
+    )
+    pts = e.select(F.unix_micros("ts").alias("t"), "value")
+    joined = range_join_binned(pts, inc, "t", "w_start", "w_end", win_us)
+    return joined.groupBy("incident_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(24,8)")).cast("double") / F.count("*"), 6
+        ).alias("avg_value"),
+    )
+
+
 @_q(
     "tpch_q1",
     """
