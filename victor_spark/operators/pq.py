@@ -68,14 +68,21 @@ def encode(df: DataFrame, vec_col: str, codebook: list[list[float]],
     dsub = d // m
     cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebook])
 
-    def dists(j: int) -> Column:
-        return F.transform(
-            cb, lambda c: _sqdist(_sub(F.col(vec_col), j, dsub), _sub(c, j, dsub))
+    def argmin(j: int) -> Column:
+        # one pass: tag each distance with its 1-based code, struct-min picks
+        # (smallest dist, then smallest code) — evaluates the k-entry
+        # distance transform once, where array_position(d, array_min(d))
+        # would evaluate it twice
+        tagged = F.transform(
+            cb,
+            lambda c, i: F.struct(
+                _sqdist(_sub(F.col(vec_col), j, dsub), _sub(c, j, dsub)).alias("d"),
+                (i + 1).alias("code"),
+            ),
         )
+        return F.array_min(tagged)["code"]
 
-    codes = F.array(
-        *[F.array_position(dists(j), F.array_min(dists(j))) for j in range(m)]
-    )
+    codes = F.array(*[argmin(j) for j in range(m)])
     return df.withColumn(out_col, codes.cast("array<int>"))
 
 
