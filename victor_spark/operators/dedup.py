@@ -153,6 +153,44 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, id_col: str,
     )
 
 
+def ngram_jaccard_join(df: DataFrame, id_col: str, content_col: str,
+                       threshold: float = 0.5, shingle_n: int = 3,
+                       unit: str = "word") -> DataFrame:
+    """Exact all-pairs similarity self-join: every (id_a < id_b) pair with
+    shingle-hash Jaccard >= threshold, via prefix filtering (ppjoin).
+
+    Losslessly prunes the O(n²) pair space: with each doc's distinct
+    shingle hashes sorted ascending, two sets with Jaccard >= t MUST share
+    an element within their first ``|s| - ceil(t·|s|) + 1`` hashes — so
+    candidate generation is explode(prefix) + equi-join on the shared
+    hash, and only candidates pay the exact |∩|/|∪| verify. At 100 TB
+    this is the standard exact-similarity-join plan: the prefix explode is
+    map-side, the candidate join shuffles on a single int key (AQE splits
+    hot hashes), and the verify is O(candidates), not O(n²).
+    """
+    hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
+    sh = hashed.select("doc", F.array_sort("h").alias("s"))
+    plen = (F.size("s") - F.ceil(F.lit(float(threshold)) * F.size("s")) + 1).cast("int")
+    pre = sh.select("doc", F.explode(F.slice(F.col("s"), F.lit(1), plen)).alias("tok"))
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"),
+              (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    out = (
+        cand.join(sh.select(F.col("doc").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sh.select(F.col("doc").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("sa", "sb")).cast("double")
+             / F.size(F.array_union("sa", "sb"))).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def minhash_near_duplicates(df: DataFrame, id_col: str, content_col: str,
                             threshold: float = 0.7, num_hashes: int = 16,
                             bands: int = 8, shingle_n: int = 3,

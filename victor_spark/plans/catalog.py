@@ -541,18 +541,23 @@ def q_dedup_clusters(spark, sf_dir):
 
 _NGRAM_ORACLE = f"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
-d AS (SELECT doc_id, text, doc_id % 7 AS blk FROM corpus),
-sh0 AS (SELECT doc_id, blk,
+sh0 AS (SELECT doc_id,
                {SQL_WORD_SHINGLES.format(t=SQL_TOKS.format(s='text'))} shing0
-        FROM d),
-sh AS (SELECT doc_id, blk,
-              list_distinct(list_transform(shing0, s -> {SQL_H32.format(x='s')})) shing
+        FROM corpus),
+sh AS (SELECT doc_id,
+              list_sort(list_distinct(list_transform(shing0, s -> {SQL_H32.format(x='s')}))) s
        FROM sh0),
+pre AS (SELECT doc_id,
+               unnest(s[1 : CAST(len(s) - ceil(0.5 * len(s)) + 1 AS INTEGER)]) tok
+        FROM sh),
+cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
 pairs AS (
-  SELECT a.doc_id id_a, b.doc_id id_b,
-         CAST(len(list_intersect(a.shing, b.shing)) AS DOUBLE)
-           / len(list_distinct(a.shing || b.shing)) AS jaccard
-  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / len(list_distinct(sa.s || sb.s)) AS jaccard
+  FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+            JOIN sh sb ON cand.id_b = sb.doc_id
 )
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5
 """
@@ -561,29 +566,19 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5
 @_q(
     "dedup_ngram_jaccard",
     _NGRAM_ORACLE,
-    "exact n-gram Jaccard similarity join (blocked on doc_id%7 to bound the "
-    "pair count; the full-corpus scale path is dedup_minhash). Jaccard is "
-    "over distinct 32-bit shingle hashes on BOTH engines — int-set "
-    "intersection beats string-set intersection ~3x in the O(pairs) "
-    "verify, and the comparison stays exact even under hash collisions",
+    "exact all-pairs n-gram Jaccard >= 0.5 over the whole corpus via prefix "
+    "filtering (ppjoin): sorted shingle-hash prefixes explode to an "
+    "equi-join that losslessly prunes the O(n²) pair space; only real "
+    "candidates pay the exact hash-set |∩|/|∪| verify",
 )
 def q_dedup_ngram(spark, sf_dir):
-    c = fan_out(_dup_corpus(spark, sf_dir)).withColumn("blk", F.col("doc_id") % 7)
-    sh = c.select("doc_id", "blk", H.shingle_hashes("text", 3, "word").alias("shing"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = a.join(
-        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
-    ).select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        (
-            F.size(F.array_intersect("a.shing", "b.shing")).cast("double")
-            / F.size(F.array_union("a.shing", "b.shing"))
-        ).alias("jaccard"),
+    from victor_spark.operators.dedup import ngram_jaccard_join
+
+    res = ngram_jaccard_join(
+        _dup_corpus(spark, sf_dir), "doc_id", "text",
+        threshold=0.5, shingle_n=3, unit="word",
     )
-    return pairs.filter(F.col("jaccard") >= 0.5).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
+    return res.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _simhash_sql(th: str, n: str) -> str:
@@ -1099,6 +1094,76 @@ FROM sh
 def q_doc_fingerprint(spark, sf_dir):
     d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", T.fingerprint64("text").alias("fp"))
+
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT t.tok FROM documents d,
+       unnest(list_filter(string_split(lower(d.text), ' '), x -> x <> '')) AS t(tok)
+)
+SELECT tok AS token, count(*) AS n
+FROM toks GROUP BY tok
+ORDER BY n DESC, token LIMIT 100
+"""
+
+
+@_q(
+    "vocab_topk",
+    _VOCAB_ORACLE,
+    "corpus vocabulary: top-100 whitespace tokens by frequency (BPE vocab "
+    "precursor; explode + partial-agg combine, bounded TakeOrdered merge)",
+)
+def q_vocab_topk(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+
+
+# Sequence packing: the GPT-style concat-then-chunk layout. A single global
+# running sum would serialize the corpus through one window task, so docs
+# are salted-hashed into independent bucket streams that pack in parallel
+# (operators/packing.py); (bucket, pack_id) is the training shard key.
+
+_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len({SQL_TOKS.format(s="text")}) AS INTEGER) n_tok,
+         {SQL_H32.format(x="concat('pack:', CAST(doc_id AS VARCHAR))")} h
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n_tok, CAST(h % 8 AS INTEGER) bucket,
+         sum(n_tok) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) cum
+  FROM d
+)
+SELECT doc_id, n_tok, bucket,
+       CAST(cum - n_tok AS BIGINT) AS start_off,
+       CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
+FROM w
+"""
+
+
+@_q(
+    "pack_sequences",
+    _PACK_ORACLE,
+    "LLM training sequence packing: concat-then-chunk assignment of every "
+    "doc to (bucket, pack_id, start_off) at seq_len=512 over 8 parallel "
+    "bucket streams — deterministic on any cluster size",
+)
+def q_pack_sequences(spark, sf_dir):
+    from victor_spark.operators.packing import pack_sequences
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", T.token_count("text").alias("n_tok")
+    )
+    out = pack_sequences(d, "doc_id", "n_tok", seq_len=512, n_buckets=8)
+    return out.select("doc_id", "n_tok", "bucket", "start_off", "pack_id")
 
 
 # ===========================================================================
