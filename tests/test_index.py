@@ -119,3 +119,33 @@ def test_projected_insert_path(spark, tmp_path):
     idx.insert([("late", [1.0] * 8, [])])
     assert idx.dimension() == 4  # stored projected
     assert idx.search([1.0] * 8, k=1).first() is not None
+
+
+def test_compact_merges_small_files(idx):
+    # 4 append batches x 2 tags -> >= 8 data files; compact to 1 per tag
+    for i in range(4):
+        idx.insert([
+            (f"a{i}", [float(i), 1.0, 0.0], ["ta"]),
+            (f"b{i}", [0.0, 1.0, float(i)], ["tb"]),
+        ])
+    before = {(r["content"], round(r["score"], 6))
+              for r in idx.search([0.0, 1.0, 0.0], k=10).collect()}
+    stats = idx.compact(target_rows_per_file=1000)
+    assert stats["rows"] == 8
+    assert stats["files_after"] == 2  # one per tag partition
+    assert stats["files_after"] < stats["files_before"]
+    after = {(r["content"], round(r["score"], 6))
+             for r in idx.search([0.0, 1.0, 0.0], k=10).collect()}
+    assert before == after
+
+
+def test_compact_splits_to_target_size(idx):
+    idx.insert([(f"c{i}", [float(i), 1.0], ["t"]) for i in range(10)])
+    stats = idx.compact(target_rows_per_file=3)
+    # ceil(10/3) = 4 salted groups -> 4 files in the one tag partition
+    assert stats["files_after"] == 4
+    assert idx.scan().count() == 10
+
+
+def test_compact_empty_index(idx):
+    assert idx.compact() == {"files_before": 0, "files_after": 0, "rows": 0}

@@ -304,6 +304,72 @@ class VectorIndex:
             total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         return total
 
+    def compact(self, target_rows_per_file: int = 1_000_000) -> dict:
+        """Rewrite the table with size-targeted files per tag partition —
+        the OPTIMIZE-style maintenance job that pairs with maybe_project
+        (the reference's only maintenance hook is its PCA trigger,
+        db.rs:551-553; it never compacts its append-only files).
+
+        Streaming/batch appends leave one file per (batch, tag) — at scale
+        that's the classic small-file problem: open/seek overhead per file
+        dominates the scan and partition listing slows planning. Each tag
+        set is re-split into ceil(rows/target) groups via a salted hash of
+        the row id, so every output group lands wholly in one task → one
+        file of ~target rows, deterministic layout, no global shuffle
+        beyond the one repartition.
+
+        Local-FS directory swap (write temp, rename over); on an object
+        store the same job writes to a new prefix and flips a pointer.
+        Returns {"files_before", "files_after", "rows"}.
+        """
+        def _count_files(p: str) -> int:
+            n = 0
+            for _root, _dirs, files in os.walk(p):
+                n += sum(1 for f in files if f.endswith(".parquet"))
+            return n
+
+        if self.is_empty():
+            return {"files_before": 0, "files_after": 0, "rows": 0}
+        df = self.spark.read.parquet(self.data_path)
+        files_before = _count_files(self.data_path)
+        rows = df.count()
+        # per-tag row counts: map-side-partial agg, broadcast back (the tag
+        # dimension is small even when the fact table is 100 TB)
+        counts = df.groupBy("tag_set_id").agg(F.count("*").alias("__n"))
+        n_groups = F.greatest(
+            F.lit(1), F.ceil(F.col("__n") / target_rows_per_file)
+        )
+        out = (
+            df.join(F.broadcast(counts), "tag_set_id")
+            .withColumn(
+                "__grp",
+                F.pmod(
+                    F.conv(F.substring(F.md5(F.col("id")), 1, 8), 16, 10).cast("long"),
+                    n_groups,
+                ),
+            )
+            .repartition("tag_set_id", "__grp")
+            .drop("__grp", "__n")
+        )
+        tmp = self.data_path + "__compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # the salted repartition buys write parallelism on a huge tag; the
+        # writer's maxRecordsPerFile enforces the per-file bound even when
+        # AQE coalesces the (tag, group) shuffle partitions into fewer tasks
+        out.write.mode("overwrite").option(
+            "maxRecordsPerFile", target_rows_per_file
+        ).partitionBy("tag_set_id").parquet(tmp)
+        old = self.data_path + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.data_path, old)
+        os.rename(tmp, self.data_path)
+        shutil.rmtree(old, ignore_errors=True)
+        return {
+            "files_before": files_before,
+            "files_after": _count_files(self.data_path),
+            "rows": rows,
+        }
+
     def maybe_project(self, threshold_bytes: int = 1_000_000, k: int = 500) -> bool:
         """Storage-pressure hook: if the table exceeds the threshold and is
         not yet projected, fit PCA on all vectors, persist the model, and
