@@ -195,3 +195,48 @@ def test_quantized_index_storage_is_bytes_not_floats(spark, tmp_path):
     types = dict(stored.dtypes)
     assert types["quant"] == "array<tinyint>"
     assert types["qmin"] == "float" and types["qmax"] == "float"
+
+
+def test_pq_adc_reads_codes_not_vectors(spark, tmp_path):
+    # the point of PQ: a stored encoded table serves ADC queries from the
+    # m-byte code column alone — the float vectors are never scanned
+    from pyspark.sql import functions as F
+
+    from victor_spark.operators import pq
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0, 0.0]) for i in range(64)],
+        "vec_id long, v array<double>",
+    )
+    cb = pq.codebook_vectors(df, "vec_id", "v", k=4)
+    path = str(tmp_path / "pq_table")
+    pq.encode(df, "v", cb, m=2).write.parquet(path)
+    stored = spark.read.parquet(path)
+    out = pq.adc_topk(stored, [1.0, 0.0, 0.0, 1.0], cb, k=3, m=2)
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    scan = p[p.index("Scan parquet"):]
+    schema = scan[scan.index("ReadSchema:"):].splitlines()[0]
+    assert "pq_code" in schema and "v:" not in schema
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pack_sequences_single_bucket_shuffle(spark):
+    # packing must shuffle once on the bucket key — never collapse to a
+    # single-partition global window
+    p = plan("pack_sequences", spark)
+    assert "hashpartitioning(bucket" in p
+    assert "SinglePartition" not in p
+
+
+def test_range_join_is_equi_join(spark):
+    p = plan("events_range_join", spark)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_vocab_topk_partial_agg_bounded_merge(spark):
+    p = plan("vocab_topk", spark)
+    assert "partial_count" in p  # map-side combine before the shuffle
+    assert "TakeOrderedAndProject" in p
