@@ -149,3 +149,29 @@ def test_compact_splits_to_target_size(idx):
 
 def test_compact_empty_index(idx):
     assert idx.compact() == {"files_before": 0, "files_after": 0, "rows": 0}
+
+
+def test_delete_by_tag_superset(idx):
+    idx.insert([("a", [1.0, 0.0], ["x"]),
+                ("b", [0.0, 1.0], ["x", "y"]),
+                ("c", [1.0, 1.0], ["z"])])
+    # superset semantics: tags=["x"] hits both the {x} and {x,y} partitions
+    assert idx.delete(["x"]) == 2
+    left = [r["content"] for r in idx.scan().collect()]
+    assert left == ["c"]
+    # searches keep working after the partition drop
+    assert idx.search([1.0, 1.0], k=5).count() == 1
+
+
+def test_delete_no_match_and_empty_args(idx):
+    idx.insert([("a", [1.0, 0.0], ["x"])])
+    assert idx.delete(["nope"]) == 0
+    assert idx.scan().count() == 1
+    with pytest.raises(ValueError):
+        idx.delete([])
+
+
+def test_delete_last_partition_empties_index(idx):
+    idx.insert([("a", [1.0, 0.0], ["x"])])
+    assert idx.delete(["x"]) == 1
+    assert idx.is_empty()

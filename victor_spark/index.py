@@ -178,6 +178,51 @@ class VectorIndex:
             if os.path.exists(p):
                 shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
+    def delete(self, tags: list[str]) -> int:
+        """Delete every row whose tag-set ⊇ ``tags`` (the same superset
+        semantics as search/scan). Returns the number of rows deleted.
+
+        An extension — the reference's only deletion is clear_db — but it
+        falls out of the physical layout for free: tag-supersets are whole
+        ``tag_set_id=…`` partition directories, so deletion is a metadata
+        listing plus directory removals. No data files are read or
+        rewritten — the same reason DELETE-by-partition-key is O(partitions)
+        on any hive-layout table at 100 TB.
+        """
+        if not tags:
+            raise ValueError("delete() needs at least one tag; use clear() "
+                             "to drop the whole index")
+        if self.is_empty():
+            return 0
+        df = self.spark.read.parquet(self.data_path)
+        query_tags = sorted(set(tags))
+        victims = (
+            df.select("tag_set_id", "tags")
+            .distinct()
+            .filter(
+                F.forall(
+                    F.array(*[F.lit(t) for t in query_tags]),
+                    lambda t: F.array_contains(F.col("tags"), t),
+                )
+            )
+            .collect()
+        )
+        if not victims:
+            return 0
+        ids = [r["tag_set_id"] for r in victims]
+        n = df.filter(F.col("tag_set_id").isin(ids)).count()
+        for tsid in ids:
+            shutil.rmtree(
+                os.path.join(self.data_path, f"tag_set_id={tsid}"),
+                ignore_errors=True,
+            )
+        remaining = [
+            d for d in os.listdir(self.data_path) if d.startswith("tag_set_id=")
+        ]
+        if not remaining:
+            self.clear()
+        return n
+
     # -- scan --------------------------------------------------------------
 
     def is_empty(self) -> bool:
