@@ -769,6 +769,14 @@ SELECT vec_id, round(s, 6) AS sim FROM scored ORDER BY s DESC, vec_id LIMIT 5
     "within candidates (at scale: cell = partition key, centroids broadcast)",
 )
 def q_ann_ivf(spark, sf_dir):
+    return _ivf_topk(spark, sf_dir, qid=7, k=5).select(
+        "vec_id", F.round("_s", 6).alias("sim")
+    )
+
+
+def _ivf_topk(spark, sf_dir, qid: int, k: int) -> DataFrame:
+    """IVF candidates for vec ``qid`` (nprobe=2), top-k by exact cosine;
+    returns (vec_id, _s) with _s unrounded."""
     e = _emb(spark, sf_dir).select("vec_id", "v")
     cent = F.broadcast(
         e.filter(F.col("vec_id") % 250 == 0).select(
@@ -787,7 +795,7 @@ def q_ann_ivf(spark, sf_dir):
         .select("vec_id", "v", "cell")
     )
     q = F.broadcast(
-        e.filter(F.col("vec_id") == 7).select(F.col("v").alias("qv")).withColumn("qn", norm("qv"))
+        e.filter(F.col("vec_id") == qid).select(F.col("v").alias("qv")).withColumn("qn", norm("qv"))
     )
     qcells = F.broadcast(
         cent.crossJoin(q)
@@ -800,11 +808,7 @@ def q_ann_ivf(spark, sf_dir):
     out = cand.crossJoin(q).select(
         "vec_id", (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("_s")
     )
-    return (
-        out.orderBy(F.desc("_s"), F.asc("vec_id"))
-        .limit(5)
-        .select("vec_id", F.round("_s", 6).alias("sim"))
-    )
+    return out.orderBy(F.desc("_s"), F.asc("vec_id")).limit(k)
 
 
 # Product quantization + ADC: the third ANN strategy (after hyperplane LSH
@@ -816,8 +820,7 @@ def q_ann_ivf(spark, sf_dir):
 # scoring are pure Column expressions: the scan that serves a query reads
 # the m-byte code column only, never the float vectors.
 
-_PQ_ORACLE = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+_PQ_CTES = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
 cb AS (SELECT vec_id, v FROM e
        ORDER BY CAST(concat('0x', substr(md5(concat('pq:', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT),
                 vec_id
@@ -843,7 +846,10 @@ scored AS (
            i -> (q.qv[CAST(codes.j*8 + i AS INTEGER)] - c.cv[CAST(codes.j*8 + i AS INTEGER)])^2))) adc
   FROM codes JOIN cbo c ON codes.code = c.code, q
   GROUP BY codes.vec_id
-)
+)"""
+
+_PQ_ORACLE = f"""
+WITH {_PQ_CTES}
 SELECT vec_id, round(adc, 6) AS adc_dist FROM scored ORDER BY adc, vec_id LIMIT 5
 """
 
@@ -868,6 +874,90 @@ def q_ann_pq(spark, sf_dir):
           e.filter(F.col("vec_id") == 11).select("v").first()["v"]]
     out = pq.adc_topk(enc, qv, cb, k=5, m=8, id_col="vec_id")
     return out.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+
+# Recall audit: the quality counterpart of the ANN queries — recall@10 of
+# each approximate strategy against the exact top-10, as a first-class
+# query (the number a pipeline owner watches when tuning nprobe/m/planes).
+
+_RECALL_ORACLE = f"""
+WITH {_PQ_CTES},
+adc_top AS (SELECT vec_id FROM scored ORDER BY adc, vec_id LIMIT 10),
+l2_top AS (
+  SELECT e.vec_id FROM e, q
+  ORDER BY list_sum(list_transform(range(1, 65),
+             i -> (e.v[CAST(i AS INTEGER)] - q.qv[CAST(i AS INTEGER)])^2)),
+           e.vec_id
+  LIMIT 10),
+cent AS (SELECT vec_id AS cell, v AS cv, sqrt(list_dot_product(v, v)) cn
+         FROM e WHERE vec_id % 250 = 0),
+assign AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * cn) DESC,
+                    cell) rn
+  FROM e, cent
+),
+cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+q7 AS (SELECT v qv, sqrt(list_dot_product(v, v)) qn FROM e WHERE vec_id = 7),
+qcells AS (
+  SELECT cell FROM cent, q7
+  ORDER BY list_dot_product(cv, qv) / (cn * qn) DESC, cell LIMIT 2
+),
+ivf_top AS (
+  SELECT c.vec_id FROM cells c JOIN qcells p ON c.cell = p.cell, q7
+  ORDER BY list_dot_product(c.v, q7.qv)
+             / (sqrt(list_dot_product(c.v, c.v)) * q7.qn) DESC, c.vec_id
+  LIMIT 10),
+cos_top AS (
+  SELECT e.vec_id FROM e, q7
+  ORDER BY list_dot_product(e.v, q7.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * q7.qn) DESC, e.vec_id
+  LIMIT 10)
+SELECT 'pq_adc' AS method, 10 AS k,
+       round(CAST((SELECT count(*) FROM adc_top JOIN l2_top USING (vec_id)) AS DOUBLE) / 10, 6) AS recall
+UNION ALL
+SELECT 'ivf', 10,
+       round(CAST((SELECT count(*) FROM ivf_top JOIN cos_top USING (vec_id)) AS DOUBLE) / 10, 6)
+"""
+
+
+@_q(
+    "ann_recall",
+    _RECALL_ORACLE,
+    "recall@10 audit of the approximate strategies: PQ/ADC vs exact "
+    "squared-L2 (query 11) and IVF nprobe=2 vs exact cosine (query 7) — "
+    "the tuning metric for m/nprobe, computed as a query",
+)
+def q_ann_recall(spark, sf_dir):
+    from victor_spark.operators import pq
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    cb = pq.codebook_vectors(e, "vec_id", "v", k=16, salt="pq")
+    enc = pq.encode(e, "v", cb, m=8)
+    qv = [float(x) for x in
+          e.filter(F.col("vec_id") == 11).select("v").first()["v"]]
+    adc_top = pq.adc_topk(enc, qv, cb, k=10, m=8, id_col="vec_id").select("vec_id")
+    qlit = F.array(*[F.lit(x) for x in qv])
+    l2_top = (
+        e.select("vec_id", euclidean("v", qlit).alias("_d"))
+        .orderBy(F.asc("_d"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    ivf_top = _ivf_topk(spark, sf_dir, qid=7, k=10).select("vec_id")
+    cos_top = _cosine_topk(spark, sf_dir, qid=7, k=10).select("vec_id")
+
+    def recall_row(approx, exact, method):
+        return approx.join(exact, "vec_id").agg(
+            F.round(F.count("*") / F.lit(10.0), 6).alias("recall")
+        ).select(
+            F.lit(method).alias("method"), F.lit(10).alias("k"), "recall"
+        )
+
+    return recall_row(adc_top, l2_top, "pq_adc").unionAll(
+        recall_row(ivf_top, cos_top, "ivf")
+    )
 
 
 # ===========================================================================
