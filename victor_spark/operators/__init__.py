@@ -1,3 +1,27 @@
-from victor_spark.operators import ann, dedup, multimodal, pca, topk
+from victor_spark.operators import (
+    ann,
+    asof,
+    contamination,
+    dedup,
+    multimodal,
+    packing,
+    pca,
+    pq,
+    ranges,
+    sampling,
+    topk,
+)
 
-__all__ = ["topk", "dedup", "ann", "pca", "multimodal"]
+__all__ = [
+    "topk",
+    "dedup",
+    "ann",
+    "pq",
+    "pca",
+    "multimodal",
+    "asof",
+    "ranges",
+    "packing",
+    "sampling",
+    "contamination",
+]

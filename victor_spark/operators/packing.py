@@ -1,5 +1,9 @@
 """Sequence packing: assign documents to fixed-length training sequences.
 
+Extension operator (the reference has no batch/layout machinery at all —
+its write path is one tag-set file per insert, /root/reference/src/db.rs:
+473-556); this is the training-data-pipeline op the brief calls for.
+
 The standard LLM pretraining layout concatenates tokenized documents into
 one stream and chunks it every ``seq_len`` tokens (GPT-style
 concat-then-chunk; docs may straddle a chunk boundary). The assignment —

@@ -1,5 +1,10 @@
 """Product quantization (PQ) with asymmetric-distance (ADC) search.
 
+Extension operator — the reference's only compression is whole-vector
+min/max scalar quantization (/root/reference/src/packed_vector.rs:11-25);
+PQ is the per-subvector generalization that additionally changes how
+queries are SCORED (table lookups instead of float arithmetic).
+
 The third leg of the ANN triad (brute-force / LSH+IVF / PQ): vectors are
 encoded as `m` small code indices — one per contiguous subvector — against
 a shared codebook, and search scores a query by summing per-subvector
