@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) — the operators' contracts on random
+inputs, not just the curated fixtures. Mirrors the reference's own
+generative style (packed_vector.rs quantization bounds are asserted over
+seeded random vectors). Example counts are small: every example is a real
+Spark job on local[32]."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+
+finite = st.floats(
+    min_value=-1000, max_value=1000, allow_nan=False, allow_infinity=False
+)
+
+
+@PROP
+@given(vec=st.lists(finite, min_size=2, max_size=48))
+def test_quantize_roundtrip_error_bound(spark, vec):
+    """Dequantized value within half a bin of the original — the invariant
+    behind the reference's max-err<0.0005 claim (packed_vector.rs:142-143)."""
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions.vector import dequantize, quantize
+
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    out = df.select(quantize("v").alias("q"), "v").select(
+        "v", dequantize(F.col("q.quant"), F.col("q.qmin"), F.col("q.qmax")).alias("r")
+    )
+    row = out.first()
+    half_bin = (max(vec) - min(vec)) / 255.0 / 2.0 + 1e-9
+    for x, r in zip(row["v"], row["r"]):
+        assert abs(x - r) <= half_bin
+
+
+asof_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), finite),
+    min_size=1, max_size=25,
+)
+
+
+@PROP
+@given(left=asof_rows, right=asof_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    """asof_join == pandas.merge_asof(direction='backward') per key."""
+    from victor_spark.operators.asof import asof_join
+
+    # dedupe right on (key, ts): merge_asof picks the LAST among equal ts;
+    # our tie-break is the max payload struct — align by keeping one row
+    seen = {}
+    for k, ts, v in right:
+        seen[(k, ts)] = v
+    right = [(k, ts, v) for (k, ts), v in seen.items()]
+
+    ldf = spark.createDataFrame(left, "k int, ts int, lval double")
+    rdf = spark.createDataFrame(right, "k int, ts int, rval double")
+    got = {
+        (r["k"], r["ts"], r["lval"]): r["rval_right"]
+        for r in asof_join(ldf, rdf, on=["k"], left_ts="ts", right_ts="ts").collect()
+    }
+
+    lpd = pd.DataFrame(left, columns=["k", "ts", "lval"]).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(right, columns=["k", "ts", "rval"]).sort_values("ts", kind="stable")
+    exp_df = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+    for _, row in exp_df.iterrows():
+        exp = None if pd.isna(row["rval"]) else row["rval"]
+        assert got[(row["k"], row["ts"], row["lval"])] == exp
+
+
+@PROP
+@given(
+    points=st.lists(st.integers(0, 200), min_size=1, max_size=30, unique=True),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 60)),
+        min_size=1, max_size=15,
+    ),
+    width=st.integers(1, 50),
+)
+def test_range_join_matches_brute_force(spark, points, intervals, width):
+    from victor_spark.operators.ranges import range_join_binned
+
+    p = spark.createDataFrame([(i, float(t)) for i, t in enumerate(points)],
+                              "pid long, t double")
+    iv = spark.createDataFrame(
+        [(j, float(s), float(s + ln)) for j, (s, ln) in enumerate(intervals)],
+        "iid long, s double, e double",
+    )
+    got = {(r["pid"], r["iid"])
+           for r in range_join_binned(p, iv, "t", "s", "e", float(width)).collect()}
+    exp = {
+        (i, j)
+        for i, t in enumerate(points)
+        for j, (s, ln) in enumerate(intervals)
+        if s <= t < s + ln
+    }
+    assert got == exp
+
+
+@PROP
+@given(
+    toks=st.lists(st.integers(0, 40), min_size=1, max_size=40),
+    seq_len=st.integers(1, 64),
+    n_buckets=st.integers(1, 6),
+)
+def test_pack_sequences_invariants(spark, toks, seq_len, n_buckets):
+    """Per bucket: offsets contiguous from 0, total stream preserved,
+    pack_id consistent — for arbitrary token-count distributions."""
+    from victor_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(toks)), "doc_id long, n_tok int")
+    rows = pack_sequences(df, "doc_id", "n_tok", seq_len, n_buckets).collect()
+    assert len(rows) == len(toks)
+    by_bucket = {}
+    for r in rows:
+        assert r["pack_id"] == r["start_off"] // seq_len
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    total = 0
+    for rs in by_bucket.values():
+        rs.sort(key=lambda r: r["start_off"])
+        off = 0
+        for r in rs:
+            assert r["start_off"] == off
+            off += r["n_tok"]
+        total += off
+    assert total == sum(toks)
+
+
+@PROP
+@given(vec=st.lists(finite, min_size=4, max_size=32))
+def test_cosine_self_similarity_is_one(spark, vec):
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions.vector import cosine
+
+    if all(x == 0 for x in vec):
+        return
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    s = df.select(cosine("v", "v").alias("s")).first()["s"]
+    assert not math.isnan(s)
+    assert s == pytest.approx(1.0, abs=1e-9)
