@@ -210,3 +210,41 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     assert got <= all_sessions  # nothing invented, boundaries/counts exact
     assert closed_by_data <= got  # every data-closed session emitted
     assert got  # the smoke data must actually close some sessions
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """Drained event stream enriched as-of against a static per-user state
+    table equals the batch as-of join."""
+    from victor_spark.operators.asof import asof_join
+    from victor_spark.sources import load_table
+    from victor_spark.streaming.enrich import stream_asof_enrich
+
+    src = f"{SF_SMOKE}/events.parquet"
+    ev = load_table(spark, SF_SMOKE, "events").filter(F.col("user_id") < 20).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # static right side: this user's error history (ts + severity)
+    state = load_table(spark, SF_SMOKE, "events").filter(
+        (F.col("event_type") == "error") & (F.col("user_id") < 20)
+    ).select("user_id", "ts", F.col("value").alias("sev"))
+
+    evdir = tmp_path / "ev"
+    ev.coalesce(1).write.parquet(str(evdir))
+    stream = spark.readStream.schema(ev.schema).format("parquet").load(str(evdir))
+
+    got = []
+    q = stream_asof_enrich(
+        stream, state, on=["user_id"],
+        sink=lambda df, epoch: got.extend(
+            (r["event_id"], r["ts_right"], r["sev_right"]) for r in df.collect()
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    expect = {
+        (r["event_id"], r["ts_right"], r["sev_right"])
+        for r in asof_join(ev, state, on=["user_id"]).collect()
+    }
+    assert set(got) == expect
+    assert len(got) == ev.count()

@@ -1,3 +1,4 @@
+from victor_spark.streaming.enrich import stream_asof_enrich
 from victor_spark.streaming.ingest import (
     hourly_event_counts_stream,
     stream_events_to_table,
@@ -18,4 +19,5 @@ __all__ = [
     "sessionize_stream",
     "search_microbatch",
     "stream_search",
+    "stream_asof_enrich",
 ]
