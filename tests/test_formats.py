@@ -64,3 +64,17 @@ def test_index_export_import_round_trip(spark, tmp_path):
         assert a == b
     # tag filtering survives the round trip
     assert {r["content"] for r in dst.search([1, 0, 0], k=5, tags=["y"]).collect()} == {"beta"}
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from victor_spark.sources.formats import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [("a", ["x", "y"], [1.5, 2.5]), ("b", [], [0.25])],
+        "content string, tags array<string>, embedding array<double>",
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())

@@ -65,3 +65,15 @@ def read_csv(spark: SparkSession, path: str, schema: StructType | str) -> DataFr
         if isinstance(f.dataType, ArrayType):
             df = df.withColumn(f.name, F.from_json(F.col(f.name), f.dataType))
     return df.select(*[f.name for f in target.fields])
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC (columnar like parquet: self-describing schema, predicate
+    pushdown and column pruning apply — no inference pass needed)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write ORC — the interchange columnar format for Hive/Trino-side
+    consumers; carries nested types (arrays) natively, unlike CSV."""
+    df.write.mode(mode).orc(path)
