@@ -38,7 +38,10 @@ def test_quantize_roundtrip_error_bound(spark, vec):
         "v", dequantize(F.col("q.quant"), F.col("q.qmin"), F.col("q.qmax")).alias("r")
     )
     row = out.first()
-    half_bin = (max(vec) - min(vec)) / 255.0 / 2.0 + 1e-9
+    # half a bin, plus the float32 rounding of the stored qmin/qmax
+    # endpoints (the reference stores f32 min/max too, packed_vector.rs:3-9)
+    f32_slack = 2.0 ** -22 * max(1.0, abs(min(vec)), abs(max(vec)))
+    half_bin = (max(vec) - min(vec)) / 255.0 / 2.0 + f32_slack
     for x, r in zip(row["v"], row["r"]):
         assert abs(x - r) <= half_bin
 
@@ -142,9 +145,11 @@ def test_cosine_self_similarity_is_one(spark, vec):
 
     from victor_spark.functions.vector import cosine
 
-    if all(x == 0 for x in vec):
-        return
     df = spark.createDataFrame([(vec,)], "v array<double>")
     s = df.select(cosine("v", "v").alias("s")).first()["s"]
-    assert not math.isnan(s)
-    assert s == pytest.approx(1.0, abs=1e-9)
+    # norm can underflow to exactly 0 (all-zero or subnormal-only input):
+    # the contract is NaN (reference's IEEE division), never a job error
+    if sum(x * x for x in vec) == 0.0:
+        assert math.isnan(s)
+    else:
+        assert s == pytest.approx(1.0, abs=1e-9)

@@ -53,8 +53,15 @@ def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
     The reference errors on length mismatch (similarity.rs:7-9); zip_with
     pads with null which poisons the aggregate to null — callers that want
     strict behavior use `check_uniform_dim` at ingest instead.
+
+    Zero-norm inputs score NaN, matching the reference's IEEE f32 division
+    (similarity.rs:10-22) — under Spark 4's default ANSI mode the bare 0/0
+    would instead be a hard DIVIDE_BY_ZERO job failure (hypothesis-caught:
+    a subnormal-only vector's norm underflows to exactly 0.0). The caller's
+    NaN policy (VectorIndex.search strict/drop) then decides.
     """
-    return dot(a, b) / (norm(a) * norm(b))
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(dot(a, b) / denom)
 
 
 def cosine_to_literal(v: ColumnOrName, q: list[float]) -> Column:
@@ -140,12 +147,18 @@ def quantize(v: ColumnOrName) -> Column:
 
 
 def dequantize(quant: ColumnOrName, qmin: ColumnOrName, qmax: ColumnOrName) -> Column:
-    """Inverse map bin → double (reference packed_vector.rs:27-35)."""
+    """Inverse map bin → double (reference packed_vector.rs:27-35).
+
+    No zero-span guard here — nothing divides by the span, and when the
+    stored (float32) range collapses to zero the correct inverse of every
+    bin IS qmin. Substituting a fake span would instead invent values up
+    to qmin+1 whenever a sub-float32 double range underflows to zero at
+    store time (caught by hypothesis in test_property.py).
+    """
     qmin_d = _col(qmin).cast("double")
     qmax_d = _col(qmax).cast("double")
-    span = F.when(qmax_d - qmin_d == 0.0, F.lit(1.0)).otherwise(qmax_d - qmin_d)
     return F.transform(
-        _col(quant), lambda b: qmin_d + b.cast("double") / 255.0 * span
+        _col(quant), lambda b: qmin_d + b.cast("double") / 255.0 * (qmax_d - qmin_d)
     )
 
 
