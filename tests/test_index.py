@@ -175,3 +175,44 @@ def test_delete_last_partition_empties_index(idx):
     idx.insert([("a", [1.0, 0.0], ["x"])])
     assert idx.delete(["x"]) == 1
     assert idx.is_empty()
+
+
+def test_pq_build_and_search(idx):
+    import math
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(12):
+        center = 0 if i % 2 == 0 else 3
+        v = [center + rng.gauss(0, 0.05) for _ in range(4)]
+        rows.append((f"doc{i}", v, ["even" if i % 2 == 0 else "odd"]))
+    idx.insert(rows)
+    idx.build_pq(m=2, n_codes=8)
+    hits = idx.search_pq([0.0, 0.0, 0.0, 0.0], k=4).collect()
+    assert len(hits) == 4
+    # ascending ADC distance, and all nearest the zero center (even docs)
+    assert all(hits[i]["adc_dist"] <= hits[i + 1]["adc_dist"] for i in range(3))
+    assert all(int(h["content"][3:]) % 2 == 0 for h in hits)
+    assert not math.isnan(hits[0]["adc_dist"])
+
+
+def test_pq_guards(idx):
+    with pytest.raises(ValueError):
+        idx.build_pq()  # empty index
+    idx.insert([("a", [1.0, 2.0, 3.0], [])])
+    with pytest.raises(ValueError):
+        idx.build_pq(m=2)  # 3 not divisible by 2
+    with pytest.raises(ValueError):
+        idx.search_pq([1.0, 2.0, 3.0])  # not built
+    idx.build_pq(m=3, n_codes=4)
+    assert idx.search_pq([1.0, 2.0, 3.0], k=1).first()["content"] == "a"
+
+
+def test_pq_cleared_with_index(idx):
+    idx.insert([("a", [1.0, 2.0], [])])
+    idx.build_pq(m=2, n_codes=2)
+    idx.clear()
+    assert idx.is_empty()
+    import os
+    assert not os.path.exists(idx.pq_path) and not os.path.exists(idx.pq_meta_path)

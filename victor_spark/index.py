@@ -79,6 +79,8 @@ class VectorIndex:
         self.path = path
         self.data_path = os.path.join(path, "data")
         self.model_path = os.path.join(path, "pca_model.npz")
+        self.pq_path = os.path.join(path, "pq_codes")
+        self.pq_meta_path = os.path.join(path, "pq_meta.json")
 
     # -- DML ---------------------------------------------------------------
 
@@ -174,7 +176,8 @@ class VectorIndex:
 
     def clear(self) -> None:
         """Drop everything (reference clear_db, db.rs:608-625)."""
-        for p in (self.data_path, self.model_path):
+        for p in (self.data_path, self.model_path, self.pq_path,
+                  self.pq_meta_path):
             if os.path.exists(p):
                 shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
@@ -309,6 +312,64 @@ class VectorIndex:
             df = df.filter(~F.isnan(score))
         scored = topk(df, score, k, ascending=model is not None)
         return scored.select("id", "content", "tags", "score")
+
+    # -- PQ serving path (extension; see operators/pq.py) -------------------
+
+    def build_pq(self, m: int = 8, n_codes: int = 16) -> None:
+        """Build (or refresh) the product-quantization serving table: a
+        deterministic codebook over the stored vectors plus an
+        ``(id, pq_code)`` parquet of per-subvector codes.
+
+        A maintenance artifact exactly like the PCA model — rebuild after
+        batch loads; searches between build and rebuild serve the codes as
+        of the last build. At scale this is the point: ``search_pq`` scans
+        m bytes/row instead of the float vectors, with the codebook+LUT
+        driver-side (O(n_codes·d)).
+        """
+        import json
+
+        from victor_spark.operators import pq
+
+        if self.is_empty():
+            raise ValueError("cannot build PQ over an empty index")
+        dim = self.dimension()
+        if dim % m != 0:
+            raise ValueError(f"dimension {dim} not divisible by m={m}")
+        full = self.scan().select("id", "embedding")
+        cb = pq.codebook_vectors(full, "id", "embedding", k=n_codes)
+        enc = pq.encode(full, "embedding", cb, m=m).select("id", "pq_code")
+        tmp = self.pq_path + "__building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        enc.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.pq_path, ignore_errors=True)
+        os.rename(tmp, self.pq_path)
+        with open(self.pq_meta_path, "w") as f:
+            json.dump({"m": m, "codebook": cb}, f)
+
+    def search_pq(self, query: list[float], k: int = 10) -> DataFrame:
+        """Approximate top-k by asymmetric distance: smallest ADC squared
+        L2 first. Returns (id, content, tags, adc_dist). Requires
+        :meth:`build_pq`; candidates join back to the content store
+        broadcast-wise, like the exact path's P7 content lookup."""
+        import json
+
+        if not os.path.exists(self.pq_meta_path):
+            raise ValueError("no PQ table built; call build_pq() first")
+        from victor_spark.operators import pq
+
+        with open(self.pq_meta_path) as f:
+            meta = json.load(f)
+        codes = self.spark.read.parquet(self.pq_path)
+        hits = pq.adc_topk(
+            codes, [float(x) for x in query], meta["codebook"],
+            k=k, m=meta["m"], id_col="id",
+        )
+        content = self.spark.read.parquet(self.data_path).select(
+            "id", "content", "tags"
+        )
+        return F.broadcast(hits).join(content, "id").select(
+            "id", "content", "tags", "adc_dist"
+        ).orderBy(F.asc("adc_dist"), F.asc("id"))
 
     # -- interchange --------------------------------------------------------
 
