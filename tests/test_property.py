@@ -153,3 +153,48 @@ def test_cosine_self_similarity_is_one(spark, vec):
         assert math.isnan(s)
     else:
         assert s == pytest.approx(1.0, abs=1e-9)
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12).map(
+            lambda chars: " ".join(chars)
+        ),
+        min_size=2, max_size=14,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_filter_jaccard_is_lossless(spark, docs, threshold):
+    """ngram_jaccard_join (ppjoin) == brute-force all-pairs Jaccard at the
+    threshold — the prefix filter must never drop a qualifying pair."""
+    from victor_spark.functions.hashing import shingle_hashes
+    from victor_spark.operators.dedup import ngram_jaccard_join, release_shingle_caches
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_join(df, "doc_id", "text",
+                                    threshold=threshold, shingle_n=3,
+                                    unit="word").collect()
+    }
+    release_shingle_caches()
+
+    sets = {
+        r["doc_id"]: frozenset(r["h"])
+        for r in df.select(
+            "doc_id", shingle_hashes("text", 3, "word").alias("h")
+        ).collect()
+    }
+    exp = set()
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b:
+                continue
+            union = sets[a] | sets[b]
+            if not union:
+                continue
+            j = len(sets[a] & sets[b]) / len(union)
+            if j >= threshold:
+                exp.add((a, b, round(j, 9)))
+    assert got == exp
