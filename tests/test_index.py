@@ -216,3 +216,51 @@ def test_pq_cleared_with_index(idx):
     assert idx.is_empty()
     import os
     assert not os.path.exists(idx.pq_path) and not os.path.exists(idx.pq_meta_path)
+
+
+def _clustered_rows(n_per=8, d=4):
+    import random
+    rng = random.Random(5)
+    rows = []
+    for i in range(n_per):
+        rows.append((f"a{i}", [1.0 + rng.gauss(0, 0.02) if j == 0 else rng.gauss(0, 0.02) for j in range(d)], ["ca"]))
+        rows.append((f"b{i}", [1.0 + rng.gauss(0, 0.02) if j == 1 else rng.gauss(0, 0.02) for j in range(d)], ["cb"]))
+    return rows
+
+
+def test_ivf_build_and_search_matches_exact_top1(idx):
+    idx.insert(_clustered_rows())
+    idx.build_ivf(n_cells=4)
+    q = [1.0, 0.0, 0.0, 0.0]
+    exact = idx.search(q, k=3).collect()
+    approx = idx.search_ivf(q, k=3, nprobe=2).collect()
+    assert approx[0]["content"] == exact[0]["content"]
+    assert all(r["content"].startswith("a") for r in approx)
+    assert all(approx[i]["score"] >= approx[i + 1]["score"] for i in range(2))
+
+
+def test_ivf_probe_is_partition_pruned(idx):
+    idx.insert(_clustered_rows())
+    idx.build_ivf(n_cells=4)
+    df = idx.search_ivf([0.0, 1.0, 0.0, 0.0], k=2, nprobe=1)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the cell filter must land in PartitionFilters (directory pruning),
+    # not as a post-scan row filter
+    scan = plan[plan.index("Scan parquet"):]
+    pf = scan[scan.index("PartitionFilters:"):].splitlines()[0]
+    assert "cell" in pf
+
+
+def test_ivf_guards(idx):
+    with pytest.raises(ValueError):
+        idx.build_ivf()
+    idx.insert([("a", [1.0, 0.0], [])])
+    with pytest.raises(ValueError):
+        idx.search_ivf([1.0, 0.0])
+    idx.build_ivf(n_cells=2)
+    assert idx.search_ivf([1.0, 0.0], k=1).first()["content"] == "a"
+    idx.clear()
+    import os
+    assert not os.path.exists(idx.ivf_path) and not os.path.exists(idx.ivf_meta_path)

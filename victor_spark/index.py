@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 )
 
 from victor_spark.functions.vector import (
+    cosine,
     cosine_to_literal,
     dequantize,
     euclidean_to_literal,
@@ -81,6 +82,8 @@ class VectorIndex:
         self.model_path = os.path.join(path, "pca_model.npz")
         self.pq_path = os.path.join(path, "pq_codes")
         self.pq_meta_path = os.path.join(path, "pq_meta.json")
+        self.ivf_path = os.path.join(path, "ivf_data")
+        self.ivf_meta_path = os.path.join(path, "ivf_meta.json")
 
     # -- DML ---------------------------------------------------------------
 
@@ -177,7 +180,7 @@ class VectorIndex:
     def clear(self) -> None:
         """Drop everything (reference clear_db, db.rs:608-625)."""
         for p in (self.data_path, self.model_path, self.pq_path,
-                  self.pq_meta_path):
+                  self.pq_meta_path, self.ivf_path, self.ivf_meta_path):
             if os.path.exists(p):
                 shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
@@ -370,6 +373,94 @@ class VectorIndex:
         return F.broadcast(hits).join(content, "id").select(
             "id", "content", "tags", "adc_dist"
         ).orderBy(F.asc("adc_dist"), F.asc("id"))
+
+    def build_ivf(self, n_cells: int = 64) -> None:
+        """Materialize the inverted-file serving table: rows rewritten
+        PARTITIONED BY their nearest-centroid cell, centroids persisted
+        driver-side. ``search_ivf`` then probes nprobe cells as parquet
+        partition pruning — the scan literally never opens the other
+        cells' files, which is the IVF promise expressed in Spark's own
+        storage idiom (same trick as the tag_set_id layout, §1.3/P4).
+
+        Deterministic centroids: the n_cells stored rows with the smallest
+        salted md5 of id (the same stand-in-for-kmeans seam as build_pq).
+        A maintenance artifact — rebuild after batch loads.
+        """
+        import json
+
+        if self.is_empty():
+            raise ValueError("cannot build IVF over an empty index")
+        full = self.scan().select("id", "content", "tags", "embedding")
+        cent_rows = (
+            full.select("id", "embedding")
+            .withColumn(
+                "_h",
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("ivf:"), F.col("id"))), 1, 8),
+                    16, 10,
+                ).cast("long"),
+            )
+            .orderBy("_h", "id")
+            .limit(n_cells)
+            .orderBy("id")
+            .collect()
+        )
+        cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+        cent_df = F.broadcast(
+            self.spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cell int, cv array<double>",
+            )
+        )
+        scored = full.crossJoin(cent_df).withColumn(
+            "_cs", cosine("embedding", "cv")
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", "content", "tags", "embedding", "cell")
+        )
+        tmp = self.ivf_path + "__building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        shutil.rmtree(self.ivf_path, ignore_errors=True)
+        os.rename(tmp, self.ivf_path)
+        with open(self.ivf_meta_path, "w") as f:
+            json.dump({"centroids": cents}, f)
+
+    def search_ivf(self, query: list[float], k: int = 10,
+                   nprobe: int = 2) -> DataFrame:
+        """Approximate top-k cosine over the IVF layout: rank cells by
+        query-centroid cosine DRIVER-side (n_cells tiny), scan only the
+        nprobe best cells (parquet partition pruning), exact cosine within.
+        Returns (id, content, tags, score) like :meth:`search`."""
+        import json
+        import math
+
+        if not os.path.exists(self.ivf_meta_path):
+            raise ValueError("no IVF table built; call build_ivf() first")
+        with open(self.ivf_meta_path) as f:
+            cents = json.load(f)["centroids"]
+        q = [float(x) for x in query]
+        qn = math.sqrt(sum(x * x for x in q)) or float("nan")
+
+        def cos(c):
+            cn = math.sqrt(sum(x * x for x in c))
+            if cn == 0 or qn != qn:
+                return float("-inf")
+            return sum(a * b for a, b in zip(c, q)) / (cn * qn)
+
+        cells = sorted(range(len(cents)), key=lambda i: (-cos(cents[i]), i))
+        probe = cells[:max(1, nprobe)]
+        df = self.spark.read.parquet(self.ivf_path).filter(
+            F.col("cell").isin(probe)
+        )
+        score = cosine_to_literal("embedding", q)
+        scored = df.select("id", "content", "tags", score.alias("score"))
+        return topk(scored, F.col("score"), k, ascending=False)
 
     # -- interchange --------------------------------------------------------
 
