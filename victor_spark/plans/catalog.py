@@ -539,6 +539,54 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs)
 
 
+# dedup_keep: the dedup pipeline's actual OUTPUT — the corpus minus every
+# non-representative duplicate (cluster member that isn't its cluster's
+# min-id). The drop set is tiny relative to the corpus, so the subtraction
+# is a broadcast anti-join: no corpus shuffle, which is what makes
+# "rewrite the cleaned corpus" viable at 100 TB.
+
+
+@_q(
+    "dedup_keep",
+    f"""
+WITH RECURSIVE {_MINHASH_CTES},
+dup_edges AS (
+  SELECT id_a AS a, id_b AS b FROM ver WHERE jaccard >= 0.7
+  UNION
+  SELECT id_b AS a, id_a AS b FROM ver WHERE jaccard >= 0.7
+),
+reach(node, r) AS (
+  SELECT a, a FROM dup_edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN dup_edges e ON e.a = r.node
+),
+clusters AS (SELECT node AS doc, min(r) AS cluster FROM reach GROUP BY node)
+SELECT doc_id, sha256(text) AS content_hash
+FROM corpus
+WHERE doc_id NOT IN (SELECT doc FROM clusters WHERE doc <> cluster)
+""",
+    "dedup materialization: keep one representative (min id) per duplicate "
+    "cluster, drop the rest — the cleaned corpus a pipeline writes, via a "
+    "broadcast anti-join of the (tiny) drop set against the corpus",
+)
+def q_dedup_keep(spark, sf_dir):
+    from victor_spark.operators.dedup import duplicate_clusters, minhash_near_duplicates
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        corpus, "doc_id", "text",
+        threshold=0.7, num_hashes=MINHASH_NUM, bands=MINHASH_BANDS,
+        shingle_n=3, unit="word",
+    )
+    clusters = duplicate_clusters(pairs)
+    drops = clusters.filter(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias("doc_id")
+    )
+    return corpus.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+
+
 _NGRAM_ORACLE = f"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 sh0 AS (SELECT doc_id,
