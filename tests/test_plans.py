@@ -240,3 +240,31 @@ def test_vocab_topk_partial_agg_bounded_merge(spark):
     p = plan("vocab_topk", spark)
     assert "partial_count" in p  # map-side combine before the shuffle
     assert "TakeOrderedAndProject" in p
+
+
+def test_bucketed_join_avoids_both_shuffles(spark, tmp_path):
+    """The 100 TB co-location lever: two tables bucketed by the join key
+    join WITHOUT an Exchange on either side (bucketing IS the shuffle,
+    paid once at write time and amortized over every later join)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    a_name = f"bucket_a_{uuid.uuid4().hex[:8]}"
+    b_name = f"bucket_b_{uuid.uuid4().hex[:8]}"
+    a = spark.range(1000).withColumn("va", F.col("id") * 2)
+    b = spark.range(1000).withColumn("vb", F.col("id") * 3)
+    try:
+        a.write.bucketBy(8, "id").sortBy("id").saveAsTable(a_name)
+        b.write.bucketBy(8, "id").sortBy("id").saveAsTable(b_name)
+        joined = (
+            spark.table(a_name).hint("merge").join(spark.table(b_name), "id")
+        )
+        p = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join still shuffles"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_name}")
