@@ -264,3 +264,27 @@ def test_ivf_guards(idx):
     idx.clear()
     import os
     assert not os.path.exists(idx.ivf_path) and not os.path.exists(idx.ivf_meta_path)
+
+
+def test_delete_invalidates_ann_artifacts(idx):
+    idx.insert([("a", [1.0, 0.0], ["x"]), ("b", [0.0, 1.0], ["y"])])
+    idx.build_pq(m=2, n_codes=2)
+    idx.build_ivf(n_cells=2)
+    idx.delete(["x"])
+    # serving deleted rows would be wrong; the artifacts must be gone
+    with pytest.raises(ValueError):
+        idx.search_pq([1.0, 0.0])
+    with pytest.raises(ValueError):
+        idx.search_ivf([1.0, 0.0])
+    # the exact path still works and no longer sees the deleted row
+    assert [r["content"] for r in idx.search([1.0, 0.0], k=5).collect()] == ["b"]
+
+
+def test_project_invalidates_ann_artifacts(idx):
+    import random
+    rng = random.Random(3)
+    idx.insert([(f"d{i}", [rng.random() for _ in range(6)], []) for i in range(20)])
+    idx.build_pq(m=2, n_codes=4)
+    idx.project(k=2)
+    with pytest.raises(ValueError):
+        idx.search_pq([0.5] * 6)

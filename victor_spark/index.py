@@ -227,6 +227,11 @@ class VectorIndex:
         ]
         if not remaining:
             self.clear()
+        # deletion changes MEMBERSHIP: a PQ/IVF serving table built earlier
+        # would keep answering with the deleted rows — worse than the
+        # acceptable "stale-missing" of post-build inserts. Drop the
+        # artifacts; callers rebuild when they next need the ANN path.
+        self._drop_ann_artifacts()
         return n
 
     # -- scan --------------------------------------------------------------
@@ -613,7 +618,16 @@ class VectorIndex:
         shutil.rmtree(self.data_path)
         os.rename(tmp, self.data_path)
         model.save(self.model_path)
+        # the vector space just changed dimension — PQ codes / IVF cells
+        # built on the original space are meaningless now
+        self._drop_ann_artifacts()
         return model
+
+    def _drop_ann_artifacts(self) -> None:
+        for p in (self.pq_path, self.pq_meta_path, self.ivf_path,
+                  self.ivf_meta_path):
+            if os.path.exists(p):
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
     def _load_model(self) -> PCAModel | None:
         if os.path.exists(self.model_path):
