@@ -288,3 +288,20 @@ def test_project_invalidates_ann_artifacts(idx):
     idx.project(k=2)
     with pytest.raises(ValueError):
         idx.search_pq([0.5] * 6)
+
+
+def test_pq_ivf_in_projected_mode_project_the_query(idx):
+    import random
+    rng = random.Random(9)
+    idx.insert([(f"d{i}", [rng.random() for _ in range(6)], []) for i in range(20)])
+    idx.project(k=2)
+    idx.build_pq(m=2, n_codes=4)
+    idx.build_ivf(n_cells=4)
+    # raw-dimension query: must be projected internally, not truncated
+    raw_q = [0.5] * 6
+    assert len(idx.search_pq(raw_q, k=3).collect()) == 3
+    assert len(idx.search_ivf(raw_q, k=3, nprobe=2).collect()) == 3
+    # a query already in the wrong (projected) width is rejected loudly
+    from victor_spark.index import DimensionMismatchError
+    with pytest.raises(DimensionMismatchError):
+        idx.search_pq([0.5] * 3)

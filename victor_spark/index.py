@@ -367,10 +367,25 @@ class VectorIndex:
 
         with open(self.pq_meta_path) as f:
             meta = json.load(f)
+        q = [float(x) for x in query]
+        model = self._load_model()
+        if model is not None:
+            # codes were built over the PROJECTED space (build_pq reads
+            # scan()); the query must travel the same path as search()
+            if len(q) != model.components.shape[0]:
+                raise DimensionMismatchError(
+                    f"query dimension {len(q)} vs model input "
+                    f"dimension {model.components.shape[0]}"
+                )
+            q = model.project_vector(q)
+        if len(q) != len(meta["codebook"][0]):
+            raise DimensionMismatchError(
+                f"query dimension {len(q)} vs PQ codebook "
+                f"dimension {len(meta['codebook'][0])}"
+            )
         codes = self.spark.read.parquet(self.pq_path)
         hits = pq.adc_topk(
-            codes, [float(x) for x in query], meta["codebook"],
-            k=k, m=meta["m"], id_col="id",
+            codes, q, meta["codebook"], k=k, m=meta["m"], id_col="id",
         )
         content = self.spark.read.parquet(self.data_path).select(
             "id", "content", "tags"
@@ -450,6 +465,20 @@ class VectorIndex:
         with open(self.ivf_meta_path) as f:
             cents = json.load(f)["centroids"]
         q = [float(x) for x in query]
+        model = self._load_model()
+        if model is not None:
+            # cells were assigned over the projected space; project the
+            # query exactly as search() does
+            if len(q) != model.components.shape[0]:
+                raise DimensionMismatchError(
+                    f"query dimension {len(q)} vs model input "
+                    f"dimension {model.components.shape[0]}"
+                )
+            q = model.project_vector(q)
+        if len(q) != len(cents[0]):
+            raise DimensionMismatchError(
+                f"query dimension {len(q)} vs IVF centroid dimension {len(cents[0])}"
+            )
         qn = math.sqrt(sum(x * x for x in q)) or float("nan")
 
         def cos(c):
