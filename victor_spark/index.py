@@ -456,7 +456,14 @@ class VectorIndex:
         """Approximate top-k cosine over the IVF layout: rank cells by
         query-centroid cosine DRIVER-side (n_cells tiny), scan only the
         nprobe best cells (parquet partition pruning), exact cosine within.
-        Returns (id, content, tags, score) like :meth:`search`."""
+        Returns (id, content, tags, score) like :meth:`search`.
+
+        In projected mode the query is projected first (same path as
+        search), but the IVF space stays COSINE end-to-end — cells were
+        assigned and are probed by cosine over the projected vectors — so
+        scores are cosine even where search() reports euclidean ascending;
+        a consistent metric within the ANN path beats mirroring the
+        reference's metric switch halfway through an index."""
         import json
         import math
 
