@@ -65,6 +65,18 @@ SQL_WORD_SHINGLES = (
 )
 
 
+def sql_word_ngrams(t: str, n: int) -> str:
+    """DuckDB fragment: distinct word n-grams over token-list column ``t``
+    (same semantics as functions/hashing.py::word_shingles — short docs
+    yield one shingle = the space-joined text)."""
+    joined = " || ' ' || ".join(f"{t}[i+{off}]" if off else f"{t}[i]" for off in range(n))
+    return (
+        f"list_distinct(CASE WHEN len({t}) >= {n} THEN "
+        f"list_transform(range(1, len({t}) - {n - 2}), i -> {joined}) "
+        f"ELSE [array_to_string({t}, ' ')] END)"
+    )
+
+
 @dataclass
 class QuerySpec:
     name: str
@@ -1259,6 +1271,229 @@ def q_vocab_topk(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(100)
+    )
+
+
+# One BPE merge iteration: adjacent-token-pair frequencies. This is the
+# inner loop of byte-pair-encoding vocabulary learning (Sennrich 2016) —
+# at 100 TB each iteration is exactly this query: explode pairs, partial
+# map-side counts, one shuffle on the pair key, bounded top-k merge.
+
+_BPE_PAIRS_ORACLE = f"""
+WITH d AS (SELECT {SQL_TOKS.format(s='lower(text)')} t FROM documents),
+p AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))) pair
+  FROM d WHERE len(t) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+@_q(
+    "bpe_pairs",
+    _BPE_PAIRS_ORACLE,
+    "one BPE merge iteration: top-20 adjacent token pairs by corpus "
+    "frequency (the vocabulary-learning inner loop as a query)",
+)
+def q_bpe_pairs(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    t = T.tokens(F.lower(F.col("text")))
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1): unlike
+# text_stats' per-row expressions, the fraction-of-top-token and duplicate
+# 2-gram signals need per-(doc, term) counts — two explode+groupBy passes
+# re-joined on doc_id. Each pass is a partial-agg'd shuffle on a composite
+# key that includes doc_id, so at 100 TB the load is spread across the full
+# corpus key space (no hot keys), and the final join is doc_id-aligned.
+
+_QUALITY_GOPHER_ORACLE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS.format(s='lower(text)')} t FROM documents),
+tok AS (SELECT doc_id, unnest(t) tok FROM d),
+tc AS (SELECT doc_id, tok, count(*) c FROM tok GROUP BY 1, 2),
+ts AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) n_tokens, CAST(count(*) AS BIGINT) n_unique,
+         CAST(max(c) AS BIGINT) top_c, CAST(sum(c * len(tok)) AS BIGINT) sum_len
+  FROM tc GROUP BY 1
+),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))) g2
+  FROM d WHERE len(t) >= 2
+),
+gc AS (SELECT doc_id, g2, count(*) c FROM g GROUP BY 1, 2),
+gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) total2, CAST(count(*) AS BIGINT) uniq2
+       FROM gc GROUP BY 1),
+j AS (
+  SELECT d.doc_id,
+         coalesce(ts.n_tokens, 0) n_tokens,
+         CASE WHEN coalesce(ts.n_tokens, 0) = 0 THEN 0.0
+              ELSE CAST(ts.n_unique AS DOUBLE) / ts.n_tokens END frac_unique,
+         CASE WHEN coalesce(ts.n_tokens, 0) = 0 THEN 0.0
+              ELSE CAST(ts.top_c AS DOUBLE) / ts.n_tokens END top_token_frac,
+         CASE WHEN coalesce(ts.n_tokens, 0) = 0 THEN 0.0
+              ELSE CAST(ts.sum_len AS DOUBLE) / ts.n_tokens END mean_word_len,
+         CASE WHEN coalesce(gs.total2, 0) = 0 THEN 0.0
+              ELSE CAST(gs.total2 - gs.uniq2 AS DOUBLE) / gs.total2 END dup_2gram_frac
+  FROM d LEFT JOIN ts ON d.doc_id = ts.doc_id LEFT JOIN gs ON d.doc_id = gs.doc_id
+)
+SELECT doc_id, n_tokens,
+       round(frac_unique, 6) AS frac_unique,
+       round(top_token_frac, 6) AS top_token_frac,
+       round(mean_word_len, 6) AS mean_word_len,
+       round(dup_2gram_frac, 6) AS dup_2gram_frac,
+       CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                  AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+                  AND frac_unique >= 0.1 AND top_token_frac <= 0.2
+                  AND dup_2gram_frac <= 0.6
+             THEN 1 ELSE 0 END AS INTEGER) AS quality_pass
+FROM j
+"""
+
+
+@_q(
+    "quality_gopher",
+    _QUALITY_GOPHER_ORACLE,
+    "Gopher-style repetition & quality signals per doc: unique-token and "
+    "top-token fractions, duplicate-2-gram mass, mean word length, and the "
+    "composite pass flag (pretraining-corpus filter rules as a query)",
+)
+def q_quality_gopher(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    tok = d.select("doc_id", F.explode("t").alias("tok"))
+    ts = (
+        tok.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_unique"),
+            F.max("c").alias("top_c"),
+            F.sum(F.col("c") * F.length("tok")).alias("sum_len"),
+        )
+    )
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gs = (
+        d.select("doc_id", F.explode(pairs).alias("g2"))
+        .groupBy("doc_id", "g2")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("total2"), F.count("*").alias("uniq2"))
+    )
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    frac_unique = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("n_unique").cast("double") / n_tok
+    )
+    top_frac = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("top_c").cast("double") / n_tok
+    )
+    mwl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("sum_len").cast("double") / n_tok
+    )
+    dup2 = F.when(F.coalesce(F.col("total2"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
+        (F.col("total2") - F.col("uniq2")).cast("double") / F.col("total2")
+    )
+    j = (
+        d.select("doc_id")
+        .join(ts, "doc_id", "left")
+        .join(gs, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            frac_unique.alias("_fu"),
+            top_frac.alias("_tf"),
+            mwl.alias("_mwl"),
+            dup2.alias("_d2"),
+        )
+    )
+    passes = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100000)
+        & (F.col("_mwl") >= 2.0)
+        & (F.col("_mwl") <= 10.0)
+        & (F.col("_fu") >= 0.1)
+        & (F.col("_tf") <= 0.2)
+        & (F.col("_d2") <= 0.6)
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_fu", 6).alias("frac_unique"),
+        F.round("_tf", 6).alias("top_token_frac"),
+        F.round("_mwl", 6).alias("mean_word_len"),
+        F.round("_d2", 6).alias("dup_2gram_frac"),
+        F.when(passes, 1).otherwise(0).cast("int").alias("quality_pass"),
+    )
+
+
+# Cross-document duplicated-span signal (RefinedWeb/CCNet-style "exact
+# substring dedup" audit): fraction of a doc's distinct word 8-grams that
+# also occur in at least one other document. The per-shingle doc count is
+# one shuffle on the 32-bit shingle hash (ints, uniformly distributed — no
+# skew); the join back is shingle-aligned; at 100 TB this is the same
+# dataflow as suffix-array dedup's candidate stage, minus the driver-side
+# suffix sort that wouldn't distribute.
+
+_DUP_SPAN_ORACLE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS.format(s='text')} t FROM documents),
+sh AS (SELECT doc_id, unnest({sql_word_ngrams('t', 8)}) g FROM d),
+hd AS (SELECT DISTINCT doc_id, {SQL_H32.format(x='g')} h FROM sh),
+c AS (SELECT h, count(DISTINCT doc_id) nd FROM hd GROUP BY h)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS dup_frac
+FROM hd JOIN c USING (h) GROUP BY doc_id
+"""
+
+
+@_q(
+    "dup_span_frac",
+    _DUP_SPAN_ORACLE,
+    "cross-doc duplicated-span audit: per doc, the fraction of its distinct "
+    "word 8-grams shared with any other document (exact-substring-dedup "
+    "candidate signal, computed corpus-wide in two hash-keyed shuffles)",
+)
+def q_dup_span_frac(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", H.shingle_hashes("text", 8, unit="word").alias("hs")
+    )
+    ex = d.select("doc_id", F.explode("hs").alias("h"))
+    cnt = ex.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        ex.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            shared.alias("n_shared"),
+            F.round(shared.cast("double") / F.count("*"), 6).alias("dup_frac"),
+        )
     )
 
 
