@@ -174,8 +174,10 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     }
 
     gap_us = 30 * 60 * 1_000_000
+    from victor_spark.sources.tables import epoch_us
+
     e = load_table(spark, SF_SMOKE, "events").select(
-        "user_id", F.unix_micros("ts").alias("tus")
+        "user_id", epoch_us("ts").alias("tus")
     )
     w = Window.partitionBy("user_id").orderBy("tus")
     sess = (

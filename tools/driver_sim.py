@@ -1,0 +1,79 @@
+"""Simulate the driver's correctness gate with a VANILLA SparkSession.
+
+The driver builds its own SparkSession (no victor_spark confs) and runs
+every ``queries()`` entry against its ``oracle_sql()`` twin on DuckDB at
+sf0.01. Round 1 lost all five events_* queries to a session-dependent
+parquet conf; this script exists so that never happens again — run it
+before every round-end commit.
+
+Usage: python tools/driver_sim.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    # intentionally bare: mirrors the driver, not victor_spark.get_spark
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .appName("driver_sim")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+
+    from tests.oracle_utils import compare, duck_connect
+
+    duck = duck_connect(sf_dir)
+
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            if name in oracles:
+                odf = duck.execute(oracles[name]).fetchdf()
+                problems = compare(sdf, odf)
+                status = "ok" if not problems else f"MISMATCH {problems[:3]}"
+            else:
+                n = sdf.count()
+                status = f"rows_only ok ({n} rows)"
+                problems = []
+        except Exception as exc:  # noqa: BLE001
+            problems = [str(exc).splitlines()[0]]
+            status = f"ERROR {problems[0][:120]}"
+        if problems:
+            failures.append(name)
+        print(f"{name:28s} {status}")
+
+    # the smoke check: entry() in the same vanilla session
+    try:
+        df = entry.entry(spark)
+        n = df.count()
+        print(f"{'<entry>':28s} ok ({n} rows)")
+    except Exception as exc:  # noqa: BLE001
+        failures.append("<entry>")
+        print(f"{'<entry>':28s} ERROR {str(exc).splitlines()[0][:120]}")
+
+    print(json.dumps({"failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

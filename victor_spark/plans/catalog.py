@@ -38,7 +38,7 @@ from victor_spark.functions.vector import (
     to_double_array,
 )
 from victor_spark.sources import load_table
-from victor_spark.sources.tables import fan_out
+from victor_spark.sources.tables import epoch_us, fan_out
 
 # ---------------------------------------------------------------------------
 # shared constants (stated literally in the oracle SQL)
@@ -1624,7 +1624,7 @@ FROM sess GROUP BY user_id, session_id
 )
 def q_events_sessionize(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+        "user_id", "event_id", epoch_us("ts").alias("tus")
     )
     w_order = Window.partitionBy("user_id").orderBy("tus", "event_id")
     flagged = e.withColumn(
@@ -1674,9 +1674,9 @@ def q_events_asof(spark, sf_dir):
     return j.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("t_us"),
+        epoch_us("ts").alias("t_us"),
         F.col("event_id_err").alias("err_event_id"),
-        (F.unix_micros("ts") - F.unix_micros("ts_err")).alias("err_age_us"),
+        (epoch_us("ts") - epoch_us("ts_err")).alias("err_age_us"),
     )
 
 
@@ -1797,11 +1797,11 @@ def q_events_range_join(spark, sf_dir):
         e.filter((F.col("event_type") == "error") & (F.col("value") > 150))
         .select(
             F.col("event_id").alias("incident_id"),
-            F.unix_micros("ts").alias("w_start"),
-            (F.unix_micros("ts") + win_us).alias("w_end"),
+            epoch_us("ts").alias("w_start"),
+            (epoch_us("ts") + win_us).alias("w_end"),
         )
     )
-    pts = e.select(F.unix_micros("ts").alias("t"), "value")
+    pts = e.select(epoch_us("ts").alias("t"), "value")
     joined = range_join_binned(pts, inc, "t", "w_start", "w_end", win_us)
     return joined.groupBy("incident_id").agg(
         F.count("*").alias("n_events"),
@@ -1835,7 +1835,7 @@ def q_tpch_q1(spark, sf_dir):
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum(F.col("l_quantity").cast("decimal(24,8)")).cast("double"), 4).alias("sum_qty"),
@@ -1937,8 +1937,8 @@ GROUP BY o_orderpriority
 )
 def q_tpch_q4(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
@@ -1972,8 +1972,8 @@ GROUP BY n.n_name
 def q_tpch_q5(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -2014,8 +2014,8 @@ def q_tpch_q6(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount") >= 0.03)
             & (F.col("l_discount") <= 0.05)
             & (F.col("l_quantity") < 24)
@@ -2051,8 +2051,8 @@ LIMIT 20
 def q_tpch_q10(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
@@ -2092,8 +2092,8 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-09-01' AND l.l_shipdate < TIMESTAMP '1996-
 )
 def q_tpch_q14(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
     )
     p = load_table(spark, sf_dir, "part")
     disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
@@ -2240,8 +2240,8 @@ GROUP BY supp_nation, cust_nation, l_year
 def q_tpch_q7(spark, sf_dir):
     nations = ("NATION_1", "NATION_2")
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -2301,8 +2301,8 @@ def q_tpch_q8(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -2435,8 +2435,8 @@ GROUP BY priority_class
 def q_tpch_q12(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     deadline = F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     pclass = F.when(
@@ -2505,8 +2505,8 @@ ORDER BY suppkey
 )
 def q_tpch_q15(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     s = load_table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
@@ -2671,8 +2671,8 @@ def q_tpch_q20(spark, sf_dir):
         .select("p_partkey")
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     shipped = (
         li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
@@ -2799,7 +2799,7 @@ def q_tpch_q22(spark, sf_dir):
         (F.sum(F.col("c_acctbal").cast("decimal(24,8)")).cast("double") / F.count("*")).alias("ab")
     )
     recent = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
     ).select("o_custkey")
     return (
         cust.join(recent, cust.c_custkey == F.col("o_custkey"), "left_anti")

@@ -41,8 +41,5 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # testdata events.parquet carries TIMESTAMP(NANOS) which the vanilla
-        # parquet reader rejects; read as long and convert in the source
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     return builder.getOrCreate()

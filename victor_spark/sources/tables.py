@@ -29,27 +29,54 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    events.ts is TIMESTAMP(NANOS) in the files — Spark reads it as a long
-    (spark.sql.legacy.parquet.nanosAsLong) and we truncate to microseconds
-    here, exactly as DuckDB's reader does, so both engines see the same
-    timestamps.
+    events.ts is stored as parquet TIMESTAMP(isAdjustedToUTC=false) — a
+    *naive* wall-clock timestamp (DuckDB's plain TIMESTAMP). What Spark
+    yields for that depends on the session it hands us (the correctness
+    driver builds its own, with its own confs), so we canonicalize every
+    arrival shape to TIMESTAMP_NTZ, the timezone-independent type that
+    matches the storage semantics:
 
-    ``nanosAsLong`` is a *runtime* SQL conf, so it is set here rather than
-    only in :func:`victor_spark.session.get_spark`'s builder: callers hand
-    us arbitrary SparkSessions (the correctness driver builds its own), and
-    without the conf the events scan fails with PARQUET_TYPE_ILLEGAL before
-    any query runs.
+    - ``timestamp_ntz``: the default read (inferTimestampNTZ on) — as-is.
+    - ``timestamp`` (LTZ, inference off): the naive value was taken as a
+      UTC instant, so re-interpreting its epoch micros as NTZ restores the
+      original wall clock without consulting the session timezone.
+    - ``bigint`` (legacy nanosAsLong sessions reading NANOS files):
+      truncate to micros, then micros→NTZ.
+
+    Downstream, every events query does its time arithmetic in NTZ (see
+    ``epoch_us``), so results are identical in any session timezone.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = dict(df.dtypes).get("ts")
+        epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        if dt == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_add("MICROSECOND", F.expr("ts div 1000"), epoch)
+            )
+        elif dt == "timestamp":
+            df = df.withColumn(
+                "ts", F.timestamp_add("MICROSECOND", F.unix_micros("ts"), epoch)
+            )
     return df
+
+
+def epoch_us(col):
+    """Microseconds since the naive epoch for a TIMESTAMP_NTZ column.
+
+    ``F.unix_micros`` only accepts LTZ timestamps; a cast NTZ→LTZ would
+    re-introduce the session timezone. ``timestamp_diff`` against an NTZ
+    epoch literal is pure wall-clock arithmetic — same value in any
+    session, matching DuckDB's ``epoch_us(ts)`` on naive timestamps.
+    """
+    from pyspark.sql import functions as F
+
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", epoch, F.col(col) if isinstance(col, str) else col)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -22,6 +22,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(events: DataFrame, col: str = "ts") -> DataFrame:
+    """Watermarks require an LTZ TIMESTAMP event-time column; the parquet
+    testdata stores naive (NTZ) timestamps. Cast NTZ -> TIMESTAMP, which
+    interprets the wall clock in the session timezone (UTC in our sessions,
+    see session.get_spark), so stream windows line up with the batch twin's
+    wall-clock hours."""
+    if dict(events.dtypes).get(col) == "timestamp_ntz":
+        events = events.withColumn(col, F.col(col).cast("timestamp"))
+    return events
+
+
 def stream_events_to_table(
     spark: SparkSession,
     source_dir: str,
@@ -55,7 +66,7 @@ def hourly_event_counts_stream(events: DataFrame) -> DataFrame:
     bounded on an unbounded stream.
     """
     return (
-        events.withWatermark("ts", "10 minutes")
+        ensure_event_time(events).withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(

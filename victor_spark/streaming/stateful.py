@@ -26,6 +26,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from victor_spark.streaming.ingest import ensure_event_time
 from pyspark.sql.types import (
     LongType,
     StructField,
@@ -60,7 +62,11 @@ def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> Dat
     ``dropDuplicates`` on a streaming frame keeps per-key state; the
     watermark lets Spark evict keys older than the horizon, so state is
     O(events per horizon), not O(stream)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return (
+        ensure_event_time(events)
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+    )
 
 
 def _sessionize_group(
@@ -128,7 +134,7 @@ def sessionize_stream(events: DataFrame, watermark: str = "10 minutes") -> DataF
     session's close horizon — at which point the session is emitted and
     its state evicted."""
     return (
-        events.select("user_id", "ts")
+        ensure_event_time(events.select("user_id", "ts"))
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
