@@ -50,3 +50,21 @@ def test_kinds_route_to_decoders(spark):
     df = spark.createDataFrame([(1, "abc")], "id long, text string")
     audio = M.extract_features(M.synthesize_media(df, "id", "text", kind="audio"))
     assert len(audio.first()["features"]) == 4  # audio stub: mean/max/min/len
+
+
+def test_resize_images_byte_contract(spark):
+    m = _media(spark)  # all images
+    out = {r["media_id"]: r for r in M.resize_images(m, 64, 64).collect()}
+    # 64x64 at 1 byte per 8x8 block = 64-byte payload, truncated or zero-padded
+    assert all(len(bytes(r["payload"])) == 64 for r in out.values())
+    assert out[1]["meta_width"] == 64 and out[1]["meta_height"] == 64
+    assert bytes(out[1]["payload"]).rstrip(b"\x00") == b"hello world"
+    assert bytes(out[3]["payload"])[:1] == b"x"
+
+
+def test_resize_non_image_passthrough(spark):
+    df = spark.createDataFrame([(1, "some audio doc")], "id long, text string")
+    audio = M.synthesize_media(df, "id", "text", kind="audio")
+    r = M.resize_images(audio, 64, 64).first()
+    assert bytes(r["payload"]) == b"some audio doc"  # untouched
+    assert r["meta_width"] != 64 or r["meta_height"] != 64

@@ -100,6 +100,55 @@ def _decode_video_frames(payload: bytes, stride: int = 4) -> list[float]:
 _DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _decode_video_frames}
 
 
+def _resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — real impl: PIL decode → resize((width, height)) → re-encode.
+    Deterministic fake: budget one byte per 8x8 pixel block and
+    truncate / zero-pad the encoded payload to that size, so the output
+    length is a pure function of (width, height) and the head bytes are a
+    stable prefix of the input (both properties the oracle checks)."""
+    target = max((width * height) // 64, 1)
+    return payload[:target].ljust(target, b"\x00")
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Batch image resize over Arrow batches (mapInPandas) — same
+    MEDIA_SCHEMA out as in, with payload re-encoded at the new geometry
+    and the metadata struct updated.
+
+    Non-image rows pass through untouched: a mixed-modality table can be
+    resized in one pass without a prior split, and the pipeline stays a
+    single mapInPandas stage (no shuffle — partition-local work, which is
+    what makes this viable against 100 TB of media)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for kind, payload, w, h in zip(
+                pdf["kind"], pdf["payload"], pdf["meta_width"], pdf["meta_height"]
+            ):
+                if kind == "image":
+                    payload = bytes(payload) if payload is not None else b""
+                    out_payload.append(_resize_image(payload, width, height))
+                    out_w.append(width)
+                    out_h.append(height)
+                else:
+                    out_payload.append(payload)
+                    out_w.append(w)
+                    out_h.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta_width": out_w,
+                    "meta_height": out_h,
+                    "meta_sample_rate": pdf["meta_sample_rate"],
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches.
 

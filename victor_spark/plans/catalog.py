@@ -3031,6 +3031,61 @@ def q_multimodal_stats(spark, sf_dir):
 
 
 @_q(
+    "multimodal_resize",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         encode(text) AS payload,
+         length(text) % 1024 + 1 AS meta_width,
+         length(text) % 768 + 1 AS meta_height
+  FROM documents
+)
+SELECT media_id, kind,
+       CASE WHEN kind = 'image' THEN 64 ELSE meta_width END AS meta_width,
+       CASE WHEN kind = 'image' THEN 64 ELSE meta_height END AS meta_height,
+       CASE WHEN kind = 'image' THEN 64
+            ELSE octet_length(payload) END AS n_bytes,
+       CASE WHEN kind = 'image'
+            THEN md5(rpad(substring(hex(payload), 1, 128), 128, '00'))
+            ELSE md5(hex(payload)) END AS payload_md5
+FROM media
+""",
+    "Arrow-batched image resize (mapInPandas, stub kernel): images "
+    "re-encoded at 64x64 (1 byte per 8x8 block -> 64-byte payload, "
+    "truncate/zero-pad), non-image rows pass through untouched; the oracle "
+    "replays the byte contract on the blob",
+)
+def q_multimodal_resize(spark, sf_dir):
+    from victor_spark.operators.multimodal import resize_images
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.length("text") % 1024 + 1).cast("int").alias("meta_width"),
+        (F.length("text") % 768 + 1).cast("int").alias("meta_height"),
+        F.lit(16000).alias("meta_sample_rate"),
+    )
+    resized = resize_images(media, 64, 64)
+    return resized.select(
+        "media_id",
+        "kind",
+        F.col("meta_width").cast("long").alias("meta_width"),
+        F.col("meta_height").cast("long").alias("meta_height"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
+    )
+
+
+@_q(
     "multimodal_features",
     None,  # Python decode stubs are not SQL-expressible → rows-only check
     "Arrow-batched mapInPandas decode/feature-extraction over binary media "
