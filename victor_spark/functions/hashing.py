@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from victor_spark.functions.vector import _col, ColumnOrName
+from victor_spark.functions.vector import _col, bind, ColumnOrName
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime
 
@@ -56,12 +56,14 @@ def char_shingles(s: ColumnOrName, n: int = 3) -> Column:
     Built with sequence+transform (no UDF). Shorter-than-n strings yield a
     single shingle = the whole string.
     """
-    s = _col(s)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1))),
-            lambda i: s.substr(i, F.lit(n)),
-        )
+    return bind(
+        s,
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+                lambda i: t.substr(i, F.lit(n)),
+            )
+        ),
     )
 
 
@@ -75,17 +77,16 @@ def word_shingles(s: ColumnOrName, n: int = 3) -> Column:
     """
     from victor_spark.functions.text import tokens
 
-    t = tokens(s)
-    joined = F.array_join(t, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + off) for off in range(n)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(F.size(t) >= n, grams).otherwise(F.array(joined))
-    )
+    def _grams(t: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+        return F.array_distinct(
+            F.when(F.size(t) >= n, grams).otherwise(F.array(F.array_join(t, " ")))
+        )
+
+    return bind(tokens(s), _grams)
 
 
 def shingle_hashes(s: ColumnOrName, n: int = 3, unit: str = "char") -> Column:
@@ -104,15 +105,19 @@ def minhash_signature(hashes: ColumnOrName, num_hashes: int = 16, seed: int = 42
     array<bigint> of length num_hashes. Empty input → signature of p (the
     hash family's max), keeping the column total.
     """
-    hashes = _col(hashes)
-
     def _lin(a: int, b: int):
         return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
 
-    sig = []
-    for a, b in hash_params(num_hashes, seed):
-        sig.append(F.array_min(F.transform(hashes, _lin(a, b))))
-    return F.array(*[F.coalesce(c, F.lit(MERSENNE31)).alias(f"h{i}") for i, c in enumerate(sig)])
+    def _sig(hs: Column) -> Column:
+        sig = [
+            F.array_min(F.transform(hs, _lin(a, b)))
+            for a, b in hash_params(num_hashes, seed)
+        ]
+        return F.array(
+            *[F.coalesce(c, F.lit(MERSENNE31)).alias(f"h{i}") for i, c in enumerate(sig)]
+        )
+
+    return bind(_col(hashes), _sig)
 
 
 def band_keys(sig: ColumnOrName, bands: int, rows_per_band: int) -> Column:
@@ -136,29 +141,28 @@ def simhash32(token_hashes: ColumnOrName) -> Column:
     bit i of the fingerprint = 1 iff (count of tokens with bit i set) >
     n_tokens/2. Strict majority in both engines. Returns bigint.
     """
-    th = _col(token_hashes)
-    n = F.size(th)
-
     def _bit_set(mask: int):
         return lambda x: x.bitwiseAND(F.lit(mask)) != 0
 
-    acc = F.lit(0).cast("long")
-    for i in range(32):
-        ones = F.size(F.filter(th, _bit_set(1 << i)))
-        bit = F.when(ones * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        acc = acc + bit
-    return acc
+    def _fold(th: Column) -> Column:
+        n = F.size(th)
+        acc = F.lit(0).cast("long")
+        for i in range(32):
+            ones = F.size(F.filter(th, _bit_set(1 << i)))
+            bit = F.when(ones * 2 > n, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            acc = acc + bit
+        return acc
+
+    return bind(_col(token_hashes), _fold)
 
 
 def hamming32(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Hamming distance between two 32-bit fingerprints stored as bigint.
 
-    Unrolled popcount over literal masks (bit_count(xor) in the oracle)."""
-    x = _col(a).bitwiseXOR(_col(b))
-    total = F.lit(0)
-    for i in range(32):
-        total = total + F.when(x.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)
-    return total
+    ``bit_count(a XOR b)`` — the same builtin popcount on both engines."""
+    return F.bit_count(_col(a).bitwiseXOR(_col(b)))
 
 
 def hyperplane_value(j: int, i: Column) -> Column:
@@ -180,21 +184,24 @@ def hyperplane_bucket(v: ColumnOrName, num_planes: int = 8) -> Column:
     for ANN; at 100 TB the bucket column is what the join shuffles on
     instead of the O(n²) cross product.
     """
-    v = _col(v)
-
     def _plane(j: int):
         return lambda i: hyperplane_value(j, i)
 
-    acc = F.lit(0).cast("long")
-    for j in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(0), F.size(v) - 1), _plane(j)),
-                lambda x, p: x * p,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        acc = acc + F.when(proj > 0.0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return acc
+    def _buckets(vec: Column) -> Column:
+        acc = F.lit(0).cast("long")
+        for j in range(num_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(F.sequence(F.lit(0), F.size(vec) - 1), _plane(j)),
+                    lambda x, p: x * p,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(proj > 0.0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return acc
+
+    return bind(_col(v), _buckets)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from victor_spark.functions.vector import _col, ColumnOrName
+from victor_spark.functions.vector import _col, bind, ColumnOrName
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
 # heuristic. Deterministic and oracle-expressible; real deployments would
@@ -53,9 +53,11 @@ def char_count(s: ColumnOrName) -> Column:
 
 def avg_token_len(s: ColumnOrName) -> Column:
     """Mean token length in characters; 0 for empty docs."""
-    t = tokens(s)
-    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
-        F.aggregate(t, F.lit(0.0), lambda a, x: a + F.length(x)) / F.size(t)
+    return bind(
+        tokens(s),
+        lambda t: F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+            F.aggregate(t, F.lit(0.0), lambda a, x: a + F.length(x)) / F.size(t)
+        ),
     )
 
 
@@ -69,13 +71,15 @@ def punct_ratio(s: ColumnOrName) -> Column:
 
 def stopword_ratio(s: ColumnOrName) -> Column:
     """Fraction of whitespace tokens that are (lowercased) stopwords."""
-    t = tokens(s)
-    hits = F.size(
-        F.filter(t, lambda x: F.lower(x).isin(*[F.lit(w) for w in STOPWORDS]))
-    )
-    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
-        hits.cast("double") / F.size(t)
-    )
+    def _ratio(t: Column) -> Column:
+        hits = F.size(
+            F.filter(t, lambda x: F.lower(x).isin(*[F.lit(w) for w in STOPWORDS]))
+        )
+        return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+            hits.cast("double") / F.size(t)
+        )
+
+    return bind(tokens(s), _ratio)
 
 
 def quality_score(s: ColumnOrName) -> Column:
@@ -85,27 +89,47 @@ def quality_score(s: ColumnOrName) -> Column:
     sanity and stopword presence — the standard cheap pre-filter stack for
     pretraining-data curation (C4/Gopher-style rules).
     """
-    n_tok = token_count(s).cast("double")
-    atl = avg_token_len(s)
     pr = punct_ratio(s)
-    sr = stopword_ratio(s)
-    len_ok = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    tok_ok = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
-    stop_ok = F.least(sr * F.lit(10.0), F.lit(1.0))
-    return (len_ok + tok_ok + punct_ok + stop_ok) / F.lit(4.0)
+
+    def _score(t: Column) -> Column:
+        n_tok = F.size(t).cast("double")
+        atl = F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+            F.aggregate(t, F.lit(0.0), lambda a, x: a + F.length(x)) / F.size(t)
+        )
+        hits = F.size(
+            F.filter(t, lambda x: F.lower(x).isin(*[F.lit(w) for w in STOPWORDS]))
+        )
+        sr = F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+            hits.cast("double") / F.size(t)
+        )
+        len_ok = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+        tok_ok = F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+        punct_ok = F.when(pr <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+        stop_ok = F.least(sr * F.lit(10.0), F.lit(1.0))
+        return (len_ok + tok_ok + punct_ok + stop_ok) / F.lit(4.0)
+
+    return bind(tokens(s), _score)
+
+
+def _in_markers(markers: tuple[str, ...]):
+    return lambda x: x.isin(*[F.lit(w) for w in markers])
+
+
+def _marker_counts(t: Column) -> Column:
+    """array<int> of marker-word hits per language (LANG_MARKERS order)
+    over a bound lowercased-token variable."""
+    return F.array(
+        *[F.size(F.filter(t, _in_markers(m))) for m in LANG_MARKERS.values()]
+    )
 
 
 def lang_scores(s: ColumnOrName) -> dict[str, Column]:
     """Marker-word hit count per language over the lowercased tokens."""
-    t = F.transform(tokens(s), F.lower)
-
-    def _in_markers(markers: tuple[str, ...]):
-        return lambda x: x.isin(*[F.lit(w) for w in markers])
-
+    counts = bind(
+        bind(tokens(s), lambda t: F.transform(t, F.lower)), _marker_counts
+    )
     return {
-        lang: F.size(F.filter(t, _in_markers(markers)))
-        for lang, markers in LANG_MARKERS.items()
+        lang: F.get(counts, i) for i, lang in enumerate(LANG_MARKERS)
     }
 
 
@@ -114,16 +138,24 @@ def lang_id(s: ColumnOrName) -> Column:
 
     Ties break by the fixed language order en>de>fr>es>zh (strictly-greater
     comparison), identically in the SQL oracle.
+
+    The argmax when-chain references each score several times; scores are
+    bound (see ``bind``) so each reference is a slot read, not a fresh
+    token-scan — the naive composition is exponential in chain depth.
     """
-    scores = lang_scores(s)
-    langs = list(scores)
-    best_lang = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        cond = scores[lang] > best_score
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    lowered = bind(tokens(s), lambda t: F.transform(t, F.lower))
+
+    def _argmax(sc: Column) -> Column:
+        langs = list(LANG_MARKERS)
+        best_lang = F.lit(langs[0])
+        best_score = F.get(sc, 0)
+        for i, lang in enumerate(langs[1:], start=1):
+            cond = F.get(sc, i) > best_score
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(cond, F.get(sc, i)).otherwise(best_score)
+        return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+    return bind(bind(lowered, _marker_counts), _argmax)
 
 
 def fingerprint64(s: ColumnOrName) -> Column:

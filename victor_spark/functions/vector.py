@@ -24,6 +24,24 @@ def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def bind(col: ColumnOrName, fn) -> Column:
+    """Evaluate ``col`` once per row and hand it to ``fn`` as a lambda
+    variable, returning ``fn``'s result.
+
+    Column expressions compose by TREE EMBEDDING: ``F.size(t) + F.size(t)``
+    duplicates t's whole subtree, and inside higher-order-function lambdas
+    each duplicate is re-evaluated per ELEMENT (HOF lambdas run interpreted,
+    outside codegen) — which turns token/shingle pipelines O(n²) in the
+    document length (measured 40× on the word-8-gram explode at sf0.1).
+    Wrapping the value in a one-element array and projecting through
+    ``transform`` binds it to a NamedLambdaVariable: every reference inside
+    ``fn`` is then an O(1) slot read and the subtree runs exactly once per
+    row, in every context the expression lands in (including optimizer-
+    inferred copies such as explode's non-empty pre-filter).
+    """
+    return F.get(F.transform(F.array(_col(col)), fn), 0)
+
+
 def to_double_array(v: ColumnOrName) -> Column:
     """Cast array<float> → array<double> for stable arithmetic."""
     return _col(v).cast("array<double>")

@@ -1484,16 +1484,21 @@ def q_dup_span_frac(spark, sf_dir):
         "doc_id", H.shingle_hashes("text", 8, unit="word").alias("hs")
     )
     ex = d.select("doc_id", F.explode("hs").alias("h"))
-    cnt = ex.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    # (doc_id, h) is distinct (shingle_hashes dedupes per doc), so the
+    # per-shingle doc count is just the group size — gather each shingle's
+    # doc list in ONE hash aggregation and fan it back out, instead of a
+    # groupBy + self-join that re-shuffles the exploded table (and, worse,
+    # re-computes the md5 shingling twice). Two shuffles total (h, doc_id),
+    # no join, no sort; per-key doc lists are tiny (nd docs).
+    per_h = ex.groupBy("h").agg(F.collect_list("doc_id").alias("docs"))
+    fanned = per_h.select(
+        F.size("docs").alias("nd"), F.explode("docs").alias("doc_id")
+    )
     shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
-    return (
-        ex.join(cnt, "h")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            shared.alias("n_shared"),
-            F.round(shared.cast("double") / F.count("*"), 6).alias("dup_frac"),
-        )
+    return fanned.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        shared.alias("n_shared"),
+        F.round(shared.cast("double") / F.count("*"), 6).alias("dup_frac"),
     )
 
 
