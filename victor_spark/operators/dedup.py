@@ -144,12 +144,13 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, id_col: str,
     return (
         df_pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("_inter")),
         )
-        .drop("sh_a", "sh_b")
+        .drop("sh_a", "sh_b", "_inter")
     )
 
 
@@ -179,13 +180,20 @@ def ngram_jaccard_join(df: DataFrame, id_col: str, content_col: str,
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )
+    # The exact verify is CPU-bound (hash-set intersection per pair), and
+    # AQE coalesces the small candidate shuffle to a handful of tasks sized
+    # by BYTES — fan back out so the set work uses every core. Union size
+    # comes free as |a|+|b|-|∩| (the hash arrays are distinct), halving the
+    # per-pair set construction vs an explicit array_union.
     out = (
-        cand.join(sh.select(F.col("doc").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+        .join(sh.select(F.col("doc").alias("id_a"), F.col("s").alias("sa")), "id_a")
         .join(sh.select(F.col("doc").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sa", "sb")))
         .select(
             "id_a", "id_b",
-            (F.size(F.array_intersect("sa", "sb")).cast("double")
-             / F.size(F.array_union("sa", "sb"))).alias("jaccard"),
+            (F.col("_inter").cast("double")
+             / (F.size("sa") + F.size("sb") - F.col("_inter"))).alias("jaccard"),
         )
     )
     return out.filter(F.col("jaccard") >= threshold)
@@ -207,12 +215,13 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, content_col: str,
     verified = (
         cands.join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("h", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc", "id_b").withColumnRenamed("h", "sh_b"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("_inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("_inter")),
         )
-        .drop("sh_a", "sh_b")
+        .drop("sh_a", "sh_b", "_inter")
     )
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from victor_spark.functions import hashing as H
+from victor_spark.functions.vector import bind
 
 
 def codebook_vectors(df: DataFrame, id_col: str, vec_col: str,
@@ -49,6 +50,38 @@ def codebook_vectors(df: DataFrame, id_col: str, vec_col: str,
         .collect()
     )
     return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def codebook_and_query(df: DataFrame, id_col: str, vec_col: str,
+                       k: int, query_id, salt: str = "pq"):
+    """One driver round trip for both model artifacts: the k codebook rows
+    (same selection rule as :func:`codebook_vectors`) and the query vector.
+
+    ADC needs both on the driver before the scoring scan can be planned;
+    fetching them in a single union'd collect halves the sequential
+    job-launch latency of the PQ queries (each driver action costs a full
+    scheduler round trip regardless of data size).
+    """
+    tagged = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_h", H.md5_32(F.concat(F.lit(salt + ":"), F.col("_id").cast("string"))))
+    )
+    cb_part = tagged.orderBy("_h", "_id").limit(k).select(
+        "_id", "_v", F.lit("cb").alias("_part")
+    )
+    q_part = tagged.filter(F.col("_id") == query_id).select(
+        "_id", "_v", F.lit("q").alias("_part")
+    )
+    rows = cb_part.unionAll(q_part).collect()
+    cb_rows = sorted(
+        (r for r in rows if r["_part"] == "cb"), key=lambda r: r["_id"]
+    )
+    q_rows = [r for r in rows if r["_part"] == "q"]
+    if not q_rows:
+        raise ValueError(f"query id {query_id!r} not found in {id_col}")
+    codebook = [[float(x) for x in r["_v"]] for r in cb_rows]
+    query = [float(x) for x in q_rows[0]["_v"]]
+    return codebook, query
 
 
 def _sub(v: Column, j: int, dsub: int) -> Column:
@@ -71,23 +104,36 @@ def encode(df: DataFrame, vec_col: str, codebook: list[list[float]],
     """
     d = len(codebook[0])
     dsub = d // m
-    cb = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in codebook])
+    # one literal per (j, code) SUBvector, pre-sliced driver-side, so the
+    # executors never re-slice the codebook per row
+    cb_sub = [
+        [c[j * dsub : (j + 1) * dsub] for c in codebook] for j in range(m)
+    ]
 
-    def argmin(j: int) -> Column:
+    def argmin(j: int, qsub: Column) -> Column:
         # one pass: tag each distance with its 1-based code, struct-min picks
         # (smallest dist, then smallest code) — evaluates the k-entry
         # distance transform once, where array_position(d, array_min(d))
-        # would evaluate it twice
+        # would evaluate it twice; qsub is a bound variable, so each of the
+        # k distance folds reads it as a slot, not a fresh slice
+        cbj = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb_sub[j]])
         tagged = F.transform(
-            cb,
-            lambda c, i: F.struct(
-                _sqdist(_sub(F.col(vec_col), j, dsub), _sub(c, j, dsub)).alias("d"),
-                (i + 1).alias("code"),
-            ),
+            cbj,
+            lambda c, i: F.struct(_sqdist(qsub, c).alias("d"), (i + 1).alias("code")),
         )
         return F.array_min(tagged)["code"]
 
-    codes = F.array(*[argmin(j) for j in range(m)])
+    def _argmin_at(j: int):
+        # single-parameter closure: pyspark's transform() inspects lambda
+        # arity, so a (q, j=j) default would receive the element INDEX as j
+        return lambda q: argmin(j, q)
+
+    codes = bind(
+        F.col(vec_col),
+        lambda v: F.array(
+            *[bind(_sub(v, j, dsub), _argmin_at(j)) for j in range(m)]
+        ),
+    )
     return df.withColumn(out_col, codes.cast("array<int>"))
 
 
@@ -121,14 +167,18 @@ def adc_topk(encoded: DataFrame, query: list[float], codebook: list[list[float]]
     """
     lut = adc_lut(query, codebook, m)
     lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in lut])
-    score = None
-    for j in range(m):
-        term = F.element_at(
-            F.element_at(lut_lit, j + 1), F.element_at(F.col(code_col), j + 1)
-        )
-        score = term if score is None else score + term
+
+    def _score(lut_b: Column) -> Column:
+        score = None
+        for j in range(m):
+            term = F.element_at(
+                F.element_at(lut_b, j + 1), F.element_at(F.col(code_col), j + 1)
+            )
+            score = term if score is None else score + term
+        return score
+
     return (
-        encoded.select(F.col(id_col), score.alias("adc_dist"))
+        encoded.select(F.col(id_col), bind(lut_lit, _score).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )

@@ -926,12 +926,10 @@ def q_ann_pq(spark, sf_dir):
     from victor_spark.operators import pq
 
     e = _emb(spark, sf_dir).select("vec_id", "v")
-    cb = pq.codebook_vectors(e, "vec_id", "v", k=16, salt="pq")
+    # codebook + query vector are the ADC model artifacts (driver-side by
+    # construction); one union'd collect fetches both in a single job
+    cb, qv = pq.codebook_and_query(e, "vec_id", "v", k=16, query_id=11, salt="pq")
     enc = pq.encode(e, "v", cb, m=8)
-    # the query vector is part of the LUT model artifact (driver-side by
-    # construction of ADC); collect just that one row
-    qv = [float(x) for x in
-          e.filter(F.col("vec_id") == 11).select("v").first()["v"]]
     out = pq.adc_topk(enc, qv, cb, k=5, m=8, id_col="vec_id")
     return out.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
@@ -993,10 +991,8 @@ def q_ann_recall(spark, sf_dir):
     from victor_spark.operators import pq
 
     e = _emb(spark, sf_dir).select("vec_id", "v")
-    cb = pq.codebook_vectors(e, "vec_id", "v", k=16, salt="pq")
+    cb, qv = pq.codebook_and_query(e, "vec_id", "v", k=16, query_id=11, salt="pq")
     enc = pq.encode(e, "v", cb, m=8)
-    qv = [float(x) for x in
-          e.filter(F.col("vec_id") == 11).select("v").first()["v"]]
     adc_top = pq.adc_topk(enc, qv, cb, k=10, m=8, id_col="vec_id").select("vec_id")
     qlit = F.array(*[F.lit(x) for x in qv])
     l2_top = (
