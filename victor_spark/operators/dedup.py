@@ -399,7 +399,10 @@ def _clusters_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.select("src", "dst").toLocalIterator():
+    # one collect, not toLocalIterator: the latter launches a job PER
+    # PARTITION sequentially (32 scheduler round trips for a 1k-edge list);
+    # the driver_edge_limit gate already bounds driver memory
+    for row in edges.select("src", "dst").collect():
         a, b = row[0], row[1]
         if a not in parent:
             parent[a] = a

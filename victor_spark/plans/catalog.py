@@ -1832,7 +1832,10 @@ GROUP BY l_returnflag, l_linestatus
     "(filter pushed to parquet; verify PushedFilters in explain)",
 )
 def q_tpch_q1(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
+    # q1 is a pure scan->aggregate: the exact-decimal partial aggregation is
+    # the map-side cost, and the testdata's single-row-group file would run
+    # it on one core. fan_out is a no-op on a properly split table.
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
