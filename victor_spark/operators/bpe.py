@@ -1,0 +1,122 @@
+"""BPE vocabulary training (Sennrich et al. 2016) — the iterative
+counterpart of the catalog's single-iteration ``bpe_pairs`` query.
+
+Industrial shape (what HuggingFace tokenizers / SentencePiece do at
+corpus scale, and what holds at 100 TB): the corpus-sized work is ONE
+distributed word-count aggregation — explode tokens, map-side partial
+counts, one shuffle on the word key. The merge loop then runs over the
+collected (word, count) VOCABULARY, which is orders of magnitude smaller
+than the corpus (vocabulary grows ~O(corpus^0.5), Heaps' law) and is how
+every production BPE trainer operates; each merge is O(vocab), not
+O(corpus). A driver loop over the corpus itself would be wrong; a
+distributed loop over the vocabulary would pay per-iteration shuffles to
+process a few MB.
+
+Determinism: merge choice is (highest pair count, then lexicographically
+smallest pair) — no RNG, stable across cluster sizes and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from victor_spark.functions.text import tokens
+
+
+def word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) over lowercased whitespace tokens — the one corpus-sized
+    aggregation of BPE training."""
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def train_bpe_merges(docs: DataFrame, text_col: str, num_merges: int = 20,
+                     max_vocab: int = 1_000_000) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns a DataFrame
+    (rank, left, right, merged, pair_count) in merge order.
+
+    ``max_vocab`` bounds the driver collect (top-``max_vocab`` words by
+    count — at 100 TB the tail of hapax legomena barely influences early
+    merges and real trainers cap the same way).
+    """
+    wc = word_counts(docs, text_col)
+    rows = (
+        wc.orderBy(F.desc("n"), F.asc("word")).limit(max_vocab).collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["word"]), int(r["n"])) for r in rows
+    ]
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        new_vocab = []
+        for syms, n in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, n))
+        vocab = new_vocab
+
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count long"
+    )
+
+
+def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
+              out_col: str = "bpe_tokens") -> DataFrame:
+    """Segment each doc's words with a learned merge list (applied in rank
+    order, same greedy adjacent-pair rule as training) — Arrow-batched
+    mapInPandas, the encode path a tokenization pipeline ships.
+    """
+    import pandas as pd
+
+    merge_list = list(merges)
+
+    def _encode_word(word: str) -> list[str]:
+        syms = list(word)
+        for left, right in merge_list:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in docs.schema.fields)
+    schema = f"{fields}, {out_col} array<string>"
+
+    def _encode(batches):
+        for pdf in batches:
+            toks = [
+                [s for w in str(t).lower().split() for s in _encode_word(w)]
+                for t in pdf[text_col]
+            ]
+            pdf = pdf.copy()
+            pdf[out_col] = pd.Series(toks, index=pdf.index, dtype=object)
+            yield pdf
+
+    return docs.mapInPandas(_encode, schema=schema)

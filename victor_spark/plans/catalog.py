@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from victor_spark.functions import hashing as H
 from victor_spark.functions import text as T
 from victor_spark.functions.vector import (
+    bind,
     dequantize,
     dot,
     euclidean,
@@ -1294,14 +1295,17 @@ FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 )
 def q_bpe_pairs(spark, sf_dir):
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    t = T.tokens(F.lower(F.col("text")))
-    pairs = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _pairs(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pairs = bind(T.tokens(F.lower(F.col("text"))), _pairs)
     return (
         d.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
@@ -1309,6 +1313,21 @@ def q_bpe_pairs(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@_q(
+    "bpe_train",
+    None,  # iterative merge loop — not expressible in one SQL pass
+    "BPE vocabulary training (Sennrich 2016): ONE distributed word-count "
+    "shuffle, then 20 deterministic merge rounds over the collected "
+    "vocabulary (the industrial trainer shape — merges are O(vocab), the "
+    "corpus is touched exactly once); returns the merge table in rank order",
+)
+def q_bpe_train(spark, sf_dir):
+    from victor_spark.operators.bpe import train_bpe_merges
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return train_bpe_merges(d, "text", num_merges=20)
 
 
 # Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1): unlike
@@ -1809,6 +1828,95 @@ def q_events_range_join(spark, sf_dir):
         F.round(
             F.sum(F.col("value").cast("decimal(24,8)")).cast("double") / F.count("*"), 6
         ).alias("avg_value"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (SELECT user_id, min(epoch_us(ts)) t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+       GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS stage
+FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+       LEFT JOIN s2 ON u.user_id = s2.user_id
+       LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
+@_q(
+    "events_funnel",
+    _FUNNEL_ORACLE,
+    "ordered funnel (view -> click -> purchase, strict ordering): per-user "
+    "step times + stage reached, via ONE shuffle and a per-user sorted-array "
+    "fold (no per-step self-joins); the oracle replays it as chained "
+    "min-after-previous-step joins",
+)
+def q_events_funnel(spark, sf_dir):
+    from victor_spark.operators.funnel import funnel_times
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", epoch_us("ts").alias("tus"), "event_type"
+    )
+    return funnel_times(e, "user_id", "tus", "event_type",
+                        ["view", "click", "purchase"])
+
+
+_GAPFILL_ORACLE = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) h0, date_trunc('hour', max(ts)) h1
+           FROM events),
+spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) h FROM b),
+tys AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT event_type, date_trunc('hour', ts) h, count(*) n FROM events
+      GROUP BY 1, 2)
+SELECT tys.event_type, strftime(spine.h, '%Y-%m-%d %H') AS hour,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM spine CROSS JOIN tys
+LEFT JOIN c ON c.event_type = tys.event_type AND c.h = spine.h
+"""
+
+
+@_q(
+    "events_gapfill",
+    _GAPFILL_ORACLE,
+    "time-series gap fill: dense hourly spine (scalar min/max -> sequence "
+    "explode, broadcast) x event types, zero-filled via left join — the "
+    "timeseries-DB densify operator; spine build is O(hours), never a scan "
+    "of the fact table per slot",
+)
+def q_events_gapfill(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    hr = (epoch_us("ts") - (epoch_us("ts") % hour_us)).alias("h")
+    counts = e.groupBy(F.col("event_type"), hr).agg(F.count("*").alias("n"))
+    bounds = e.agg(
+        F.min(epoch_us("ts") - (epoch_us("ts") % hour_us)).alias("h0"),
+        F.max(epoch_us("ts") - (epoch_us("ts") % hour_us)).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.lit(hour_us))).alias("h")
+    )
+    tys = e.select("event_type").distinct()
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    dense = F.broadcast(spine).crossJoin(F.broadcast(tys))
+    return (
+        dense.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format(
+                F.timestamp_add("MICROSECOND", F.col("h"), epoch0), "yyyy-MM-dd HH"
+            ).alias("hour"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
     )
 
 
