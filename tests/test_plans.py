@@ -268,3 +268,19 @@ def test_bucketed_join_avoids_both_shuffles(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {a_name}")
         spark.sql(f"DROP TABLE IF EXISTS {b_name}")
+
+
+def test_funnel_is_single_shuffle(spark):
+    # the ordered funnel must be ONE exchange (the groupBy(user) for the
+    # sorted-array fold) — never per-step self-joins over the event table
+    p = plan("events_funnel", spark)
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_gapfill_spine_is_broadcast(spark):
+    # the dense (hour x type) spine is built from scalar bounds and
+    # broadcast — the fact table is scanned once, never per-slot
+    p = plan("events_gapfill", spark)
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
