@@ -1315,6 +1315,155 @@ def q_bpe_pairs(spark, sf_dir):
     )
 
 
+# TF-IDF: the classic IR weighting as two shuffles — per-(doc, term)
+# counts, then a broadcast of the tiny document-frequency table back onto
+# the term stream. ln-idf with the smoothed (1+N)/(1+df) form; top-3 terms
+# per doc by (tfidf desc, term asc) through a rank-limit window.
+
+_TFIDF_ORACLE = """
+WITH d AS (SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), x -> x <> '') t
+           FROM documents),
+n AS (SELECT count(*) nd FROM d),
+tc AS (SELECT doc_id, tok, count(*) c
+       FROM (SELECT doc_id, unnest(t) tok FROM d) GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(c) s FROM tc GROUP BY 1),
+df AS (SELECT tok, count(*) df FROM tc GROUP BY 1),
+w AS (
+  SELECT tc.doc_id, tc.tok,
+         (CAST(tc.c AS DOUBLE) / tot.s)
+           * ln((1.0 + n.nd) / (1.0 + df.df)) tfidf
+  FROM tc JOIN tot USING (doc_id) JOIN df USING (tok) CROSS JOIN n
+),
+r AS (SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) rn
+      FROM w)
+SELECT doc_id, tok AS term, round(tfidf, 6) AS tfidf, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= 3
+"""
+
+
+@_q(
+    "tfidf_top_terms",
+    _TFIDF_ORACLE,
+    "TF-IDF top-3 terms per doc: per-(doc,term) counts, document-frequency "
+    "join (broadcast — the df table is vocabulary-sized), smoothed ln-idf, "
+    "rank-limit window (WindowGroupLimit keeps the per-doc heap bounded)",
+)
+def q_tfidf(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    tc = d.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("s"))
+    df_t = tc.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = tc.select("doc_id").distinct().count()
+    w = (
+        tc.join(tot, "doc_id")
+        .join(F.broadcast(df_t), "tok")
+        .select(
+            "doc_id", "tok",
+            (
+                (F.col("c").cast("double") / F.col("s"))
+                * F.log((1.0 + float(nd)) / (1.0 + F.col("df")))
+            ).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("tok").alias("term"),
+                F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
+_RETENTION_ORACLE = """
+WITH su AS (SELECT user_id, min(date_trunc('day', ts)) d0 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+act AS (SELECT DISTINCT e.user_id,
+               CAST(date_diff('day', su.d0, date_trunc('day', e.ts)) // 7 AS INTEGER) wk
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE date_trunc('day', e.ts) >= su.d0)
+SELECT wk AS week, CAST(count(*) AS BIGINT) AS n_active,
+       round(CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM su), 6) AS retention
+FROM act GROUP BY wk
+"""
+
+
+@_q(
+    "events_retention",
+    _RETENTION_ORACLE,
+    "cohort retention: per user, weeks-since-signup with any activity; "
+    "week-0-normalized retention curve (two aggregations, signup table "
+    "broadcast back onto the event stream)",
+)
+def q_events_retention(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        (epoch_us("ts") - (epoch_us("ts") % 86_400_000_000)).alias("day_us"),
+    )
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("day_us").alias("d0"))
+    )
+    n_signup = su.count()
+    act = (
+        e.join(F.broadcast(su), "user_id")
+        .filter(F.col("day_us") >= F.col("d0"))
+        .select(
+            "user_id",
+            ((F.col("day_us") - F.col("d0")) / 86_400_000_000 / 7)
+            .cast("int").alias("week"),
+        )
+        .distinct()
+    )
+    return act.groupBy("week").agg(
+        F.count("*").alias("n_active"),
+        F.round(F.count("*") / F.lit(float(n_signup)), 6).alias("retention"),
+    )
+
+
+_MOVAVG_ORACLE = """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) hr, count(*) n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hour,
+       CAST(n AS BIGINT) AS n_events,
+       round(avg(CAST(n AS DOUBLE)) OVER (
+         PARTITION BY event_type ORDER BY hr
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM h
+"""
+
+
+@_q(
+    "events_moving_avg",
+    _MOVAVG_ORACLE,
+    "7-hour moving average of hourly event counts per type (sliding window "
+    "FRAME — rows between 6 preceding and current — over a pre-aggregated "
+    "series: the frame walks per-type hourly rows, never raw events)",
+)
+def q_events_moving_avg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n_events"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return h.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH").alias("hour"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.avg(F.col("n_events").cast("double")).over(win), 6).alias("ma7"),
+    )
+
+
 @_q(
     "bpe_train",
     None,  # iterative merge loop — not expressible in one SQL pass
