@@ -172,11 +172,23 @@ def ngram_jaccard_join(df: DataFrame, id_col: str, content_col: str,
     hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
     sh = hashed.select("doc", F.array_sort("h").alias("s"))
     plen = (F.size("s") - F.ceil(F.lit(float(threshold)) * F.size("s")) + 1).cast("int")
-    pre = sh.select("doc", F.explode(F.slice(F.col("s"), F.lit(1), plen)).alias("tok"))
+    pre = sh.select(
+        "doc", F.size("s").alias("len"),
+        F.explode(F.slice(F.col("s"), F.lit(1), plen)).alias("tok"),
+    )
+    # length filter (lossless): Jaccard >= t forces t·|a| <= |b| <= |a|/t,
+    # so size-incompatible pairs are pruned inside the candidate join before
+    # the distinct — the second classic ppjoin prune after the prefix filter
+    t = float(threshold)
     cand = (
         pre.alias("a")
-        .join(pre.alias("b"),
-              (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
+        .join(
+            pre.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("b.len") * t <= F.col("a.len"))
+            & (F.col("a.len") * t <= F.col("b.len")),
+        )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
     )

@@ -2668,10 +2668,14 @@ def q_tpch_q11(spark, sf_dir):
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")).alias("val")
         )
     )
-    threshold = F.lit(0.001) * F.sum("val").over(Window.partitionBy()).cast("double")
+    # the 0.001 threshold is a scalar: compute it as a 1-row aggregate and
+    # broadcast, never an empty-partition window (which would shuffle the
+    # whole (nation, part) aggregate into a single task — the exact
+    # anti-pattern pack_sequences' plan test forbids)
+    total = vbp.agg(F.sum("val").cast("double").alias("_tot"))
     return (
-        vbp.withColumn("threshold", threshold)
-        .filter(F.col("val").cast("double") > F.col("threshold"))
+        vbp.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.lit(0.001) * F.col("_tot"))
         .select("nation", "partkey", F.round(F.col("val").cast("double"), 4).alias("value"))
         .orderBy(F.desc("value"), F.asc("nation"), F.asc("partkey"))
         .limit(100)
