@@ -120,3 +120,21 @@ def test_pq_adc_ranking_respects_clusters(spark):
     hits = pq.adc_topk(enc, q, cb, k=10, m=4).collect()
     assert all(h["vec_id"] < 100 for h in hits)
     assert all(hits[i]["adc_dist"] <= hits[i + 1]["adc_dist"] for i in range(9))
+
+
+def test_ivfpq_topk_shape_and_determinism(spark):
+    from victor_spark.operators.ivfpq import collect_ivfpq_model, ivfpq_topk
+    from victor_spark.plans.catalog import _emb
+    from tests.conftest import SF_SMOKE
+
+    e = _emb(spark, SF_SMOKE).select("vec_id", "v")
+    out = ivfpq_topk(e, "vec_id", "v", query_id=7, k=5).collect()
+    assert len(out) == 5
+    # ascending ADC distance, deterministic tie-break
+    dists = [r["adc_dist"] for r in out]
+    assert dists == sorted(dists)
+    assert out == ivfpq_topk(e, "vec_id", "v", query_id=7, k=5).collect()
+    # every hit comes from a probed cell and the model artifacts line up
+    cents, cb, q = collect_ivfpq_model(e, "vec_id", "v", 7)
+    assert len(cb) == 16 and len(q) == 64
+    assert all(r["cell"] in cents for r in out)

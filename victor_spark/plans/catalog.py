@@ -935,6 +935,91 @@ def q_ann_pq(spark, sf_dir):
     return out.select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
 
 
+# IVF-PQ: the FAISS-standard composition — nprobe cell pruning + PQ codes
+# over the per-cell RESIDUALS (v − centroid), scored by a per-cell query-
+# residual LUT. At 100 TB: partitionBy(cell) directory pruning + an
+# m-bytes/vector code scan of the probed cells only.
+
+_IVFPQ_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+cent AS (SELECT vec_id cell, v cv, sqrt(list_dot_product(v, v)) cn
+         FROM e WHERE vec_id % 250 = 0),
+assign AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * cn) DESC,
+                    cell) rn
+  FROM e, cent
+),
+cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+cbsrc AS (SELECT vec_id, v FROM e
+          ORDER BY CAST(concat('0x', substr(md5(concat('pq:', CAST(vec_id AS VARCHAR))), 1, 8)) AS BIGINT),
+                   vec_id
+          LIMIT 16),
+cbres AS (SELECT c.vec_id,
+                 list_transform(range(1, 65),
+                   i -> c.v[CAST(i AS INTEGER)] - ct.cv[CAST(i AS INTEGER)]) rv
+          FROM cbsrc c JOIN cells cl ON c.vec_id = cl.vec_id
+                       JOIN cent ct ON cl.cell = ct.cell),
+rcb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) code, rv cv
+        FROM cbres),
+q AS (SELECT v qv, sqrt(list_dot_product(v, v)) qn FROM e WHERE vec_id = 7),
+qc AS (SELECT cell, cv FROM cent, q
+       ORDER BY list_dot_product(cv, qv) / (cn * qn) DESC, cell LIMIT 2),
+cand AS (SELECT cl.vec_id, cl.cell,
+                list_transform(range(1, 65),
+                  i -> cl.v[CAST(i AS INTEGER)] - ct.cv[CAST(i AS INTEGER)]) rv
+         FROM cells cl JOIN cent ct ON cl.cell = ct.cell
+         WHERE cl.cell IN (SELECT cell FROM qc)),
+subs AS (SELECT CAST(j AS INTEGER) j FROM range(0, 8) t(j)),
+dists AS (
+  SELECT cand.vec_id, s.j, r.code,
+         list_sum(list_transform(range(1, 9),
+           i -> (cand.rv[CAST(s.j*8 + i AS INTEGER)] - r.cv[CAST(s.j*8 + i AS INTEGER)])^2)) dist
+  FROM cand, subs s, rcb r
+),
+enc AS (SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) rn
+        FROM dists),
+codes AS (SELECT vec_id, j, code FROM enc WHERE rn = 1),
+rq AS (SELECT qc.cell,
+              list_transform(range(1, 65),
+                i -> q.qv[CAST(i AS INTEGER)] - qc.cv[CAST(i AS INTEGER)]) rqv
+       FROM qc, q),
+scored AS (
+  SELECT codes.vec_id, cl.cell,
+         sum(list_sum(list_transform(range(1, 9),
+           i -> (rq.rqv[CAST(codes.j*8 + i AS INTEGER)] - r.cv[CAST(codes.j*8 + i AS INTEGER)])^2))) adc
+  FROM codes JOIN cells cl ON codes.vec_id = cl.vec_id
+             JOIN rq ON cl.cell = rq.cell
+             JOIN rcb r ON codes.code = r.code
+  GROUP BY codes.vec_id, cl.cell
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, round(adc, 6) AS adc_dist
+FROM scored ORDER BY adc, vec_id LIMIT 5
+"""
+
+
+@_q(
+    "ann_ivfpq_topk",
+    _IVFPQ_ORACLE,
+    "IVF-PQ ADC top-5 for vec 7 (FAISS-standard): nprobe=2 cell pruning + "
+    "m=8 product-quantized RESIDUAL codes scored by a per-cell query-"
+    "residual LUT — probed-cells-only scan of the code column, one fused "
+    "model collect",
+)
+def q_ann_ivfpq(spark, sf_dir):
+    from victor_spark.operators.ivfpq import ivfpq_topk
+
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    out = ivfpq_topk(e, "vec_id", "v", query_id=7, k=5, m=8, k_cb=16,
+                     nprobe=2, centroid_mod=250, salt="pq")
+    return out.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"),
+        F.round("adc_dist", 6).alias("adc_dist"),
+    )
+
+
 # Recall audit: the quality counterpart of the ANN queries — recall@10 of
 # each approximate strategy against the exact top-10, as a first-class
 # query (the number a pipeline owner watches when tuning nprobe/m/planes).
