@@ -198,3 +198,64 @@ def test_prefix_filter_jaccard_is_lossless(spark, docs, threshold):
             if j >= threshold:
                 exp.add((a, b, round(j, 9)))
     assert got == exp
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 4),                # user
+        st.integers(0, 50),               # timestamp (collisions likely)
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@PROP
+@given(rows=funnel_events)
+def test_funnel_matches_python_model(spark, rows):
+    """The one-shuffle sorted-array fold == the obvious per-user Python
+    scan (strict ordering, earliest-qualifying-event semantics)."""
+    from victor_spark.operators.funnel import funnel_times
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(rows, "user_id long, tus long, event_type string")
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"], r["stage"])
+        for r in funnel_times(df, "user_id", "tus", "event_type", steps).collect()
+    }
+
+    expect = {}
+    by_user: dict = {}
+    for u, t, ty in rows:
+        by_user.setdefault(u, []).append((t, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        t1 = t2 = t3 = None
+        for t, ty in evs:
+            if t1 is None and ty == steps[0]:
+                t1 = t
+            elif t1 is not None and t2 is None and ty == steps[1] and t > t1:
+                t2 = t
+            elif t2 is not None and t3 is None and ty == steps[2] and t > t2:
+                t3 = t
+        stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+        expect[u] = (t1, t2, t3, stage)
+    assert got == expect
+
+
+@PROP
+@given(
+    keys=st.lists(st.integers(0, 5), min_size=1, max_size=40),
+    factor=st.integers(2, 8),
+)
+def test_salted_join_parity_random(spark, keys, factor):
+    from pyspark.sql import functions as F
+
+    from victor_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(k,) for k in keys], "k long")
+    small = spark.createDataFrame([(k, f"v{k}") for k in range(0, 6, 2)], "k long, val string")
+    got = salted_join(big, small, "k", salt_factor=factor).groupBy("k", "val").count()
+    want = big.join(small, "k").groupBy("k", "val").count()
+    assert sorted(got.collect()) == sorted(want.collect())
