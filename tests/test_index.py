@@ -305,3 +305,38 @@ def test_pq_ivf_in_projected_mode_project_the_query(idx):
     from victor_spark.index import DimensionMismatchError
     with pytest.raises(DimensionMismatchError):
         idx.search_pq([0.5] * 3)
+
+
+def test_ivfpq_build_search_and_pruning(idx):
+    idx.insert(_clustered_rows())
+    idx.build_ivfpq(m=2, n_codes=4, n_cells=4)
+    q = [1.0, 0.0, 0.0, 0.0]
+    res = idx.search_ivfpq(q, k=3, nprobe=2).collect()
+    assert len(res) == 3
+    # ADC ascending, and the nearest cluster ('a' rows point at e1) wins
+    dists = [r["adc_dist"] for r in res]
+    assert dists == sorted(dists)
+    assert all(r["content"].startswith("a") for r in res)
+    # the cell probe must be directory pruning over the code table
+    df = idx.search_ivfpq(q, k=2, nprobe=1)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan = plan[plan.index("Scan parquet"):]
+    pf = scan[scan.index("PartitionFilters:"):].splitlines()[0]
+    assert "cell" in pf
+
+
+def test_ivfpq_guards_and_invalidation(idx):
+    with pytest.raises(ValueError):
+        idx.build_ivfpq()
+    idx.insert([("a", [1.0, 0.0], ["ta"]), ("b", [0.0, 1.0], ["tb"])])
+    with pytest.raises(ValueError):
+        idx.search_ivfpq([1.0, 0.0])
+    idx.build_ivfpq(m=2, n_codes=2, n_cells=2)
+    assert idx.search_ivfpq([1.0, 0.0], k=1).first()["content"] == "a"
+    import os
+    # deletion invalidates the serving table like pq/ivf
+    idx.delete(["tb"])
+    assert not os.path.exists(idx.ivfpq_meta_path)
+    assert not os.path.exists(idx.ivfpq_path)

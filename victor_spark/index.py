@@ -84,6 +84,8 @@ class VectorIndex:
         self.pq_meta_path = os.path.join(path, "pq_meta.json")
         self.ivf_path = os.path.join(path, "ivf_data")
         self.ivf_meta_path = os.path.join(path, "ivf_meta.json")
+        self.ivfpq_path = os.path.join(path, "ivfpq_codes")
+        self.ivfpq_meta_path = os.path.join(path, "ivfpq_meta.json")
 
     # -- DML ---------------------------------------------------------------
 
@@ -180,7 +182,8 @@ class VectorIndex:
     def clear(self) -> None:
         """Drop everything (reference clear_db, db.rs:608-625)."""
         for p in (self.data_path, self.model_path, self.pq_path,
-                  self.pq_meta_path, self.ivf_path, self.ivf_meta_path):
+                  self.pq_meta_path, self.ivf_path, self.ivf_meta_path,
+                  self.ivfpq_path, self.ivfpq_meta_path):
             if os.path.exists(p):
                 shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
@@ -503,6 +506,179 @@ class VectorIndex:
         scored = df.select("id", "content", "tags", score.alias("score"))
         return topk(scored, F.col("score"), k, ascending=False)
 
+    def build_ivfpq(self, m: int = 8, n_codes: int = 16,
+                    n_cells: int = 64) -> None:
+        """Materialize the IVF-PQ serving table (operators/ivfpq.py, the
+        FAISS-standard composition): rows assigned to nearest-centroid
+        cells, RESIDUALS (v − centroid) product-quantized, and the
+        ``(id, cell, pq_code)`` table written partitionBy(cell) so a probe
+        is directory pruning over an m-bytes/vector code column.
+
+        Deterministic centroids ('ivfpq-cent' salt rule: smallest salted
+        md5 of id) and residual codebook ('ivfpq-cb'), standing in for
+        k-means like build_pq/build_ivf. A maintenance artifact — rebuild
+        after batch loads."""
+        import json
+        import math
+
+        from victor_spark.operators import pq as PQ
+
+        if self.is_empty():
+            raise ValueError("cannot build IVF-PQ over an empty index")
+        dim = self.dimension()
+        if dim % m != 0:
+            raise ValueError(f"dimension {dim} not divisible by m={m}")
+        full = self.scan().select("id", "embedding")
+        # one collect for both model artifacts: centroid rows + codebook rows
+        tagged = full.select(
+            "id", "embedding",
+            F.conv(F.substring(F.md5(F.concat(F.lit("ivfpq-cent:"), F.col("id"))), 1, 8),
+                   16, 10).cast("long").alias("_hc"),
+            F.conv(F.substring(F.md5(F.concat(F.lit("ivfpq-cb:"), F.col("id"))), 1, 8),
+                   16, 10).cast("long").alias("_hb"),
+        )
+        cent_part = tagged.orderBy("_hc", "id").limit(n_cells).select(
+            "id", "embedding", F.lit("cent").alias("_part")
+        )
+        cb_part = tagged.orderBy("_hb", "id").limit(n_codes).select(
+            "id", "embedding", F.lit("cb").alias("_part")
+        )
+        rows = cent_part.unionAll(cb_part).collect()
+        cents = [
+            [float(x) for x in r["embedding"]]
+            for r in sorted((r for r in rows if r["_part"] == "cent"),
+                            key=lambda r: r["id"])
+        ]
+        cb_vecs = [
+            [float(x) for x in r["embedding"]]
+            for r in sorted((r for r in rows if r["_part"] == "cb"),
+                            key=lambda r: r["id"])
+        ]
+
+        def _cos(a, b):
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            if na == 0 or nb == 0:
+                return float("-inf")
+            return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+        def _cell_of(v):
+            return min(range(len(cents)), key=lambda i: (-_cos(v, cents[i]), i))
+
+        codebook = [
+            [x - c for x, c in zip(v, cents[_cell_of(v)])] for v in cb_vecs
+        ]
+
+        cent_df = F.broadcast(self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cell int, cv array<double>"
+        ))
+        from pyspark.sql import Window as W
+
+        scored = full.crossJoin(cent_df).withColumn(
+            "_cs", cosine("embedding", "cv")
+        )
+        w = W.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "id", "cell",
+                F.zip_with("embedding", "cv", lambda x, y: x - y).alias("_r"),
+            )
+        )
+        enc = PQ.encode(assigned, "_r", codebook, m=m).select("id", "cell", "pq_code")
+        tmp = self.ivfpq_path + "__building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        enc.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        shutil.rmtree(self.ivfpq_path, ignore_errors=True)
+        os.rename(tmp, self.ivfpq_path)
+        with open(self.ivfpq_meta_path, "w") as f:
+            json.dump({"m": m, "centroids": cents, "codebook": codebook}, f)
+
+    def search_ivfpq(self, query: list[float], k: int = 10,
+                     nprobe: int = 2) -> DataFrame:
+        """Approximate top-k by IVF-PQ asymmetric distance: rank cells
+        driver-side, scan only the nprobe best cells' code partitions, and
+        score each with the query-residual LUT for that cell. Returns
+        (id, content, tags, adc_dist ascending). Requires
+        :meth:`build_ivfpq`."""
+        import json
+        import math
+
+        from victor_spark.functions.vector import bind
+        from victor_spark.operators import pq as PQ
+
+        if not os.path.exists(self.ivfpq_meta_path):
+            raise ValueError("no IVF-PQ table built; call build_ivfpq() first")
+        with open(self.ivfpq_meta_path) as f:
+            meta = json.load(f)
+        cents, codebook, m = meta["centroids"], meta["codebook"], meta["m"]
+        q = [float(x) for x in query]
+        model = self._load_model()
+        if model is not None:
+            if len(q) != model.components.shape[0]:
+                raise DimensionMismatchError(
+                    f"query dimension {len(q)} vs model input "
+                    f"dimension {model.components.shape[0]}"
+                )
+            q = model.project_vector(q)
+        if len(q) != len(cents[0]):
+            raise DimensionMismatchError(
+                f"query dimension {len(q)} vs IVF-PQ centroid dimension {len(cents[0])}"
+            )
+        qn = math.sqrt(sum(x * x for x in q)) or float("nan")
+
+        def _cos(c):
+            cn = math.sqrt(sum(x * x for x in c))
+            if cn == 0 or qn != qn:
+                return float("-inf")
+            return sum(a * b for a, b in zip(c, q)) / (cn * qn)
+
+        probe = sorted(range(len(cents)), key=lambda i: (-_cos(cents[i]), i))[
+            : max(1, nprobe)
+        ]
+        codes = self.spark.read.parquet(self.ivfpq_path).filter(
+            F.col("cell").isin(probe)
+        )
+
+        def _score_for(lut):
+            lut_lit = F.array(
+                *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
+            )
+
+            def _s(lut_b):
+                score = None
+                for j in range(m):
+                    term = F.element_at(
+                        F.element_at(lut_b, j + 1),
+                        F.element_at(F.col("pq_code"), j + 1),
+                    )
+                    score = term if score is None else score + term
+                return score
+
+            return bind(lut_lit, _s)
+
+        score = None
+        for c in probe:
+            lut = PQ.adc_lut(
+                [qx - cx for qx, cx in zip(q, cents[c])], codebook, m
+            )
+            s = _score_for(lut)
+            cond = F.col("cell") == c
+            score = F.when(cond, s) if score is None else score.when(cond, s)
+
+        hits = (
+            codes.select("id", score.alias("adc_dist"))
+            .orderBy(F.asc("adc_dist"), F.asc("id"))
+            .limit(k)
+        )
+        content = self.spark.read.parquet(self.data_path).select(
+            "id", "content", "tags"
+        )
+        return F.broadcast(hits).join(content, "id").select(
+            "id", "content", "tags", "adc_dist"
+        ).orderBy(F.asc("adc_dist"), F.asc("id"))
+
     # -- interchange --------------------------------------------------------
 
     def export_jsonl(self, path: str, tags: list[str] | None = None) -> None:
@@ -661,7 +837,7 @@ class VectorIndex:
 
     def _drop_ann_artifacts(self) -> None:
         for p in (self.pq_path, self.pq_meta_path, self.ivf_path,
-                  self.ivf_meta_path):
+                  self.ivf_meta_path, self.ivfpq_path, self.ivfpq_meta_path):
             if os.path.exists(p):
                 shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
 
