@@ -250,3 +250,53 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     }
     assert set(got) == expect
     assert len(got) == ev.count()
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Drained stream-stream interval join == the batch join (both sides
+    watermarked; append rows finalize as the drain advances watermarks)."""
+    from victor_spark.streaming.interval_join import incident_window_join_stream
+
+    src = _stage_dir(tmp_path)
+    stream = _stream_events(spark, src)
+    out = incident_window_join_stream(stream, window_minutes=1440)
+    sink = str(tmp_path / "ij_sink")
+    ckpt = str(tmp_path / "ij_ckpt")
+    (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["incident_id"], r["event_id"], r["lag_sec"])
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    e = load_table(spark, SF_SMOKE, "events")
+    inc = e.filter((F.col("event_type") == "error") & (F.col("value") > 150.0)).select(
+        F.col("event_id").alias("incident_id"),
+        F.col("user_id").alias("incident_user"),
+        F.col("ts").alias("inc_ts"),
+    )
+    fu = e.select("event_id", "user_id", F.col("ts").alias("ev_ts"))
+    cond = (
+        (F.col("incident_user") == F.col("user_id"))
+        & (F.col("ev_ts") >= F.col("inc_ts"))
+        & (F.col("ev_ts") < F.col("inc_ts") + F.expr("INTERVAL 1440 MINUTES"))
+        & (F.col("event_id") != F.col("incident_id"))
+    )
+    expect = {
+        (r["incident_id"], r["event_id"], r["lag_sec"])
+        for r in inc.join(fu, cond)
+        .select(
+            "incident_id", "event_id",
+            F.timestamp_diff("SECOND", F.col("inc_ts"), F.col("ev_ts")).alias("lag_sec"),
+        )
+        .collect()
+    }
+    assert expect  # the smoke data must actually produce joined rows
+    assert got == expect

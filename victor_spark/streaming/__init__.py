@@ -1,8 +1,10 @@
 from victor_spark.streaming.enrich import stream_asof_enrich
 from victor_spark.streaming.ingest import (
+    ensure_event_time,
     hourly_event_counts_stream,
     stream_events_to_table,
 )
+from victor_spark.streaming.interval_join import incident_window_join_stream
 from victor_spark.streaming.search import (
     search_microbatch,
     stream_search,
@@ -20,4 +22,6 @@ __all__ = [
     "search_microbatch",
     "stream_search",
     "stream_asof_enrich",
+    "ensure_event_time",
+    "incident_window_join_stream",
 ]
