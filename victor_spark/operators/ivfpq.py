@@ -95,7 +95,7 @@ def assign_cells(df: DataFrame, id_col: str, vec_col: str,
     spark = df.sparkSession
     cent_df = F.broadcast(spark.createDataFrame(
         [(cell, vs) for cell, vs in sorted(centroids.items())],
-        f"cell long, _cv array<double>",
+        "cell long, _cv array<double>",
     ))
     scored = df.crossJoin(cent_df).select(
         F.col(id_col), F.col(vec_col), "cell",
