@@ -2029,7 +2029,7 @@ WITH inc AS (SELECT event_id AS incident_id, epoch_us(ts) s
 p AS (SELECT epoch_us(ts) t, value FROM events)
 SELECT incident_id,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) / count(*), 6) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE), 4) AS sum_value
 FROM inc JOIN p ON p.t >= inc.s AND p.t < inc.s + 900000000
 GROUP BY incident_id
 """
@@ -2057,11 +2057,15 @@ def q_events_range_join(spark, sf_dir):
     )
     pts = e.select(epoch_us("ts").alias("t"), "value")
     joined = range_join_binned(pts, inc, "t", "w_start", "w_end", win_us)
+    # exact decimal SUM, not sum/count: a divided average can land exactly
+    # on a round() half-boundary, where Spark (HALF_UP on the shortest
+    # decimal repr) and native engines (round of the true binary value)
+    # legitimately disagree by 1 ulp — observed at sf0.1
     return joined.groupBy("incident_id").agg(
         F.count("*").alias("n_events"),
         F.round(
-            F.sum(F.col("value").cast("decimal(24,8)")).cast("double") / F.count("*"), 6
-        ).alias("avg_value"),
+            F.sum(F.col("value").cast("decimal(24,8)")).cast("double"), 4
+        ).alias("sum_value"),
     )
 
 
