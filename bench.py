@@ -108,15 +108,15 @@ def run_suite() -> None:
         except Exception as e:  # warmup must never fail the bench
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
-    # Up to two measured passes, report best-of-2 per query: this sandbox
+    # Up to three measured passes, report best-of-N per query: this sandbox
     # (gVisor, one 32-thread JVM) exhibits multi-second scheduling jitter
-    # that can randomly inflate any single run 5-20x; the min of two passes
+    # that can randomly inflate any single run 5-20x; the min across passes
     # is the steady-state operator cost, which is the quantity being
-    # benchmarked. The second pass stops at a time budget so a jitter storm
+    # benchmarked. Retry passes stop at a time budget so a jitter storm
     # can't push the whole bench past the driver's cap.
     times: dict[str, float] = {}
     bench_start = time.perf_counter()
-    for _pass in range(2):
+    for _pass in range(3):
         # Retry pass: revisit queries worst-first, so whatever budget a
         # jitter-stormy pass 0 leaves is spent re-measuring the queries most
         # likely to be stall-inflated (a 150s minhash, not a 0.4s topk).

@@ -1994,6 +1994,42 @@ def q_events_rollup(spark, sf_dir):
 
 
 @_q(
+    "events_cube",
+    """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(CAST(user_id % 4 AS VARCHAR), 'ALL') AS user_bucket,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE), 4) AS total_value
+FROM events
+GROUP BY CUBE (event_type, user_id % 4)
+""",
+    "full CUBE over (type, user bucket): all four grouping sets in ONE "
+    "aggregation pass (rollup's lattice-complete sibling); NULL markers "
+    "coalesced to 'ALL' on both engines",
+)
+def q_events_cube(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            (F.col("user_id") % 4).cast("string").alias("user_bucket"),
+            "value",
+        )
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(24,8)")).cast("double"), 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("ALL")).alias("user_bucket"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_q(
     "events_quantiles",
     """
 SELECT event_type,
