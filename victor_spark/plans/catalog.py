@@ -1550,6 +1550,37 @@ def q_events_moving_avg(spark, sf_dir):
 
 
 @_q(
+    "quality_ml",
+    None,  # L-BFGS training — iterative, not expressible in one SQL pass
+    "learned quality classifier (CCNet/fastText-style curation leg): "
+    "tokenize -> hashing-trick TF -> logistic regression trained on the "
+    "Gopher rules as weak labels, then a map-side scoring pass; returns "
+    "per-doc P(good) and the weak label it was bootstrapped from",
+)
+def q_quality_ml(spark, sf_dir):
+    from victor_spark.operators.quality_ml import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    weak = (
+        (T.token_count("text") >= 10)
+        & (T.avg_token_len("text") >= 2.0)
+        & (T.avg_token_len("text") <= 10.0)
+        & (T.stopword_ratio("text") >= 0.05)
+    )
+    model = train_quality_classifier(d, "text", weak, num_features=4096,
+                                     max_iter=5)
+    out = score_quality(model, d.select("doc_id", "text"), "text")
+    return out.select(
+        "doc_id",
+        F.round("ml_quality", 4).alias("ml_quality"),
+        (F.col("ml_quality") >= 0.5).cast("int").alias("ml_pass"),
+    )
+
+
+@_q(
     "bpe_train",
     None,  # iterative merge loop — not expressible in one SQL pass
     "BPE vocabulary training (Sennrich 2016): ONE distributed word-count "
