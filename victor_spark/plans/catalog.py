@@ -2061,6 +2061,37 @@ def q_events_cube(spark, sf_dir):
 
 
 @_q(
+    "events_pivot",
+    """
+SELECT CAST(user_id % 4 AS VARCHAR) AS user_bucket,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1
+""",
+    "pivot to wide form: per user-bucket event counts, one column per "
+    "event type (explicit value list, so the plan is ONE aggregation pass "
+    "— no second collect-distinct job and a fixed output schema)",
+)
+def q_events_pivot(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.select((F.col("user_id") % 4).cast("string").alias("user_bucket"),
+                 "event_type")
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+
+
+@_q(
     "events_quantiles",
     """
 SELECT event_type,
