@@ -78,3 +78,34 @@ def test_orc_round_trip(spark, tmp_path):
     back = read_orc(spark, path)
     assert back.schema == df.schema
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_events_nanos_parquet_readable_in_any_session(spark, tmp_path):
+    """Files regenerated with TIMESTAMP(NANOS) must not kill the catalog:
+    vanilla Spark rejects NANOS at schema inference (the round-1 events
+    outage), so load_table retries with nanosAsLong and normalizes to NTZ."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from victor_spark.sources import load_table
+    from victor_spark.sources.tables import epoch_us
+
+    t = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000_123, 1_700_000_111_000_000_456],
+                       pa.timestamp("ns")),
+        "user_id": pa.array([7, 8], pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    })
+    papq.write_table(t, str(tmp_path / "events.parquet"),
+                     coerce_timestamps=None, version="2.6")
+    # ensure this session has no leftover conf from another test
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = sorted(r[0] for r in df.select(epoch_us("ts")).collect())
+    # nanos truncated to micros
+    assert got == [1_700_000_000_000_000, 1_700_000_111_000_000]
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

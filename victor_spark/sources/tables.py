@@ -43,12 +43,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - ``bigint`` (legacy nanosAsLong sessions reading NANOS files):
       truncate to micros, then micros→NTZ.
 
+    If the files carry TIMESTAMP(NANOS) — which vanilla Spark REJECTS at
+    schema-inference time (PARQUET_TYPE_ILLEGAL; this killed every events
+    query of round 1 in the driver's own session) — the read is retried
+    with ``spark.sql.legacy.parquet.nanosAsLong`` set, landing in the
+    bigint branch above. The conf is runtime-settable, so this repairs
+    sessions we didn't build.
+
     Downstream, every events query does its time arithmetic in NTZ (see
     ``epoch_us``), so results are identical in any session timezone.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException: footer read is eager
+        if "PARQUET_TYPE_ILLEGAL" not in str(exc):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
 
