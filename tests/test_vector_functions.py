@@ -130,3 +130,27 @@ def test_quantize_idempotent(spark):
         .first()
     )
     assert r["err"] < 1e-9
+
+
+def test_pandas_cosine_matches_native_kernel(spark):
+    """The Arrow/numpy cosine and the native fold agree to float tolerance
+    on real vectors (exact hash parity is the native kernel's job)."""
+    from victor_spark.functions.vector import (
+        cosine_to_literal,
+        cosine_to_literal_pandas,
+        to_double_array,
+    )
+    from victor_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    ).limit(50)
+    q = [float(x) for x in e.first()["v"]]
+    both = e.select(
+        cosine_to_literal("v", q).alias("native"),
+        cosine_to_literal_pandas("v", q).alias("arrow"),
+    ).collect()
+    assert len(both) == 50
+    for r in both:
+        assert abs(r["native"] - r["arrow"]) < 1e-12

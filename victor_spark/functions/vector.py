@@ -183,3 +183,35 @@ def dequantize(quant: ColumnOrName, qmin: ColumnOrName, qmax: ColumnOrName) -> C
 def dim(v: ColumnOrName) -> Column:
     """Vector dimension."""
     return F.size(_col(v))
+
+
+def cosine_to_literal_pandas(v: ColumnOrName, q: list[float]):
+    """Vectorized (Arrow/numpy) cosine against a fixed query vector — the
+    Pandas-UDF alternative to the native ``cosine_to_literal`` fold.
+
+    The native expression wins below a few hundred dims (it never leaves
+    the JVM); at the reference's 1536 dims the Arrow batch transfer is
+    amortized by one numpy matmul per batch instead of per-element
+    interpreted folds — the same crossover that makes pca.py auto-pick its
+    matmul form for large models. Results are IEEE double ops in a
+    different summation order, so scores can differ from the fold by ulps:
+    callers that hash-compare must stay on the native kernel.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    qv = np.asarray(q, dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
+
+    def _cos(col):
+        m = np.stack(col.to_numpy())  # (batch, d)
+        num = m @ qv
+        den = np.sqrt((m * m).sum(axis=1)) * qn
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return pd.Series(num / den)
+
+    # `from __future__ import annotations` stringifies hints, which the
+    # pandas_udf signature parser rejects — set them as live objects
+    _cos.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")(_col(v))
