@@ -2061,6 +2061,30 @@ def q_events_cube(spark, sf_dir):
 
 
 @_q(
+    "events_first_last",
+    """
+SELECT event_type,
+       CAST(arg_min(event_id, ts) AS BIGINT) AS first_event_id,
+       round(arg_min(value, ts), 6) AS first_value,
+       CAST(arg_max(event_id, ts) AS BIGINT) AS last_event_id,
+       round(arg_max(value, ts), 6) AS last_value
+FROM events GROUP BY event_type
+""",
+    "argmin/argmax aggregates: the first and last event per type in one "
+    "aggregation pass (min_by/max_by — no sort, no window; ties impossible "
+    "on the unique-microsecond ts)",
+)
+def q_events_first_last(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min_by("event_id", "ts").cast("long").alias("first_event_id"),
+        F.round(F.min_by("value", "ts"), 6).alias("first_value"),
+        F.max_by("event_id", "ts").cast("long").alias("last_event_id"),
+        F.round(F.max_by("value", "ts"), 6).alias("last_value"),
+    )
+
+
+@_q(
     "events_pivot",
     """
 SELECT CAST(user_id % 4 AS VARCHAR) AS user_bucket,
