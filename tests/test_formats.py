@@ -108,4 +108,7 @@ def test_events_nanos_parquet_readable_in_any_session(spark, tmp_path):
     got = sorted(r[0] for r in df.select(epoch_us("ts")).collect())
     # nanos truncated to micros
     assert got == [1_700_000_000_000_000, 1_700_000_111_000_000]
-    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    # load_table must restore the caller's conf (here: unset → the "false"
+    # default) after the retried read, so unrelated NANOS reads in the same
+    # session keep their own interpretation
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"

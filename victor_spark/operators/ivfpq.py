@@ -74,8 +74,13 @@ def collect_ivfpq_model(df: DataFrame, id_col: str, vec_col: str,
 
 
 def _cosine(a: list[float], b: list[float]) -> float:
-    d = sum(x * y for x, y in zip(a, b))
-    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+    # zero-norm guard matches index.py's _cos: a zero vector sorts last
+    # instead of raising ZeroDivisionError during model collection
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    if na == 0.0 or nb == 0.0:
+        return float("-inf")
+    return sum(x * y for x, y in zip(a, b)) / (na * nb)
 
 
 def _nearest_cell(v: list[float], centroids: dict) -> int:

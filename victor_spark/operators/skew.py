@@ -23,18 +23,22 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
                 salt_factor: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join ``big ⋈ small`` on column ``on`` with the big side salted.
 
-    big rows get a deterministic salt in [0, salt_factor) (hash of the full
-    row's key + a per-row uniquifier is unnecessary — any spread works, and
-    a *deterministic* spread keeps reruns identical); small rows are
-    replicated once per salt via a literal explode. Join columns other than
-    ``on`` keep their origin side's names, as with a normal equi-join.
+    big rows get a deterministic salt in [0, salt_factor): xxhash64 over
+    the FULL row, so the salt depends only on row content — reruns with a
+    different partition count or file layout assign identical salts (a
+    partition-dependent uniquifier like monotonically_increasing_id would
+    not). Exact duplicate rows share a salt; that only re-concentrates
+    load if the hot key's rows are near-all identical, in which case raise
+    salt_factor or dedup first. Small rows are replicated once per salt via
+    a literal explode. Join columns other than ``on`` keep their origin
+    side's names, as with a normal equi-join.
 
     Only inner/left joins make sense here (the replicated small side would
     duplicate right-outer rows)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     salt = F.pmod(
-        F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(salt_factor)
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_factor)
     ).cast("int")
     b = big.withColumn("_salt", salt)
     s = small.withColumn(

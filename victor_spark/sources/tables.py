@@ -61,8 +61,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception as exc:  # AnalysisException: footer read is eager
         if "PARQUET_TYPE_ILLEGAL" not in str(exc):
             raise
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # scope the legacy conf to this read: set, re-read, force analysis
+        # (the physical scan reuses the analysis-time schema), then restore
+        # the caller's previous value so unrelated NANOS parquet reads in
+        # the same session keep their original interpretation.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis while the conf is in effect
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
     if name == "events":
         from pyspark.sql import functions as F
 
