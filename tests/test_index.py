@@ -340,3 +340,76 @@ def test_ivfpq_guards_and_invalidation(idx):
     idx.delete(["tb"])
     assert not os.path.exists(idx.ivfpq_meta_path)
     assert not os.path.exists(idx.ivfpq_path)
+
+
+# -- tag-set metadata listing (the index.bin analog, db.rs:629-643) --------
+
+
+def test_tag_listing_maintained_on_insert(idx):
+    import os
+
+    idx.insert([("a", [1.0, 0.0], ["x"]), ("b", [0.0, 1.0], ["x", "y"])])
+    assert os.path.exists(idx.tagsets_path)
+    listing = dict(idx._read_tag_sets())
+    assert sorted(listing.values()) == [["x"], ["x", "y"]]
+    # second batch: only genuinely new tag-sets are added, no duplicates
+    idx.insert([("c", [1.0, 1.0], ["x"]), ("d", [0.5, 0.5], ["z"])])
+    listing = idx._read_tag_sets()
+    assert sorted(ts for _, ts in listing) == [["x"], ["x", "y"], ["z"]]
+    assert len(listing) == len({tsid for tsid, _ in listing})
+
+
+def test_tagged_scan_resolves_from_metadata_not_data(idx, monkeypatch):
+    """The superset predicate must be answered by the metadata listing —
+    at 100 TB a full-corpus distinct before every tagged query is a
+    scan-the-world prologue (the round-2 scale-killer)."""
+    idx.insert([("a", [1.0, 0.0], ["x"]), ("b", [0.0, 1.0], ["y"])])
+    monkeypatch.setattr(
+        idx, "_derive_tag_sets",
+        lambda: (_ for _ in ()).throw(AssertionError("data scan on hot path")),
+    )
+    got = [r["content"] for r in idx.scan(["x"]).collect()]
+    assert got == ["a"]
+    # the pruned read itself only lists the matching partition directory
+    assert idx.search([1.0, 0.0], k=5, tags=["y"]).first()["content"] == "b"
+
+
+def test_tag_listing_self_heals_for_legacy_index(idx):
+    import os
+
+    idx.insert([("a", [1.0, 0.0], ["x"])])
+    os.remove(idx.tagsets_path)  # simulate an index written pre-listing
+    assert idx._read_tag_sets() is None
+    assert [r["content"] for r in idx.scan(["x"]).collect()] == ["a"]
+    # the fallback derive rewrote the listing for next time
+    assert idx._read_tag_sets() is not None
+
+
+def test_delete_updates_listing_and_counts_from_footers(idx, monkeypatch):
+    idx.insert([("a", [1.0, 0.0], ["x"]),
+                ("b", [0.0, 1.0], ["x", "y"]),
+                ("c", [1.0, 1.0], ["z"])])
+    # delete must not scan data rows: poison the Spark read path for the
+    # duration of the call (footer metadata + the listing suffice)
+    real_read = idx.spark.read
+
+    class _NoRead:
+        def parquet(self, *a, **k):
+            raise AssertionError("delete() read the data")
+
+    monkeypatch.setattr(type(idx.spark), "read", property(lambda self: _NoRead()))
+    try:
+        assert idx.delete(["x"]) == 2
+    finally:
+        monkeypatch.undo()
+    assert [ts for _, ts in idx._read_tag_sets()] == [["z"]]
+    assert [r["content"] for r in idx.scan().collect()] == ["c"]
+
+
+def test_clear_removes_listing(idx):
+    import os
+
+    idx.insert([("a", [1.0, 0.0], ["x"])])
+    idx.clear()
+    assert not os.path.exists(idx.tagsets_path)
+    assert idx.is_empty()

@@ -8,8 +8,10 @@ storage; PCA projected mode under storage pressure.
 Physical design (SURVEY.md §1.4):
 - one parquet table partitioned by `tag_set_id` = sha256 of the canonical
   sorted tag list (reference filename_for_tags, db.rs:645-650). Partition
-  pruning over tag_set_id IS the reference's index.bin — no side index to
-  keep in sync; the partition listing is the set of tag-sets.
+  pruning over tag_set_id IS the reference's file selection; the tag-set ↔
+  id map lives in a tiny `tag_sets.parquet` metadata listing (the analog of
+  index.bin, db.rs:629-643) maintained on insert/delete, so resolving the
+  tag-superset predicate never touches the data.
 - vectors stored quantized (qmin/qmax/quant columns, packed_vector.rs
   semantics) exactly as the reference always stores packed; search
   dequantizes in the scan projection (a codegen'd transform, free relative
@@ -79,6 +81,7 @@ class VectorIndex:
         self.spark = spark
         self.path = path
         self.data_path = os.path.join(path, "data")
+        self.tagsets_path = os.path.join(path, "tag_sets.parquet")
         self.model_path = os.path.join(path, "pca_model.npz")
         self.pq_path = os.path.join(path, "pq_codes")
         self.pq_meta_path = os.path.join(path, "pq_meta.json")
@@ -137,13 +140,22 @@ class VectorIndex:
         # (the model's input side) and are projected before write
         # (db.rs:480-499); otherwise they must match the stored dimension.
         dim = model.components.shape[0] if model is not None else self.dimension()
-        batch_dims = [r["d"] for r in df.select(F.size("embedding").alias("d")).distinct().collect()]
+        tags_norm = F.array_sort(F.array_distinct(F.coalesce(F.col("tags"), F.array())))
+        # one validation pass over the batch yields BOTH the dimension check
+        # and the batch's distinct tag-sets (the rows for the tag-set
+        # metadata listing) — distinct (dim, tag-set) combos are few by
+        # construction, so the collect is bounded
+        combos = (
+            df.select(F.size("embedding").alias("d"), tags_norm.alias("tags"))
+            .distinct()
+            .collect()
+        )
+        batch_dims = sorted({r["d"] for r in combos})
         if len(batch_dims) > 1 or (dim is not None and batch_dims and batch_dims[0] != dim):
             raise DimensionMismatchError(
-                f"index dimension {dim}, batch dimensions {sorted(batch_dims)}"
+                f"index dimension {dim}, batch dimensions {batch_dims}"
             )
-
-        tags_norm = F.array_sort(F.array_distinct(F.coalesce(F.col("tags"), F.array())))
+        batch_sets = {tuple(r["tags"]) for r in combos}
         staged = df.select(
             F.col("content"),
             F.col("embedding").cast("array<double>").alias("_vec"),
@@ -178,10 +190,88 @@ class VectorIndex:
             F.sha2(F.array_join(F.col("tags"), ","), 256).alias("tag_set_id"),
         )
         out.write.mode("append").partitionBy("tag_set_id").parquet(self.data_path)
+        # data first, then metadata: the listing must never name a tag-set
+        # whose partition directory doesn't exist yet
+        self._register_tag_sets(batch_sets)
+
+    # -- tag-set metadata listing ------------------------------------------
+    #
+    # The Spark analog of the reference's index.bin (db.rs:629-643): a tiny
+    # (tag_set_id, tags) table kept NEXT TO the data, maintained on
+    # insert/delete, and read instead of the data on every tagged scan.
+    # Without it, resolving the tag-superset predicate means a full-corpus
+    # distinct over the tags column before every query — a scan-the-world
+    # prologue at 100 TB. The listing is O(#distinct tag-sets) — hundreds of
+    # rows — so it's read and filtered driver-side with no Spark job at all,
+    # exactly like the reference reads index.bin. (Local FS here, matching
+    # the rest of this class's directory maintenance; on a cluster the same
+    # file lives on the shared FS and is read via pyarrow's fsspec handler.)
+
+    def _read_tag_sets(self) -> list[tuple[str, list[str]]] | None:
+        """The (tag_set_id, tags) listing, or None if no metadata exists
+        (an index written before this listing existed)."""
+        if not os.path.exists(self.tagsets_path):
+            return None
+        import pyarrow.parquet as papq
+
+        t = papq.read_table(self.tagsets_path)
+        return list(zip(
+            (str(x) for x in t.column("tag_set_id").to_pylist()),
+            ([list(v) for v in t.column("tags").to_pylist()]),
+        ))
+
+    def _write_tag_sets(self, rows: list[tuple[str, list[str]]]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        t = pa.table({
+            "tag_set_id": pa.array([r[0] for r in rows], pa.string()),
+            "tags": pa.array([r[1] for r in rows], pa.list_(pa.string())),
+        })
+        tmp = self.tagsets_path + ".tmp"
+        papq.write_table(t, tmp)
+        os.replace(tmp, self.tagsets_path)
+
+    def _register_tag_sets(self, batch_sets: set[tuple[str, ...]]) -> None:
+        existing = self._read_tag_sets() or self._derive_tag_sets()
+        known = {tsid for tsid, _ in existing}
+        new = [
+            (tag_set_id(list(ts)), list(ts))
+            for ts in sorted(batch_sets)
+            if tag_set_id(list(ts)) not in known
+        ]
+        if new or not os.path.exists(self.tagsets_path):
+            self._write_tag_sets(sorted(existing + new))
+
+    def _derive_tag_sets(self) -> list[tuple[str, list[str]]]:
+        """Rebuild the listing from the data (self-healing fallback for
+        indexes created before the metadata file existed). This is the old
+        full-corpus distinct — paid at most once, after which the listing
+        is maintained incrementally."""
+        if self.is_empty():
+            return []
+        rows = (
+            self.spark.read.parquet(self.data_path)
+            .select("tag_set_id", "tags")
+            .distinct()
+            .collect()
+        )
+        return [(r["tag_set_id"], list(r["tags"])) for r in rows]
+
+    def _matching_tag_set_ids(self, tags: list[str]) -> list[str]:
+        """tag_set_ids whose stored tag-set ⊇ ``tags`` (reference
+        get_matching_db_files, db.rs:687-706), resolved from the metadata
+        listing — no data scan."""
+        listing = self._read_tag_sets()
+        if listing is None:
+            listing = self._derive_tag_sets()
+            self._write_tag_sets(sorted(listing))  # heal for next time
+        want = set(tags)
+        return [tsid for tsid, ts in listing if want.issubset(ts)]
 
     def clear(self) -> None:
         """Drop everything (reference clear_db, db.rs:608-625)."""
-        for p in (self.data_path, self.model_path, self.pq_path,
+        for p in (self.data_path, self.tagsets_path, self.model_path, self.pq_path,
                   self.pq_meta_path, self.ivf_path, self.ivf_meta_path,
                   self.ivfpq_path, self.ivfpq_meta_path):
             if os.path.exists(p):
@@ -203,28 +293,32 @@ class VectorIndex:
                              "to drop the whole index")
         if self.is_empty():
             return 0
-        df = self.spark.read.parquet(self.data_path)
-        query_tags = sorted(set(tags))
-        victims = (
-            df.select("tag_set_id", "tags")
-            .distinct()
-            .filter(
-                F.forall(
-                    F.array(*[F.lit(t) for t in query_tags]),
-                    lambda t: F.array_contains(F.col("tags"), t),
-                )
-            )
-            .collect()
-        )
-        if not victims:
+        ids = self._matching_tag_set_ids(sorted(set(tags)))
+        if not ids:
             return 0
-        ids = [r["tag_set_id"] for r in victims]
-        n = df.filter(F.col("tag_set_id").isin(ids)).count()
+        # victim count from parquet FOOTERS of the doomed directories — row
+        # counts are free metadata; no data pages are read (the reference
+        # returns the count from its in-memory index, db.rs:629-643)
+        import pyarrow.parquet as papq
+
+        n = 0
         for tsid in ids:
-            shutil.rmtree(
-                os.path.join(self.data_path, f"tag_set_id={tsid}"),
-                ignore_errors=True,
-            )
+            part_dir = os.path.join(self.data_path, f"tag_set_id={tsid}")
+            if not os.path.isdir(part_dir):
+                continue
+            for fname in os.listdir(part_dir):
+                if fname.endswith(".parquet"):
+                    n += papq.ParquetFile(
+                        os.path.join(part_dir, fname)
+                    ).metadata.num_rows
+            shutil.rmtree(part_dir, ignore_errors=True)
+        doomed = set(ids)
+        survivors = [
+            (tsid, ts)
+            for tsid, ts in (self._read_tag_sets() or [])
+            if tsid not in doomed
+        ]
+        self._write_tag_sets(survivors)
         remaining = [
             d for d in os.listdir(self.data_path) if d.startswith("tag_set_id=")
         ]
@@ -248,25 +342,14 @@ class VectorIndex:
         a stored tag-set matches iff it ⊇ the query tags; empty query
         matches everything).
 
-        The superset predicate is evaluated over the tiny distinct tag-set
-        listing and turned into an IN-list on the partition column, so the
-        parquet scan prunes directories exactly like the reference selects
-        files."""
+        The superset predicate is evaluated over the tag-set METADATA
+        listing (a few-hundred-row parquet read driver-side — no Spark job,
+        no data scan) and turned into an IN-list on the partition column,
+        so the parquet scan prunes directories exactly like the reference
+        selects files from index.bin."""
         df = self.spark.read.parquet(self.data_path)
         if tags:
-            query_tags = sorted(set(tags))
-            listing = [
-                r["tag_set_id"]
-                for r in df.select("tag_set_id", "tags")
-                .distinct()
-                .filter(
-                    F.forall(
-                        F.array(*[F.lit(t) for t in query_tags]),
-                        lambda t: F.array_contains(F.col("tags"), t),
-                    )
-                )
-                .collect()
-            ]
+            listing = self._matching_tag_set_ids(sorted(set(tags)))
             if not listing:
                 df = df.filter(F.lit(False))
             else:
