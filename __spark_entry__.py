@@ -31,7 +31,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    """DuckDB-equivalent SQL for every SQL-expressible query.
+
+    The driver runs these at sf=0.01; dynamic oracles (deterministic
+    driver-side computations whose result the SQL states literally, e.g.
+    the BPE merge table) are resolved against the same data here.
+    """
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+        name: spec.oracle_sql(sf_dir)
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None
     }

@@ -29,7 +29,7 @@ ROWS_ONLY = [name for name, spec in QUERIES.items() if spec.oracle is None]
 def test_oracle_parity(spark, duck, name):
     spec = QUERIES[name]
     sdf = spec.build(spark, SF_SMOKE)
-    odf = duck.execute(spec.oracle).fetchdf()
+    odf = duck.execute(spec.oracle_sql(SF_SMOKE)).fetchdf()
     problems = compare(sdf, odf)
     assert not problems, f"{name}: {problems}"
 

@@ -45,6 +45,69 @@ def train_quality_classifier(docs: DataFrame, text_col: str,
     return pipe.fit(train)
 
 
+def quality_feature_columns(text_col: str) -> list[Column]:
+    """The interpretable feature vector for the linear scorer, in fixed
+    order: [ln(1+n_tokens), avg_token_len, punct_ratio, stopword_ratio].
+
+    Each is a pure codegen Column with an exact DuckDB twin (the same
+    fragments the text_stats oracle uses), which is what makes a model
+    over them oracle-replayable: score = sigmoid(b + w·f) is one SQL
+    expression."""
+    from victor_spark.functions import text as T
+
+    return [
+        F.log1p(T.token_count(text_col).cast("double")),
+        T.avg_token_len(text_col),
+        T.punct_ratio(text_col),
+        T.stopword_ratio(text_col),
+    ]
+
+
+def train_feature_lr(docs: DataFrame, text_col: str, weak_label: Column,
+                     max_iter: int = 50,
+                     reg_param: float = 0.1) -> tuple[float, list[float]]:
+    """Fit LogisticRegression over the interpretable features; returns
+    (intercept, coefficients) for baking into score_linear as literals.
+
+    This is the 'train once, export weights' leg: training is a bounded
+    offline job (L-BFGS treeAggregate passes), the exported scalars ride
+    along in code/config, and serving is pure map-side codegen — the shape
+    every production quality-classifier deployment uses (train offline,
+    score with frozen weights)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import array_to_vector
+
+    feats = quality_feature_columns(text_col)
+    train = docs.select(
+        array_to_vector(F.array(*feats)).alias("features"),
+        weak_label.cast("double").alias("label"),
+    )
+    # L2 regularization keeps the exported weights finite even when the
+    # weak labels are (near-)separable in this feature space
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param,
+                            standardization=True,
+                            featuresCol="features", labelCol="label")
+    m = lr.fit(train)
+    _ = VectorAssembler  # referenced for the pyspark.ml feature idiom
+    return float(m.intercept), [float(c) for c in m.coefficients]
+
+
+def score_linear(docs: DataFrame, text_col: str, intercept: float,
+                 coefficients: list[float],
+                 out_col: str = "ml_quality") -> DataFrame:
+    """Attach ``out_col`` = sigmoid(intercept + coefficients · features).
+
+    Frozen-weights serving: no model object, no UDF — the whole scorer is
+    one whole-stage-codegen expression, so it runs at scan speed over a
+    100 TB corpus and replays exactly in the DuckDB oracle."""
+    feats = quality_feature_columns(text_col)
+    z = F.lit(float(intercept))
+    for w, f in zip(coefficients, feats):
+        z = z + F.lit(float(w)) * f
+    return docs.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
 def score_quality(model, docs: DataFrame, text_col: str,
                   out_col: str = "ml_quality") -> DataFrame:
     """Attach ``out_col`` = P(good) from the fitted model; keeps all input

