@@ -1,0 +1,141 @@
+"""Deterministic distributed k-means: convergence, determinism, and the
+recall improvement it buys the ANN paths over sampled centroids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from victor_spark.operators.kmeans import fit_kmeans, seed_rows
+
+SF_SMALL = "/root/testdata/sf0.01"
+
+
+def _clustered_df(spark):
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]])
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        v = c + rng.normal(0, 0.1, size=2)
+        rows.append((f"id{i:03d}", [float(v[0]), float(v[1])]))
+    return spark.createDataFrame(rows, "id string, v array<double>")
+
+
+def test_l2_kmeans_finds_separated_clusters(spark):
+    d = _clustered_df(spark)
+    cents = np.asarray(fit_kmeans(d, "id", "v", k=3, max_iter=10, metric="l2"))
+    # every true center is within noise distance of some fitted centroid
+    true = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]])
+    for t in true:
+        assert np.min(np.linalg.norm(cents - t, axis=1)) < 0.5
+
+
+def test_kmeans_is_deterministic(spark):
+    d = _clustered_df(spark)
+    a = fit_kmeans(d, "id", "v", k=3, max_iter=5, metric="cosine")
+    b = fit_kmeans(d, "id", "v", k=3, max_iter=5, metric="cosine")
+    assert a == b
+    # and the init is the documented salted-md5 rule
+    assert seed_rows(d, "id", "v", 3, "kmeans") == seed_rows(d, "id", "v", 3, "kmeans")
+
+
+def test_cosine_kmeans_returns_unit_centroids(spark):
+    d = _clustered_df(spark)
+    cents = np.asarray(fit_kmeans(d, "id", "v", k=3, max_iter=5, metric="cosine"))
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+
+def test_kmeans_beats_sampled_centroids_on_recall(spark):
+    """The reason trainer='kmeans' exists: at equal (k, nprobe), Lloyd
+    centroids follow the corpus density and capture more of each query's
+    true neighborhood than sampled rows. Measured on the sf0.01 embeddings
+    (near-isotropic — the HARD case for IVF; clustered corpora only widen
+    the gap)."""
+    from victor_spark.sources import load_table
+
+    e = load_table(spark, SF_SMALL, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    k, nprobe = 16, 4
+    sample = np.asarray(seed_rows(e, "id", "v", k, "ivf"))
+    trained = np.asarray(
+        fit_kmeans(e, "id", "v", k=k, max_iter=10, metric="cosine", salt="ivf")
+    )
+
+    X = np.asarray([r["v"] for r in e.orderBy("id").collect()])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -2.0)
+    true10 = np.argsort(-S, axis=1)[:, :10]
+
+    def recall(C):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        recs = []
+        for q in range(0, len(X), 5):
+            probe = set(np.argsort(-(Cn @ Xn[q]))[:nprobe])
+            cand = [i for i in range(len(X)) if assign[i] in probe and i != q]
+            cand = sorted(cand, key=lambda i: -S[q, i])[:10]
+            recs.append(len(set(cand) & set(true10[q])) / 10)
+        return float(np.mean(recs))
+
+    r_sample, r_kmeans = recall(sample), recall(trained)
+    assert r_kmeans > r_sample, (r_kmeans, r_sample)
+    assert r_kmeans >= 0.5  # the k=16/nprobe=4 operating point on this corpus
+
+
+@pytest.fixture()
+def small_idx(spark, tmp_path):
+    from victor_spark.index import VectorIndex
+
+    rng = np.random.default_rng(5)
+    idx = VectorIndex(spark, str(tmp_path / "kidx"))
+    rows = [(f"doc{i}", [float(x) for x in rng.normal(0, 1, 8)], [])
+            for i in range(40)]
+    idx.insert(rows)
+    return idx, rows
+
+
+def test_build_ivf_with_kmeans_trainer(small_idx):
+    idx, rows = small_idx
+    idx.build_ivf(n_cells=4, trainer="kmeans", train_iters=5)
+    got = idx.search_ivf(rows[7][1], k=3, nprobe=4).collect()
+    # nprobe = all cells -> exact: the query's own row must be top-1
+    assert got[0]["content"] == "doc7"
+
+
+def test_build_ivfpq_with_kmeans_trainer(small_idx):
+    idx, rows = small_idx
+    idx.build_ivfpq(m=2, n_codes=8, n_cells=4, trainer="kmeans", train_iters=5)
+    got = idx.search_ivfpq(rows[3][1], k=5, nprobe=4).collect()
+    assert len(got) == 5
+    assert all(got[i]["adc_dist"] <= got[i + 1]["adc_dist"] for i in range(4))
+
+
+def test_build_pq_with_kmeans_trainer_lowers_quantization_error(small_idx):
+    """kmeans codebook must reconstruct better than sampled rows: compare
+    mean ADC distance of each vector to itself (a proxy for quantization
+    error) under both trainers."""
+    idx, rows = small_idx
+
+    def self_dist():
+        tot = 0.0
+        for c, v, _t in rows[:10]:
+            r = idx.search_pq(v, k=1).first()
+            tot += r["adc_dist"]
+        return tot
+
+    idx.build_pq(m=2, n_codes=8, trainer="sample")
+    d_sample = self_dist()
+    idx.build_pq(m=2, n_codes=8, trainer="kmeans", train_iters=8)
+    d_kmeans = self_dist()
+    assert d_kmeans < d_sample, (d_kmeans, d_sample)
+
+
+def test_unknown_trainer_rejected(small_idx):
+    idx, _ = small_idx
+    with pytest.raises(ValueError, match="trainer"):
+        idx.build_ivf(n_cells=2, trainer="magic")

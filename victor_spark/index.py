@@ -409,7 +409,8 @@ class VectorIndex:
 
     # -- PQ serving path (extension; see operators/pq.py) -------------------
 
-    def build_pq(self, m: int = 8, n_codes: int = 16) -> None:
+    def build_pq(self, m: int = 8, n_codes: int = 16,
+                 trainer: str = "sample", train_iters: int = 10) -> None:
         """Build (or refresh) the product-quantization serving table: a
         deterministic codebook over the stored vectors plus an
         ``(id, pq_code)`` parquet of per-subvector codes.
@@ -419,6 +420,11 @@ class VectorIndex:
         of the last build. At scale this is the point: ``search_pq`` scans
         m bytes/row instead of the float vectors, with the codebook+LUT
         driver-side (O(n_codes·d)).
+
+        ``trainer="sample"`` (default) keeps the deterministic salted-md5
+        row codebook (oracle-replayable in SQL); ``trainer="kmeans"`` runs
+        ``train_iters`` Lloyd rounds from the same deterministic init —
+        better quantization error, same serving algebra.
         """
         import json
 
@@ -430,7 +436,8 @@ class VectorIndex:
         if dim % m != 0:
             raise ValueError(f"dimension {dim} not divisible by m={m}")
         full = self.scan().select("id", "embedding")
-        cb = pq.codebook_vectors(full, "id", "embedding", k=n_codes)
+        cb = self._train_codebook(full, n_codes, trainer, train_iters,
+                                  metric="l2", salt="pq")
         enc = pq.encode(full, "embedding", cb, m=m).select("id", "pq_code")
         tmp = self.pq_path + "__building"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -439,6 +446,21 @@ class VectorIndex:
         os.rename(tmp, self.pq_path)
         with open(self.pq_meta_path, "w") as f:
             json.dump({"m": m, "codebook": cb}, f)
+
+    def _train_codebook(self, df, k: int, trainer: str, train_iters: int,
+                        metric: str, salt: str) -> list[list[float]]:
+        """Model rows for an ANN artifact: the deterministic salted-md5
+        sample (oracle-replayable) or Lloyd-refined centroids from that
+        same init (better recall at equal serving cost; operators/kmeans)."""
+        from victor_spark.operators import kmeans, pq
+
+        if trainer == "sample":
+            return pq.codebook_vectors(df, "id", "embedding", k=k, salt=salt)
+        if trainer == "kmeans":
+            return kmeans.fit_kmeans(df, "id", "embedding", k=k,
+                                     max_iter=train_iters, metric=metric,
+                                     salt=salt)
+        raise ValueError(f"trainer must be sample|kmeans, got {trainer!r}")
 
     def search_pq(self, query: list[float], k: int = 10) -> DataFrame:
         """Approximate top-k by asymmetric distance: smallest ADC squared
@@ -480,7 +502,8 @@ class VectorIndex:
             "id", "content", "tags", "adc_dist"
         ).orderBy(F.asc("adc_dist"), F.asc("id"))
 
-    def build_ivf(self, n_cells: int = 64) -> None:
+    def build_ivf(self, n_cells: int = 64,
+                  trainer: str = "sample", train_iters: int = 10) -> None:
         """Materialize the inverted-file serving table: rows rewritten
         PARTITIONED BY their nearest-centroid cell, centroids persisted
         driver-side. ``search_ivf`` then probes nprobe cells as parquet
@@ -488,30 +511,21 @@ class VectorIndex:
         cells' files, which is the IVF promise expressed in Spark's own
         storage idiom (same trick as the tag_set_id layout, §1.3/P4).
 
-        Deterministic centroids: the n_cells stored rows with the smallest
-        salted md5 of id (the same stand-in-for-kmeans seam as build_pq).
-        A maintenance artifact — rebuild after batch loads.
+        ``trainer="sample"`` (default): the n_cells stored rows with the
+        smallest salted md5 of id (deterministic, oracle-replayable).
+        ``trainer="kmeans"``: spherical Lloyd from that same init — cells
+        follow the corpus density, worth ~+0.1 recall@10 at equal nprobe
+        (tests/test_kmeans.py measures it). A maintenance artifact —
+        rebuild after batch loads.
         """
         import json
 
         if self.is_empty():
             raise ValueError("cannot build IVF over an empty index")
         full = self.scan().select("id", "content", "tags", "embedding")
-        cent_rows = (
-            full.select("id", "embedding")
-            .withColumn(
-                "_h",
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit("ivf:"), F.col("id"))), 1, 8),
-                    16, 10,
-                ).cast("long"),
-            )
-            .orderBy("_h", "id")
-            .limit(n_cells)
-            .orderBy("id")
-            .collect()
-        )
-        cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+        cents = self._train_codebook(full.select("id", "embedding"), n_cells,
+                                     trainer, train_iters,
+                                     metric="cosine", salt="ivf")
         cent_df = F.broadcast(
             self.spark.createDataFrame(
                 [(i, c) for i, c in enumerate(cents)],
@@ -590,17 +604,21 @@ class VectorIndex:
         return topk(scored, F.col("score"), k, ascending=False)
 
     def build_ivfpq(self, m: int = 8, n_codes: int = 16,
-                    n_cells: int = 64) -> None:
+                    n_cells: int = 64,
+                    trainer: str = "sample", train_iters: int = 10) -> None:
         """Materialize the IVF-PQ serving table (operators/ivfpq.py, the
         FAISS-standard composition): rows assigned to nearest-centroid
         cells, RESIDUALS (v − centroid) product-quantized, and the
         ``(id, cell, pq_code)`` table written partitionBy(cell) so a probe
         is directory pruning over an m-bytes/vector code column.
 
-        Deterministic centroids ('ivfpq-cent' salt rule: smallest salted
-        md5 of id) and residual codebook ('ivfpq-cb'), standing in for
-        k-means like build_pq/build_ivf. A maintenance artifact — rebuild
-        after batch loads."""
+        ``trainer="sample"`` (default): deterministic centroids
+        ('ivfpq-cent' salt rule: smallest salted md5 of id) and residual
+        codebook ('ivfpq-cb'), standing in for k-means like
+        build_pq/build_ivf. ``trainer="kmeans"``: spherical Lloyd for the
+        cells, then L2 Lloyd over the RESIDUALS for the codebook — the
+        FAISS training recipe. A maintenance artifact — rebuild after
+        batch loads."""
         import json
         import math
 
@@ -612,6 +630,9 @@ class VectorIndex:
         if dim % m != 0:
             raise ValueError(f"dimension {dim} not divisible by m={m}")
         full = self.scan().select("id", "embedding")
+        if trainer == "kmeans":
+            self._build_ivfpq_kmeans(full, m, n_codes, n_cells, train_iters)
+            return
         # one collect for both model artifacts: centroid rows + codebook rows
         tagged = full.select(
             "id", "embedding",
@@ -651,17 +672,22 @@ class VectorIndex:
         codebook = [
             [x - c for x, c in zip(v, cents[_cell_of(v)])] for v in cb_vecs
         ]
+        self._write_ivfpq(full, cents, codebook, m)
+
+    def _assign_cells_with_residuals(self, full: DataFrame,
+                                     cents: list[list[float]]) -> DataFrame:
+        """(id, cell, _r): nearest-centroid cell by cosine (ties → lowest
+        cell) and the residual vector — the shared IVF-PQ assignment job."""
+        from pyspark.sql import Window as W
 
         cent_df = F.broadcast(self.spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)], "cell int, cv array<double>"
         ))
-        from pyspark.sql import Window as W
-
         scored = full.crossJoin(cent_df).withColumn(
             "_cs", cosine("embedding", "cv")
         )
         w = W.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cell"))
-        assigned = (
+        return (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(
@@ -669,6 +695,16 @@ class VectorIndex:
                 F.zip_with("embedding", "cv", lambda x, y: x - y).alias("_r"),
             )
         )
+
+    def _write_ivfpq(self, full: DataFrame, cents: list[list[float]],
+                     codebook: list[list[float]], m: int,
+                     assigned: DataFrame | None = None) -> None:
+        import json
+
+        from victor_spark.operators import pq as PQ
+
+        if assigned is None:
+            assigned = self._assign_cells_with_residuals(full, cents)
         enc = PQ.encode(assigned, "_r", codebook, m=m).select("id", "cell", "pq_code")
         tmp = self.ivfpq_path + "__building"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -677,6 +713,23 @@ class VectorIndex:
         os.rename(tmp, self.ivfpq_path)
         with open(self.ivfpq_meta_path, "w") as f:
             json.dump({"m": m, "centroids": cents, "codebook": codebook}, f)
+
+    def _build_ivfpq_kmeans(self, full: DataFrame, m: int, n_codes: int,
+                            n_cells: int, train_iters: int) -> None:
+        """FAISS-recipe training: spherical k-means for the coarse cells,
+        then L2 k-means over the residuals for the shared codebook."""
+        from victor_spark.operators import kmeans
+
+        cents = kmeans.fit_kmeans(full, "id", "embedding", k=n_cells,
+                                  max_iter=train_iters, metric="cosine",
+                                  salt="ivfpq-cent")
+        # the assignment job is the corpus-sized part of the build; compute
+        # it once and feed both the codebook trainer and the encode/write
+        residuals = self._assign_cells_with_residuals(full, cents).localCheckpoint()
+        codebook = kmeans.fit_kmeans(residuals, "id", "_r", k=n_codes,
+                                     max_iter=train_iters, metric="l2",
+                                     salt="ivfpq-cb")
+        self._write_ivfpq(full, cents, codebook, m, assigned=residuals)
 
     def search_ivfpq(self, query: list[float], k: int = 10,
                      nprobe: int = 2) -> DataFrame:
