@@ -39,3 +39,84 @@ def test_add_and_text_search_end_to_end(spark, tmp_path):
     )
     hit = idx.search_text("hawaiian pizza with pineapple", k=1).first()
     assert "pineapple" in hit["content"]
+
+
+# -- backend seam (reference db.rs:102-114 uses fastembed bge-small) --------
+
+
+def test_custom_backend_drives_add_and_search(spark, tmp_path):
+    from victor_spark.functions import embedder
+
+    # defined inside the test so cloudpickle ships it BY VALUE to the
+    # executors (a test-module reference would not import there) — a real
+    # deployment registers a function from an installed package
+    def _toy_encode(texts):
+        out = []
+        for t in texts:
+            t = (t or "").lower()
+            out.append([
+                1.0 if "pizza" in t else 0.0,
+                1.0 if "rock" in t else 0.0,
+                1.0 if "music" in t else 0.0,
+                0.1,
+            ])
+        return out
+
+    embedder.set_backend(_toy_encode, dim=4)
+    try:
+        idx = VectorIndex(spark, str(tmp_path / "cidx"))
+        idx.add(["pizza with extra cheese", "rocks and gravel",
+                 "loud music all night"], dim=4)
+        assert idx.dimension() == 4
+        hit = idx.search_text("music festival", k=1).first()
+        assert "music" in hit["content"]
+        # embed_query goes through the same backend as the batch path
+        assert embedder.embed_query("pizza")[0] == 1.0
+    finally:
+        embedder.set_backend(None)
+
+
+def test_env_model_backend_parsing(monkeypatch):
+    from victor_spark.functions import embedder
+
+    monkeypatch.setenv(embedder.EMBEDDER_ENV, "model:BAAI/bge-small-en-v1.5")
+    kind, name, _ = embedder.backend_spec()
+    assert (kind, name) == ("model", "BAAI/bge-small-en-v1.5")
+    monkeypatch.delenv(embedder.EMBEDDER_ENV)
+    assert embedder.backend_spec()[0] == "hash"
+
+
+def test_env_model_backend_without_libs_raises_clearly(monkeypatch):
+    import pytest
+
+    from victor_spark.functions import embedder
+
+    try:
+        import sentence_transformers  # noqa: F401
+        pytest.skip("sentence-transformers installed; error path not reachable")
+    except ImportError:
+        pass
+    try:
+        import fastembed  # noqa: F401
+        pytest.skip("fastembed installed; error path not reachable")
+    except ImportError:
+        pass
+    monkeypatch.setenv(embedder.EMBEDDER_ENV, "model:BAAI/bge-small-en-v1.5")
+    with pytest.raises(ImportError, match="sentence-transformers nor fastembed"):
+        embedder.embed_query("hello")
+
+
+def test_real_model_end_to_end_if_installed(spark, tmp_path, monkeypatch):
+    """The reference-parity integration (tests.rs:145-161 with real
+    weights): runs only where a model library + weights are available."""
+    import pytest
+
+    pytest.importorskip("sentence_transformers")
+    from victor_spark.functions import embedder
+
+    monkeypatch.setenv(embedder.EMBEDDER_ENV,
+                       "model:sentence-transformers/all-MiniLM-L6-v2")
+    idx = VectorIndex(spark, str(tmp_path / "midx"))
+    idx.add(["a slice of hawaiian pizza", "a pile of grey rocks"])
+    hit = idx.search_text("pineapple on pizza", k=1).first()
+    assert "pizza" in hit["content"]
