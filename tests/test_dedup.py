@@ -111,3 +111,33 @@ def test_duplicate_clusters_strategies_agree(spark):
         for r in duplicate_clusters(pairs, driver_edge_limit=0).collect()
     }
     assert local == dist == {1: 1, 2: 1, 3: 1, 7: 1, 5: 4, 9: 4, 4: 4, 20: 20, 21: 20}
+
+
+def test_incremental_finds_batch_dups_of_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = _docs(spark, [
+        (1, base),
+        (2, "completely different words in this one here now friend"),
+        (3, "another unrelated document with its own distinct content entirely"),
+    ])
+    batch = _docs(spark, [
+        (101, base),  # exact dup of corpus doc 1
+        (102, "fresh never before seen text that matches nothing at all"),
+    ])
+    got = dedup.incremental_near_duplicates(
+        corpus, batch, "doc_id", "text", threshold=0.9
+    ).collect()
+    assert [(r["batch_id"], r["corpus_id"]) for r in got] == [(101, 1)]
+    assert abs(got[0]["jaccard"] - 1.0) < 1e-9
+
+
+def test_incremental_never_pairs_within_batch_or_corpus(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    corpus = _docs(spark, [(1, base), (2, base)])   # intra-corpus dup
+    batch = _docs(spark, [(101, "alpha beta gamma delta epsilon zeta eta theta"),
+                          (102, "alpha beta gamma delta epsilon zeta eta theta")])
+    got = dedup.incremental_near_duplicates(
+        corpus, batch, "doc_id", "text", threshold=0.5
+    ).collect()
+    # only batch-vs-corpus pairs are in scope; (1,2) and (101,102) are not
+    assert got == []

@@ -284,3 +284,21 @@ def test_gapfill_spine_is_broadcast(spark):
     p = plan("events_gapfill", spark)
     assert "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_incremental_dedup_corpus_never_shuffles(spark):
+    # batch bands broadcast onto the corpus band table: the corpus side is
+    # map-side only — no sort-merge join, no corpus-sized exchange before
+    # the candidate join
+    p = plan("dedup_incremental", spark)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_ann_ivf_batch_probe_is_equi_join(spark):
+    # the batched serving path: (query, probed-cell) list broadcast,
+    # candidates found by a hash join on cell — the corpus scan is shared
+    # by every query in the batch
+    p = plan("ann_ivf_batch", spark)
+    assert "BroadcastHashJoin" in p and "[cell" in p
+    assert "SortMergeJoin" not in p

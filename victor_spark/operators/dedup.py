@@ -211,6 +211,56 @@ def ngram_jaccard_join(df: DataFrame, id_col: str, content_col: str,
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def incremental_near_duplicates(corpus: DataFrame, batch: DataFrame,
+                                id_col: str, content_col: str,
+                                threshold: float = 0.7, num_hashes: int = 16,
+                                bands: int = 8, shingle_n: int = 3,
+                                unit: str = "word") -> DataFrame:
+    """Which BATCH docs are near-duplicates of the existing CORPUS — the
+    continuously-arriving-data shape of MinHash dedup. Returns
+    (batch_id, corpus_id, jaccard >= threshold).
+
+    Scale shape (the point of having this as its own operator): the batch
+    is small relative to the corpus, so its banded signatures and the
+    verified candidate set are BROADCAST — the corpus is scanned exactly
+    once, map-side, with no corpus-sized shuffle anywhere. At 100 TB the
+    corpus side's banded signature table would be a precomputed artifact
+    maintained on ingest (the signature is a pure function of the text),
+    turning daily-batch dedup into one broadcast-join scan of the band
+    table; the dataflow below is identical with the scan swapped in.
+    """
+    rows_per_band = num_hashes // bands
+
+    def _bands(df: DataFrame, out_id: str) -> DataFrame:
+        hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
+        sig = hashed.select("doc", "h",
+                            H.minhash_signature("h", num_hashes).alias("sig"))
+        return sig.select(
+            F.col("doc").alias(out_id), F.col("h").alias(f"_h_{out_id}"),
+            F.explode(H.band_keys("sig", bands, rows_per_band)).alias("band_key"),
+        )
+
+    cb = _bands(corpus, "corpus_id")
+    bb = _bands(batch, "batch_id")
+    cands = (
+        cb.join(F.broadcast(bb), "band_key")
+        .select("batch_id", "corpus_id", "_h_batch_id", "_h_corpus_id")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "_inter", F.size(F.array_intersect("_h_batch_id", "_h_corpus_id"))
+        )
+        .select(
+            "batch_id", "corpus_id",
+            (F.col("_inter").cast("double")
+             / (F.size("_h_batch_id") + F.size("_h_corpus_id")
+                - F.col("_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_duplicates(df: DataFrame, id_col: str, content_col: str,
                             threshold: float = 0.7, num_hashes: int = 16,
                             bands: int = 8, shingle_n: int = 3,

@@ -609,6 +609,63 @@ def q_dedup_keep(spark, sf_dir):
     )
 
 
+# Incremental (batch-vs-corpus) MinHash dedup: the continuously-arriving
+# data shape. The corpus is ALL documents; the "arriving batch" is every
+# 10th doc re-submitted under a new id — each must match its original.
+
+_INC_BATCH_SQL = ("SELECT doc_id + 100000 AS doc_id, text FROM documents "
+                  "WHERE doc_id % 10 = 0")
+
+
+def _inc_sig_ctes(name: str, src_sql: str) -> str:
+    return f"""{name}_t AS (SELECT doc_id, {SQL_TOKS.format(s='text')} t FROM ({src_sql})),
+{name}_sh AS (SELECT doc_id, {SQL_WORD_SHINGLES.format(t='t')} shing FROM {name}_t),
+{name}_hs AS (SELECT doc_id,
+              list_distinct(list_transform(shing, s -> {SQL_H32.format(x='s')})) h
+       FROM {name}_sh),
+{name}_sig AS (SELECT doc_id, h, {_minhash_sig_sql()} sig FROM {name}_hs),
+{name}_bands AS (SELECT doc_id, h, unnest({_band_keys_sql()}) band_key FROM {name}_sig)"""
+
+
+_INC_ORACLE = f"""
+WITH {_inc_sig_ctes('c', 'SELECT doc_id, text FROM documents')},
+{_inc_sig_ctes('b', _INC_BATCH_SQL)},
+cand AS (SELECT DISTINCT b.doc_id batch_id, c.doc_id corpus_id, b.h hb, c.h hc
+         FROM b_bands b JOIN c_bands c ON b.band_key = c.band_key),
+ver AS (SELECT batch_id, corpus_id,
+               CAST(len(list_intersect(hb, hc)) AS DOUBLE)
+                 / len(list_distinct(hb || hc)) AS jaccard
+        FROM cand)
+SELECT batch_id, corpus_id, round(jaccard, 6) AS jaccard
+FROM ver WHERE jaccard >= 0.7
+"""
+
+
+@_q(
+    "dedup_incremental",
+    _INC_ORACLE,
+    "incremental dedup — which docs of an ARRIVING BATCH near-duplicate "
+    "the existing corpus: batch band keys broadcast against the corpus "
+    "band table, so the corpus is scanned once map-side with no "
+    "corpus-sized shuffle (at 100 TB the corpus bands are a precomputed "
+    "ingest artifact and daily dedup is one broadcast-join scan)",
+)
+def q_dedup_incremental(spark, sf_dir):
+    from victor_spark.operators.dedup import incremental_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    res = incremental_near_duplicates(
+        d, batch, "doc_id", "text",
+        threshold=0.7, num_hashes=MINHASH_NUM, bands=MINHASH_BANDS,
+        shingle_n=3, unit="word",
+    )
+    return res.select("batch_id", "corpus_id",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 _NGRAM_ORACLE = f"""
 WITH corpus AS ({_DUP_CORPUS_SQL}),
 sh0 AS (SELECT doc_id,
@@ -879,6 +936,98 @@ def _ivf_topk(spark, sf_dir, qid: int, k: int) -> DataFrame:
         "vec_id", (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("_s")
     )
     return out.orderBy(F.desc("_s"), F.asc("vec_id")).limit(k)
+
+
+_IVF_BATCH_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+cent AS (SELECT vec_id cell, v cv, sqrt(list_dot_product(v, v)) cn
+         FROM e WHERE vec_id % 250 = 0),
+assign AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * cn) DESC,
+                    cell) rn
+  FROM e, cent
+),
+cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+q AS (SELECT vec_id query_id, v qv, sqrt(list_dot_product(v, v)) qn
+      FROM e WHERE vec_id % 100 = 11),
+qcells AS (
+  SELECT query_id, qv, qn, cell,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY list_dot_product(cv, qv) / (cn * qn) DESC, cell) rn
+  FROM q, cent
+),
+probe AS (SELECT query_id, qv, qn, cell FROM qcells WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         list_dot_product(c.v, p.qv)
+           / (sqrt(list_dot_product(c.v, c.v)) * p.qn) s
+  FROM cells c JOIN probe p ON c.cell = p.cell
+),
+ranked AS (
+  SELECT query_id, vec_id, s,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) rn
+  FROM scored
+)
+SELECT query_id, vec_id, round(s, 6) AS sim, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+@_q(
+    "ann_ivf_batch",
+    _IVF_BATCH_ORACLE,
+    "BATCHED IVF serving — top-3 for every query in a query SET (vec_id % "
+    "100 = 11) in one dataflow: cell probing becomes an equi-join of the "
+    "(query, probed-cell) list against the cell-assigned corpus, ranked "
+    "per query by a WindowGroupLimit. The single-query path prunes "
+    "partitions; this is the throughput shape — N queries share one "
+    "corpus scan instead of N scans",
+)
+def q_ann_ivf_batch(spark, sf_dir):
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") % 250 == 0).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        ).withColumn("cn", norm("cv"))
+    )
+    scored_cells = e.crossJoin(cent).select(
+        "vec_id", "v", "cell",
+        (dot("v", "cv") / (norm("v") * F.col("cn"))).alias("_cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_cs"), F.asc("cell"))
+    cells = (
+        scored_cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 11).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    ).withColumn("qn", norm("qv"))
+    qw = Window.partitionBy("query_id").orderBy(
+        F.desc("_qs"), F.asc("cell")
+    )
+    probe = F.broadcast(
+        q.crossJoin(cent)
+        .select(
+            "query_id", "qv", "qn", "cell",
+            (dot("cv", "qv") / (F.col("cn") * F.col("qn"))).alias("_qs"),
+        )
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "qv", "qn", "cell")
+    )
+    scored = cells.join(probe, "cell").select(
+        "query_id", "vec_id",
+        (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("_s"),
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", F.round("_s", 6).alias("sim"), "rank")
+    )
 
 
 # Product quantization + ADC: the third ANN strategy (after hyperplane LSH
@@ -1627,14 +1776,25 @@ def q_quality_ml(spark, sf_dir):
     )
 
 
-def _bpe_train_oracle(sf_dir: str) -> str:
-    """Dynamic oracle: recompute the expected merge table independently —
-    word counts via DuckDB SQL (not Spark), then the deterministic
-    (max count, lexicographically-smallest) merge recurrence in plain
-    Python — and state the result as a VALUES literal. The merge loop is
-    pure and deterministic, so the expected table is a function of the
-    data alone; recomputing at gate time keeps the oracle valid when the
-    testdata is regenerated."""
+def _bpe_apply_merge(syms: list[str], left: str, right: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (left, right):
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _expected_bpe_merges(sf_dir: str,
+                         num_merges: int = 20) -> list[tuple[int, str, str, str, int]]:
+    """Independent replay of BPE training: word counts via DuckDB SQL (not
+    Spark), then the deterministic (max count, lexicographically-smallest)
+    merge recurrence in plain Python. Pure function of the data — dynamic
+    oracles recompute it at gate time so regenerated testdata stays
+    covered."""
     import os
     from collections import Counter
 
@@ -1650,8 +1810,8 @@ def _bpe_train_oracle(sf_dir: str) -> str:
     ).fetchall()
     con.close()
     vocab = [(list(word), int(n)) for word, n in wc]
-    merges = []
-    for rank in range(1, 21):
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
         pair_counts: Counter = Counter()
         for syms, n in vocab:
             for pair in zip(syms, syms[1:]):
@@ -1661,18 +1821,14 @@ def _bpe_train_oracle(sf_dir: str) -> str:
         top = max(pair_counts.values())
         left, right = min(p for p, v in pair_counts.items() if v == top)
         merges.append((rank, left, right, left + right, top))
-        rewritten = []
-        for syms, n in vocab:
-            out, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (left, right):
-                    out.append(left + right)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            rewritten.append((out, n))
-        vocab = rewritten
+        vocab = [(_bpe_apply_merge(syms, left, right), n) for syms, n in vocab]
+    return merges
+
+
+def _bpe_train_oracle(sf_dir: str) -> str:
+    """Dynamic oracle: state the independently recomputed merge table as a
+    VALUES literal."""
+    merges = _expected_bpe_merges(sf_dir)
 
     cols = '"rank", "left", "right", merged, pair_count'
     if not merges:
@@ -1710,6 +1866,70 @@ def q_bpe_train(spark, sf_dir):
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
     return train_bpe_merges(d, "text", num_merges=20)
+
+
+def _bpe_encode_oracle(sf_dir: str) -> str:
+    """Dynamic oracle for the ENCODE leg: train the merges independently
+    (same recurrence as _bpe_train_oracle), apply them to every 25th doc
+    in plain Python, and state the per-doc BPE token counts as VALUES."""
+    import os
+
+    import duckdb
+
+    merge_pairs = [(a, b) for _r, a, b, _m, _n in _expected_bpe_merges(sf_dir)]
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') "
+        "WHERE doc_id % 25 = 0"
+    ).fetchall()
+    con.close()
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word)
+        for left, right in merge_pairs:
+            syms = _bpe_apply_merge(syms, left, right)
+        return syms
+
+    rows = []
+    for doc_id, text in docs:
+        n = sum(len(encode_word(w))
+                for w in (text or "").lower().split() if w)
+        rows.append((int(doc_id), n))
+    if not rows:
+        return ("SELECT CAST(NULL AS BIGINT) doc_id, "
+                "CAST(NULL AS BIGINT) n_bpe_tokens WHERE false")
+    values = ", ".join(f"({d}, {n})" for d, n in rows)
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens "
+        f"FROM (VALUES {values}) AS t(doc_id, n_bpe_tokens)"
+    )
+
+
+@_q(
+    "bpe_encode",
+    _bpe_encode_oracle,
+    "BPE ENCODE leg: segment every 25th doc with the 20 trained merges "
+    "(greedy rank-order application, Arrow-batched mapInPandas) and count "
+    "the resulting subword tokens — the tokenizer-serving path a training "
+    "pipeline ships; checked against an independent Python replay of "
+    "train + encode",
+)
+def q_bpe_encode(spark, sf_dir):
+    from victor_spark.operators.bpe import apply_bpe, train_bpe_merges
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe_merges(d, "text", num_merges=20)
+        .orderBy("rank").collect()
+    ]
+    subset = d.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text")
+    enc = apply_bpe(subset, "text", merges, out_col="bpe_tokens")
+    return enc.select(
+        "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
 
 
 # Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1): unlike
