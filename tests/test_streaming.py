@@ -300,3 +300,39 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert expect  # the smoke data must actually produce joined rows
     assert got == expect
+
+
+def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
+    """A drained document stream screened against the static corpus finds
+    exactly the pairs the batch incremental operator finds."""
+    from victor_spark.operators.dedup import incremental_near_duplicates
+    from victor_spark.sources import load_table
+    from victor_spark.streaming.dedup_stream import stream_incremental_dedup
+
+    corpus = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    batch = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    bdir = tmp_path / "docs"
+    batch.coalesce(2).write.parquet(str(bdir))  # >=2 files -> micro-batches
+    stream = spark.readStream.schema(batch.schema).format("parquet").load(str(bdir))
+
+    got = []
+    q = stream_incremental_dedup(
+        stream, corpus, "doc_id", "text",
+        sink=lambda df, epoch: got.extend(
+            (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+            for r in df.collect()
+        ),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    expect = {
+        (r["batch_id"], r["corpus_id"], round(r["jaccard"], 9))
+        for r in incremental_near_duplicates(
+            corpus, batch, "doc_id", "text"
+        ).collect()
+    }
+    assert set(got) == expect
+    assert len(got) == len(expect)  # no pair duplicated across micro-batches

@@ -1,3 +1,4 @@
+from victor_spark.streaming.dedup_stream import stream_incremental_dedup
 from victor_spark.streaming.enrich import stream_asof_enrich
 from victor_spark.streaming.ingest import (
     ensure_event_time,
@@ -22,6 +23,7 @@ __all__ = [
     "search_microbatch",
     "stream_search",
     "stream_asof_enrich",
+    "stream_incremental_dedup",
     "ensure_event_time",
     "incident_window_join_stream",
 ]
