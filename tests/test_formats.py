@@ -112,3 +112,32 @@ def test_events_nanos_parquet_readable_in_any_session(spark, tmp_path):
     # default) after the retried read, so unrelated NANOS reads in the same
     # session keep their own interpretation
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+
+
+def test_text_corpus_one_doc_per_file(spark, tmp_path):
+    from victor_spark.sources.formats import read_text_corpus
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "a.txt").write_text("first document\nwith two lines")
+    (src / "b.txt").write_text("second document")
+    df = read_text_corpus(spark, str(src))
+    rows = {r["source"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    assert rows["a.txt"]["text"] == "first document\nwith two lines"
+    # ids deterministic across re-reads (hash of path, not row order)
+    again = {r["source"].rsplit("/", 1)[-1]: r["doc_id"]
+             for r in read_text_corpus(spark, str(src)).collect()}
+    assert {k: v["doc_id"] for k, v in rows.items()} == again
+
+
+def test_text_corpus_write_round_trip(spark, tmp_path):
+    from victor_spark.sources.formats import write_text_corpus
+
+    df = spark.createDataFrame(
+        [("doc one line",), ("doc\nwith newline",)], "text string"
+    )
+    out = tmp_path / "out"
+    write_text_corpus(df, str(out))
+    got = sorted(r["value"] for r in spark.read.text(str(out)).collect())
+    assert got == ["doc one line", "doc\\nwith newline"]

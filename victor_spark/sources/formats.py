@@ -77,3 +77,38 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write ORC — the interchange columnar format for Hive/Trino-side
     consumers; carries nested types (arrays) natively, unlike CSV."""
     df.write.mode(mode).orc(path)
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read a raw .txt corpus — one DOCUMENT PER FILE — as (doc_id, source,
+    text): the standard entry point for scraped/text-dump training data.
+
+    ``wholetext`` keeps each file one row (a document is a file; corpora
+    with many documents per file should ship JSONL — see read_jsonl).
+    ``doc_id`` is the 32-bit md5 of the file path: deterministic across
+    runs, cluster sizes, and listing order, unlike
+    monotonically_increasing_id. Scaling is by file count — at 100 TB the
+    input is millions of shards and every executor reads its own; note
+    wholetext makes a file's full contents one task's memory, so shard
+    size, not corpus size, bounds memory.
+    """
+    raw = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("source"), F.col("value").alias("text")
+    )
+    return raw.select(
+        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10)
+        .cast("long").alias("doc_id"),
+        "source",
+        "text",
+    )
+
+
+def write_text_corpus(df: DataFrame, path: str, text_col: str = "text",
+                      mode: str = "overwrite") -> None:
+    """Write one text column as raw .txt shards (one LINE per document —
+    newlines inside documents are escaped so the shards stay line-splittable
+    and re-readable with spark.read.text)."""
+    out = df.select(
+        F.regexp_replace(F.col(text_col), "\n", "\\\\n").alias("value")
+    )
+    out.write.mode(mode).text(path)
