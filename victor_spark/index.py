@@ -535,14 +535,15 @@ class VectorIndex:
         scored = full.crossJoin(cent_df).withColumn(
             "_cs", cosine("embedding", "cv")
         )
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cell"))
-        assigned = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("id", "content", "tags", "embedding", "cell")
-        )
+        # argmax cell as a max_by aggregation (tie → lowest cell): partial
+        # aggregation combines map-side, one shuffled row per id — cheaper
+        # than a window's full sort of every (row, centroid) pair
+        assigned = scored.groupBy("id").agg(
+            F.first("content").alias("content"),
+            F.first("tags").alias("tags"),
+            F.first("embedding").alias("embedding"),
+            F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
+        ).select("id", "content", "tags", "embedding", "cell")
         tmp = self.ivf_path + "__building"
         shutil.rmtree(tmp, ignore_errors=True)
         assigned.write.mode("overwrite").partitionBy("cell").parquet(tmp)
@@ -677,23 +678,28 @@ class VectorIndex:
     def _assign_cells_with_residuals(self, full: DataFrame,
                                      cents: list[list[float]]) -> DataFrame:
         """(id, cell, _r): nearest-centroid cell by cosine (ties → lowest
-        cell) and the residual vector — the shared IVF-PQ assignment job."""
-        from pyspark.sql import Window as W
+        cell) and the residual vector — the shared IVF-PQ assignment job.
 
+        Argmax as a max_by aggregation carrying the winning (cell, cv)
+        struct (tie → lowest cell): map-side partial aggregation, one
+        shuffled row per id, residual computed after the pick."""
         cent_df = F.broadcast(self.spark.createDataFrame(
             [(i, c) for i, c in enumerate(cents)], "cell int, cv array<double>"
         ))
         scored = full.crossJoin(cent_df).withColumn(
             "_cs", cosine("embedding", "cv")
         )
-        w = W.partitionBy("id").orderBy(F.desc("_cs"), F.asc("cell"))
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                "id", "cell",
-                F.zip_with("embedding", "cv", lambda x, y: x - y).alias("_r"),
-            )
+        best = scored.groupBy("id").agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by(
+                F.struct("cell", "cv"), F.struct(F.col("_cs"), -F.col("cell"))
+            ).alias("_best"),
+        )
+        return best.select(
+            "id", F.col("_best.cell").alias("cell"),
+            F.zip_with(
+                "embedding", F.col("_best.cv"), lambda x, y: x - y
+            ).alias("_r"),
         )
 
     def _write_ivfpq(self, full: DataFrame, cents: list[list[float]],

@@ -106,11 +106,12 @@ def assign_cells(df: DataFrame, id_col: str, vec_col: str,
         F.col(id_col), F.col(vec_col), "cell",
         cosine(F.col(vec_col), "_cv").alias("_cs"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_cs"), F.asc("cell"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cell")
+    # argmax as a max_by aggregation (ties → lowest cell via the negated
+    # key): partial aggregation combines map-side, so the shuffle carries
+    # one row per id instead of sorting every (row, centroid) pair
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
     )
 
 
