@@ -131,13 +131,21 @@ def test_text_corpus_one_doc_per_file(spark, tmp_path):
     assert {k: v["doc_id"] for k, v in rows.items()} == again
 
 
-def test_text_corpus_write_round_trip(spark, tmp_path):
-    from victor_spark.sources.formats import write_text_corpus
+def test_text_lines_write_read_round_trip_lossless(spark, tmp_path):
+    from victor_spark.sources.formats import read_text_lines, write_text_lines
 
-    df = spark.createDataFrame(
-        [("doc one line",), ("doc\nwith newline",)], "text string"
-    )
+    docs = [
+        "doc one line",
+        "doc\nwith newline",
+        "carriage\rreturn inside",
+        "literal backslash-n: \\n stays two chars",
+        "trailing backslash \\",
+        "\\\\ double backslash and \r\n both",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
     out = tmp_path / "out"
-    write_text_corpus(df, str(out))
-    got = sorted(r["value"] for r in spark.read.text(str(out)).collect())
-    assert got == ["doc one line", "doc\\nwith newline"]
+    write_text_lines(df, str(out))
+    # shards are line-splittable: one physical line per document
+    assert spark.read.text(str(out)).count() == len(docs)
+    got = sorted(r["text"] for r in read_text_lines(spark, str(out)).collect())
+    assert got == sorted(docs)

@@ -413,3 +413,18 @@ def test_clear_removes_listing(idx):
     idx.clear()
     assert not os.path.exists(idx.tagsets_path)
     assert idx.is_empty()
+
+
+def test_tag_listing_reconciles_after_partial_insert(idx):
+    """Crash between the data write and the listing update must not hide
+    rows forever: the next tagged resolution reconciles the listing against
+    the partition directories (pruned one-partition reads, not a scan)."""
+    idx.insert([("a", [1.0, 0.0], ["x"])])
+    idx.insert([("b", [0.0, 1.0], ["y"])])
+    # simulate the crash: rewrite the listing WITHOUT y's entry
+    survivors = [e for e in idx._read_tag_sets() if e[1] != ["y"]]
+    idx._write_tag_sets(survivors)
+    assert [r["content"] for r in idx.scan(["y"]).collect()] == ["b"]
+    # and the repair is persisted
+    assert sorted(ts for _, ts in idx._read_tag_sets()) == [["x"], ["y"]]
+    assert idx.delete(["y"]) == 1

@@ -146,3 +146,11 @@ def test_unknown_trainer_rejected(small_idx):
     idx, _ = small_idx
     with pytest.raises(ValueError, match="trainer"):
         idx.build_ivf(n_cells=2, trainer="magic")
+
+
+def test_fit_kmeans_rejects_empty_input(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "id string, v array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        fit_kmeans(empty, "id", "v", k=4)

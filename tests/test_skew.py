@@ -51,3 +51,15 @@ def test_rejects_right_outer(spark):
     big, small = _tables(spark)
     with pytest.raises(ValueError):
         salted_join(big, small, "k", how="right")
+
+
+def test_salted_join_tolerates_map_columns(spark):
+    from victor_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, {"k": "v"}), (1, {"k2": "v2"}), (2, {})],
+        "uid long, props map<string,string>",
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "uid long, name string")
+    got = salted_join(big, small, "uid", salt_factor=4).collect()
+    assert sorted((r["uid"], r["name"]) for r in got) == [(1, "a"), (1, "a"), (2, "b")]

@@ -261,13 +261,49 @@ class VectorIndex:
     def _matching_tag_set_ids(self, tags: list[str]) -> list[str]:
         """tag_set_ids whose stored tag-set ⊇ ``tags`` (reference
         get_matching_db_files, db.rs:687-706), resolved from the metadata
-        listing — no data scan."""
+        listing — no data scan on the common path."""
         listing = self._read_tag_sets()
         if listing is None:
             listing = self._derive_tag_sets()
             self._write_tag_sets(sorted(listing))  # heal for next time
+        else:
+            listing = self._reconcile_tag_sets(listing)
         want = set(tags)
         return [tsid for tsid, ts in listing if want.issubset(ts)]
+
+    def _reconcile_tag_sets(
+        self, listing: list[tuple[str, list[str]]]
+    ) -> list[tuple[str, list[str]]]:
+        """Repair a listing that lags the data directories — a crash between
+        the data write and _register_tag_sets leaves a partition the listing
+        never names, and the no-metadata heal can't fire because the file
+        exists. The check is one os.listdir (already the cost model of
+        delete()); only UNLISTED partitions pay a pruned one-partition read
+        to recover their tags."""
+        if self.is_empty():
+            return listing
+        on_disk = {
+            d[len("tag_set_id="):]
+            for d in os.listdir(self.data_path)
+            if d.startswith("tag_set_id=")
+        }
+        missing = on_disk - {tsid for tsid, _ in listing}
+        if not missing:
+            return listing
+        recovered = []
+        for tsid in sorted(missing):
+            row = (
+                self.spark.read.parquet(
+                    os.path.join(self.data_path, f"tag_set_id={tsid}")
+                )
+                .select("tags")
+                .first()
+            )
+            if row is not None:
+                recovered.append((tsid, list(row["tags"])))
+        listing = sorted(listing + recovered)
+        self._write_tag_sets(listing)
+        return listing
 
     def clear(self) -> None:
         """Drop everything (reference clear_db, db.rs:608-625)."""

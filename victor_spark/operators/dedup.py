@@ -52,10 +52,11 @@ def with_minhash(df: DataFrame, content_col: str, num_hashes: int = 16,
     )
 
 
-# Live shingle-hash caches (at most one: each build evicts the previous).
-# Bounding this matters on a long-lived session — bench warmup + measured
-# passes + repeated minhash queries would otherwise accumulate cached
-# blocks in the JVM until full-GC stalls.
+# Live shingle-hash caches (bounded: each EVICTING build clears all
+# previous; an operator may hold at most two — see incremental dedup's
+# corpus+batch pair). Bounding this matters on a long-lived session —
+# bench warmup + measured passes + repeated minhash queries would
+# otherwise accumulate cached blocks in the JVM until full-GC stalls.
 _SHINGLE_CACHE: list[DataFrame] = []
 
 
@@ -71,7 +72,8 @@ def release_shingle_caches() -> None:
 
 
 def _hashed_shingles(df: DataFrame, id_col: str, content_col: str,
-                     shingle_n: int, unit: str) -> DataFrame:
+                     shingle_n: int, unit: str,
+                     evict: bool = True) -> DataFrame:
     """(doc, h): distinct 32-bit shingle hashes per doc, CACHED.
 
     The cache is a deliberate recompute barrier: the MinHash pipeline reads
@@ -91,7 +93,11 @@ def _hashed_shingles(df: DataFrame, id_col: str, content_col: str,
 
     grams = (H.char_shingles(content_col, shingle_n) if unit == "char"
              else H.word_shingles(content_col, shingle_n))
-    release_shingle_caches()
+    # evict=False lets an operator cache TWO sides (incremental dedup's
+    # corpus + batch) without the second build unpersisting the first —
+    # both are released together by the next evicting build
+    if evict:
+        release_shingle_caches()
     out = fan_out(df).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(F.transform(grams, H._md5_32_expr)).alias("h"),
@@ -231,8 +237,9 @@ def incremental_near_duplicates(corpus: DataFrame, batch: DataFrame,
     """
     rows_per_band = num_hashes // bands
 
-    def _bands(df: DataFrame, out_id: str) -> DataFrame:
-        hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
+    def _bands(df: DataFrame, out_id: str, evict: bool) -> DataFrame:
+        hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit,
+                                  evict=evict)
         sig = hashed.select("doc", "h",
                             H.minhash_signature("h", num_hashes).alias("sig"))
         return sig.select(
@@ -240,8 +247,12 @@ def incremental_near_duplicates(corpus: DataFrame, batch: DataFrame,
             F.explode(H.band_keys("sig", bands, rows_per_band)).alias("band_key"),
         )
 
-    cb = _bands(corpus, "corpus_id")
-    bb = _bands(batch, "batch_id")
+    # corpus first (evicting any stale cache), batch second WITHOUT
+    # evicting — otherwise the batch build would unpersist the corpus's
+    # recompute barrier and the big side would re-hash shingles once per
+    # signature component
+    cb = _bands(corpus, "corpus_id", evict=True)
+    bb = _bands(batch, "batch_id", evict=False)
     cands = (
         cb.join(F.broadcast(bb), "band_key")
         .select("batch_id", "corpus_id", "_h_batch_id", "_h_corpus_id")

@@ -66,6 +66,8 @@ def fit_kmeans(df: DataFrame, id_col: str, vec_col: str, k: int,
     if metric not in ("cosine", "l2"):
         raise ValueError(f"metric must be cosine|l2, got {metric!r}")
     init = seed_rows(df, id_col, vec_col, k, salt)
+    if not init:
+        raise ValueError("cannot fit k-means over an empty dataframe")
     if len(init) < k:
         k = len(init)
     C = np.asarray(init, dtype=np.float64)

@@ -75,7 +75,6 @@ def train_feature_lr(docs: DataFrame, text_col: str, weak_label: Column,
     every production quality-classifier deployment uses (train offline,
     score with frozen weights)."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import array_to_vector
 
     feats = quality_feature_columns(text_col)
@@ -89,7 +88,6 @@ def train_feature_lr(docs: DataFrame, text_col: str, weak_label: Column,
                             standardization=True,
                             featuresCol="features", labelCol="label")
     m = lr.fit(train)
-    _ = VectorAssembler  # referenced for the pyspark.ml feature idiom
     return float(m.intercept), [float(c) for c in m.coefficients]
 
 

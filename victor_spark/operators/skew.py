@@ -17,6 +17,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, MapType, StructType
+
+
+def _hashable(dt: DataType) -> bool:
+    """xxhash64 rejects MapType (spark.sql.legacy.allowHashOnMapType is
+    off by default), including maps nested inside structs."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    elem = getattr(dt, "elementType", None)
+    return elem is None or _hashable(elem)
 
 
 def salted_join(big: DataFrame, small: DataFrame, on: str,
@@ -24,7 +36,8 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     """Equi-join ``big ⋈ small`` on column ``on`` with the big side salted.
 
     big rows get a deterministic salt in [0, salt_factor): xxhash64 over
-    the FULL row, so the salt depends only on row content — reruns with a
+    every HASHABLE column (maps are skipped — Spark's hash rejects
+    MapType), so the salt depends only on row content — reruns with a
     different partition count or file layout assign identical salts (a
     partition-dependent uniquifier like monotonically_increasing_id would
     not). Exact duplicate rows share a salt; that only re-concentrates
@@ -37,8 +50,11 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     duplicate right-outer rows)."""
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    hashable = [f.name for f in big.schema.fields if _hashable(f.dataType)]
+    if on not in hashable:
+        raise ValueError(f"join key {on!r} has an unhashable type")
     salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_factor)
+        F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt_factor)
     ).cast("int")
     b = big.withColumn("_salt", salt)
     s = small.withColumn(

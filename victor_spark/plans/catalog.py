@@ -1790,13 +1790,18 @@ def _bpe_apply_merge(syms: list[str], left: str, right: str) -> list[str]:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def _expected_bpe_merges(sf_dir: str,
                          num_merges: int = 20) -> list[tuple[int, str, str, str, int]]:
     """Independent replay of BPE training: word counts via DuckDB SQL (not
     Spark), then the deterministic (max count, lexicographically-smallest)
     merge recurrence in plain Python. Pure function of the data — dynamic
     oracles recompute it at gate time so regenerated testdata stays
-    covered."""
+    covered; memoized per sf_dir because both the train and encode oracles
+    need it in the same oracle_sql() sweep."""
     import os
     from collections import Counter
 

@@ -85,30 +85,65 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
 
     ``wholetext`` keeps each file one row (a document is a file; corpora
     with many documents per file should ship JSONL — see read_jsonl).
-    ``doc_id`` is the 32-bit md5 of the file path: deterministic across
+    ``doc_id`` is the 64-bit xxhash of the file path: deterministic across
     runs, cluster sizes, and listing order, unlike
-    monotonically_increasing_id. Scaling is by file count — at 100 TB the
-    input is millions of shards and every executor reads its own; note
-    wholetext makes a file's full contents one task's memory, so shard
-    size, not corpus size, bounds memory.
+    monotonically_increasing_id — and wide enough that collisions stay
+    negligible at millions of shards (32 bits would hit the birthday bound
+    around 65k files). Scaling is by file count — at 100 TB the input is
+    millions of shards and every executor reads its own; note wholetext
+    makes a file's full contents one task's memory, so shard size, not
+    corpus size, bounds memory.
     """
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("source"), F.col("value").alias("text")
     )
     return raw.select(
-        F.conv(F.substring(F.md5("source"), 1, 8), 16, 10)
-        .cast("long").alias("doc_id"),
+        F.xxhash64("source").alias("doc_id"),
         "source",
         "text",
     )
 
 
-def write_text_corpus(df: DataFrame, path: str, text_col: str = "text",
-                      mode: str = "overwrite") -> None:
-    """Write one text column as raw .txt shards (one LINE per document —
-    newlines inside documents are escaped so the shards stay line-splittable
-    and re-readable with spark.read.text)."""
+def write_text_lines(df: DataFrame, path: str, text_col: str = "text",
+                     mode: str = "overwrite") -> None:
+    """Write one text column as raw .txt shards, one LINE per document.
+
+    Lossless escaping so the shards stay line-splittable: backslash first
+    (so escapes are unambiguous), then newline and carriage return (Hadoop
+    line readers split on BOTH). :func:`read_text_lines` reverses it.
+    """
     out = df.select(
-        F.regexp_replace(F.col(text_col), "\n", "\\\\n").alias("value")
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), r"\\", r"\\\\"),
+                "\n", r"\\n",
+            ),
+            "\r", r"\\r",
+        ).alias("value")
     )
     out.write.mode(mode).text(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Read shards written by :func:`write_text_lines`: one document per
+    line, reversing the escape losslessly.
+
+    Decode without lookbehind gymnastics: in the encoded form every
+    literal backslash is the PAIR ``\\\\``, so splitting on pairs leaves
+    pieces where any remaining backslash unambiguously introduces ``\\n``
+    or ``\\r`` — unescape those per piece, rejoin with one backslash."""
+    pieces = F.split(F.col("value"), r"\\\\", -1)
+    decoded = F.array_join(
+        F.transform(
+            pieces,
+            lambda p: F.regexp_replace(
+                F.regexp_replace(p, r"\\n", "\n"), r"\\r", "\r"
+            ),
+        ),
+        "\\",
+    )
+    return spark.read.text(path).select(decoded.alias("text"))
+
+
+# backwards-compatible alias for the original (newline-only) writer name
+write_text_corpus = write_text_lines
