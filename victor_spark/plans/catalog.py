@@ -1516,6 +1516,110 @@ def q_vocab_topk(spark, sf_dir):
     )
 
 
+# Unigram log-probability scoring: the cheap end of the perplexity-filter
+# family (CCNet scores with a KenLM 5-gram; the unigram variant is the
+# same dataflow with n=1). Two aggregations over the token stream — corpus
+# unigram distribution, then per-doc mean log p(w) via an equi-join of the
+# token stream with the distribution — both map-side-combined shuffles on
+# the token key. At 100 TB the distribution table is Heaps-law bounded
+# (vocab ~ corpus^0.5); AQE broadcasts it when small, sort-merge otherwise.
+
+_UNIGRAM_ORACLE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS.format(s='lower(text)')} t FROM documents),
+tok AS (SELECT doc_id, unnest(t) tok FROM d),
+dist AS (SELECT tok, count(*) c FROM tok GROUP BY tok),
+total AS (SELECT sum(c) s FROM dist),
+scored AS (
+  SELECT tok.doc_id, ln(CAST(dist.c AS DOUBLE) / total.s) lp
+  FROM tok JOIN dist ON tok.tok = dist.tok CROSS JOIN total
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) n_tokens, avg(lp) avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       round(coalesce(p.avg_logp, 0.0), 6) AS avg_logp
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@_q(
+    "unigram_logprob",
+    _UNIGRAM_ORACLE,
+    "unigram log-probability quality score per doc (the n=1 member of the "
+    "CCNet perplexity-filter family): corpus unigram distribution, then "
+    "mean ln p(w) per doc via a token-key equi-join — two partial-agg "
+    "shuffles, empty docs score 0",
+)
+def q_unigram_logprob(spark, sf_dir):
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
+    tok = d.select("doc_id", F.explode("t").alias("tok"))
+    dist = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = float(dist.agg(F.sum("c")).first()[0] or 0)
+    scored = tok.join(dist, "tok").select(
+        "doc_id", F.log(F.col("c").cast("double") / F.lit(total)).alias("lp")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.avg("lp").alias("avg_logp")
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce("avg_logp", F.lit(0.0)), 6).alias("avg_logp"),
+        )
+    )
+
+
+# Per-source corpus accounting over the documents table's source column —
+# the ops dashboard a curation pipeline watches (docs, token mass, quality
+# mix per crawl/source). One explode-free aggregation: token counts come
+# from the size() of the split, so the shuffle carries one row per
+# (source) per partition.
+
+_SOURCE_STATS_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang,
+         len({SQL_TOKS.format(s='text')}) n_toks,
+         len(text) n_chars
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       round(avg(n_toks), 6) AS avg_tokens,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM d GROUP BY source
+"""
+
+
+@_q(
+    "source_stats",
+    _SOURCE_STATS_ORACLE,
+    "per-source corpus accounting: doc/token/char mass, mean doc length, "
+    "language spread — one partial-agg'd aggregation keyed on source (the "
+    "crawl-level dashboard of a curation pipeline)",
+)
+def q_source_stats(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "source", "lang",
+        T.token_count("text").alias("n_toks"),
+        F.length("text").alias("n_chars"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 # One BPE merge iteration: adjacent-token-pair frequencies. This is the
 # inner loop of byte-pair-encoding vocabulary learning (Sennrich 2016) —
 # at 100 TB each iteration is exactly this query: explode pairs, partial
