@@ -1,0 +1,114 @@
+"""Empirical scaling probe: run representative catalog operators on 1x/2x/4x
+replicas of the sf0.1 tables and report the fitted scaling exponent
+(log-slope of wall time vs data size).
+
+Correctness tests prove the answers; tests/test_plans.py proves the plan
+SHAPES; this tool measures the claim those shapes imply — near-linear
+scaling (exponent ~1.0; sub-linear when fixed job overhead still
+dominates). An operator with a hidden all-pairs or collect bottleneck
+shows up as an exponent drifting toward 2.
+
+Replication keeps each operator's semantics intact:
+- every id column is offset per replica (no cross-replica key collisions);
+- document text gets a per-replica suffix, so replication does NOT
+  manufacture near-duplicate pairs (which would quadratically inflate the
+  dedup queries' OUTPUT — a property of the data, not the algorithm).
+
+Usage: python tools/scale_probe.py [sf_dir] [query ...]
+Writes one JSON line per query: {"query", "times_s": {1: .., 2: .., 4: ..},
+"exponent": ..}.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SCALES = (1, 2, 4)
+
+# (query name, tables it reads, id columns to offset per table)
+PROBES: dict[str, dict[str, list[str]]] = {
+    "topk_cosine": {"embeddings": ["vec_id"]},
+    "dedup_minhash": {"documents": ["doc_id"]},
+    "dedup_ngram_jaccard": {"documents": ["doc_id"]},
+    "dedup_exact": {"documents": ["doc_id"]},
+    "text_stats": {"documents": ["doc_id"]},
+    "events_sessionize": {"events": ["event_id", "user_id"]},
+    "events_asof_join": {"events": ["event_id", "user_id"]},
+    "tpch_q1": {"lineitem": ["l_orderkey"]},
+    "pack_sequences": {"documents": ["doc_id"]},
+    "unigram_logprob": {"documents": ["doc_id"]},
+}
+
+ID_STRIDE = 100_000_000
+
+
+def build_scaled(spark, sf_dir: str, out_dir: str, scale: int,
+                 tables: dict[str, list[str]]) -> None:
+    from pyspark.sql import functions as F
+
+    for table, id_cols in tables.items():
+        src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        parts = []
+        for i in range(scale):
+            rep = src
+            for c in id_cols:
+                rep = rep.withColumn(c, F.col(c) + F.lit(i * ID_STRIDE))
+            if table == "documents" and i > 0:
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+                )
+            parts.append(rep)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
+
+    from victor_spark import get_spark
+    from victor_spark.plans import QUERIES
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["topk_cosine"].build(spark, sf_dir).count()  # session warmup
+
+    for name, tables in PROBES.items():
+        if only and name not in only:
+            continue
+        times: dict[int, float] = {}
+        for scale in SCALES:
+            tmp = tempfile.mkdtemp(prefix=f"scale_{name}_{scale}_")
+            try:
+                build_scaled(spark, sf_dir, tmp, scale, tables)
+                # the probe's input dir only carries the scaled tables;
+                # queries in PROBES read nothing else
+                best = math.inf
+                for _rep in range(2):  # best-of-2: sandbox jitter defense
+                    t0 = time.perf_counter()
+                    QUERIES[name].build(spark, tmp).count()
+                    best = min(best, time.perf_counter() - t0)
+                times[scale] = round(best, 3)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        exponent = round(
+            math.log(times[SCALES[-1]] / times[SCALES[0]])
+            / math.log(SCALES[-1] / SCALES[0]),
+            3,
+        )
+        print(json.dumps({"query": name, "times_s": times,
+                          "exponent": exponent}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
