@@ -831,10 +831,18 @@ SELECT vec_id, round(s, 6) AS sim FROM scored ORDER BY s DESC, vec_id LIMIT 5
     "pruning on a bucket-partitioned table)",
 )
 def q_ann_lsh(spark, sf_dir):
+    return _lsh_topk(spark, sf_dir, qid=3, k=5).select(
+        "vec_id", F.round("_s", 6).alias("sim")
+    )
+
+
+def _lsh_topk(spark, sf_dir, qid: int, k: int) -> DataFrame:
+    """Hyperplane-LSH candidates for vec ``qid`` (own bucket ± 1-bit
+    probes), top-k by exact cosine; returns (vec_id, _s) unrounded."""
     e = _emb(spark, sf_dir).select("vec_id", "v")
     b = e.withColumn("bucket", H.hyperplane_bucket("v", 8))
     q = F.broadcast(
-        b.filter(F.col("vec_id") == 3).select(
+        b.filter(F.col("vec_id") == qid).select(
             F.col("v").alias("qv"), F.col("bucket").alias("qb")
         ).withColumn("qn", norm("qv"))
     )
@@ -847,11 +855,7 @@ def q_ann_lsh(spark, sf_dir):
     scored = cand.select(
         "vec_id", (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("_s")
     )
-    return (
-        scored.orderBy(F.desc("_s"), F.asc("vec_id"))
-        .limit(5)
-        .select("vec_id", F.round("_s", 6).alias("sim"))
-    )
+    return scored.orderBy(F.desc("_s"), F.asc("vec_id")).limit(k)
 
 
 # IVF (inverted-file) ANN: a deterministic coarse quantizer — every 250th
@@ -1217,12 +1221,77 @@ cos_top AS (
   SELECT e.vec_id FROM e, q7
   ORDER BY list_dot_product(e.v, q7.qv)
              / (sqrt(list_dot_product(e.v, e.v)) * q7.qn) DESC, e.vec_id
-  LIMIT 10)
+  LIMIT 10),
+lsb AS (SELECT vec_id, v, {_bucket_sql('v')} bucket FROM e),
+lsq AS (SELECT v qv, bucket qb, sqrt(list_dot_product(v, v)) qn
+        FROM lsb WHERE vec_id = 3),
+lstop AS (
+  SELECT b.vec_id FROM lsb b, lsq
+  WHERE b.bucket = lsq.qb
+     OR xor(b.bucket, lsq.qb) IN (1, 2, 4, 8, 16, 32, 64, 128)
+  ORDER BY list_dot_product(b.v, lsq.qv)
+             / (sqrt(list_dot_product(b.v, b.v)) * lsq.qn) DESC, b.vec_id
+  LIMIT 10),
+cos3 AS (
+  SELECT e.vec_id FROM e, lsq
+  ORDER BY list_dot_product(e.v, lsq.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * lsq.qn) DESC, e.vec_id
+  LIMIT 10),
+fp_qc AS (SELECT cell, cv FROM cent, q7
+          ORDER BY list_dot_product(cv, q7.qv) / (cn * q7.qn) DESC, cell
+          LIMIT 2),
+fp_cbres AS (SELECT c.vec_id,
+             list_transform(range(1, 65),
+               i -> c.v[CAST(i AS INTEGER)] - ct.cv[CAST(i AS INTEGER)]) rv
+             FROM cb c JOIN cells cl ON c.vec_id = cl.vec_id
+                       JOIN cent ct ON cl.cell = ct.cell),
+fp_rcb AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) code,
+                  rv cv
+           FROM fp_cbres),
+fp_cand AS (SELECT cl.vec_id, cl.cell,
+            list_transform(range(1, 65),
+              i -> cl.v[CAST(i AS INTEGER)] - ct.cv[CAST(i AS INTEGER)]) rv
+            FROM cells cl JOIN cent ct ON cl.cell = ct.cell
+            WHERE cl.cell IN (SELECT cell FROM fp_qc)),
+fp_dists AS (SELECT fp_cand.vec_id, s.j, r.code,
+             list_sum(list_transform(range(1, 9),
+               i -> (fp_cand.rv[CAST(s.j*8 + i AS INTEGER)]
+                     - r.cv[CAST(s.j*8 + i AS INTEGER)])^2)) dist
+             FROM fp_cand, subs s, fp_rcb r),
+fp_enc AS (SELECT vec_id, j, code,
+                  row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY dist, code) rn
+           FROM fp_dists),
+fp_codes AS (SELECT vec_id, j, code FROM fp_enc WHERE rn = 1),
+fp_rq AS (SELECT fp_qc.cell,
+          list_transform(range(1, 65),
+            i -> q7.qv[CAST(i AS INTEGER)] - fp_qc.cv[CAST(i AS INTEGER)]) rqv
+          FROM fp_qc, q7),
+fp_scored AS (SELECT fp_codes.vec_id,
+              sum(list_sum(list_transform(range(1, 9),
+                i -> (fp_rq.rqv[CAST(fp_codes.j*8 + i AS INTEGER)]
+                      - r.cv[CAST(fp_codes.j*8 + i AS INTEGER)])^2))) adc
+              FROM fp_codes JOIN cells cl ON fp_codes.vec_id = cl.vec_id
+                            JOIN fp_rq ON cl.cell = fp_rq.cell
+                            JOIN fp_rcb r ON fp_codes.code = r.code
+              GROUP BY fp_codes.vec_id),
+fp_top AS (SELECT vec_id FROM fp_scored ORDER BY adc, vec_id LIMIT 10),
+l27 AS (SELECT e.vec_id FROM e, q7
+        ORDER BY list_sum(list_transform(range(1, 65),
+                   i -> (e.v[CAST(i AS INTEGER)] - q7.qv[CAST(i AS INTEGER)])^2)),
+                 e.vec_id
+        LIMIT 10)
 SELECT 'pq_adc' AS method, 10 AS k,
        round(CAST((SELECT count(*) FROM adc_top JOIN l2_top USING (vec_id)) AS DOUBLE) / 10, 6) AS recall
 UNION ALL
 SELECT 'ivf', 10,
        round(CAST((SELECT count(*) FROM ivf_top JOIN cos_top USING (vec_id)) AS DOUBLE) / 10, 6)
+UNION ALL
+SELECT 'lsh', 10,
+       round(CAST((SELECT count(*) FROM lstop JOIN cos3 USING (vec_id)) AS DOUBLE) / 10, 6)
+UNION ALL
+SELECT 'ivf_pq', 10,
+       round(CAST((SELECT count(*) FROM fp_top JOIN l27 USING (vec_id)) AS DOUBLE) / 10, 6)
 """
 
 
@@ -1235,6 +1304,7 @@ SELECT 'ivf', 10,
 )
 def q_ann_recall(spark, sf_dir):
     from victor_spark.operators import pq
+    from victor_spark.operators.ivfpq import ivfpq_topk
 
     e = _emb(spark, sf_dir).select("vec_id", "v")
     cb, qv = pq.codebook_and_query(e, "vec_id", "v", k=16, query_id=11, salt="pq")
@@ -1249,6 +1319,21 @@ def q_ann_recall(spark, sf_dir):
     )
     ivf_top = _ivf_topk(spark, sf_dir, qid=7, k=10).select("vec_id")
     cos_top = _cosine_topk(spark, sf_dir, qid=7, k=10).select("vec_id")
+    lsh_top = _lsh_topk(spark, sf_dir, qid=3, k=10).select("vec_id")
+    cos3_top = _cosine_topk(spark, sf_dir, qid=3, k=10).select("vec_id")
+    ivfpq_top = ivfpq_topk(
+        e, "vec_id", "v", query_id=7, k=10, m=8, k_cb=16,
+        nprobe=2, centroid_mod=250, salt="pq",
+    ).select("vec_id")
+    q7 = [float(x) for x in
+          e.filter(F.col("vec_id") == 7).first()["v"]]
+    q7lit = F.array(*[F.lit(x) for x in q7])
+    l27_top = (
+        e.select("vec_id", euclidean("v", q7lit).alias("_d"))
+        .orderBy(F.asc("_d"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
 
     def recall_row(approx, exact, method):
         return approx.join(exact, "vec_id").agg(
@@ -1257,8 +1342,11 @@ def q_ann_recall(spark, sf_dir):
             F.lit(method).alias("method"), F.lit(10).alias("k"), "recall"
         )
 
-    return recall_row(adc_top, l2_top, "pq_adc").unionAll(
-        recall_row(ivf_top, cos_top, "ivf")
+    return (
+        recall_row(adc_top, l2_top, "pq_adc")
+        .unionAll(recall_row(ivf_top, cos_top, "ivf"))
+        .unionAll(recall_row(lsh_top, cos3_top, "lsh"))
+        .unionAll(recall_row(ivfpq_top, l27_top, "ivf_pq"))
     )
 
 
