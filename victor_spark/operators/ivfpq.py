@@ -117,11 +117,14 @@ def assign_cells(df: DataFrame, id_col: str, vec_col: str,
 
 def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
                k: int = 5, m: int = 8, k_cb: int = 16, nprobe: int = 2,
-               centroid_mod: int = 250, salt: str = "pq") -> DataFrame:
+               centroid_mod: int = 250, salt: str = "pq",
+               model=None) -> DataFrame:
     """Top-k by IVF-PQ ADC distance: probe ``nprobe`` cells, score residual
     codes against the query's per-cell residual LUT. Returns
-    (id, cell, adc_dist ascending)."""
-    centroids, codebook, query = collect_ivfpq_model(
+    (id, cell, adc_dist ascending). Pass a precollected
+    ``model=(centroids, codebook, query)`` to skip the model-collect job
+    when the caller already has it (e.g. the recall audit)."""
+    centroids, codebook, query = model or collect_ivfpq_model(
         df, id_col, vec_col, query_id, k_cb, centroid_mod, salt
     )
     probed = sorted(

@@ -1321,13 +1321,17 @@ def q_ann_recall(spark, sf_dir):
     cos_top = _cosine_topk(spark, sf_dir, qid=7, k=10).select("vec_id")
     lsh_top = _lsh_topk(spark, sf_dir, qid=3, k=10).select("vec_id")
     cos3_top = _cosine_topk(spark, sf_dir, qid=3, k=10).select("vec_id")
+    # one model collect serves both the IVF-PQ pipeline and its exact-L2
+    # baseline (the collected model carries the query vector)
+    from victor_spark.operators.ivfpq import collect_ivfpq_model
+
+    model = collect_ivfpq_model(e, "vec_id", "v", query_id=7, k_cb=16,
+                                centroid_mod=250, salt="pq")
     ivfpq_top = ivfpq_topk(
         e, "vec_id", "v", query_id=7, k=10, m=8, k_cb=16,
-        nprobe=2, centroid_mod=250, salt="pq",
+        nprobe=2, centroid_mod=250, salt="pq", model=model,
     ).select("vec_id")
-    q7 = [float(x) for x in
-          e.filter(F.col("vec_id") == 7).first()["v"]]
-    q7lit = F.array(*[F.lit(x) for x in q7])
+    q7lit = F.array(*[F.lit(float(x)) for x in model[2]])
     l27_top = (
         e.select("vec_id", euclidean("v", q7lit).alias("_d"))
         .orderBy(F.asc("_d"), F.asc("vec_id"))
