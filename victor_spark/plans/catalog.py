@@ -1608,6 +1608,80 @@ def q_vocab_topk(spark, sf_dir):
     )
 
 
+# Text-entry search (reference Q1, db.rs:198-213): embed the query STRING
+# with the same model as the corpus, then cosine top-k. The catalog's
+# oracle replays the md5 feature-hash embedding for both sides in SQL and
+# computes cosine over the RAW integer score vectors — cosine is
+# normalization-invariant, so the exact-integer oracle matches the
+# normalized-f32 serving path to ~1e-8, far inside round(…, 4).
+
+_SEARCH_TEXT_QUERY = "machine learning model training data quality"
+
+
+def _hash_embed_sql(src: str, id_sel: str, dim: int) -> str:
+    """CTE body: (``id_sel``, idx, v) sparse hash-embedding of lower(text)
+    rows from ``src`` — the md5 feature-hash family shared with
+    embed_documents."""
+    return (
+        f"SELECT {id_sel}, "
+        f"CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {dim} AS idx, "
+        "sum(CASE WHEN CAST(concat('0x', substr(md5(t), 10, 1)) AS INTEGER) % 2 = 1 "
+        "THEN 1.0 ELSE -1.0 END) AS v "
+        f"FROM (SELECT *, unnest({SQL_TOKS.format(s='lower(text)')}) AS t FROM {src}) "
+        f"GROUP BY 1, 2"
+    )
+
+
+_SEARCH_TEXT_ORACLE = f"""
+WITH dsum AS ({_hash_embed_sql('documents', 'doc_id', 64)}),
+qsum AS ({_hash_embed_sql(f"(SELECT '{_SEARCH_TEXT_QUERY}' AS text)", "1 AS one", 64)}),
+ddot AS (SELECT d.doc_id, sum(d.v * q.v) dp
+         FROM dsum d JOIN qsum q USING (idx) GROUP BY 1),
+dn AS (SELECT doc_id, sqrt(sum(v * v)) nn FROM dsum GROUP BY 1),
+qn AS (SELECT sqrt(sum(v * v)) qq FROM qsum),
+scored AS (
+  SELECT dn.doc_id, coalesce(ddot.dp, 0.0) / (dn.nn * qn.qq) s
+  FROM dn LEFT JOIN ddot USING (doc_id), qn
+  WHERE dn.nn > 0
+),
+ranked AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) rn
+  FROM scored
+)
+SELECT doc_id, round(s, 4) AS sim, CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= 10
+"""
+
+
+@_q(
+    "search_text_topk",
+    _SEARCH_TEXT_ORACLE,
+    "the reference's text-entry search (Q1, db.rs:198-213) as a query: "
+    "embed the query string driver-side with the corpus model, cosine "
+    "top-10 over the batch-embedded documents — the oracle replays the "
+    "hash embedding for BOTH sides and scores raw integer vectors "
+    "(cosine is normalization-invariant)",
+)
+def q_search_text(spark, sf_dir):
+    from victor_spark.functions.embedder import embed, embed_query
+
+    qv = embed_query(_SEARCH_TEXT_QUERY, _EMBED_DIM)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", to_double_array(embed("text", _EMBED_DIM)).alias("v")
+    )
+    scored = d.select(
+        "doc_id",
+        (dot("v", qlit) / (norm("v") * norm(qlit))).alias("_s"),
+    ).filter(norm("v") > 0)
+    w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("_s"), F.asc("doc_id")).limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", F.round("_s", 4).alias("sim"), "rank")
+    )
+
+
 # Unigram log-probability scoring: the cheap end of the perplexity-filter
 # family (CCNet scores with a KenLM 5-gram; the unigram variant is the
 # same dataflow with n=1). Two aggregations over the token stream — corpus
