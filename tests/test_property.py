@@ -259,3 +259,25 @@ def test_salted_join_parity_random(spark, keys, factor):
     got = salted_join(big, small, "k", salt_factor=factor).groupBy("k", "val").count()
     want = big.join(small, "k").groupBy("k", "val").count()
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab \\\n\r\tné")), max_size=40),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_text_lines_escape_round_trip(spark, tmp_path_factory, docs):
+    """write_text_lines/read_text_lines must be lossless for ANY text —
+    including raw newlines, carriage returns, lone and paired backslashes,
+    and literal two-char '\\n' sequences — and stay one line per doc."""
+    from victor_spark.sources.formats import read_text_lines, write_text_lines
+
+    out = str(tmp_path_factory.mktemp("textprop"))
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    write_text_lines(df, out)
+    assert spark.read.text(out).count() == len(docs)
+    got = sorted(r["text"] for r in read_text_lines(spark, out).collect())
+    assert got == sorted(docs)
