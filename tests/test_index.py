@@ -428,3 +428,47 @@ def test_tag_listing_reconciles_after_partial_insert(idx):
     # and the repair is persisted
     assert sorted(ts for _, ts in idx._read_tag_sets()) == [["x"], ["y"]]
     assert idx.delete(["y"]) == 1
+
+
+# -- batch search (extension: N queries share one pruned scan) -------------
+
+
+def test_search_batch_matches_single_searches(idx):
+    idx.insert([("a", [1.0, 0.0], ["x"]),
+                ("b", [0.0, 1.0], ["x"]),
+                ("c", [0.7, 0.7], ["y"])])
+    queries = {"q1": [1.0, 0.1], "q2": [0.1, 1.0]}
+    batch = idx.search_batch(queries, k=2)
+    rows = [(r["query_id"], r["rank"], r["id"], round(r["score"], 9))
+            for r in batch.collect()]
+    singles = []
+    for qid, v in sorted(queries.items()):
+        for rank, r in enumerate(idx.search(v, k=2).collect(), start=1):
+            singles.append((qid, rank, r["id"], round(r["score"], 9)))
+    assert sorted(rows) == sorted(singles)
+
+
+def test_search_batch_tag_scope_and_empty(idx):
+    import pytest
+
+    assert idx.search_batch({"q": [1.0, 0.0]}, k=1).collect() == []  # empty index
+    idx.insert([("a", [1.0, 0.0], ["x"]), ("c", [0.7, 0.7], ["y"])])
+    got = idx.search_batch({"q": [1.0, 0.0]}, k=5, tags=["y"]).collect()
+    assert [r["content"] for r in got] == ["c"]
+    with pytest.raises(ValueError):
+        idx.search_batch({}, k=1)
+
+
+def test_search_batch_projected_mode(spark, tmp_path):
+    import random
+
+    from victor_spark.index import VectorIndex
+
+    rng = random.Random(3)
+    idx = VectorIndex(spark, str(tmp_path / "bidx"))
+    rows = [(f"doc{i}", [rng.gauss(0, 1) for _ in range(8)], []) for i in range(20)]
+    idx.insert(rows)
+    idx.project(k=4)
+    got = idx.search_batch({"q5": rows[5][1], "q9": rows[9][1]}, k=1).collect()
+    by_q = {r["query_id"]: r["content"] for r in got}
+    assert by_q == {"q5": "doc5", "q9": "doc9"}

@@ -47,6 +47,7 @@ from victor_spark.functions.vector import (
     cosine,
     cosine_to_literal,
     dequantize,
+    euclidean,
     euclidean_to_literal,
     quantize,
 )
@@ -442,6 +443,59 @@ class VectorIndex:
             df = df.filter(~F.isnan(score))
         scored = topk(df, score, k, ascending=model is not None)
         return scored.select("id", "content", "tags", "score")
+
+    def search_batch(self, queries: dict[str, list[float]], k: int = 10,
+                     tags: list[str] | None = None,
+                     strict_nan: bool = True) -> DataFrame:
+        """Top-k for a SET of query vectors in one dataflow (extension —
+        the reference serves one query per call). Returns
+        (query_id, id, content, tags, score, rank), rank 1..k per query.
+
+        The throughput shape: the pruned scan happens ONCE and every query
+        scores against it via a broadcast crossJoin of the (tiny) query
+        table, ranked per query by a WindowGroupLimit — N queries share one
+        corpus scan instead of N scans (same plan as the catalog's
+        ann_ivf_batch/topk_batch, surfaced on the index API). Scores follow
+        search(): cosine descending, or euclidean ascending in projected
+        mode (queries are projected first).
+        """
+        from victor_spark.operators.topk import topk_per_group
+
+        if not queries:
+            raise ValueError("search_batch needs at least one query")
+        if self.is_empty():
+            return self.spark.createDataFrame(
+                [], "query_id string, id string, content string, "
+                    "tags array<string>, score double, rank int"
+            )
+        model = self._load_model()
+        qrows = [(qid, [float(x) for x in (model.project_vector(v)
+                                           if model is not None else v)])
+                 for qid, v in sorted(queries.items())]
+        qdf = F.broadcast(self.spark.createDataFrame(
+            qrows, "query_id string, _qv array<double>"
+        ))
+        df = self.scan(tags).crossJoin(qdf)
+        score = (euclidean("embedding", "_qv") if model is not None
+                 else cosine("embedding", "_qv"))
+        df = df.withColumn("score", score)
+        if strict_nan:
+            df = df.withColumn(
+                "score",
+                F.when(
+                    F.isnan("score"),
+                    F.raise_error(F.lit("NaN similarity score (strict NaN mode)")),
+                ).otherwise(F.col("score")),
+            )
+        else:
+            df = df.filter(~F.isnan("score"))
+        ranked = topk_per_group(
+            df, ["query_id"], "score", k,
+            ascending=model is not None, tie_cols=["id"],
+        )
+        return ranked.select(
+            "query_id", "id", "content", "tags", "score", "rank"
+        )
 
     # -- PQ serving path (extension; see operators/pq.py) -------------------
 
