@@ -336,3 +336,42 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
     }
     assert set(got) == expect
     assert len(got) == len(expect)  # no pair duplicated across micro-batches
+
+
+def test_stream_index_ingest_builds_searchable_index(spark, tmp_path):
+    """A drained (content, embedding, tags) stream appended through
+    VectorIndex.insert_df yields the same searchable index as a batch
+    insert: row count, tag listing, and top-1 results all match."""
+    from victor_spark.index import VectorIndex
+    from victor_spark.streaming.index_ingest import stream_index_ingest
+
+    rows = [
+        ("alpha", [1.0, 0.0, 0.0], ["x"]),
+        ("beta", [0.0, 1.0, 0.0], ["x", "y"]),
+        ("gamma", [0.0, 0.0, 1.0], ["z"]),
+        ("delta", [0.5, 0.5, 0.0], ["x"]),
+    ]
+    src = spark.createDataFrame(
+        rows, "content string, embedding array<double>, tags array<string>"
+    )
+    sdir = tmp_path / "stream_src"
+    src.coalesce(2).write.parquet(str(sdir))  # >=2 files -> micro-batches
+    stream = spark.readStream.schema(src.schema).format("parquet").load(str(sdir))
+
+    idx = VectorIndex(spark, str(tmp_path / "sidx"))
+    q = stream_index_ingest(stream, idx, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    assert idx.scan().count() == 4
+    assert sorted(ts for _, ts in idx._read_tag_sets()) == [["x"], ["x", "y"], ["z"]]
+    assert idx.search([1.0, 0.0, 0.0], k=1).first()["content"] == "alpha"
+    assert idx.search([0.0, 0.0, 1.0], k=1, tags=["z"]).first()["content"] == "gamma"
+    # late micro-batch after restart: new files picked up by a fresh run
+    more = spark.createDataFrame(
+        [("epsilon", [0.9, 0.1, 0.0], ["w"])], src.schema
+    )
+    more.coalesce(1).write.mode("append").parquet(str(sdir))
+    q2 = stream_index_ingest(stream, idx, checkpoint_dir=str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert idx.scan().count() == 5
+    assert idx.search([0.9, 0.1, 0.0], k=1).first()["content"] == "epsilon"

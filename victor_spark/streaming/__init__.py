@@ -1,5 +1,6 @@
 from victor_spark.streaming.dedup_stream import stream_incremental_dedup
 from victor_spark.streaming.enrich import stream_asof_enrich
+from victor_spark.streaming.index_ingest import stream_index_ingest
 from victor_spark.streaming.ingest import (
     ensure_event_time,
     hourly_event_counts_stream,
@@ -24,6 +25,7 @@ __all__ = [
     "stream_search",
     "stream_asof_enrich",
     "stream_incremental_dedup",
+    "stream_index_ingest",
     "ensure_event_time",
     "incident_window_join_stream",
 ]
