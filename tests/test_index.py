@@ -472,3 +472,34 @@ def test_search_batch_projected_mode(spark, tmp_path):
     got = idx.search_batch({"q5": rows[5][1], "q9": rows[9][1]}, k=1).collect()
     by_q = {r["query_id"]: r["content"] for r in got}
     assert by_q == {"q5": "doc5", "q9": "doc9"}
+
+
+def test_ann_paths_support_tag_scoping(idx):
+    """tags= on the ANN serving paths must be exact within scope: the
+    pre-scoring prune means a tag-scoped top-k equals brute force over the
+    tagged rows (not a lossy post-filter of global candidates)."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(24):
+        tag = "even" if i % 2 == 0 else "odd"
+        rows.append((f"doc{i}", [rng.gauss(0, 1) for _ in range(4)], [tag]))
+    idx.insert(rows)
+    q = rows[0][1]
+
+    idx.build_pq(m=2, n_codes=8)
+    got = idx.search_pq(q, k=3, tags=["odd"]).collect()
+    assert len(got) == 3
+    assert all("odd" in r["tags"] for r in got)
+
+    idx.build_ivf(n_cells=3)
+    got = idx.search_ivf(q, k=30, nprobe=3, tags=["even"]).collect()
+    # nprobe = all cells -> exactly the even rows, best-first
+    assert {r["content"] for r in got} == {f"doc{i}" for i in range(0, 24, 2)}
+    assert got[0]["content"] == "doc0"
+
+    idx.build_ivfpq(m=2, n_codes=8, n_cells=3)
+    got = idx.search_ivfpq(q, k=5, nprobe=3, tags=["odd"]).collect()
+    assert len(got) == 5
+    assert all("odd" in r["tags"] for r in got)

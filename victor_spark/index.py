@@ -552,11 +552,17 @@ class VectorIndex:
                                      salt=salt)
         raise ValueError(f"trainer must be sample|kmeans, got {trainer!r}")
 
-    def search_pq(self, query: list[float], k: int = 10) -> DataFrame:
+    def search_pq(self, query: list[float], k: int = 10,
+                  tags: list[str] | None = None) -> DataFrame:
         """Approximate top-k by asymmetric distance: smallest ADC squared
         L2 first. Returns (id, content, tags, adc_dist). Requires
         :meth:`build_pq`; candidates join back to the content store
-        broadcast-wise, like the exact path's P7 content lookup."""
+        broadcast-wise, like the exact path's P7 content lookup.
+
+        ``tags`` restricts to rows whose tag-set ⊇ tags — a semi-join of
+        the code table against the tag-PRUNED data's id column BEFORE
+        scoring, so the top-k is exact within the tag scope (not a lossy
+        post-filter) and the id set comes from pruned partitions only."""
         import json
 
         if not os.path.exists(self.pq_meta_path):
@@ -582,6 +588,9 @@ class VectorIndex:
                 f"dimension {len(meta['codebook'][0])}"
             )
         codes = self.spark.read.parquet(self.pq_path)
+        if tags:
+            allowed = self.scan(tags).select("id")
+            codes = codes.join(allowed, "id", "leftsemi")
         hits = pq.adc_topk(
             codes, q, meta["codebook"], k=k, m=meta["m"], id_col="id",
         )
@@ -643,7 +652,8 @@ class VectorIndex:
             json.dump({"centroids": cents}, f)
 
     def search_ivf(self, query: list[float], k: int = 10,
-                   nprobe: int = 2) -> DataFrame:
+                   nprobe: int = 2,
+                   tags: list[str] | None = None) -> DataFrame:
         """Approximate top-k cosine over the IVF layout: rank cells by
         query-centroid cosine DRIVER-side (n_cells tiny), scan only the
         nprobe best cells (parquet partition pruning), exact cosine within.
@@ -690,6 +700,17 @@ class VectorIndex:
         df = self.spark.read.parquet(self.ivf_path).filter(
             F.col("cell").isin(probe)
         )
+        if tags:
+            # the IVF table carries the tags column, so the tag-superset
+            # predicate applies directly inside the probed-cell scan —
+            # exact within scope, no extra join
+            query_tags = sorted(set(tags))
+            df = df.filter(
+                F.forall(
+                    F.array(*[F.lit(t) for t in query_tags]),
+                    lambda t: F.array_contains(F.col("tags"), t),
+                )
+            )
         score = cosine_to_literal("embedding", q)
         scored = df.select("id", "content", "tags", score.alias("score"))
         return topk(scored, F.col("score"), k, ascending=False)
@@ -828,12 +849,14 @@ class VectorIndex:
         self._write_ivfpq(full, cents, codebook, m, assigned=residuals)
 
     def search_ivfpq(self, query: list[float], k: int = 10,
-                     nprobe: int = 2) -> DataFrame:
+                     nprobe: int = 2,
+                     tags: list[str] | None = None) -> DataFrame:
         """Approximate top-k by IVF-PQ asymmetric distance: rank cells
         driver-side, scan only the nprobe best cells' code partitions, and
         score each with the query-residual LUT for that cell. Returns
         (id, content, tags, adc_dist ascending). Requires
-        :meth:`build_ivfpq`."""
+        :meth:`build_ivfpq`. ``tags`` scopes to tag-superset rows via a
+        pre-scoring semi-join (exact within scope)."""
         import json
         import math
 
@@ -872,6 +895,11 @@ class VectorIndex:
         codes = self.spark.read.parquet(self.ivfpq_path).filter(
             F.col("cell").isin(probe)
         )
+        if tags:
+            # semi-join against the tag-pruned data ids BEFORE scoring
+            # (same exact-within-scope contract as search_pq)
+            allowed = self.scan(tags).select("id")
+            codes = codes.join(allowed, "id", "leftsemi")
 
         def _score_for(lut):
             lut_lit = F.array(
