@@ -503,3 +503,60 @@ def test_ann_paths_support_tag_scoping(idx):
     got = idx.search_ivfpq(q, k=5, nprobe=3, tags=["odd"]).collect()
     assert len(got) == 5
     assert all("odd" in r["tags"] for r in got)
+
+
+def test_stats_from_metadata_only(idx, monkeypatch):
+    idx.insert([("a", [1.0, 0.0], ["x"]),
+                ("b", [0.0, 1.0], ["x"]),
+                ("c", [1.0, 1.0], ["y"])])
+    # stats must come from the listing + footers, never a data scan
+    real_read = None
+
+    class _NoRead:
+        def parquet(self, *a, **k):
+            raise AssertionError("stats() scanned the data")
+
+    monkeypatch.setattr(type(idx.spark), "read", property(lambda self: _NoRead()))
+    try:
+        s = idx.stats()
+    finally:
+        monkeypatch.undo()
+    by_tags = {tuple(r["tags"]): r for r in s}
+    assert by_tags[("x",)]["rows"] == 2
+    assert by_tags[("y",)]["rows"] == 1
+    assert all(r["files"] >= 1 and r["bytes"] > 0 for r in s)
+    assert idx.stats() == s  # stable
+    assert VectorIndex(idx.spark, idx.path + "_nope").stats() == []
+
+
+def test_compact_sort_within_tightens_file_stats(idx):
+    """sort_within must produce disjoint per-file min/max ranges on the
+    sort column (the footer stats a selective scan skips files with)."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    idx.insert([(f"{i:04d}", [float(i), 1.0], ["t"]) for i in range(40)])
+    idx.compact(target_rows_per_file=10, sort_within="content")
+    part = os.path.join(idx.data_path, [
+        d for d in os.listdir(idx.data_path) if d.startswith("tag_set_id=")
+    ][0])
+    ranges = []
+    for f in os.listdir(part):
+        if not f.endswith(".parquet"):
+            continue
+        md = papq.ParquetFile(os.path.join(part, f)).metadata
+        col_idx = next(i for i in range(md.num_columns)
+                       if md.row_group(0).column(i).path_in_schema == "content")
+        mins = [md.row_group(g).column(col_idx).statistics.min
+                for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(col_idx).statistics.max
+                for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    # disjoint: each file's max < next file's min
+    assert all(ranges[i][1] < ranges[i + 1][0] for i in range(len(ranges) - 1))
+    # data intact and searchable
+    assert idx.scan().count() == 40
+    assert idx.search([39.0, 1.0], k=1).first()["content"] == "0039"

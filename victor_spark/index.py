@@ -978,7 +978,40 @@ class VectorIndex:
             total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         return total
 
-    def compact(self, target_rows_per_file: int = 1_000_000) -> dict:
+    def stats(self) -> list[dict]:
+        """Per-tag-set accounting from METADATA only — the listing gives
+        (tag_set_id, tags), parquet footers give row counts, the directory
+        gives bytes and file counts. Zero data pages read (the ANALYZE
+        a 100 TB table can afford); rows sorted by tag_set_id."""
+        import pyarrow.parquet as papq
+
+        if self.is_empty():
+            return []
+        listing = self._read_tag_sets()
+        if listing is None:
+            listing = self._derive_tag_sets()
+            self._write_tag_sets(sorted(listing))
+        else:
+            listing = self._reconcile_tag_sets(listing)
+        out = []
+        for tsid, tags in sorted(listing):
+            part_dir = os.path.join(self.data_path, f"tag_set_id={tsid}")
+            n_rows = n_files = n_bytes = 0
+            if os.path.isdir(part_dir):
+                for fname in os.listdir(part_dir):
+                    if fname.endswith(".parquet"):
+                        fpath = os.path.join(part_dir, fname)
+                        n_rows += papq.ParquetFile(fpath).metadata.num_rows
+                        n_bytes += os.path.getsize(fpath)
+                        n_files += 1
+            out.append({
+                "tag_set_id": tsid, "tags": list(tags),
+                "rows": n_rows, "files": n_files, "bytes": n_bytes,
+            })
+        return out
+
+    def compact(self, target_rows_per_file: int = 1_000_000,
+                sort_within: str | list[str] | None = None) -> dict:
         """Rewrite the table with size-targeted files per tag partition —
         the OPTIMIZE-style maintenance job that pairs with maybe_project
         (the reference's only maintenance hook is its PCA trigger,
@@ -991,6 +1024,12 @@ class VectorIndex:
         the row id, so every output group lands wholly in one task → one
         file of ~target rows, deterministic layout, no global shuffle
         beyond the one repartition.
+
+        ``sort_within`` additionally sorts rows by the given column(s)
+        inside each output task, so every written file carries tight
+        parquet min/max statistics on those columns — the clustering leg
+        of OPTIMIZE: a later scan filtering on a sorted column skips whole
+        files/row groups from footers alone.
 
         Local-FS directory swap (write temp, rename over); on an object
         store the same job writes to a new prefix and flips a pointer.
@@ -1013,18 +1052,33 @@ class VectorIndex:
         n_groups = F.greatest(
             F.lit(1), F.ceil(F.col("__n") / target_rows_per_file)
         )
-        out = (
-            df.join(F.broadcast(counts), "tag_set_id")
-            .withColumn(
-                "__grp",
-                F.pmod(
-                    F.conv(F.substring(F.md5(F.col("id")), 1, 8), 16, 10).cast("long"),
-                    n_groups,
-                ),
+        if sort_within:
+            # clustering mode: the SPLIT itself must be range-based on the
+            # sort columns (a salted hash split would scatter each value
+            # range across every file, leaving overlapping min/max stats),
+            # then rows are ordered inside each task for row-group-tight
+            # statistics
+            import math as _math
+
+            cols = ([sort_within] if isinstance(sort_within, str)
+                    else list(sort_within))
+            n_parts = max(1, _math.ceil(rows / target_rows_per_file))
+            out = df.repartitionByRange(
+                n_parts, F.col("tag_set_id"), *[F.col(c) for c in cols]
+            ).sortWithinPartitions("tag_set_id", *cols)
+        else:
+            out = (
+                df.join(F.broadcast(counts), "tag_set_id")
+                .withColumn(
+                    "__grp",
+                    F.pmod(
+                        F.conv(F.substring(F.md5(F.col("id")), 1, 8), 16, 10).cast("long"),
+                        n_groups,
+                    ),
+                )
+                .repartition("tag_set_id", "__grp")
+                .drop("__grp", "__n")
             )
-            .repartition("tag_set_id", "__grp")
-            .drop("__grp", "__n")
-        )
         tmp = self.data_path + "__compacting"
         shutil.rmtree(tmp, ignore_errors=True)
         # the salted repartition buys write parallelism on a huge tag; the
