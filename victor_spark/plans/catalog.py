@@ -4175,11 +4175,26 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+_MULTIMODAL_FEATURES_ORACLE = """
+WITH m AS (SELECT doc_id AS media_id, 'image' AS kind, encode(text) AS b
+           FROM documents),
+s AS (SELECT media_id, kind, octet_length(b) AS n_bytes, hex(b) AS h FROM m)
+SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(coalesce(list_sum(list_transform(range(1, n_bytes + 1),
+             i -> CAST(concat('0x', substr(h, (i-1)*2 + 1, 2)) AS BIGINT))), 0)
+            % 2147483647 AS BIGINT) AS checksum
+FROM s
+"""
+
+
 @_q(
     "multimodal_features",
-    None,  # Python decode stubs are not SQL-expressible → rows-only check
+    _MULTIMODAL_FEATURES_ORACLE,
     "Arrow-batched mapInPandas decode/feature-extraction over binary media "
-    "columns (decoders are deterministic stubs; plumbing is real)",
+    "columns (decoders are deterministic stubs; plumbing is real). The "
+    "query's byte-contract columns (n_bytes, checksum = byte-sum mod "
+    "2^31-1) are oracle-replayed via hex decomposition of the utf-8 "
+    "payload; the stubbed feature vectors stay pytest-covered",
 )
 def q_multimodal_features(spark, sf_dir):
     from victor_spark.operators.multimodal import extract_features, synthesize_media
