@@ -1723,9 +1723,13 @@ def q_unigram_logprob(spark, sf_dir):
     d = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
     tok = d.select("doc_id", F.explode("t").alias("tok"))
     dist = tok.groupBy("tok").agg(F.count("*").alias("c"))
-    total = float(dist.agg(F.sum("c")).first()[0] or 0)
-    scored = tok.join(dist, "tok").select(
-        "doc_id", F.log(F.col("c").cast("double") / F.lit(total)).alias("lp")
+    # the corpus token total rides along as a broadcast 1-row cross join
+    # (the oracle's CROSS JOIN total) — one lazy dataflow, no eager job at
+    # plan-build time, and the dist aggregation's shuffle is reused by
+    # Spark's exchange reuse instead of being computed twice
+    total = F.broadcast(dist.agg(F.sum("c").cast("double").alias("_total")))
+    scored = tok.join(dist, "tok").crossJoin(total).select(
+        "doc_id", F.log(F.col("c").cast("double") / F.col("_total")).alias("lp")
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"), F.avg("lp").alias("avg_logp")
