@@ -18,6 +18,17 @@ pushdown/pruning/broadcast; Python UDFs appear only where semantics require
 
 from victor_spark.session import get_spark
 
+
+def __getattr__(name):
+    # lazy so `import victor_spark` stays light; the index pulls in the
+    # full operator surface
+    if name == "VectorIndex":
+        from victor_spark.index import VectorIndex
+
+        return VectorIndex
+    raise AttributeError(name)
+
+
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "__version__"]
+__all__ = ["get_spark", "VectorIndex", "__version__"]
