@@ -1682,6 +1682,64 @@ def q_search_text(spark, sf_dir):
     )
 
 
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2): the standard
+# boilerplate pass that runs BEFORE document-level quality filters — keep
+# only lines that look like prose (>= 3 whitespace tokens and terminal
+# punctuation). Pure codegen: split, filter with a lambda, rejoin — one
+# map-side pass, no shuffle, no Python.
+
+_C4_LINE_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+f AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l ->
+           len(list_filter(string_split(l, ' '), t -> t <> '')) >= 3
+           AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%."'
+                OR l LIKE '%:')) AS kept
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       -- DuckDB's array_to_string of an EMPTY list is NULL (Spark's
+       -- array_join is ''); coalesce aligns the engines
+       CAST(len(coalesce(array_to_string(kept, chr(10)), '')) AS INTEGER)
+         AS cleaned_chars,
+       CAST(sha256(coalesce(array_to_string(kept, chr(10)), '')) AS VARCHAR)
+         AS cleaned_hash
+FROM f
+"""
+
+
+@_q(
+    "c4_line_filter",
+    _C4_LINE_ORACLE,
+    "C4-style line-level boilerplate filter: keep lines with >= 3 tokens "
+    "ending in terminal punctuation, rejoin — the pre-quality cleaning "
+    "pass of a pretraining pipeline, as one codegen projection (counts + "
+    "sha256 of the cleaned text, oracle-exact)",
+)
+def q_c4_line_filter(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (F.size(T.tokens(l)) >= 3)
+        & (
+            l.endswith(".") | l.endswith("!") | l.endswith("?")
+            | l.endswith('."') | l.endswith(":")
+        ),
+    )
+    cleaned = F.array_join(kept, "\n")
+    return d.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.length(cleaned).alias("cleaned_chars"),
+        F.sha2(cleaned, 256).alias("cleaned_hash"),
+    )
+
+
 # Unigram log-probability scoring: the cheap end of the perplexity-filter
 # family (CCNet scores with a KenLM 5-gram; the unigram variant is the
 # same dataflow with n=1). Two aggregations over the token stream — corpus
