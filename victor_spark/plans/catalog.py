@@ -1740,6 +1740,86 @@ def q_c4_line_filter(spark, sf_dir):
     )
 
 
+# Cross-document line dedup (C4 §2.2's global span dedup, line
+# granularity): every line occurring anywhere in the corpus is kept ONLY
+# at its first occurrence — ordered by (doc_id, position), encoded as one
+# integer key so both engines share the argmin. Shuffle shape: explode is
+# map-side; ONE groupBy on the line (partial-agg'd; hot boilerplate lines
+# are exactly the point); the keep-filter rides the same join; reassembly
+# is a per-doc aggregation. No all-pairs anything — this is how you
+# de-boilerplate 100 TB.
+
+_LINE_DEDUP_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+l AS (
+  SELECT doc_id, u.pos, lines[u.pos] AS line
+  FROM d, (SELECT unnest(range(1, 100000)) AS pos) u
+  WHERE u.pos <= len(lines)
+),
+k AS (SELECT doc_id, pos, line,
+             doc_id * 10000000 + pos AS occ_key
+      FROM l),
+firsts AS (SELECT line, min(occ_key) AS first_key FROM k GROUP BY line),
+kept AS (
+  SELECT k.doc_id, k.pos, k.line
+  FROM k JOIN firsts ON k.line = firsts.line AND k.occ_key = firsts.first_key
+),
+reassembled AS (
+  SELECT doc_id,
+         CAST(count(*) AS INTEGER) AS n_kept,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.lines) AS INTEGER) AS n_lines,
+       coalesce(r.n_kept, 0) AS n_kept,
+       CAST(sha256(coalesce(r.cleaned, '')) AS VARCHAR) AS cleaned_hash
+FROM d LEFT JOIN reassembled r ON d.doc_id = r.doc_id
+"""
+
+
+@_q(
+    "line_dedup_global",
+    _LINE_DEDUP_ORACLE,
+    "cross-document line dedup (C4's global span dedup at line "
+    "granularity): keep each line only at its first (doc_id, pos) "
+    "occurrence corpus-wide — explode, one line-keyed groupBy argmin, "
+    "keep-join, per-doc ordered reassembly; returns per-doc kept counts "
+    "and the sha256 of the deduped text",
+)
+def q_line_dedup_global(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.split("text", "\n").alias("lines")
+    )
+    l = d.select(
+        "doc_id", F.posexplode("lines").alias("pos0", "line")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "line",
+        (F.col("doc_id") * 10_000_000 + F.col("pos0") + 1).alias("occ_key"),
+    )
+    firsts = l.groupBy("line").agg(F.min("occ_key").alias("first_key"))
+    kept = l.join(firsts, "line").filter(F.col("occ_key") == F.col("first_key"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+    return (
+        d.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("lines").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.sha2(F.coalesce("cleaned", F.lit("")), 256).alias("cleaned_hash"),
+        )
+    )
+
+
 # Unigram log-probability scoring: the cheap end of the perplexity-filter
 # family (CCNet scores with a KenLM 5-gram; the unigram variant is the
 # same dataflow with n=1). Two aggregations over the token stream — corpus
