@@ -1688,14 +1688,35 @@ def q_search_text(spark, sf_dir):
 # punctuation). Pure codegen: split, filter with a lambda, rejoin — one
 # map-side pass, no shuffle, no Python.
 
+# Both line-level queries synthesize a DETERMINISTIC multi-line corpus
+# from the (single-line) testdata documents: the original text, a 40-char
+# prefix line, and a shared boilerplate footer. The footer line is what
+# makes the checks meaningful — it recurs in EVERY document, so the
+# global dedup must keep it exactly once and the C4 filter must judge it
+# — and the prefix line exercises per-doc reassembly order.
+_MULTILINE_SQL = (
+    "concat(text, chr(10), substr(text, 1, 40), chr(10), "
+    "'All rights reserved. Contact us today!')"
+)
+
+
+def _multiline_text():
+    return F.concat(
+        F.col("text"), F.lit("\n"),
+        F.substring("text", 1, 40), F.lit("\n"),
+        F.lit("All rights reserved. Contact us today!"),
+    )
+
+
 _C4_LINE_ORACLE = f"""
-WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+WITH d AS (SELECT doc_id, string_split({_MULTILINE_SQL}, chr(10)) AS lines
+           FROM documents),
 f AS (
   SELECT doc_id, lines,
          list_filter(lines, l ->
            len(list_filter(string_split(l, ' '), t -> t <> '')) >= 3
            AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%."'
-                OR l LIKE '%:')) AS kept
+                OR l LIKE '%!"' OR l LIKE '%?"')) AS kept
   FROM d
 )
 SELECT doc_id,
@@ -1714,20 +1735,22 @@ FROM f
 @_q(
     "c4_line_filter",
     _C4_LINE_ORACLE,
-    "C4-style line-level boilerplate filter: keep lines with >= 3 tokens "
-    "ending in terminal punctuation, rejoin — the pre-quality cleaning "
-    "pass of a pretraining pipeline, as one codegen projection (counts + "
-    "sha256 of the cleaned text, oracle-exact)",
+    "C4-style line-level boilerplate filter (Raffel 2020 §2.2): keep "
+    "lines with >= 3 tokens ending in terminal punctuation (. ! ? or "
+    "their close-quote forms — colons are boilerplate and dropped), "
+    "rejoin — one codegen projection over a synthesized multi-line corpus "
+    "with a recurring footer (counts + sha256 of the cleaned text, "
+    "oracle-exact)",
 )
 def q_c4_line_filter(spark, sf_dir):
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    lines = F.split(F.col("text"), "\n")
+    lines = F.split(_multiline_text(), "\n")
     kept = F.filter(
         lines,
-        lambda l: (F.size(T.tokens(l)) >= 3)
+        lambda l: (T.token_count(l) >= 3)
         & (
             l.endswith(".") | l.endswith("!") | l.endswith("?")
-            | l.endswith('."') | l.endswith(":")
+            | l.endswith('."') | l.endswith('!"') | l.endswith('?"')
         ),
     )
     cleaned = F.array_join(kept, "\n")
@@ -1749,20 +1772,18 @@ def q_c4_line_filter(spark, sf_dir):
 # is a per-doc aggregation. No all-pairs anything — this is how you
 # de-boilerplate 100 TB.
 
-_LINE_DEDUP_ORACLE = """
-WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents),
+_LINE_DEDUP_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split({_MULTILINE_SQL}, chr(10)) AS lines
+           FROM documents),
 l AS (
-  SELECT doc_id, u.pos, lines[u.pos] AS line
-  FROM d, (SELECT unnest(range(1, 100000)) AS pos) u
-  WHERE u.pos <= len(lines)
+  SELECT doc_id, generate_subscripts(lines, 1) AS pos, unnest(lines) AS line
+  FROM d
 ),
-k AS (SELECT doc_id, pos, line,
-             doc_id * 10000000 + pos AS occ_key
-      FROM l),
-firsts AS (SELECT line, min(occ_key) AS first_key FROM k GROUP BY line),
+firsts AS (SELECT line, min(row(doc_id, pos)) AS first_occ FROM l GROUP BY line),
 kept AS (
-  SELECT k.doc_id, k.pos, k.line
-  FROM k JOIN firsts ON k.line = firsts.line AND k.occ_key = firsts.first_key
+  SELECT l.doc_id, l.pos, l.line
+  FROM l JOIN firsts ON l.line = firsts.line
+                    AND row(l.doc_id, l.pos) = firsts.first_occ
 ),
 reassembled AS (
   SELECT doc_id,
@@ -1783,22 +1804,27 @@ FROM d LEFT JOIN reassembled r ON d.doc_id = r.doc_id
     _LINE_DEDUP_ORACLE,
     "cross-document line dedup (C4's global span dedup at line "
     "granularity): keep each line only at its first (doc_id, pos) "
-    "occurrence corpus-wide — explode, one line-keyed groupBy argmin, "
-    "keep-join, per-doc ordered reassembly; returns per-doc kept counts "
-    "and the sha256 of the deduped text",
+    "occurrence corpus-wide — the recurring synthesized footer proves it "
+    "survives in exactly one document. Explode, one line-keyed groupBy "
+    "STRUCT argmin (no arithmetic key — an encoded doc_id*C+pos overflows "
+    "int64 for hash-valued doc_ids), keep-join, per-doc ordered "
+    "reassembly; returns per-doc kept counts and the sha256 of the "
+    "deduped text",
 )
 def q_line_dedup_global(spark, sf_dir):
     d = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.split("text", "\n").alias("lines")
+        "doc_id", F.split(_multiline_text(), "\n").alias("lines")
     )
     l = d.select(
         "doc_id", F.posexplode("lines").alias("pos0", "line")
-    ).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "line",
-        (F.col("doc_id") * 10_000_000 + F.col("pos0") + 1).alias("occ_key"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    firsts = l.groupBy("line").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ")
     )
-    firsts = l.groupBy("line").agg(F.min("occ_key").alias("first_key"))
-    kept = l.join(firsts, "line").filter(F.col("occ_key") == F.col("first_key"))
+    kept = l.join(firsts, "line").filter(
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("pos") == F.col("first_occ.pos"))
+    )
     reassembled = kept.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_kept"),
         F.array_join(
