@@ -2065,6 +2065,63 @@ def q_tfidf(spark, sf_dir):
     )
 
 
+# Per-user anomaly detection: value z-scores against each user's own
+# history — the monitoring query of an event pipeline. One groupBy for the
+# per-user moments (map-side partials), broadcast back onto the stream;
+# population stddev stated explicitly so both engines agree bit-for-bit.
+
+_ANOMALY_ORACLE = """
+WITH s AS (
+  SELECT user_id, avg(value) mu,
+         sqrt(avg(value * value) - avg(value) * avg(value)) sigma,
+         count(*) n
+  FROM events GROUP BY user_id
+),
+z AS (
+  SELECT e.event_id, e.user_id, e.value,
+         (e.value - s.mu) / s.sigma AS zs
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE s.n >= 20 AND s.sigma > 0
+)
+SELECT event_id, user_id, round(value, 6) AS value, round(zs, 4) AS zscore
+FROM z WHERE abs(zs) >= 3.0
+"""
+
+
+@_q(
+    "events_anomaly",
+    _ANOMALY_ORACLE,
+    "per-user value anomalies: |z| >= 3 against the user's own history "
+    "(population moments via one partial-agg'd groupBy, broadcast back "
+    "onto the stream; users with < 20 events or zero variance excluded)",
+)
+def q_events_anomaly(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    s = e.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.sqrt(
+            F.avg(F.col("value") * F.col("value"))
+            - F.avg("value") * F.avg("value")
+        ).alias("sigma"),
+        F.count("*").alias("n"),
+    )
+    z = (
+        e.join(F.broadcast(s), "user_id")
+        .filter((F.col("n") >= 20) & (F.col("sigma") > 0))
+        .select(
+            "event_id", "user_id", "value",
+            ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("zs"),
+        )
+    )
+    return z.filter(F.abs("zs") >= 3.0).select(
+        "event_id", "user_id",
+        F.round("value", 6).alias("value"),
+        F.round("zs", 4).alias("zscore"),
+    )
+
+
 _RETENTION_ORACLE = """
 WITH su AS (SELECT user_id, min(date_trunc('day', ts)) d0 FROM events
             WHERE event_type = 'signup' GROUP BY user_id),
