@@ -141,3 +141,37 @@ def test_incremental_never_pairs_within_batch_or_corpus(spark):
     ).collect()
     # only batch-vs-corpus pairs are in scope; (1,2) and (101,102) are not
     assert got == []
+
+
+def test_semantic_dedup_cluster_scoped(spark):
+    # Two well-separated clusters (x-axis vs y-axis); 11/12 duplicate 1/2
+    # semantically (scaled copies, cosine 1.0). 3 sits in cluster A but is
+    # not a near-dup of anything. Cross-cluster near-parallels never
+    # compare (SemDeDup only looks within a cluster).
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.7, 0.4, 0.0]),
+            (11, [2.0, 0.0, 0.0]),   # dup of 1
+            (12, [1.8, 0.2, 0.0]),   # dup of 2
+            (20, [0.0, 1.0, 0.0]),
+            (21, [0.0, 2.0, 0.0]),   # dup of 20
+        ],
+        "vec_id long, v array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], "cell long, cv array<double>"
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(vecs, "vec_id", "v", cent, threshold=0.999).collect()
+    }
+    assert {i for i, r in rows.items() if r["keep"] == 1} == {1, 2, 3, 20}
+    assert {i for i, r in rows.items() if r["keep"] == 0} == {11, 12, 21}
+    # cluster assignment: x-axis family -> cell 0, y-axis family -> cell 1
+    assert all(rows[i]["cell"] == 0 for i in (1, 2, 3, 11, 12))
+    assert all(rows[i]["cell"] == 1 for i in (20, 21))
+    # lowest id in a cluster has no lower-id member: sentinel -2.0
+    assert rows[1]["max_lower_sim"] == -2.0
+    assert rows[11]["max_lower_sim"] == 1.0

@@ -381,6 +381,70 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   centroids: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    semantic deduplication over an embedding column.
+
+    Assign every vector to its nearest centroid (cosine, ties → lowest
+    cell), then compare vectors ONLY within their cluster and mark a row a
+    duplicate when some lower-id cluster member sits within ``threshold``
+    cosine of it (lowest id wins, matching the other dedup families).
+
+    ``centroids`` is a small (cell: long, cv: array) table — a k-means fit
+    (operators/kmeans.py) or a deterministic sample — always broadcast.
+
+    Scale shape (the paper's recipe): k is chosen so clusters are small
+    (they use k=50 000 on LAION), making the within-cluster O(c²) compare
+    the budgeted cost; the join is an equi-join on the cell key, so there
+    is never a global all-pairs path, and assignment is one broadcast
+    crossJoin + max_by aggregation (map-side partial, one row per id
+    crosses the shuffle).
+
+    Returns (id, cell, max_lower_sim, keep): max_lower_sim is the highest
+    cosine to any lower-id cluster member (-2.0 sentinel when the row is
+    the lowest id in its cluster — below any real cosine), keep is 1 when
+    the row survives dedup.
+    """
+    from victor_spark.sources.tables import fan_out
+
+    v = fan_out(df).select(
+        F.col(id_col).alias("doc"), to_double_array(vec_col).alias("vec")
+    )
+    cent = F.broadcast(
+        centroids.select(
+            F.col("cell").cast("long").alias("cell"),
+            to_double_array("cv").alias("cv"),
+        )
+    )
+    scored = v.crossJoin(cent).select(
+        "doc", "vec", "cell", cosine(F.col("vec"), F.col("cv")).alias("_cs")
+    )
+    assigned = scored.groupBy("doc").agg(
+        F.first("vec").alias("vec"),
+        F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
+    )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    sims = l.join(
+        r, (F.col("l.cell") == F.col("r.cell")) & (F.col("l.doc") < F.col("r.doc"))
+    ).select(
+        F.col("r.doc").alias("doc"),
+        cosine(F.col("l.vec"), F.col("r.vec")).alias("_s"),
+    )
+    worst = sims.groupBy("doc").agg(F.max("_s").alias("_max_sim"))
+    return (
+        assigned.join(worst, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "cell",
+            F.coalesce("_max_sim", F.lit(-2.0)).alias("max_lower_sim"),
+            (F.coalesce("_max_sim", F.lit(-2.0)) < F.lit(threshold))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                        max_iterations: int = 15,
                        driver_edge_limit: int = 5_000_000) -> DataFrame:

@@ -4489,6 +4489,227 @@ def q_pca_project(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# extensions: SemDeDup / bigram LM quality / DSIR importance weights
+# ===========================================================================
+
+# SemDeDup (Abbas et al. 2023): cluster embeddings, then dedup ONLY within
+# clusters — the pairwise cost is budgeted per cluster instead of global.
+# Centroids here are the same deterministic sample the IVF queries use
+# (every 250th vector), so DuckDB replays the assignment exactly; a real
+# deployment swaps in operators/kmeans.py via the trainer seam.
+
+_SEMDEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+corpus AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM e WHERE vec_id % 10 = 0
+),
+cent AS (SELECT vec_id cell, v cv, sqrt(list_dot_product(v, v)) cn
+         FROM e WHERE vec_id % 250 = 0),
+assign AS (
+  SELECT vec_id, v, cell,
+         row_number() OVER (PARTITION BY vec_id
+           ORDER BY list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * cn) DESC,
+                    cell) rn
+  FROM corpus, cent
+),
+cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+sims AS (
+  SELECT r.vec_id vec_id,
+         max(list_dot_product(l.v, r.v)
+             / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))) m
+  FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
+  GROUP BY r.vec_id
+)
+SELECT c.vec_id, c.cell,
+       round(coalesce(s.m, -2.0), 6) AS max_lower_sim,
+       CAST(coalesce(s.m, -2.0) < 0.99 AS INTEGER) AS keep
+FROM cells c LEFT JOIN sims s ON c.vec_id = s.vec_id
+"""
+
+
+@_q(
+    "semdedup",
+    _SEMDEDUP_ORACLE,
+    "SemDeDup (arXiv:2303.09540): nearest-centroid clustering, then cosine "
+    "dedup WITHIN clusters only — per-cluster O(c²) instead of global "
+    "all-pairs; lowest id in a duplicate set survives (keep=1). Centroid "
+    "assignment is a broadcast crossJoin + max_by aggregation; the "
+    "within-cluster compare is an equi-join on the cell key",
+)
+def q_semdedup(spark, sf_dir):
+    from victor_spark.operators.dedup import semantic_dedup
+
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    cent = _emb(spark, sf_dir).filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    res = semantic_dedup(corpus, "vec_id", "v", cent, threshold=0.99)
+    return res.select(
+        "vec_id", "cell", F.round("max_lower_sim", 6).alias("max_lower_sim"), "keep"
+    )
+
+
+# Bigram LM quality score — the n=2 member of the CCNet perplexity-filter
+# family (unigram_logprob is n=1): per-doc mean ln p(cur | prev) under the
+# corpus bigram MLE. At 100 TB the shape is unchanged: two partial-agg'd
+# count shuffles (pair key, context key) and a token-key equi-join.
+
+_BIGRAM_ORACLE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS.format(s='lower(text)')} t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> {{'prev': t[i], 'cur': t[i+1]}})) pc
+  FROM d WHERE len(t) >= 2
+),
+p AS (SELECT doc_id, pc.prev prev, pc.cur cur FROM bg),
+cpair AS (SELECT prev, cur, count(*) cp FROM p GROUP BY prev, cur),
+cctx AS (SELECT prev, count(*) cc FROM p GROUP BY prev),
+scored AS (
+  SELECT p.doc_id, ln(CAST(cp AS DOUBLE) / CAST(cc AS DOUBLE)) lp
+  FROM p JOIN cpair USING (prev, cur) JOIN cctx USING (prev)
+),
+per_doc AS (
+  SELECT doc_id, count(*) n_bigrams, avg(lp) avg_logp FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(p.avg_logp, 0.0), 6) AS avg_logp
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@_q(
+    "bigram_logprob",
+    _BIGRAM_ORACLE,
+    "bigram log-probability quality score per doc (the n=2 CCNet "
+    "perplexity-filter member): corpus bigram MLE p(cur|prev) = "
+    "C(prev,cur)/C(prev), mean ln p per doc — two count shuffles + a "
+    "token-key equi-join; docs with <2 tokens score 0",
+)
+def q_bigram_logprob(spark, sf_dir):
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
+    t = F.col("t")
+    pairs = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("prev"),
+                        F.element_at(t, i + 1).alias("cur"),
+                    ),
+                )
+            ).alias("pc"),
+        )
+        .select("doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
+    )
+    cpair = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cp"))
+    cctx = pairs.groupBy("prev").agg(F.count("*").alias("cc"))
+    scored = pairs.join(cpair, ["prev", "cur"]).join(cctx, ["prev"]).select(
+        "doc_id",
+        F.log(F.col("cp").cast("double") / F.col("cc").cast("double")).alias("lp"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("lp").alias("avg_logp")
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(F.coalesce("avg_logp", F.lit(0.0)), 6).alias("avg_logp"),
+        )
+    )
+
+
+# DSIR (Xie et al. 2023, arXiv:2302.03169): data selection via importance
+# resampling in a hashed n-gram feature space. Target distribution = the
+# English slice, raw = the whole corpus; per-doc log importance weight =
+# Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)] with add-1 smoothing
+# over the 64 hash buckets. The bucket log-ratio table is 64 rows —
+# BROADCAST — so the per-token scoring join is map-side; the only shuffles
+# are the two bucket-count partial aggregations and the per-doc sum.
+
+_DSIR_H = SQL_H32.format(x="w")
+
+_DSIR_ORACLE = f"""
+WITH d AS (SELECT doc_id, lang, {SQL_TOKS.format(s='lower(text)')} t FROM documents),
+tok AS (SELECT doc_id, lang, unnest(t) w FROM d),
+b AS (SELECT doc_id, lang, {_DSIR_H} % 64 bkt FROM tok),
+raw AS (SELECT bkt, count(*) cr FROM b GROUP BY bkt),
+tgt AS (SELECT bkt, count(*) ct FROM b WHERE lang = 'en' GROUP BY bkt),
+tot AS (SELECT (SELECT count(*) FROM b) tr, (SELECT count(*) FROM b WHERE lang = 'en') tt),
+ratio AS (
+  SELECT r.bkt,
+         ln((CAST(coalesce(t.ct, 0) AS DOUBLE) + 1.0) / (tt + 64.0))
+           - ln((CAST(r.cr AS DOUBLE) + 1.0) / (tr + 64.0)) lr
+  FROM raw r LEFT JOIN tgt t ON r.bkt = t.bkt CROSS JOIN tot
+),
+scored AS (SELECT b.doc_id, ratio.lr FROM b JOIN ratio ON b.bkt = ratio.bkt),
+per_doc AS (
+  SELECT doc_id, count(*) n_tokens, sum(lr) logw FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(p.logw, 0.0), 6) AS log_weight
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+@_q(
+    "dsir_weights",
+    _DSIR_ORACLE,
+    "DSIR importance weights (arXiv:2302.03169): hashed-unigram (64 "
+    "buckets, shared md5 family) log importance weight of every doc "
+    "against the English slice as target — the bucket log-ratio table is "
+    "broadcast, so scoring is map-side; add-1 smoothing, empty docs 0",
+)
+def q_dsir_weights(spark, sf_dir):
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = docs.select("doc_id", "lang", T.tokens(F.lower(F.col("text"))).alias("t"))
+    tok = d.select("doc_id", "lang", F.explode("t").alias("w")).select(
+        "doc_id", "lang", (H._md5_32_expr(F.col("w")) % 64).alias("bkt")
+    )
+    raw = tok.groupBy("bkt").agg(F.count("*").alias("cr"))
+    tgt = tok.filter(F.col("lang") == "en").groupBy("bkt").agg(F.count("*").alias("ct"))
+    totals = F.broadcast(
+        raw.agg(F.sum("cr").cast("double").alias("tr")).crossJoin(
+            tgt.agg(F.sum("ct").cast("double").alias("tt"))
+        )
+    )
+    ratio = F.broadcast(
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(totals)
+        .select(
+            "bkt",
+            (
+                F.log((F.coalesce("ct", F.lit(0)).cast("double") + 1.0) / (F.col("tt") + 64.0))
+                - F.log((F.col("cr").cast("double") + 1.0) / (F.col("tr") + 64.0))
+            ).alias("lr"),
+        )
+    )
+    per_doc = tok.join(ratio, "bkt").groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("lr").alias("logw")
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(F.coalesce("logw", F.lit(0.0)), 6).alias("log_weight"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
