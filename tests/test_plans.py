@@ -302,3 +302,25 @@ def test_ann_ivf_batch_probe_is_equi_join(spark):
     p = plan("ann_ivf_batch", spark)
     assert "BroadcastHashJoin" in p and "[cell" in p
     assert "SortMergeJoin" not in p
+
+
+def test_semdedup_pairs_join_is_equi_on_cell(spark):
+    # SemDeDup's within-cluster compare must be an equi-join on the cell
+    # key (the O(c²) budget is per cluster); assignment uses the broadcast
+    # centroid set. A CartesianProduct would mean global all-pairs.
+    p = plan("semdedup", spark)
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p  # centroid set
+    # the pair join keys on cell (either shuffle-hash or sort-merge is fine)
+    assert "cell" in p
+
+
+def test_dsir_scoring_join_is_broadcast(spark):
+    # the 64-row bucket log-ratio table must broadcast so per-token
+    # scoring is map-side — the corpus token stream never shuffles for it
+    p = plan("dsir_weights", spark)
+    assert "BroadcastHashJoin" in p
+    # in formatted mode the join keys print on their own lines
+    assert any(
+        "keys" in ln and "bkt" in ln for ln in p.splitlines()
+    ), "scoring join does not key on bkt"

@@ -65,6 +65,20 @@ def norm(a: ColumnOrName) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def l2_normalize(a: ColumnOrName) -> Column:
+    """v / ‖v‖ in one pass: the array and its norm each bind to a lambda
+    variable, so the norm's fold runs once per ROW — pre-normalizing a
+    corpus turns every downstream pairwise cosine into a single dot
+    (vs dot + two norm folds per pair). No zero-norm guard, matching
+    ``cosine``: under ANSI mode (the session default) a zero vector fails
+    the job with DIVIDE_BY_ZERO — callers that admit zero vectors must
+    filter them first."""
+    return bind(
+        _col(a),
+        lambda arr: bind(norm(arr), lambda n: F.transform(arr, lambda x: x / n)),
+    )
+
+
 def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Cosine similarity dot/(‖a‖‖b‖) (reference similarity.rs:5-24).
 

@@ -4506,20 +4506,23 @@ corpus AS (
   UNION ALL
   SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM e WHERE vec_id % 10 = 0
 ),
-cent AS (SELECT vec_id cell, v cv, sqrt(list_dot_product(v, v)) cn
+-- both sides L2-normalized once (matches the Spark plan: pair scores are
+-- then plain dots, bitwise-identical across engines)
+nc AS (SELECT vec_id,
+              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) nv
+       FROM corpus),
+cent AS (SELECT vec_id cell,
+                list_transform(v, x -> x / sqrt(list_dot_product(v, v))) ncv
          FROM e WHERE vec_id % 250 = 0),
 assign AS (
-  SELECT vec_id, v, cell,
+  SELECT vec_id, nv, cell,
          row_number() OVER (PARTITION BY vec_id
-           ORDER BY list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * cn) DESC,
-                    cell) rn
-  FROM corpus, cent
+           ORDER BY list_dot_product(nv, ncv) DESC, cell) rn
+  FROM nc, cent
 ),
-cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+cells AS (SELECT vec_id, nv, cell FROM assign WHERE rn = 1),
 sims AS (
-  SELECT r.vec_id vec_id,
-         max(list_dot_product(l.v, r.v)
-             / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))) m
+  SELECT r.vec_id vec_id, max(list_dot_product(l.nv, r.nv)) m
   FROM cells l JOIN cells r ON l.cell = r.cell AND l.vec_id < r.vec_id
   GROUP BY r.vec_id
 )
