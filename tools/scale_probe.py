@@ -45,6 +45,13 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "tpch_q1": {"lineitem": ["l_orderkey"]},
     "pack_sequences": {"documents": ["doc_id"]},
     "unigram_logprob": {"documents": ["doc_id"]},
+    "bigram_logprob": {"documents": ["doc_id"]},
+    "dsir_weights": {"documents": ["doc_id"]},
+    # semdedup is intentionally NOT probed: with a FIXED centroid count the
+    # within-cluster pair cost grows r² as data replicates — that is the
+    # algorithm's contract (SemDeDup scales k with the corpus so clusters
+    # stay small), so a fixed-k probe would report the data property, not
+    # the plan shape.
 }
 
 ID_STRIDE = 100_000_000
