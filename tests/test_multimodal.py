@@ -68,3 +68,25 @@ def test_resize_non_image_passthrough(spark):
     r = M.resize_images(audio, 64, 64).first()
     assert bytes(r["payload"]) == b"some audio doc"  # untouched
     assert r["meta_width"] != 64 or r["meta_height"] != 64
+
+
+def test_sample_frames_contract(spark):
+    from victor_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytes(range(40)), 1, 1, 0),   # 40 B -> frames 0,1,2 (tail 8 B); sampled 0,2
+            (2, "image", b"\x00" * 64, 1, 1, 0),        # non-video: no rows
+            (3, "video", b"", 1, 1, 0),                 # empty: no rows
+        ],
+        "media_id long, kind string, payload binary, meta_width int, meta_height int, meta_sample_rate int",
+    )
+    rows = sorted(
+        sample_frames(media, frame_bytes=16, stride=2).collect(),
+        key=lambda r: (r["media_id"], r["frame_idx"]),
+    )
+    assert [(r["media_id"], r["frame_idx"], r["n_frames"]) for r in rows] == [
+        (1, 0, 3), (1, 2, 3)
+    ]
+    assert bytes(rows[0]["frame"]) == bytes(range(16))
+    assert bytes(rows[1]["frame"]) == bytes(range(32, 40))  # short tail, no padding

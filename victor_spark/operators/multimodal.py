@@ -194,3 +194,53 @@ def media_stats(media: DataFrame) -> DataFrame:
             F.max("meta_width").alias("max_width"),
         )
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 16,
+                  stride: int = 2) -> DataFrame:
+    """Video frame sampling: one output ROW per sampled frame.
+
+    Treats a video payload as consecutive ``frame_bytes``-byte frames
+    (standing in for ffmpeg's decoded frame stream — swap the slicing for
+    a real demuxer, keep the row-expanding batch shape) and emits every
+    ``stride``-th frame as its own row (frame_idx 0, stride, 2·stride, …;
+    the tail frame may be short — no padding, mirroring a real stream).
+    Non-video rows produce no output rows.
+
+    This is the row-EXPANDING mapInPandas shape a training pipeline needs
+    for frame extraction: partition-local (no shuffle), Arrow-batched, and
+    the output row count is data-dependent — downstream per-frame stages
+    (encode, filter, embed) parallelize over frames, not videos.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, frames = [], [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                b = bytes(payload)
+                n = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n, stride):
+                    ids.append(mid)
+                    idxs.append(i)
+                    ns.append(n)
+                    frames.append(b[i * frame_bytes:(i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "n_frames": ns,
+                 "frame": frames}
+            )
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -4810,6 +4810,54 @@ def q_dedup_recall_audit(spark, sf_dir):
     )
 
 
+# Video frame sampling — the row-EXPANDING multimodal shape (one output
+# row per sampled frame). The frame slicing is the stub decode seam; the
+# byte contract (every 2nd 16-byte slice, short tail, videos only) is
+# replayed exactly by the oracle over the blob's hex.
+
+_FRAME_SAMPLE_ORACLE = """
+WITH m AS (SELECT doc_id AS media_id, encode(text) payload FROM documents
+           WHERE doc_id % 3 = 2),
+f AS (SELECT media_id, hex(payload) h,
+             (octet_length(payload) + 15) // 16 n_frames
+      FROM m),
+s AS (SELECT media_id, h, n_frames, unnest(range(0, n_frames, 2)) i FROM f)
+SELECT media_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(len(substr(h, CAST(i * 32 + 1 AS INTEGER), 32)) // 2 AS BIGINT)
+         AS frame_len,
+       md5(substr(h, CAST(i * 32 + 1 AS INTEGER), 32)) AS frame_md5
+FROM s
+"""
+
+
+@_q(
+    "multimodal_frame_sample",
+    _FRAME_SAMPLE_ORACLE,
+    "video frame sampling (row-expanding mapInPandas): every 2nd 16-byte "
+    "frame of each video payload becomes its own row — partition-local, "
+    "Arrow-batched, no shuffle; downstream per-frame stages parallelize "
+    "over frames, not videos. Stub slicing; real demuxer swaps in behind "
+    "the same batch shape",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    from victor_spark.operators.multimodal import sample_frames, synthesize_media
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") % 3 == 2
+    )
+    media = synthesize_media(d, "doc_id", "text", kind="video")
+    frames = sample_frames(media, frame_bytes=16, stride=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        F.octet_length("frame").cast("long").alias("frame_len"),
+        F.md5(F.hex("frame")).alias("frame_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
