@@ -375,3 +375,36 @@ def test_stream_index_ingest_builds_searchable_index(spark, tmp_path):
     q2.awaitTermination(120)
     assert idx.scan().count() == 5
     assert idx.search([0.9, 0.1, 0.0], k=1).first()["content"] == "epsilon"
+
+
+def test_stream_frame_extraction_matches_batch(spark, tmp_path):
+    """The drained frame table equals batch sample_frames — and the
+    topology is streaming-NATIVE (mapInPandas on the unbounded frame, no
+    foreachBatch)."""
+    from victor_spark.operators.multimodal import sample_frames, synthesize_media
+    from victor_spark.streaming.frames import stream_frame_extraction
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(
+        F.col("doc_id") % 3 == 2
+    )
+    media = synthesize_media(docs, "doc_id", "text", kind="video")
+    mdir = tmp_path / "media_src"
+    media.coalesce(1).write.parquet(str(mdir))
+    mstream = (
+        spark.readStream.schema(media.schema).format("parquet").load(str(mdir))
+    )
+    out = tmp_path / "frames"
+    q = stream_frame_extraction(
+        mstream, str(out), str(tmp_path / "ckpt"), frame_bytes=16, stride=2
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["media_id"], r["frame_idx"], r["n_frames"], bytes(r["frame"]))
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    expect = {
+        (r["media_id"], r["frame_idx"], r["n_frames"], bytes(r["frame"]))
+        for r in sample_frames(media, frame_bytes=16, stride=2).collect()
+    }
+    assert got == expect and len(got) > 0

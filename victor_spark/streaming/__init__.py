@@ -1,5 +1,6 @@
 from victor_spark.streaming.dedup_stream import stream_incremental_dedup
 from victor_spark.streaming.enrich import stream_asof_enrich
+from victor_spark.streaming.frames import stream_frame_extraction
 from victor_spark.streaming.index_ingest import stream_index_ingest
 from victor_spark.streaming.ingest import (
     ensure_event_time,
@@ -26,6 +27,7 @@ __all__ = [
     "stream_asof_enrich",
     "stream_incremental_dedup",
     "stream_index_ingest",
+    "stream_frame_extraction",
     "ensure_event_time",
     "incident_window_join_stream",
 ]
