@@ -4683,9 +4683,11 @@ def q_dsir_weights(spark, sf_dir):
     )
     raw = tok.groupBy("bkt").agg(F.count("*").alias("cr"))
     tgt = tok.filter(F.col("lang") == "en").groupBy("bkt").agg(F.count("*").alias("ct"))
+    # coalesce: an empty target slice must give tt = 0 (matching the
+    # oracle's count(*)), not a NULL that would null out every weight
     totals = F.broadcast(
-        raw.agg(F.sum("cr").cast("double").alias("tr")).crossJoin(
-            tgt.agg(F.sum("ct").cast("double").alias("tt"))
+        raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("double").alias("tr")).crossJoin(
+            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"))
         )
     )
     ratio = F.broadcast(
