@@ -311,8 +311,11 @@ def test_semdedup_pairs_join_is_equi_on_cell(spark):
     p = plan("semdedup", spark)
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p  # centroid set
-    # the pair join keys on cell (either shuffle-hash or sort-merge is fine)
-    assert "cell" in p
+    # the pair join must KEY on cell (shuffle-hash or sort-merge both fine);
+    # in formatted mode the join keys print on their own "keys" lines
+    assert any(
+        "keys" in ln and "cell" in ln for ln in p.splitlines()
+    ), "pair join does not key on cell"
 
 
 def test_dsir_scoring_join_is_broadcast(spark):

@@ -106,9 +106,19 @@ def _hashed_shingles(df: DataFrame, id_col: str, content_col: str,
     return out
 
 
+def hashed_shingle_sets(df: DataFrame, id_col: str, content_col: str,
+                        shingle_n: int = 3, unit: str = "word") -> DataFrame:
+    """Public handle on the cached (doc, h) shingle-hash table, for
+    composing several dedup operators over ONE hashing pass (pass it via
+    their ``hashed=`` parameter — e.g. the recall audit feeds the same
+    table to the ppjoin truth side and the banding candidate side)."""
+    return _hashed_shingles(df, id_col, content_col, shingle_n, unit)
+
+
 def minhash_candidate_pairs(df: DataFrame, id_col: str, content_col: str,
                             num_hashes: int = 16, bands: int = 8,
-                            shingle_n: int = 3, unit: str = "word") -> DataFrame:
+                            shingle_n: int = 3, unit: str = "word",
+                            hashed: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing at least one band bucket.
 
     Plan shape: signature is computed map-side; explode(bands) multiplies
@@ -116,8 +126,12 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, content_col: str,
     shuffles on band_key only. At 100 TB the band_key distribution is the
     thing to watch — a degenerate corpus (one giant near-dup cluster) makes
     a hot key, which AQE skew-join splitting handles.
+
+    ``hashed``: a precomputed ``hashed_shingle_sets`` table to reuse
+    (skips this operator's own hashing pass AND its cache eviction).
     """
-    hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
+    if hashed is None:
+        hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
     return _candidates_from_hashed(hashed, num_hashes, bands)
 
 
@@ -162,7 +176,8 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, id_col: str,
 
 def ngram_jaccard_join(df: DataFrame, id_col: str, content_col: str,
                        threshold: float = 0.5, shingle_n: int = 3,
-                       unit: str = "word") -> DataFrame:
+                       unit: str = "word",
+                       hashed: DataFrame | None = None) -> DataFrame:
     """Exact all-pairs similarity self-join: every (id_a < id_b) pair with
     shingle-hash Jaccard >= threshold, via prefix filtering (ppjoin).
 
@@ -174,8 +189,12 @@ def ngram_jaccard_join(df: DataFrame, id_col: str, content_col: str,
     this is the standard exact-similarity-join plan: the prefix explode is
     map-side, the candidate join shuffles on a single int key (AQE splits
     hot hashes), and the verify is O(candidates), not O(n²).
+
+    ``hashed``: a precomputed ``hashed_shingle_sets`` table to reuse
+    (skips this operator's own hashing pass AND its cache eviction).
     """
-    hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
+    if hashed is None:
+        hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit)
     sh = hashed.select("doc", F.array_sort("h").alias("s"))
     plen = (F.size("s") - F.ceil(F.lit(float(threshold)) * F.size("s")) + 1).cast("int")
     pre = sh.select(

@@ -4783,17 +4783,23 @@ FROM lab GROUP BY tau
 )
 def q_dedup_recall_audit(spark, sf_dir):
     from victor_spark.operators.dedup import (
+        hashed_shingle_sets,
         minhash_candidate_pairs,
         ngram_jaccard_join,
     )
 
     corpus = _partial_dup_corpus(spark, sf_dir)
+    # ONE shingle-hashing pass feeds both sides (passing hashed= also
+    # stops the second build from evicting the first build's cache)
+    hashed = hashed_shingle_sets(corpus, "doc_id", "text", shingle_n=3, unit="word")
     truth = ngram_jaccard_join(
-        corpus, "doc_id", "text", threshold=0.5, shingle_n=3, unit="word"
+        corpus, "doc_id", "text", threshold=0.5, shingle_n=3, unit="word",
+        hashed=hashed,
     )
     cand = minhash_candidate_pairs(
         corpus, "doc_id", "text",
         num_hashes=MINHASH_NUM, bands=MINHASH_BANDS, shingle_n=3, unit="word",
+        hashed=hashed,
     )
     ncand = F.broadcast(cand.agg(F.count("*").cast("long").alias("n_candidates")))
     labeled = truth.join(
