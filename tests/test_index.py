@@ -560,3 +560,47 @@ def test_compact_sort_within_tightens_file_stats(idx):
     # data intact and searchable
     assert idx.scan().count() == 40
     assert idx.search([39.0, 1.0], k=1).first()["content"] == "0039"
+
+
+def test_delete_ids_rewrites_only_affected_partitions(idx):
+    import os
+
+    idx.insert([("a", [1.0, 0.0], ["x"]),
+                ("b", [0.0, 1.0], ["x"]),
+                ("c", [1.0, 1.0], ["y"]),
+                ("d", [0.5, 0.5], ["z"])])
+    rows = {r["content"]: r["id"] for r in idx.scan().collect()}
+    ts_z = [t for t, _ in [(tsid, ts) for tsid, ts in idx._read_tag_sets()
+                           if ts == ["z"]]][0]
+    z_dir = os.path.join(idx.data_path, f"tag_set_id={ts_z}")
+    z_files = sorted(os.listdir(z_dir))
+    z_mtimes = [os.path.getmtime(os.path.join(z_dir, f)) for f in z_files]
+
+    # delete one of x's two rows (partial rewrite) and y's only row
+    # (directory drop) in one call
+    assert idx.delete_ids([rows["a"], rows["c"]]) == 2
+
+    left = sorted(r["content"] for r in idx.scan().collect())
+    assert left == ["b", "d"]
+    # y's tag set left the metadata listing; x and z stayed
+    assert sorted(ts for _, ts in idx._read_tag_sets()) == [["x"], ["z"]]
+    # the untouched partition (z) was not rewritten: same files, same mtimes
+    assert sorted(os.listdir(z_dir)) == z_files
+    assert [os.path.getmtime(os.path.join(z_dir, f)) for f in z_files] == z_mtimes
+    # search never returns deleted rows
+    got = [r["content"] for r in idx.search([1.0, 0.0], k=4).collect()]
+    assert "a" not in got and "c" not in got
+
+
+def test_delete_ids_unknown_and_empty(idx):
+    idx.insert([("a", [1.0, 0.0], ["x"])])
+    assert idx.delete_ids([]) == 0
+    assert idx.delete_ids(["not-a-real-id"]) == 0
+    assert [r["content"] for r in idx.scan().collect()] == ["a"]
+
+
+def test_delete_ids_all_rows_clears_index(idx):
+    idx.insert([("a", [1.0, 0.0], ["x"]), ("b", [0.0, 1.0], ["y"])])
+    ids = [r["id"] for r in idx.scan().collect()]
+    assert idx.delete_ids(ids) == 2
+    assert idx.is_empty()

@@ -368,6 +368,85 @@ class VectorIndex:
         self._drop_ann_artifacts()
         return n
 
+    def delete_ids(self, ids: list[str]) -> int:
+        """Row-level delete by id. Returns the number of rows deleted.
+
+        An extension (the reference's only deletion is clear_db; our
+        delete(tags) drops whole partitions): ids don't map to partitions,
+        so victims are located with ONE column-pruned scan over (id,
+        tag_set_id), then ONLY the partitions that hold victims are
+        rewritten (filter + per-directory swap) — every other partition's
+        files are untouched. A partition whose rows are all victims is
+        dropped directory-wise like delete(tags), with the metadata
+        listing updated.
+
+        Scale shape: the locate scan reads two thin columns of the corpus
+        (inherent without an id→partition index); the id set rides as an
+        IN-filter here — a large victim set would instead broadcast as an
+        anti-join, same plan shape. Rewrite cost is proportional to the
+        AFFECTED partitions only, the same contract as DELETE on a
+        hive-layout table. Membership changed, so ANN serving artifacts
+        are dropped (callers rebuild on next use).
+        """
+        if not ids or self.is_empty():
+            return 0
+        import pyarrow.parquet as papq
+
+        idset = sorted(set(ids))
+        df = self.spark.read.parquet(self.data_path)
+        affected = (
+            df.select("id", "tag_set_id")
+            .filter(F.col("id").isin(idset))
+            .groupBy("tag_set_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        if not affected:
+            return 0
+        emptied: set[str] = set()
+        n_victims = 0
+        for r in affected:
+            tsid, n_vic = r["tag_set_id"], r["n"]
+            n_victims += n_vic
+            part_dir = os.path.join(self.data_path, f"tag_set_id={tsid}")
+            total = 0
+            for fname in os.listdir(part_dir):
+                if fname.endswith(".parquet"):
+                    total += papq.ParquetFile(
+                        os.path.join(part_dir, fname)
+                    ).metadata.num_rows
+            if total == n_vic:
+                # every row is a victim: drop the directory, no rewrite
+                shutil.rmtree(part_dir, ignore_errors=True)
+                emptied.add(tsid)
+                continue
+            kept = self.spark.read.parquet(part_dir).filter(
+                ~F.col("id").isin(idset)
+            )
+            tmp = part_dir + "__deleting"
+            shutil.rmtree(tmp, ignore_errors=True)
+            kept.write.mode("overwrite").parquet(tmp)
+            old = part_dir + "__old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(part_dir, old)
+            os.rename(tmp, part_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        if emptied:
+            survivors = [
+                (tsid, ts)
+                for tsid, ts in (self._read_tag_sets() or [])
+                if tsid not in emptied
+            ]
+            self._write_tag_sets(survivors)
+        remaining = [
+            d for d in os.listdir(self.data_path) if d.startswith("tag_set_id=")
+        ]
+        if not remaining:
+            self.clear()
+        else:
+            self._drop_ann_artifacts()
+        return n_victims
+
     # -- scan --------------------------------------------------------------
 
     def is_empty(self) -> bool:
