@@ -175,3 +175,31 @@ def test_semantic_dedup_cluster_scoped(spark):
     # lowest id in a cluster has no lower-id member: sentinel -2.0
     assert rows[1]["max_lower_sim"] == -2.0
     assert rows[11]["max_lower_sim"] == 1.0
+
+
+def test_semantic_dedup_with_kmeans_centroids(spark):
+    # the trainer seam composes: fit_kmeans centroids feed semantic_dedup
+    # directly, and the scaled copies still dedup against their originals
+    from victor_spark.operators.kmeans import fit_kmeans
+
+    base = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.9, 0.2, 0.0]), (3, [1.0, 0.1, 0.0]),
+        (20, [0.0, 1.0, 0.1]), (21, [0.1, 1.0, 0.0]), (22, [0.0, 0.9, 0.2]),
+    ]
+    dups = [(i + 100, [2 * x for x in v]) for i, v in base if i % 2 == 0]
+    vecs = spark.createDataFrame(base + dups, "vec_id long, v array<double>")
+    cents = fit_kmeans(vecs, "vec_id", "v", k=2, metric="cosine")
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell long, cv array<double>"
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(vecs, "vec_id", "v", cent_df,
+                                      threshold=0.999).collect()
+    }
+    # every scaled copy is dropped, every original survives
+    assert all(rows[i + 100]["keep"] == 0 for i, _ in base if i % 2 == 0)
+    assert all(rows[i]["keep"] == 1 for i, _ in base)
+    # copies land in the same cluster as their originals
+    assert all(rows[i + 100]["cell"] == rows[i]["cell"]
+               for i, _ in base if i % 2 == 0)

@@ -1,6 +1,6 @@
 """Deduplication operators for training-data curation.
 
-Five dedup families, all shuffle-conscious:
+Six dedup families, all shuffle-conscious:
 
 - exact:     hash-groupBy on content — one shuffle on a 32-byte digest, the
              cheapest possible dedup at 100 TB (shuffle carries digests and
@@ -14,6 +14,8 @@ Five dedup families, all shuffle-conscious:
              by minhash, exposed standalone).
 - embedding: cosine near-duplicate pairs over the embedding column, blocked
              by hyperplane-LSH buckets (see operators/ann.py).
+- semantic:  SemDeDup — nearest-centroid clustering, then cosine dedup
+             within clusters only (per-cluster O(c²), never global).
 
 Hashes come from functions/hashing.py and are reproducible in the DuckDB
 oracle, so even the approximate operators are exactly verifiable.
