@@ -154,3 +154,27 @@ def test_pandas_cosine_matches_native_kernel(spark):
     assert len(both) == 50
     for r in both:
         assert abs(r["native"] - r["arrow"]) < 1e-12
+
+
+def test_l2_normalize_matches_cosine_contract(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions.vector import cosine, dot, l2_normalize
+
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [1.0, 0.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = df.select(
+        l2_normalize("a").alias("na"),
+        dot(l2_normalize("a"), l2_normalize("b")).alias("nd"),
+        cosine("a", "b").alias("c"),
+    ).collect()
+    # normalized dot tracks cosine to float tolerance on real vectors
+    assert rows[0]["na"] == [0.6, 0.8]
+    assert abs(rows[0]["nd"] - rows[0]["c"]) < 1e-12
+    # zero-norm: NaN components (cosine's contract), never a job error
+    assert all(math.isnan(x) for x in rows[1]["na"])
+    assert math.isnan(rows[1]["nd"]) and math.isnan(rows[1]["c"])

@@ -69,13 +69,21 @@ def l2_normalize(a: ColumnOrName) -> Column:
     """v / ‖v‖ in one pass: the array and its norm each bind to a lambda
     variable, so the norm's fold runs once per ROW — pre-normalizing a
     corpus turns every downstream pairwise cosine into a single dot
-    (vs dot + two norm folds per pair). No zero-norm guard, matching
-    ``cosine``: under ANSI mode (the session default) a zero vector fails
-    the job with DIVIDE_BY_ZERO — callers that admit zero vectors must
-    filter them first."""
+    (vs dot + two norm folds per pair).
+
+    Zero-norm inputs yield NaN components — the same contract as
+    ``cosine`` (reference's IEEE division, similarity.rs:10-22); under
+    Spark 4's default ANSI mode the bare x/0 would otherwise be a hard
+    DIVIDE_BY_ZERO job failure."""
     return bind(
         _col(a),
-        lambda arr: bind(norm(arr), lambda n: F.transform(arr, lambda x: x / n)),
+        lambda arr: bind(
+            norm(arr),
+            lambda n: F.transform(
+                arr,
+                lambda x: F.when(n == 0.0, F.lit(float("nan"))).otherwise(x / n),
+            ),
+        ),
     )
 
 
