@@ -203,3 +203,15 @@ def test_semantic_dedup_with_kmeans_centroids(spark):
     # copies land in the same cluster as their originals
     assert all(rows[i + 100]["cell"] == rows[i]["cell"]
                for i, _ in base if i % 2 == 0)
+
+
+def test_minhash_pairs_empty_and_whitespace_docs(spark):
+    # empty and whitespace-only docs both shingle to [''] (the documented
+    # short-doc rule) and must pair with J=1.0 — the oracle twin relies on
+    # coalesce(array_to_string(...), '') for the same result (DuckDB's
+    # array_to_string([]) is NULL; edge-testdata-caught)
+    df = _docs(spark, [(1, ""), (2, "   "), (3, "real content entirely different")])
+    pairs = dedup.minhash_near_duplicates(df, "doc_id", "text", threshold=0.7)
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs.collect()] == [
+        (1, 2, 1.0)
+    ]

@@ -120,3 +120,14 @@ def test_real_model_end_to_end_if_installed(spark, tmp_path, monkeypatch):
     idx.add(["a slice of hawaiian pizza", "a pile of grey rocks"])
     hit = idx.search_text("pineapple on pizza", k=1).first()
     assert "pizza" in hit["content"]
+
+
+def test_hash_embedder_splits_on_space_only():
+    # the whole catalog tokenizes by splitting on ' ' (functions/text.py::
+    # tokens ↔ the oracles' string_split); Python's bare .split() also eats
+    # tabs/newlines, which silently diverges from every SQL twin
+    # (edge-testdata-caught) — lock the space-only contract
+    from victor_spark.functions.embedder import _embed_one
+
+    assert _embed_one("a\tb", 16) != _embed_one("a b", 16)  # one token vs two
+    assert _embed_one("a  b", 16) == _embed_one("a b", 16)  # empties dropped

@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # dynamic oracles (bpe_train/bpe_encode/pca_project) resolve against
+    # this env var inside __spark_entry__.oracle_sql(); without it they
+    # replay sf0.01 data while the queries run on sf_dir — every dynamic
+    # oracle then "mismatches" on any non-default directory
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     from pyspark.sql import SparkSession
 

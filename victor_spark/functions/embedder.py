@@ -101,8 +101,11 @@ def _load_real_model(name: str):
 
 
 def _embed_one(text: str, dim: int) -> list[float]:
+    # split on ' ' exactly like functions/text.py::tokens and the oracle's
+    # string_split — Python's bare .split() eats tabs/newlines too, which
+    # silently diverges from every SQL twin (edge-testdata-caught)
     vec = [0.0] * dim
-    for tok in text.lower().split():
+    for tok in (t for t in text.lower().split(" ") if t):
         h = hashlib.md5(tok.encode("utf-8")).digest()
         idx = int.from_bytes(h[:4], "big") % dim
         sign = 1.0 if h[4] & 1 else -1.0

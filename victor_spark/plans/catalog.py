@@ -57,24 +57,30 @@ SQL_H32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
 # SQL fragment: whitespace tokens of {s}
 SQL_TOKS = "list_filter(string_split({s}, ' '), t -> t <> '')"
 
-# SQL fragment: word 3-gram shingles over token list {t}
+# SQL fragment: word 3-gram shingles over token list {t}. The coalesce
+# matters on EMPTY token lists: DuckDB's array_to_string([]) is NULL
+# (which list_distinct then silently drops, leaving no shingle at all)
+# while Spark's array_join([]) is '' — without it an empty/whitespace-only
+# doc shingles to [''] on Spark but [] on DuckDB, and every downstream
+# Jaccard turns 0/0-NULL on one engine only (edge-testdata-caught).
 SQL_WORD_SHINGLES = (
     "list_distinct(CASE WHEN len({t}) >= 3 THEN "
     "list_transform(range(1, len({t}) - 1), "
     "i -> concat({t}[i], ' ', {t}[i+1], ' ', {t}[i+2])) "
-    "ELSE [array_to_string({t}, ' ')] END)"
+    "ELSE [coalesce(array_to_string({t}, ' '), '')] END)"
 )
 
 
 def sql_word_ngrams(t: str, n: int) -> str:
     """DuckDB fragment: distinct word n-grams over token-list column ``t``
     (same semantics as functions/hashing.py::word_shingles — short docs
-    yield one shingle = the space-joined text)."""
+    yield one shingle = the space-joined text; coalesce for DuckDB's
+    NULL array_to_string on empty lists, see SQL_WORD_SHINGLES)."""
     joined = " || ' ' || ".join(f"{t}[i+{off}]" if off else f"{t}[i]" for off in range(n))
     return (
         f"list_distinct(CASE WHEN len({t}) >= {n} THEN "
         f"list_transform(range(1, len({t}) - {n - 2}), i -> {joined}) "
-        f"ELSE [array_to_string({t}, ' ')] END)"
+        f"ELSE [coalesce(array_to_string({t}, ' '), '')] END)"
     )
 
 
@@ -2396,7 +2402,7 @@ def _bpe_encode_oracle(sf_dir: str) -> str:
     rows = []
     for doc_id, text in docs:
         n = sum(len(encode_word(w))
-                for w in (text or "").lower().split() if w)
+                for w in (text or "").lower().split(" ") if w)
         rows.append((int(doc_id), n))
     if not rows:
         return ("SELECT CAST(NULL AS BIGINT) doc_id, "
@@ -2809,16 +2815,18 @@ def q_events_asof(spark, sf_dir):
     """
 SELECT event_type,
        count(*) AS n,
-       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
-             / count(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+       round(CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+             / count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events GROUP BY 1
 """,
-    "semi-structured props column: JSON extraction + aggregate",
+    "semi-structured props column: JSON extraction + aggregate "
+    "(try_cast: one malformed props value must not kill a 100 TB scan "
+    "under ANSI — null-on-malformed on BOTH engines)",
 )
 def q_events_json(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum(k).cast("double") / F.count(k), 4).alias("avg_k"),
