@@ -4935,6 +4935,51 @@ def q_events_rolling_active(spark, sf_dir):
     )
 
 
+# Event-type transition matrix (the Markov view of user journeys): count
+# and P(next | prev) over each user's time-ordered event stream. One
+# shuffle (the per-user lag window); the matrix itself is k² rows, so the
+# probability normalization is a window over a tiny aggregate.
+
+_TRANSITIONS_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+  FROM events
+),
+t AS (SELECT prev, event_type nxt, count(*) n FROM s
+      WHERE prev IS NOT NULL GROUP BY prev, event_type)
+SELECT prev AS prev_type, nxt AS next_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 6) AS p
+FROM t
+"""
+
+
+@_q(
+    "events_transitions",
+    _TRANSITIONS_ORACLE,
+    "per-user event-type transition matrix (Markov journey view): lag "
+    "window ordered by (ts, event_id) per user — ONE shuffle on user_id, "
+    "partial-agg'd pair counts, P(next|prev) normalized by a window over "
+    "the k²-row matrix",
+)
+def q_events_transitions(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    t = s.groupBy("prev", "event_type").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev")
+    return t.select(
+        F.col("prev").alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
