@@ -215,3 +215,26 @@ def test_minhash_pairs_empty_and_whitespace_docs(spark):
     assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs.collect()] == [
         (1, 2, 1.0)
     ]
+
+
+def test_semantic_dedup_zero_vector_kept_not_poisoning(spark):
+    # a zero vector has no direction: it routes to cell -1, is always
+    # kept, and must NOT poison its would-be cluster (Spark orders NaN
+    # above everything, so an unguarded max() would silently drop valid
+    # neighbors — review-caught)
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id long, v array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], "cell long, cv array<double>"
+    )
+    rows = {r["vec_id"]: r for r in dedup.semantic_dedup(
+        vecs, "vec_id", "v", cent, threshold=0.9).collect()}
+    assert rows[1]["cell"] == -1 and rows[1]["keep"] == 1
+    assert rows[2]["keep"] == 1 and rows[3]["keep"] == 1
+    # a zero-norm CENTROID is a caller error
+    import pytest as _pytest
+    bad = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "cell long, cv array<double>")
+    with _pytest.raises(ValueError, match="zero norm"):
+        dedup.semantic_dedup(vecs, "vec_id", "v", bad)

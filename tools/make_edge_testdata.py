@@ -52,6 +52,7 @@ EDGE_DOCS = [
     (9008, "the the the the the the the the", "en", "edge"),  # max repetition
     (9009, "Tab\tand\nnewline separated words", "en", "edge"),
     (9010, "mixed 123 numbers 456 and WORDS", "es", "edge"),
+    (9011, "back\\slash c:\\path\\to and quote's", "en", "edge"),
 ]
 
 
@@ -114,7 +115,9 @@ def main() -> int:
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''").replace("\\", "\\\\") + "'"
+    # standard SQL literal: only quotes double; backslash is LITERAL in
+    # DuckDB's default string syntax (doubling it would corrupt the text)
+    return "'" + s.replace("'", "''") + "'"
 
 
 if __name__ == "__main__":

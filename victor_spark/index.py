@@ -336,18 +336,12 @@ class VectorIndex:
         # victim count from parquet FOOTERS of the doomed directories — row
         # counts are free metadata; no data pages are read (the reference
         # returns the count from its in-memory index, db.rs:629-643)
-        import pyarrow.parquet as papq
-
         n = 0
         for tsid in ids:
             part_dir = os.path.join(self.data_path, f"tag_set_id={tsid}")
             if not os.path.isdir(part_dir):
                 continue
-            for fname in os.listdir(part_dir):
-                if fname.endswith(".parquet"):
-                    n += papq.ParquetFile(
-                        os.path.join(part_dir, fname)
-                    ).metadata.num_rows
+            n += self._partition_row_count(part_dir)
             shutil.rmtree(part_dir, ignore_errors=True)
         doomed = set(ids)
         survivors = [
@@ -387,11 +381,14 @@ class VectorIndex:
         AFFECTED partitions only, the same contract as DELETE on a
         hive-layout table. Membership changed, so ANN serving artifacts
         are dropped (callers rebuild on next use).
+
+        Crash contract (same as compact's local-FS swap): the temp and
+        backup directories live OUTSIDE data_path, so an interrupted swap
+        can lose the one partition mid-rename but can never leave ghost
+        directories that a later scan would read as live partitions.
         """
         if not ids or self.is_empty():
             return 0
-        import pyarrow.parquet as papq
-
         idset = sorted(set(ids))
         df = self.spark.read.parquet(self.data_path)
         affected = (
@@ -405,17 +402,15 @@ class VectorIndex:
             return 0
         emptied: set[str] = set()
         n_victims = 0
+        # temp/backup live OUTSIDE data_path: a suffix inside it would be
+        # discovered by the next scan as a (ghost) partition directory
+        tmp = self.data_path + "__del_tmp"
+        old = self.data_path + "__del_old"
         for r in affected:
             tsid, n_vic = r["tag_set_id"], r["n"]
             n_victims += n_vic
             part_dir = os.path.join(self.data_path, f"tag_set_id={tsid}")
-            total = 0
-            for fname in os.listdir(part_dir):
-                if fname.endswith(".parquet"):
-                    total += papq.ParquetFile(
-                        os.path.join(part_dir, fname)
-                    ).metadata.num_rows
-            if total == n_vic:
+            if self._partition_row_count(part_dir) == n_vic:
                 # every row is a victim: drop the directory, no rewrite
                 shutil.rmtree(part_dir, ignore_errors=True)
                 emptied.add(tsid)
@@ -423,10 +418,8 @@ class VectorIndex:
             kept = self.spark.read.parquet(part_dir).filter(
                 ~F.col("id").isin(idset)
             )
-            tmp = part_dir + "__deleting"
             shutil.rmtree(tmp, ignore_errors=True)
             kept.write.mode("overwrite").parquet(tmp)
-            old = part_dir + "__old"
             shutil.rmtree(old, ignore_errors=True)
             os.rename(part_dir, old)
             os.rename(tmp, part_dir)
@@ -446,6 +439,20 @@ class VectorIndex:
         else:
             self._drop_ann_artifacts()
         return n_victims
+
+    @staticmethod
+    def _partition_row_count(part_dir: str) -> int:
+        """Row count of one partition directory from parquet FOOTERS only
+        (free metadata — no data pages are read)."""
+        import pyarrow.parquet as papq
+
+        n = 0
+        for fname in os.listdir(part_dir):
+            if fname.endswith(".parquet"):
+                n += papq.ParquetFile(
+                    os.path.join(part_dir, fname)
+                ).metadata.num_rows
+        return n
 
     # -- scan --------------------------------------------------------------
 

@@ -112,8 +112,8 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
     def _encode(batches):
         for pdf in batches:
             toks = [
-                [s for w in str(t).lower().split(" ") if w
-                 for s in _encode_word(w)]
+                [s for w in ("" if t is None else str(t)).lower().split(" ")
+                 if w for s in _encode_word(w)]
                 for t in pdf[text_col]
             ]
             pdf = pdf.copy()

@@ -427,23 +427,42 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     the lowest id in its cluster — below any real cosine), keep is 1 when
     the row survives dedup.
 
+    Zero-norm rows have no direction, so cosine against them is undefined:
+    they are routed to cell -1, always kept (keep=1, sentinel sim), and
+    NEVER enter the pair compare — without the split their NaN dots would
+    poison max()/max_by (Spark orders NaN above everything) and silently
+    drop valid neighbors. A zero-norm CENTROID is a caller error and
+    raises.
+
     Both sides are L2-normalized ONCE up front, so assignment and the
     within-cluster compare are plain dots — one fold per pair instead of
     dot + two norms (measured 3× on the pair stage).
     """
-    from victor_spark.functions.vector import dot, l2_normalize
+    from victor_spark.functions.vector import dot, l2_normalize, norm
     from victor_spark.sources.tables import fan_out
 
-    v = fan_out(df).select(
-        F.col(id_col).alias("doc"),
-        l2_normalize(to_double_array(vec_col)).alias("nv"),
+    v_all = fan_out(df).select(
+        F.col(id_col).alias("doc"), to_double_array(vec_col).alias("_vec")
+    ).withColumn("_zero", norm("_vec") == 0.0)
+    zero_rows = v_all.filter("_zero").select(
+        "doc",
+        F.lit(-1).cast("long").alias("cell"),
+        F.lit(-2.0).alias("max_lower_sim"),
+        F.lit(1).cast("int").alias("keep"),
     )
-    cent = F.broadcast(
-        centroids.select(
-            F.col("cell").cast("long").alias("cell"),
-            l2_normalize(to_double_array("cv")).alias("ncv"),
+    v = v_all.filter(~F.col("_zero")).select(
+        "doc", l2_normalize("_vec").alias("nv")
+    )
+    cdf = centroids.select(
+        F.col("cell").cast("long").alias("cell"),
+        to_double_array("cv").alias("_cv"),
+    )
+    bad = cdf.filter(norm("_cv") == 0.0).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"semantic_dedup: centroid cell {bad[0]['cell']} has zero norm"
         )
-    )
+    cent = F.broadcast(cdf.select("cell", l2_normalize("_cv").alias("ncv")))
     scored = v.crossJoin(cent).select(
         "doc", "nv", "cell", dot(F.col("nv"), F.col("ncv")).alias("_cs")
     )
@@ -459,7 +478,7 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         dot(F.col("l.nv"), F.col("r.nv")).alias("_s"),
     )
     worst = sims.groupBy("doc").agg(F.max("_s").alias("_max_sim"))
-    return (
+    out = (
         assigned.join(worst, "doc", "left")
         .select(
             F.col("doc").alias(id_col),
@@ -468,6 +487,11 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
             (F.coalesce("_max_sim", F.lit(-2.0)) < F.lit(threshold))
             .cast("int")
             .alias("keep"),
+        )
+    )
+    return out.unionAll(
+        zero_rows.select(
+            F.col("doc").alias(id_col), "cell", "max_lower_sim", "keep"
         )
     )
 

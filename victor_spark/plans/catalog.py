@@ -2815,22 +2815,24 @@ def q_events_asof(spark, sf_dir):
     """
 SELECT event_type,
        count(*) AS n,
-       round(CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
-             / count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
-       max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+       round(sum(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+             / count(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+       round(max(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS max_k
 FROM events GROUP BY 1
 """,
     "semi-structured props column: JSON extraction + aggregate "
-    "(try_cast: one malformed props value must not kill a 100 TB scan "
-    "under ANSI — null-on-malformed on BOTH engines)",
+    "(try_cast to DOUBLE: one malformed props value must not kill a "
+    "100 TB scan under ANSI, and int TRY_CAST semantics diverge between "
+    "engines — DuckDB rounds '12.5', Spark nulls it; double is "
+    "parity-exact)",
 )
 def q_events_json(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("double")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.sum(k).cast("double") / F.count(k), 4).alias("avg_k"),
-        F.max(k).alias("max_k"),
+        F.round(F.sum(k) / F.count(k), 4).alias("avg_k"),
+        F.round(F.max(k), 4).alias("max_k"),
     )
 
 
