@@ -4982,6 +4982,79 @@ def q_events_transitions(spark, sf_dir):
     )
 
 
+# PII detection + redaction (the BigCode/Dolma scrubbing stage): count
+# and replace emails / IPv4s / phone-shaped numbers with typed masks in
+# one codegen projection — regexes kept to the syntax subset Java and
+# RE2 interpret identically. Testdata carries no PII, so every 20th doc
+# gets a deterministic PII suffix INSIDE the query (both engines state
+# the same corpus), keeping the oracle non-vacuous on regenerated data.
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+_PII_CORPUS_SQL = """SELECT doc_id,
+       CASE WHEN doc_id % 20 = 0 THEN
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or 10.0.0.', CAST(doc_id % 256 AS VARCHAR),
+                ' tel 555-', CAST(100 + doc_id % 900 AS VARCHAR), '-0199')
+       ELSE text END AS text
+FROM documents"""
+
+_PII_ORACLE = f"""
+WITH d AS ({_PII_CORPUS_SQL}),
+r AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) n_emails,
+         len(regexp_extract_all(text, '{_PII_IP}')) n_ips,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) n_phones,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') red
+  FROM d
+)
+SELECT doc_id,
+       CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_ips AS INTEGER) AS n_ips,
+       CAST(n_phones AS INTEGER) AS n_phones,
+       sha256(red) AS redacted_hash
+FROM r
+"""
+
+
+@_q(
+    "pii_redact",
+    _PII_ORACLE,
+    "PII scrubbing (the BigCode/Dolma curation stage): detect + mask "
+    "emails, IPv4s, and phone-shaped numbers in one codegen projection — "
+    "counts per type + sha256 of the redacted text; regex subset chosen "
+    "for identical Java/RE2 semantics",
+)
+def q_pii_redact(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    suffix = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel 555-"), (F.lit(100) + F.col("doc_id") % 900).cast("string"),
+        F.lit("-0199"),
+    )
+    t = F.when(F.col("doc_id") % 20 == 0, suffix).otherwise(F.col("text"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>"),
+        _PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.sha2(red, 256).alias("redacted_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
