@@ -5055,6 +5055,118 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+# Exact substring dedup with REMOVAL (Lee et al. 2021, arXiv:2107.06499,
+# at word-8-gram window granularity): every occurrence of a duplicated
+# window except the global first (min (doc_id, pos)) is removed — tokens
+# covered by any such occurrence are dropped and the doc reassembled.
+# dup_span_frac is the AUDIT of this; this is the materialization. Shape:
+# window-hash occurrences explode ×len, the first-occurrence argmin is
+# one hash-keyed aggregation, coverage explodes ×8, and reassembly is a
+# per-doc sorted collect (bounded by doc length) — no all-pairs path.
+
+_SUBSTR_W = 8
+
+_SUBSTR_DEDUP_ORACLE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS.format(s='text')} t
+           FROM ({_DUP_CORPUS_SQL})),
+occ0 AS (SELECT doc_id, t,
+                CAST(unnest(range(1, len(t) - {_SUBSTR_W - 2})) AS INTEGER) pos
+         FROM d WHERE len(t) >= {_SUBSTR_W}),
+occ AS (SELECT doc_id, pos,
+               {SQL_H32.format(x=f"array_to_string(t[pos : pos + {_SUBSTR_W - 1}], ' ')")} h
+        FROM occ0),
+rk AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn
+       FROM occ),
+cov AS (SELECT DISTINCT doc_id, pos + o cp
+        FROM (SELECT doc_id, pos FROM rk WHERE rn > 1),
+             (SELECT unnest(range(0, {_SUBSTR_W})) o)),
+tokpos AS (SELECT doc_id, unnest(t) tok,
+                  CAST(unnest(range(1, len(t) + 1)) AS INTEGER) pos
+           FROM d),
+kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+         FROM tokpos tp LEFT JOIN cov
+           ON tp.doc_id = cov.doc_id AND tp.pos = cov.cp
+         WHERE cov.cp IS NULL),
+cleaned AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) c
+            FROM kept GROUP BY doc_id),
+ncov AS (SELECT doc_id, count(*) n FROM cov GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(d.t) AS INTEGER) AS n_tokens,
+       CAST(coalesce(ncov.n, 0) AS INTEGER) AS n_removed,
+       sha256(coalesce(cleaned.c, '')) AS cleaned_hash
+FROM d LEFT JOIN cleaned ON d.doc_id = cleaned.doc_id
+       LEFT JOIN ncov ON d.doc_id = ncov.doc_id
+"""
+
+
+@_q(
+    "dedup_substring_global",
+    _SUBSTR_DEDUP_ORACLE,
+    "exact substring dedup with REMOVAL (arXiv:2107.06499) at word-8-gram "
+    "windows: only the globally-first occurrence of a duplicated window "
+    "survives; covered tokens are dropped and docs reassembled "
+    "(dup_span_frac is the audit, this is the materialization). One "
+    "hash-keyed argmin shuffle + per-doc bounded reassembly, never "
+    "all-pairs",
+)
+def q_dedup_substring_global(spark, sf_dir):
+    W = _SUBSTR_W
+    d = _dup_corpus(spark, sf_dir).select(
+        "doc_id", T.tokens(F.col("text")).alias("t")
+    )
+    occ = d.filter(F.size("t") >= W).select(
+        "doc_id",
+        F.explode(
+            bind(
+                F.col("t"),
+                lambda tt: F.transform(
+                    F.sequence(F.lit(1), F.size(tt) - (W - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        H._md5_32_expr(
+                            F.array_join(F.slice(tt, i, W), " ")
+                        ).alias("h"),
+                    ),
+                ),
+            )
+        ).alias("o"),
+    ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.h").alias("h"))
+    firsts = occ.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    dups = occ.join(firsts, "h").filter(
+        (F.col("doc_id") != F.col("f.doc_id")) | (F.col("pos") != F.col("f.pos"))
+    )
+    cov = dups.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (W - 1))).alias("cp")
+    ).distinct()
+    ncov = cov.groupBy("doc_id").agg(F.count("*").alias("n_removed"))
+    tokpos = d.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tokpos.join(cov, (tokpos["doc_id"] == cov["doc_id"]) & (tokpos["pos"] == cov["cp"]), "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("c")
+    )
+    return (
+        d.join(cleaned, "doc_id", "left")
+        .join(ncov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("int").alias("n_removed"),
+            F.sha2(F.coalesce("c", F.lit("")), 256).alias("cleaned_hash"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
