@@ -1,0 +1,83 @@
+"""HyperLogLog sketch: accuracy, merge algebra, small-range correction.
+
+The oracle parity of the catalog `hll_distinct` query is covered by
+test_oracle_parity.py; these tests cover the operator API itself —
+the properties a 100 TB rollup relies on.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from victor_spark.operators.sketches import (
+    approx_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_prepare,
+    hll_registers,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # 20k distinct string ids — comfortably in the raw-estimate branch
+    return spark.range(20_000).select(F.concat(F.lit("id-"), "id").alias("x"))
+
+
+def test_estimate_within_standard_error(spark, ids):
+    # p=10 → sigma = 1.04/sqrt(1024) ≈ 3.25%; assert within 3 sigma
+    est = approx_distinct(ids, "x", p=10)
+    assert abs(est / 20_000 - 1.0) < 0.10
+
+
+def test_duplicates_do_not_change_estimate(spark, ids):
+    dup = ids.unionAll(ids).unionAll(ids)
+    assert approx_distinct(dup, "x") == approx_distinct(ids, "x")
+
+
+def test_merge_of_slices_equals_whole(spark, ids):
+    # the rollup algebra: registers(A ∪ B) == merge(registers(A), registers(B))
+    a = ids.filter(F.length("x") <= 6)  # id-0 .. id-999
+    b = ids.filter(F.length("x") > 6)
+    whole = hll_registers(hll_prepare(ids, "x")).collect()
+    merged = hll_merge(
+        hll_registers(hll_prepare(a, "x")),
+        hll_registers(hll_prepare(b, "x")),
+    ).collect()
+    assert sorted((r.bucket, r.r) for r in whole) == sorted(
+        (r.bucket, r.r) for r in merged
+    )
+
+
+def test_merge_is_idempotent(spark, ids):
+    regs = hll_registers(hll_prepare(ids, "x"))
+    twice = hll_merge(regs, regs)
+    assert sorted((r.bucket, r.r) for r in regs.collect()) == sorted(
+        (r.bucket, r.r) for r in twice.collect()
+    )
+
+
+def test_small_range_uses_linear_counting(spark):
+    # 30 distinct values over 1024 registers → V > 0 and E << 2.5m:
+    # the corrected estimator takes the m·ln(m/V) branch and must land
+    # far closer than the raw estimate's small-cardinality bias
+    small = spark.range(30).select(F.col("id").cast("string").alias("x"))
+    regs = hll_registers(hll_prepare(small, "x"))
+    corrected = hll_estimate(regs, correct=True).collect()[0]
+    raw = hll_estimate(regs, correct=False).collect()[0]
+    assert corrected["empty_registers"] > 0
+    assert abs(corrected["estimate"] - 30) < 3
+    assert corrected["estimate"] != raw["estimate"]
+
+
+def test_register_table_is_dense_and_bounded(spark, ids):
+    regs = hll_registers(hll_prepare(ids, "x"), p=10)
+    rows = regs.collect()
+    assert len(rows) == 1024
+    assert {r.bucket for r in rows} == set(range(1024))
+    assert all(0 <= r.r <= 33 for r in rows)
+
+
+def test_deterministic_across_runs(spark, ids):
+    assert approx_distinct(ids, "x") == approx_distinct(ids, "x")

@@ -1,0 +1,126 @@
+"""Mergeable cardinality sketches: HyperLogLog distinct counting.
+
+The 100 TB distinct-count path. ``count(DISTINCT x)`` shuffles every
+distinct value to a single reducer per group; a HyperLogLog register
+table is a FIXED 2^p-row summary whose per-bucket ``max(rho)`` combines
+map-side (max is associative/commutative), so the full corpus reduces to
+2^p rows regardless of input size, and register tables from disjoint
+corpus slices merge by element-wise max — the sketch algebra that lets
+daily partials roll up into a global estimate without re-reading data.
+
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm" (AofA 2007). Standard error is
+1.04/sqrt(2^p) — p=10 (1024 registers, the default here) gives ~3.25%.
+
+Determinism contract: the hash family is the repo's shared 32-bit md5
+(functions/hashing.py::md5_32) — bucket = h(x) mod m from one hash, the
+rank bits from an independently salted second hash (stochastic
+averaging with split hashes, same estimator guarantees). Every quantity
+downstream of the registers is reproducible cross-engine: the harmonic
+sum folds 1024 terms of the form 2^-r with r <= 33, all dyadic
+rationals whose exact sum needs < 53 mantissa bits — the double
+accumulation is EXACT in any summation order, so Spark and a DuckDB
+oracle replaying the same formula agree bit-for-bit before rounding.
+
+Spark expression of rho (the 1-based position of the leftmost 1-bit in
+the 32-bit hash): ``33 - length(bin(w))`` — ``bin`` renders without
+leading zeros on both engines, so its length IS the bit length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from victor_spark.functions.hashing import md5_32
+
+
+def hll_prepare(df: DataFrame, col: str, p: int = 10, salt: str = "hll") -> DataFrame:
+    """(bucket, rho) pairs for each value of ``col`` — the map-side leg.
+
+    bucket = md5_32(x) mod 2^p; rho = rank of the leftmost 1-bit of the
+    independently salted md5_32('{salt}:' || x), with the all-zero word
+    assigned rank 33 (32 zero bits + 1).
+    """
+    m = 1 << p
+    x = F.col(col).cast("string")
+    w = md5_32(F.concat(F.lit(salt + ":"), x))
+    rho = F.when(w == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(w)))
+    return df.select(
+        (md5_32(x) % F.lit(m)).alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+
+
+def hll_registers(prepared: DataFrame, p: int = 10) -> DataFrame:
+    """Dense 2^p-row register table (bucket, r): r = max(rho), 0 if empty.
+
+    ``groupBy(bucket).max(rho)`` partial-aggregates map-side, so the
+    shuffle moves at most 2^p rows per upstream partition no matter the
+    corpus size; the left join against the bucket spine densifies empty
+    registers to r=0 (they count as 2^0 in the harmonic sum and feed the
+    linear-counting correction).
+    """
+    m = 1 << p
+    spark = prepared.sparkSession
+    spine = spark.range(m).select(F.col("id").alias("bucket"))
+    regs = prepared.groupBy("bucket").agg(F.max("rho").alias("r"))
+    return spine.join(regs, "bucket", "left").select(
+        "bucket", F.coalesce("r", F.lit(0)).cast("int").alias("r")
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge register tables from disjoint (or overlapping) corpus slices.
+
+    Element-wise max per bucket — the union sketch. This is the algebra
+    a 100 TB rollup runs on: per-partition/per-day register tables are
+    tiny parquet artifacts; the global estimate never re-reads data.
+    """
+    if not register_tables:
+        raise ValueError("hll_merge needs at least one register table")
+    u = register_tables[0]
+    for t in register_tables[1:]:
+        u = u.unionByName(t)
+    return u.groupBy("bucket").agg(F.max("r").cast("int").alias("r"))
+
+
+def _raw_estimate(m: int) -> Column:
+    # alpha_m * m^2 / sum(2^-r) — stated with the same literal arithmetic
+    # the oracle uses: two divisions, one add, left-associated products.
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+    return alpha * F.lit(float(m)) * F.lit(float(m)) / F.col("s")
+
+
+def hll_estimate(registers: DataFrame, p: int = 10, correct: bool = True) -> DataFrame:
+    """Single-row estimate from a register table.
+
+    Columns: estimate (double), empty_registers (long). With
+    ``correct=True`` the small-range linear-counting branch
+    (E <= 2.5m and V > 0 → m·ln(m/V)) is applied — the full HLL
+    estimator. The catalog's oracle-checked query uses ``correct=False``
+    (raw branch only) because ln() is not guaranteed identically rounded
+    across engines; on the corpora it audits the raw branch is the
+    active one anyway (n >> 2.5m).
+    """
+    m = 1 << p
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double"))).alias("s"),
+        F.count(F.when(F.col("r") == 0, True)).alias("v"),
+    )
+    raw = _raw_estimate(m)
+    est = raw
+    if correct:
+        est = F.when(
+            (F.col("v") > 0) & (raw <= F.lit(2.5 * m)),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v").cast("double")),
+        ).otherwise(raw)
+    return agg.select(
+        est.alias("estimate"), F.col("v").cast("long").alias("empty_registers")
+    )
+
+
+def approx_distinct(df: DataFrame, col: str, p: int = 10, salt: str = "hll") -> float:
+    """Convenience one-shot: HLL estimate of count(DISTINCT col)."""
+    regs = hll_registers(hll_prepare(df, col, p=p, salt=salt), p=p)
+    return float(hll_estimate(regs, p=p).collect()[0]["estimate"])
