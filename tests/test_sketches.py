@@ -81,3 +81,61 @@ def test_register_table_is_dense_and_bounded(spark, ids):
 
 def test_deterministic_across_runs(spark, ids):
     assert approx_distinct(ids, "x") == approx_distinct(ids, "x")
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zipf_counts(spark):
+    # key-i appears with count 1000//(i+1): a heavy head over a long tail
+    rows = [(f"key-{i}", 1000 // (i + 1)) for i in range(500)]
+    return spark.createDataFrame(rows, "k string, c long")
+
+
+def test_cms_never_underestimates(spark, zipf_counts):
+    from victor_spark.operators.sketches import cms_lookup, cms_sketch
+
+    sk = cms_sketch(zipf_counts, "k", "c")
+    est = cms_lookup(sk, zipf_counts.select("k"), "k")
+    joined = est.join(zipf_counts, "k").collect()
+    assert len(joined) == 500
+    assert all(r.cms_count >= r.c for r in joined)
+
+
+def test_cms_head_is_near_exact(spark, zipf_counts):
+    # eps = e/width ≈ 0.0013; N ≈ 6.7k → overestimate ≲ 9 w.h.p.
+    from victor_spark.operators.sketches import cms_lookup, cms_sketch
+
+    sk = cms_sketch(zipf_counts, "k", "c")
+    head = zipf_counts.filter(F.col("c") >= 100)
+    est = cms_lookup(sk, head.select("k"), "k")
+    joined = est.join(head, "k").collect()
+    assert all(r.cms_count - r.c < 50 for r in joined)
+
+
+def test_cms_sketches_merge_by_summing(spark, zipf_counts):
+    from victor_spark.operators.sketches import cms_sketch
+
+    a = zipf_counts.filter(F.col("c") >= 10)
+    b = zipf_counts.filter(F.col("c") < 10)
+    whole = cms_sketch(zipf_counts, "k", "c").collect()
+    merged = (
+        cms_sketch(a, "k", "c")
+        .unionByName(cms_sketch(b, "k", "c"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    assert sorted((r.j, r.bucket, r.s) for r in whole) == sorted(
+        (r.j, r.bucket, r.s) for r in merged
+    )
+
+
+def test_cms_bounded_size(spark, zipf_counts):
+    from victor_spark.operators.sketches import cms_sketch
+
+    sk = cms_sketch(zipf_counts, "k", "c", depth=4, width=2048)
+    assert sk.count() <= 4 * 2048

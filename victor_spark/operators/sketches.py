@@ -1,4 +1,4 @@
-"""Mergeable cardinality sketches: HyperLogLog distinct counting.
+"""Mergeable sketches: HyperLogLog distinct counting, count-min frequencies.
 
 The 100 TB distinct-count path. ``count(DISTINCT x)`` shuffles every
 distinct value to a single reducer per group; a HyperLogLog register
@@ -124,3 +124,88 @@ def approx_distinct(df: DataFrame, col: str, p: int = 10, salt: str = "hll") -> 
     """Convenience one-shot: HLL estimate of count(DISTINCT col)."""
     regs = hll_registers(hll_prepare(df, col, p=p, salt=salt), p=p)
     return float(hll_estimate(regs, p=p).collect()[0]["estimate"])
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): fixed-size frequency
+# summary. depth×width counter grid; est(x) = min over rows of the
+# counter at hash_j(x) — never an underestimate, overestimate bounded by
+# eps·N with prob 1-delta for width=e/eps, depth=ln(1/delta). Counters
+# are sums → partial-aggregate map-side and merge across slices by
+# element-wise +. All-integer arithmetic: the oracle replay is exact
+# with no float caveats at all.
+# ---------------------------------------------------------------------------
+
+
+def cms_hash(col_or_expr: Column, j: int, width: int, salt: str = "cms") -> Column:
+    """Row-j bucket for a value: md5_32('{salt}{j}:' || x) mod width."""
+    return md5_32(F.concat(F.lit(f"{salt}{j}:"), col_or_expr)) % F.lit(width)
+
+
+def cms_sketch(
+    counts: DataFrame,
+    key_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the (j, bucket, s) counter table from a (key, count) table.
+
+    Feeding pre-aggregated counts (one groupBy upstream) instead of raw
+    occurrences is mathematically identical — addition is associative —
+    and moves depth× less data. The sketch itself is depth·width rows
+    total, regardless of corpus size; union + re-sum merges sketches
+    from disjoint corpus slices.
+    """
+    k = F.col(key_col).cast("string")
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cms_hash(k, j, width, salt).alias("bucket"),
+                        F.col(count_col).cast("long").alias("c"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e")
+    ).select("e.j", "e.bucket", "e.c")
+    return rows.groupBy("j", "bucket").agg(F.sum("c").alias("s"))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate each key against the sketch: min over the depth rows.
+
+    The key set is broadcast (queries are small); the join hits
+    depth·|keys| of the sketch's depth·width rows.
+    """
+    k = F.col(key_col).cast("string")
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        cms_hash(k, j, width, salt).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e"),
+    ).select(key_col, "e.j", "e.bucket")
+    return (
+        sketch.join(F.broadcast(probes), ["j", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("s").alias("cms_count"))
+    )

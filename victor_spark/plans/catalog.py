@@ -5393,6 +5393,70 @@ def q_mix_weights(spark, sf_dir):
     )
 
 
+# Count-min heavy hitters: the fixed-size frequency-summary path
+# (Cormode & Muthukrishnan 2005) audited against exact counts. The
+# 4×2048 counter grid partial-aggregates map-side and merges across
+# corpus slices by element-wise sum; est(x) = min over rows, never an
+# underestimate. All-integer arithmetic → the oracle is exact with no
+# float caveats. Output: the exact top-20 tokens with their sketch
+# estimate and the (always >= 0) overestimate.
+
+_CMS_ORACLE = f"""
+WITH toks AS (SELECT unnest({SQL_TOKS.format(s='lower(text)')}) tok FROM documents),
+tc AS (SELECT tok, count(*) c FROM toks GROUP BY tok),
+rows_ AS (
+  SELECT j,
+         {SQL_H32.format(x="concat('cms', CAST(j AS VARCHAR), ':', tok)")} % 2048
+           AS bucket,
+         c
+  FROM tc, unnest([0, 1, 2, 3]) t(j)
+),
+sk AS (SELECT j, bucket, sum(c) s FROM rows_ GROUP BY j, bucket),
+top AS (SELECT tok, c FROM tc ORDER BY c DESC, tok LIMIT 20),
+keys AS (
+  SELECT tok, c, j,
+         {SQL_H32.format(x="concat('cms', CAST(j AS VARCHAR), ':', tok)")} % 2048
+           AS bucket
+  FROM top, unnest([0, 1, 2, 3]) t(j)
+),
+est AS (SELECT tok, min(c) c, min(s) e FROM keys JOIN sk USING (j, bucket) GROUP BY tok)
+SELECT tok AS token, CAST(c AS BIGINT) AS exact_count,
+       CAST(e AS BIGINT) AS cms_count, CAST(e - c AS BIGINT) AS overestimate
+FROM est
+"""
+
+
+@_q(
+    "cms_heavy_hitters",
+    _CMS_ORACLE,
+    "count-min sketch heavy hitters: exact top-20 tokens scored against "
+    "a 4x2048 counter grid (map-side-combinable, slice-mergeable by "
+    "element-wise sum); min-over-rows estimate never underestimates — "
+    "all-integer, oracle exact",
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    from victor_spark.operators.sketches import cms_lookup, cms_sketch
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tc = (
+        d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    sketch = cms_sketch(tc, "tok", "c", depth=4, width=2048, salt="cms")
+    top = tc.orderBy(F.desc("c"), F.asc("tok")).limit(20)
+    est = cms_lookup(sketch, top.select("tok"), "tok", depth=4, width=2048)
+    return (
+        est.join(F.broadcast(top), "tok")
+        .select(
+            F.col("tok").alias("token"),
+            F.col("c").cast("long").alias("exact_count"),
+            F.col("cms_count").cast("long").alias("cms_count"),
+            (F.col("cms_count") - F.col("c")).cast("long").alias("overestimate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
