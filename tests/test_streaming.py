@@ -338,6 +338,55 @@ def test_stream_incremental_dedup_matches_batch(spark, tmp_path):
     assert len(got) == len(expect)  # no pair duplicated across micro-batches
 
 
+def test_stream_distinct_rollup_matches_batch(spark, tmp_path):
+    """A drained value stream maintains an HLL register table whose
+    estimate equals the batch sketch over all the data — per-batch merge
+    (element-wise max) loses nothing across micro-batch boundaries."""
+    from victor_spark.operators.sketches import approx_distinct
+    from victor_spark.sources import load_table
+    from victor_spark.streaming.sketch_stream import (
+        distinct_estimate,
+        stream_distinct_rollup,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        F.concat(F.lit("u-"), (F.col("doc_id") % 97).cast("string")).alias("x")
+    )
+    sdir = tmp_path / "vals"
+    docs.repartition(3).write.parquet(str(sdir))  # >=3 files
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .load(str(sdir))
+    )
+
+    state = str(tmp_path / "hll_state")
+    q = stream_distinct_rollup(
+        stream, "x", state_dir=state, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    streamed = distinct_estimate(spark, state, correct=True)
+    batch = approx_distinct(docs, "x")
+    assert streamed == batch  # bit-identical registers -> identical estimate
+    assert abs(streamed - 97) < 10  # and it is a sane distinct estimate
+
+    # a second drain over the SAME checkpoint replays nothing and the
+    # idempotent merge leaves the estimate unchanged
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(sdir))
+    )
+    q2 = stream_distinct_rollup(
+        stream2, "x", state_dir=state, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert distinct_estimate(spark, state, correct=True) == streamed
+
+
 def test_stream_index_ingest_builds_searchable_index(spark, tmp_path):
     """A drained (content, embedding, tags) stream appended through
     VectorIndex.insert_df yields the same searchable index as a batch

@@ -12,6 +12,10 @@ from victor_spark.streaming.search import (
     search_microbatch,
     stream_search,
 )
+from victor_spark.streaming.sketch_stream import (
+    distinct_estimate,
+    stream_distinct_rollup,
+)
 from victor_spark.streaming.stateful import (
     dedup_events_stream,
     sessionize_stream,
@@ -30,4 +34,6 @@ __all__ = [
     "stream_frame_extraction",
     "ensure_event_time",
     "incident_window_join_stream",
+    "stream_distinct_rollup",
+    "distinct_estimate",
 ]
