@@ -47,6 +47,9 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "unigram_logprob": {"documents": ["doc_id"]},
     "bigram_logprob": {"documents": ["doc_id"]},
     "dsir_weights": {"documents": ["doc_id"]},
+    "hll_distinct": {"documents": ["doc_id"]},
+    "cms_heavy_hitters": {"documents": ["doc_id"]},
+    "mix_weights": {"documents": ["doc_id"]},
     # semdedup is intentionally NOT probed: with a FIXED centroid count the
     # within-cluster pair cost grows r² as data replicates — that is the
     # algorithm's contract (SemDeDup scales k with the corpus so clusters

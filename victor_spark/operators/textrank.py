@@ -1,0 +1,127 @@
+"""TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): weighted
+PageRank over each document's token co-occurrence graph.
+
+The iterative-graph family member of the catalog (dedup's transitive
+clustering covers label propagation; this covers PageRank). Every
+iteration is one equi-join + one partial-aggregated groupBy, both keyed
+on (doc_id, token) — the per-document graphs never leave their shuffle
+partitions, so the corpus-wide computation is embarrassingly parallel
+over documents at any cluster size. A FIXED iteration count keeps the
+whole computation one declarative plan (no driver-side convergence
+loop) and makes the result SQL-replayable by unrolling the recurrence.
+
+Graph construction: adjacent-token pairs (window 2), both directions,
+edge weight = co-occurrence count; single-token and empty documents
+have no graph and produce no keywords. Scores use the standard
+per-node damping form PR' = (1-d) + d * sum_u w(u,v)/outdeg_w(u) * PR(u).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from victor_spark.functions import text as T
+
+
+def cooccurrence_edges(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Weighted undirected adjacency edges: (id, u, v, w) both directions."""
+    d = docs.select(
+        F.col(id_col), T.tokens(F.lower(F.col(text_col))).alias("t")
+    )
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.array(
+                    F.struct(
+                        F.element_at(F.col("t"), i).alias("u"),
+                        F.element_at(F.col("t"), i + 1).alias("v"),
+                    ),
+                    F.struct(
+                        F.element_at(F.col("t"), i + 1).alias("u"),
+                        F.element_at(F.col("t"), i).alias("v"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<u:string,v:string>>"))
+    return (
+        d.select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, "p.u", "p.v")
+        .groupBy(id_col, "u", "v")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def textrank_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Per-(doc, token) TextRank score after ``iters`` PageRank rounds.
+
+    Returns (id, token, pr). All joins/groupBys key on (id, token):
+    co-partitioned throughout, no per-document driver work.
+    """
+    w = cooccurrence_edges(docs, id_col, text_col)
+    ow = w.groupBy(id_col, "u").agg(F.sum("w").alias("ow"))
+    m = w.join(ow, [id_col, "u"]).select(
+        id_col, "u", "v", (F.col("w").cast("double") / F.col("ow")).alias("mc")
+    )
+    nodes = w.select(id_col, "u").distinct()
+    pr = nodes.select(id_col, "u", F.lit(1.0).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            m.join(pr, [id_col, "u"])
+            .groupBy(id_col, "v")
+            .agg(F.sum(F.col("mc") * F.col("pr")).alias("s"))
+            .withColumnRenamed("v", "u")
+        )
+        pr = nodes.join(contrib, [id_col, "u"], "left").select(
+            id_col,
+            "u",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr.withColumnRenamed("u", "token")
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 3,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Top-k keywords per document: (id, keyword, score, rank).
+
+    Scores and the ranking both use the STABILIZED value
+    ``round(pr + 1e-9, 6)``. TextRank scores on small-integer-degree
+    graphs are rationals whose decimal expansions often TERMINATE
+    exactly on a rounding boundary (e.g. 1.3708125), where the last-ulp
+    float noise of summation order decides the rounding — across runs,
+    partitionings, and engines. The 1e-9 shift (identical literal in the
+    SQL oracle) moves every terminating value safely past its boundary:
+    noise is ~1e-15, margin 1e-9. Ranking on the stabilized score (tie →
+    token asc) keeps rank assignment deterministic even when two
+    symmetric nodes' raw sums differ by one ulp."""
+    pr = textrank_scores(docs, id_col, text_col, iters=iters, damping=damping)
+    score = F.round(F.col("pr") + F.lit(1e-9), 6)
+    win = Window.partitionBy(id_col).orderBy(score.desc(), F.asc("token"))
+    return (
+        pr.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            id_col,
+            F.col("token").alias("keyword"),
+            score.alias("score"),
+            "rank",
+        )
+    )

@@ -5457,6 +5457,70 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+# TextRank keywords: weighted PageRank over each document's token
+# co-occurrence graph (Mihalcea & Tarau 2004) — the iterative-graph
+# family member beside dedup's label propagation. Three fixed rounds
+# keep it one declarative plan; the oracle unrolls the recurrence as
+# three CTE stages. Every join/groupBy keys on (doc_id, token): the
+# per-document graphs stay co-partitioned, parallel over docs at any
+# cluster size. Both sides round with a +1e-9 shift: TextRank scores on
+# small-degree graphs are rationals that often TERMINATE exactly on a
+# 1e-6 rounding boundary (e.g. 1.3708125), where one ulp of summation-
+# order noise flips the rounded digit — the shared shift moves every
+# terminating value past its boundary (noise ~1e-15 vs margin 1e-9),
+# and ranking on the stabilized score keeps rank order cross-engine
+# deterministic (operators/textrank.py::textrank_keywords).
+
+_TEXTRANK_ORACLE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS.format(s='lower(text)')} t FROM documents),
+e AS (
+  SELECT doc_id, t[i] u, t[i+1] v
+  FROM d, unnest(range(1, len(t))) r(i) WHERE len(t) >= 2
+  UNION ALL
+  SELECT doc_id, t[i+1] u, t[i] v
+  FROM d, unnest(range(1, len(t))) r(i) WHERE len(t) >= 2
+),
+w AS (SELECT doc_id, u, v, count(*) c FROM e GROUP BY 1, 2, 3),
+ow AS (SELECT doc_id, u, sum(c) ow FROM w GROUP BY 1, 2),
+m AS (SELECT w.doc_id, w.u, w.v, CAST(w.c AS DOUBLE) / ow.ow mc
+      FROM w JOIN ow USING (doc_id, u)),
+n0 AS (SELECT DISTINCT doc_id, u FROM w),
+p0 AS (SELECT doc_id, u, 1.0 pr FROM n0),
+s1 AS (SELECT m.doc_id, m.v, sum(m.mc * p.pr) s
+       FROM m JOIN p0 p ON m.doc_id = p.doc_id AND m.u = p.u GROUP BY 1, 2),
+p1 AS (SELECT n0.doc_id, n0.u, 0.15 + 0.85 * coalesce(s1.s, 0.0) pr
+       FROM n0 LEFT JOIN s1 ON n0.doc_id = s1.doc_id AND n0.u = s1.v),
+s2 AS (SELECT m.doc_id, m.v, sum(m.mc * p.pr) s
+       FROM m JOIN p1 p ON m.doc_id = p.doc_id AND m.u = p.u GROUP BY 1, 2),
+p2 AS (SELECT n0.doc_id, n0.u, 0.15 + 0.85 * coalesce(s2.s, 0.0) pr
+       FROM n0 LEFT JOIN s2 ON n0.doc_id = s2.doc_id AND n0.u = s2.v),
+s3 AS (SELECT m.doc_id, m.v, sum(m.mc * p.pr) s
+       FROM m JOIN p2 p ON m.doc_id = p.doc_id AND m.u = p.u GROUP BY 1, 2),
+p3 AS (SELECT n0.doc_id, n0.u, 0.15 + 0.85 * coalesce(s3.s, 0.0) pr
+       FROM n0 LEFT JOIN s3 ON n0.doc_id = s3.doc_id AND n0.u = s3.v),
+r AS (SELECT doc_id, u, round(pr + 1e-9, 6) score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(pr + 1e-9, 6) DESC, u) rn
+      FROM p3)
+SELECT doc_id, u AS keyword, score, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= 3
+"""
+
+
+@_q(
+    "textrank_keywords",
+    _TEXTRANK_ORACLE,
+    "TextRank top-3 keywords per doc: weighted PageRank over the token "
+    "co-occurrence graph, 3 unrolled rounds — one equi-join + one "
+    "partial-agg groupBy per round, all keyed (doc_id, token)",
+)
+def q_textrank_keywords(spark, sf_dir):
+    from victor_spark.operators.textrank import textrank_keywords
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return textrank_keywords(d, "doc_id", "text", top_k=3, iters=3)
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
