@@ -139,3 +139,60 @@ def test_cms_bounded_size(spark, zipf_counts):
 
     sk = cms_sketch(zipf_counts, "k", "c", depth=4, width=2048)
     assert sk.count() <= 4 * 2048
+
+
+# ---------------------------------------------------------------------------
+# bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _probe_all(spark, words_df, values_df, col):
+    from victor_spark.operators.sketches import bloom_might_contain
+
+    return (
+        values_df.crossJoin(F.broadcast(words_df))
+        .select(bloom_might_contain(F.col("words"), F.col(col)).alias("hit"))
+        .collect()
+    )
+
+
+def test_bloom_has_no_false_negatives(spark):
+    from victor_spark.operators.sketches import bloom_build
+
+    vals = spark.range(2000).select(F.concat(F.lit("m-"), "id").alias("x"))
+    words = bloom_build(vals, "x")
+    assert all(r.hit for r in _probe_all(spark, words, vals, "x"))
+
+
+def test_bloom_false_positive_rate_is_bounded(spark):
+    from victor_spark.operators.sketches import bloom_build
+
+    members = spark.range(1000).select(F.concat(F.lit("m-"), "id").alias("x"))
+    others = spark.range(5000).select(F.concat(F.lit("o-"), "id").alias("x"))
+    words = bloom_build(members, "x")
+    hits = sum(r.hit for r in _probe_all(spark, words, others, "x"))
+    # fill <= 4000/16384 = 0.244; fp <= fill^4 ~ 0.36%; allow 4x slack
+    assert hits / 5000 < 0.015
+
+
+def test_bloom_merge_is_wordwise_or(spark):
+    from victor_spark.operators.sketches import bloom_build, bloom_merge
+
+    a = spark.range(500).select(F.concat(F.lit("a-"), "id").alias("x"))
+    b = spark.range(500).select(F.concat(F.lit("b-"), "id").alias("x"))
+    both = a.unionAll(b)
+    merged = bloom_merge(bloom_build(a, "x"), bloom_build(b, "x")).collect()[0][
+        "words"
+    ]
+    whole = bloom_build(both, "x").collect()[0]["words"]
+    assert merged == whole
+    assert len(whole) == 16384 // 32
+
+
+def test_bloom_build_is_deterministic(spark):
+    from victor_spark.operators.sketches import bloom_build
+
+    vals = spark.range(300).select(F.col("id").cast("string").alias("x"))
+    w1 = bloom_build(vals, "x").collect()[0]["words"]
+    w2 = bloom_build(vals.repartition(7), "x").collect()[0]["words"]
+    assert w1 == w2

@@ -1,4 +1,5 @@
-"""Mergeable sketches: HyperLogLog distinct counting, count-min frequencies.
+"""Mergeable sketches: HyperLogLog distinct counts, count-min frequencies,
+Bloom-filter membership.
 
 The 100 TB distinct-count path. ``count(DISTINCT x)`` shuffles every
 distinct value to a single reducer per group; a HyperLogLog register
@@ -208,4 +209,91 @@ def cms_lookup(
         sketch.join(F.broadcast(probes), ["j", "bucket"])
         .groupBy(key_col)
         .agg(F.min("s").alias("cms_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): fixed-size set-membership summary — the
+# third sketch beside HLL (distinct) and count-min (frequency). k salted
+# md5 positions per value over an m-bit array stored as m/32 packed
+# 32-bit words (in longs), so a probe is k O(1) word-index + bit-test
+# expressions — no set lookup, no join. No false negatives ever; false
+# positives at ~fill^k. Bit-or builds combine map-side and filters from
+# disjoint slices merge by word-wise OR. All-integer → oracle-exact.
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 16384  # bits
+BLOOM_K = 4
+_WORD_BITS = 32  # packed into longs; 32 keeps 1<<shift positive in BIGINT
+
+
+def _bloom_pos(x: Column, j: int, m: int, salt: str) -> Column:
+    return md5_32(F.concat(F.lit(f"{salt}{j}:"), x.cast("string"))) % F.lit(m)
+
+
+# pyspark's shiftleft/shiftright take a PYTHON-int bit count, so a
+# column-valued shift goes through this literal table instead (which
+# also composes inside higher-order-function lambdas, where expr() is
+# unavailable): bit b of word w == (w & _pow2()[b+1]) != 0. Lazy —
+# building literal columns needs an active session, and this module
+# must import without one (pytest collection, driver-side tools).
+def _pow2() -> Column:
+    return F.array(*[F.lit(1 << i).cast("long") for i in range(_WORD_BITS)])
+
+
+def bloom_build(
+    df: DataFrame, col: str, k: int = BLOOM_K, m: int = BLOOM_M, salt: str = "bf"
+) -> DataFrame:
+    """Single-row DataFrame with the packed bit array: (words array<long>).
+
+    One explode + one bit_or groupBy (bit_or is idempotent, so no
+    distinct pass is needed) + a dense word spine; the filter is m/32
+    longs regardless of input size.
+    """
+    n_words = m // _WORD_BITS
+    pos = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(col), j, m, salt) for j in range(k)])
+        ).alias("pos")
+    )
+    words0 = pos.select(
+        F.floor(F.col("pos") / _WORD_BITS).cast("long").alias("wi"),
+        F.element_at(_pow2(), (F.col("pos") % _WORD_BITS).cast("int") + 1).alias("b"),
+    ).groupBy("wi").agg(F.bit_or("b").alias("w"))
+    spark = df.sparkSession
+    spine = spark.range(n_words).select(F.col("id").alias("wi"))
+    dense = spine.join(words0, "wi", "left").select(
+        "wi", F.coalesce("w", F.lit(0)).alias("w")
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wi", "w"))), lambda s: s["w"]
+        ).alias("words")
+    )
+
+
+def bloom_might_contain(
+    words: Column, x: Column, k: int = BLOOM_K, m: int = BLOOM_M, salt: str = "bf"
+) -> Column:
+    """Boolean probe against the packed word array: all k bits set."""
+    checks = []
+    for j in range(k):
+        pos = _bloom_pos(x, j, m, salt)
+        word = F.element_at(words, (F.floor(pos / _WORD_BITS) + 1).cast("int"))
+        bit = F.element_at(_pow2(), (pos % _WORD_BITS).cast("int") + 1)
+        checks.append(word.bitwiseAND(bit) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union filter of two builds (same k/m/salt): word-wise OR."""
+    return a.unionByName(b).select(
+        F.posexplode("words").alias("wi", "w")
+    ).groupBy("wi").agg(F.bit_or("w").alias("w")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wi", "w"))), lambda s: s["w"]
+        ).alias("words")
     )
