@@ -5620,6 +5620,91 @@ def q_bloom_screen(spark, sf_dir):
     )
 
 
+# Z-order layout audit: the multi-column data-skipping argument as an
+# oracle-checked query. Files sorted by ONE column carry full-domain
+# min/max on every other column — predicates there prune nothing. The
+# Morton key (operators/zorder.py: integer rank + bit interleave, no
+# floats) makes contiguous key ranges tight hyper-rectangles: the audit
+# splits events into 16 equal-width key ranges under BOTH layouts and
+# reports each range's span on both dimensions. Expected shape: x-sort
+# buckets have tiny x_span and ~full y_span; z-order buckets have both
+# spans at ~1/4 domain — which is why a z-ordered table prunes on
+# either predicate column. All-integer, oracle exact.
+
+
+def _morton_sql(xs: str, ys: str) -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"(({xs} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ys} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH e AS (SELECT user_id x, CAST(floor(value * 100 + 0.5) AS BIGINT) y FROM events),
+b AS (SELECT min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax FROM e),
+r AS (SELECT CASE WHEN xmax = xmin THEN 0 ELSE (x - xmin) * 65535 // (xmax - xmin) END xs,
+             CASE WHEN ymax = ymin THEN 0 ELSE (y - ymin) * 65535 // (ymax - ymin) END ys
+      FROM e, b),
+k AS (SELECT xs, ys, {_morton_sql('xs', 'ys')} zkey FROM r),
+z AS (SELECT CAST(zkey // {(1 << 32) // 16} AS BIGINT) bucket, xs, ys FROM k),
+x AS (SELECT CAST(xs // {(1 << 16) // 16} AS BIGINT) bucket, xs, ys FROM k),
+za AS (SELECT 'zorder' layout, bucket, count(*) n,
+              CAST(max(xs) - min(xs) AS BIGINT) x_span,
+              CAST(max(ys) - min(ys) AS BIGINT) y_span
+       FROM z GROUP BY bucket),
+xa AS (SELECT 'xsort' layout, bucket, count(*) n,
+              CAST(max(xs) - min(xs) AS BIGINT) x_span,
+              CAST(max(ys) - min(ys) AS BIGINT) y_span
+       FROM x GROUP BY bucket)
+SELECT * FROM za UNION ALL SELECT * FROM xa
+"""
+
+
+@_q(
+    "zorder_audit",
+    _ZORDER_ORACLE,
+    "Z-order vs single-column sort, audited: 16 equal-width sort-key "
+    "ranges per layout with each range's (x, y) rank spans — Morton "
+    "ranges are tight hyper-rectangles (both spans ~1/4 domain) where "
+    "x-sort ranges span the full y domain; integer-exact interleave",
+)
+def q_zorder_audit(spark, sf_dir):
+    from victor_spark.operators.zorder import int_rank, morton_key
+
+    ev = fan_out(load_table(spark, sf_dir, "events")).select(
+        F.col("user_id").cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+    )
+    b = F.broadcast(
+        ev.agg(
+            F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+            F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+        )
+    )
+    r = ev.crossJoin(b).select(
+        int_rank(F.col("x"), F.col("xmin"), F.col("xmax")).alias("xs"),
+        int_rank(F.col("y"), F.col("ymin"), F.col("ymax")).alias("ys"),
+    )
+    k = r.withColumn("zkey", morton_key(F.col("xs"), F.col("ys")))
+
+    def spans(bucket: Column, layout: str):
+        return (
+            k.select(bucket.alias("bucket"), "xs", "ys")
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n"),
+                (F.max("xs") - F.min("xs")).cast("long").alias("x_span"),
+                (F.max("ys") - F.min("ys")).cast("long").alias("y_span"),
+            )
+            .select(F.lit(layout).alias("layout"), "bucket", "n", "x_span", "y_span")
+        )
+
+    zb = F.floor(F.col("zkey") / F.lit((1 << 32) // 16)).cast("long")
+    xb = F.floor(F.col("xs") / F.lit((1 << 16) // 16)).cast("long")
+    return spans(zb, "zorder").unionAll(spans(xb, "xsort"))
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
