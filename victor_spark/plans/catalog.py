@@ -268,10 +268,12 @@ def q_topk_batch(spark, sf_dir):
         .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
         .withColumn("qnorm", norm("qv"))
     )
-    scored = e.crossJoin(q).select(
+    # norm(v) folds ONCE per corpus row here, not once per (row, query)
+    # pair — same arithmetic (identical fold), 8x fewer norm folds
+    scored = e.withColumn("_vn", norm("v")).crossJoin(q).select(
         "query_id",
         F.col("vec_id").alias("corpus_id"),
-        (dot("v", "qv") / (norm("v") * F.col("qnorm"))).alias("_s"),
+        (dot("v", "qv") / (F.col("_vn") * F.col("qnorm"))).alias("_s"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("corpus_id"))
     return (
@@ -925,9 +927,11 @@ def _ivf_topk(spark, sf_dir, qid: int, k: int) -> DataFrame:
     # aggregation combines map-side, so the shuffle carries one row per
     # vec_id instead of sorting every (vec, centroid) pair like a window
     # would (~2.7× faster here, and the gap widens with centroid count)
-    scored_cells = e.crossJoin(cent).select(
+    # norm(v) folds once per vec (not once per (vec, centroid) pair —
+    # identical arithmetic, ~centroid-count-x fewer folds)
+    scored_cells = e.withColumn("_vn", norm("v")).crossJoin(cent).select(
         "vec_id", "v", "cell",
-        (dot("v", "cv") / (norm("v") * F.col("cn"))).alias("_cs"),
+        (dot("v", "cv") / (F.col("_vn") * F.col("cn"))).alias("_cs"),
     )
     cells = scored_cells.groupBy("vec_id").agg(
         F.first("v").alias("v"),
@@ -1004,9 +1008,10 @@ def q_ann_ivf_batch(spark, sf_dir):
             F.col("vec_id").alias("cell"), F.col("v").alias("cv")
         ).withColumn("cn", norm("cv"))
     )
-    scored_cells = e.crossJoin(cent).select(
+    # norm(v) folds once per vec, not once per (vec, centroid) pair
+    scored_cells = e.withColumn("_vn", norm("v")).crossJoin(cent).select(
         "vec_id", "v", "cell",
-        (dot("v", "cv") / (norm("v") * F.col("cn"))).alias("_cs"),
+        (dot("v", "cv") / (F.col("_vn") * F.col("cn"))).alias("_cs"),
     )
     # argmax as max_by aggregation (see _ivf_topk) — one shuffled row per
     # vec_id, map-side combined
@@ -1310,10 +1315,43 @@ SELECT 'ivf_pq', 10,
 )
 def q_ann_recall(spark, sf_dir):
     from victor_spark.operators import pq
-    from victor_spark.operators.ivfpq import ivfpq_topk
+    from victor_spark.operators.ivfpq import _residual, ivfpq_topk
 
     e = _emb(spark, sf_dir).select("vec_id", "v")
-    cb, qv = pq.codebook_and_query(e, "vec_id", "v", k=16, query_id=11, salt="pq")
+    # ONE fused model collect for the whole audit: the PQ and IVF-PQ
+    # pipelines share the codebook selection rule (same salt/k), so the
+    # codebook rows, both query vectors, and the centroid rows come back
+    # in a single union'd driver round trip instead of two — on a busy
+    # scheduler each separate action costs a full job launch.
+    tagged = e.select(
+        F.col("vec_id").alias("_id"), F.col("v").alias("_v")
+    ).withColumn(
+        "_h", H.md5_32(F.concat(F.lit("pq:"), F.col("_id").cast("string")))
+    )
+    parts = (
+        tagged.orderBy("_h", "_id").limit(16)
+        .select("_id", "_v", F.lit("cb").alias("_part"))
+        .unionAll(tagged.filter(F.col("_id") == 11)
+                  .select("_id", "_v", F.lit("q11").alias("_part")))
+        .unionAll(tagged.filter(F.col("_id") == 7)
+                  .select("_id", "_v", F.lit("q7").alias("_part")))
+        .unionAll(tagged.filter(F.col("_id") % 250 == 0)
+                  .select("_id", "_v", F.lit("cent").alias("_part")))
+    ).collect()
+    cb_rows = sorted(
+        (r for r in parts if r["_part"] == "cb"), key=lambda r: r["_id"]
+    )
+    cb = [[float(x) for x in r["_v"]] for r in cb_rows]
+    try:
+        qv = [float(x) for x in next(r["_v"] for r in parts if r["_part"] == "q11")]
+        q7v = [float(x) for x in next(r["_v"] for r in parts if r["_part"] == "q7")]
+    except StopIteration:
+        raise ValueError("query id 11 or 7 not found in embeddings")
+    centroids = {
+        int(r["_id"]): [float(x) for x in r["_v"]]
+        for r in parts if r["_part"] == "cent"
+    }
+    model = (centroids, [_residual(v, centroids) for v in cb], q7v)
     enc = pq.encode(e, "v", cb, m=8)
     adc_top = pq.adc_topk(enc, qv, cb, k=10, m=8, id_col="vec_id").select("vec_id")
     qlit = F.array(*[F.lit(x) for x in qv])
@@ -1328,11 +1366,7 @@ def q_ann_recall(spark, sf_dir):
     lsh_top = _lsh_topk(spark, sf_dir, qid=3, k=10).select("vec_id")
     cos3_top = _cosine_topk(spark, sf_dir, qid=3, k=10).select("vec_id")
     # one model collect serves both the IVF-PQ pipeline and its exact-L2
-    # baseline (the collected model carries the query vector)
-    from victor_spark.operators.ivfpq import collect_ivfpq_model
-
-    model = collect_ivfpq_model(e, "vec_id", "v", query_id=7, k_cb=16,
-                                centroid_mod=250, salt="pq")
+    # baseline (the fused model above carries the query vector)
     ivfpq_top = ivfpq_topk(
         e, "vec_id", "v", query_id=7, k=10, m=8, k_cb=16,
         nprobe=2, centroid_mod=250, salt="pq", model=model,
