@@ -189,6 +189,70 @@ def test_bloom_merge_is_wordwise_or(spark):
     assert len(whole) == 16384 // 32
 
 
+# ---------------------------------------------------------------------------
+# histogram quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark):
+    from victor_spark.operators.sketches import histogram_quantile, value_histogram
+
+    df = spark.range(10_000).select(
+        F.lit("g").alias("g"), (F.col("id") * 0.01).alias("v")
+    )
+    h = value_histogram(df, "g", "v", bins=256)
+    for q, truth in ((0.5, 49.995), (0.9, 89.991), (0.99, 98.9901)):
+        est = histogram_quantile(h, "g", q, bins=256).collect()[0]["est"]
+        assert abs(est - truth) <= 99.99 / 256 + 1e-9  # one bin width
+
+
+def test_histogram_merges_by_summing_counts(spark):
+    from victor_spark.operators.sketches import value_histogram
+
+    df = spark.range(5_000).select(
+        F.lit("g").alias("g"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    whole = value_histogram(df, "g", "v").select("g", "bin", "cnt")
+    # slices share the WHOLE table's bounds (the merge contract)
+    a = df.filter(F.col("id") % 2 == 0)
+    b = df.filter(F.col("id") % 2 == 1)
+    bounds = df.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    ).collect()[0]
+
+    def fixed_bins(part):
+        span = bounds.mx - bounds.mn
+        bin_ = F.least(
+            F.floor((F.col("v") - F.lit(bounds.mn)) * 256.0 / F.lit(span)).cast(
+                "double"
+            ),
+            F.lit(255.0),
+        ).cast("long")
+        return part.select("g", bin_.alias("bin")).groupBy("g", "bin").agg(
+            F.count("*").alias("cnt")
+        )
+
+    merged = (
+        fixed_bins(a)
+        .unionByName(fixed_bins(b))
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted((r.bin, r.cnt) for r in whole.collect()) == sorted(
+        (r.bin, r.cnt) for r in merged.collect()
+    )
+
+
+def test_histogram_constant_group_degenerates_cleanly(spark):
+    from victor_spark.operators.sketches import histogram_quantile, value_histogram
+
+    df = spark.range(100).select(F.lit("g").alias("g"), F.lit(42.0).alias("v"))
+    h = value_histogram(df, "g", "v")
+    assert h.count() == 1  # single bin 0
+    est = histogram_quantile(h, "g", 0.9).collect()[0]["est"]
+    assert est == pytest.approx(42.0)
+
+
 def test_bloom_build_is_deterministic(spark):
     from victor_spark.operators.sketches import bloom_build
 

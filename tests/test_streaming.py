@@ -387,6 +387,70 @@ def test_stream_distinct_rollup_matches_batch(spark, tmp_path):
     assert distinct_estimate(spark, state, correct=True) == streamed
 
 
+def test_stream_seen_filter_emits_new_keys_at_most_once(spark, tmp_path):
+    """The Bloom seen-screen: first occurrence of each key is emitted as
+    new exactly once across micro-batches (no false negatives against
+    the filter), repeats are flagged seen, and a re-drain over the same
+    checkpoint emits nothing new."""
+    from victor_spark.streaming.bloom_stream import stream_seen_filter
+
+    # three files -> three micro-batches; keys overlap across batches
+    rows = [(f"k-{i % 40}", i) for i in range(120)]
+    src = spark.createDataFrame(rows, "key string, seq long")
+    sdir = tmp_path / "keys"
+    src.repartition(3).write.parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(sdir))
+    )
+
+    got = []
+    q = stream_seen_filter(
+        stream, "key",
+        state_dir=str(tmp_path / "bloom"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink=lambda df, epoch: got.extend(
+            (r["key"], r["seen"], epoch) for r in df.collect()
+        ),
+    )
+    q.awaitTermination(120)
+
+    assert len(got) == 120
+    new_keys = [k for k, seen, _ in got if not seen]
+    # every distinct key surfaces as new (no false negatives against the
+    # filter lose a first occurrence here: fill is tiny)
+    assert set(new_keys) == {f"k-{i}" for i in range(40)}
+    # a key never tests new again after the batch that admitted it:
+    # all its seen=False emissions come from ONE micro-batch (duplicates
+    # inside the admitting batch share the pre-batch state by contract)
+    new_epochs: dict[str, set] = {}
+    for k, seen, epoch in got:
+        if not seen:
+            new_epochs.setdefault(k, set()).add(epoch)
+    assert all(len(eps) == 1 for eps in new_epochs.values())
+    # and later batches flag repeats as seen
+    assert any(seen for _, seen, _ in got)
+
+    # re-drain same checkpoint: nothing replays, nothing new
+    got2 = []
+    stream2 = (
+        spark.readStream.schema(src.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(sdir))
+    )
+    q2 = stream_seen_filter(
+        stream2, "key",
+        state_dir=str(tmp_path / "bloom"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink=lambda df, epoch: got2.extend(df.collect()),
+    )
+    q2.awaitTermination(120)
+    assert got2 == []
+
+
 def test_stream_index_ingest_builds_searchable_index(spark, tmp_path):
     """A drained (content, embedding, tags) stream appended through
     VectorIndex.insert_df yields the same searchable index as a batch

@@ -288,6 +288,85 @@ def bloom_might_contain(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles: the mergeable quantile summary
+# completing the quartet (HLL distinct / count-min frequency / Bloom
+# membership / histogram quantiles). A 2-pass computation: per-group
+# min/max bounds, then per-(group, bin) counts — both partial-aggregate
+# map-side, and histograms with shared bounds MERGE by summing bin
+# counts, which is what t-digest/KLL buy you but deterministic and
+# cross-engine replayable. Estimate error is bounded by the bin width
+# (span/bins); events_quantiles pins the exact path, this is the
+# documented 100 TB drop-in, now audited as a query.
+# ---------------------------------------------------------------------------
+
+
+def value_histogram(
+    df: DataFrame, group_col: str, value_col: str, bins: int = 256
+) -> DataFrame:
+    """(group, bin, cnt, mn, mx, n): per-group fixed-width bin counts.
+
+    Bin = floor((v - mn) * bins / (mx - mn)) clamped to bins-1 (the max
+    value lands in the last bin); a constant group degenerates to bin 0.
+    """
+    b = df.groupBy(group_col).agg(
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+        F.count(value_col).alias("n"),
+    )
+    j = df.join(F.broadcast(b), group_col)
+    span = F.col("mx") - F.col("mn")
+    bin_ = (
+        F.when(span == 0, F.lit(0.0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col(value_col) - F.col("mn")) * F.lit(float(bins)) / span
+                ).cast("double"),
+                F.lit(float(bins - 1)),
+            )
+        )
+        .cast("long")
+    )
+    return (
+        j.select(group_col, bin_.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(b), group_col)
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame, group_col: str, q: float, bins: int = 256, out_col: str = "est"
+) -> DataFrame:
+    """Interpolated quantile estimate from a value_histogram table.
+
+    Walks the cumulative counts to the first bin covering rank q·n and
+    interpolates linearly inside it — stated with one fixed operation
+    order so an oracle replays it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    h = hist.withColumn("cum", F.sum("cnt").over(w))
+    t = F.lit(q) * F.col("n")
+    est = (
+        F.col("mn")
+        + (F.col("bin") + (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+        * (F.col("mx") - F.col("mn"))
+        / F.lit(float(bins))
+    )
+    return (
+        h.filter(F.col("cum") >= t)
+        .groupBy(group_col)
+        .agg(F.min_by(est, F.col("bin")).alias(out_col))
+    )
+
+
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union filter of two builds (same k/m/salt): word-wise OR."""
     return a.unionByName(b).select(

@@ -5739,6 +5739,92 @@ def q_zorder_audit(spark, sf_dir):
     return spans(zb, "zorder").unionAll(spans(xb, "xsort"))
 
 
+# Histogram-quantile audit: events_quantiles' documented "approx sketch
+# is the 100 TB drop-in" claim, materialized and audited. The 256-bin
+# fixed-width histogram (operators/sketches.py::value_histogram) is the
+# mergeable quantile summary — bin counts partial-aggregate map-side
+# and slices merge by summing — and the interpolated estimate lands
+# within one bin width of the exact percentile, which the query proves
+# by reporting both side by side.
+
+_HQ_EST_SQL = (
+    "mn + (bin + ({q} * n - (cum - cnt)) / cnt) * (mx - mn) / 256.0"
+)
+
+_HIST_Q_ORACLE = f"""
+WITH b AS (SELECT event_type, min(value) mn, max(value) mx, count(value) n
+           FROM events GROUP BY 1),
+h AS (
+  SELECT e.event_type,
+         CAST(CASE WHEN b.mx = b.mn THEN 0.0
+              ELSE least(floor((e.value - b.mn) * 256.0 / (b.mx - b.mn)), 255.0)
+              END AS BIGINT) bin
+  FROM events e JOIN b USING (event_type)
+),
+hc AS (SELECT event_type, bin, count(*) cnt FROM h GROUP BY 1, 2),
+hcum AS (
+  SELECT hc.event_type, hc.bin, hc.cnt, b.mn, b.mx, b.n,
+         sum(hc.cnt) OVER (PARTITION BY hc.event_type ORDER BY hc.bin) cum
+  FROM hc JOIN b USING (event_type)
+),
+e50 AS (SELECT event_type, min_by({_HQ_EST_SQL.format(q='0.5')}, bin) est
+        FROM hcum WHERE cum >= 0.5 * n GROUP BY event_type),
+e90 AS (SELECT event_type, min_by({_HQ_EST_SQL.format(q='0.9')}, bin) est
+        FROM hcum WHERE cum >= 0.9 * n GROUP BY event_type),
+e99 AS (SELECT event_type, min_by({_HQ_EST_SQL.format(q='0.99')}, bin) est
+        FROM hcum WHERE cum >= 0.99 * n GROUP BY event_type),
+x AS (SELECT event_type,
+             quantile_cont(value, 0.5) x50,
+             quantile_cont(value, 0.9) x90,
+             quantile_cont(value, 0.99) x99
+      FROM events GROUP BY 1)
+SELECT b.event_type, CAST(b.n AS BIGINT) AS n,
+       round(e50.est, 6) AS est_p50, round(x.x50, 6) AS exact_p50,
+       round(e90.est, 6) AS est_p90, round(x.x90, 6) AS exact_p90,
+       round(e99.est, 6) AS est_p99, round(x.x99, 6) AS exact_p99
+FROM b JOIN e50 USING (event_type) JOIN e90 USING (event_type)
+       JOIN e99 USING (event_type) JOIN x USING (event_type)
+"""
+
+
+@_q(
+    "hist_quantiles",
+    _HIST_Q_ORACLE,
+    "mergeable 256-bin histogram quantiles audited against the exact "
+    "interpolated percentiles per event_type — the quantile member of "
+    "the sketch quartet (bin counts sum across slices); estimate error "
+    "bounded by one bin width",
+)
+def q_hist_quantiles(spark, sf_dir):
+    from victor_spark.operators.sketches import histogram_quantile, value_histogram
+
+    e = load_table(spark, sf_dir, "events")
+    h = value_histogram(e, "event_type", "value", bins=256)
+    ests = [
+        histogram_quantile(h, "event_type", q, bins=256, out_col=f"est_p{int(q*100)}")
+        for q in (0.5, 0.9, 0.99)
+    ]
+    exact = e.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.percentile("value", 0.5).alias("x50"),
+        F.percentile("value", 0.9).alias("x90"),
+        F.percentile("value", 0.99).alias("x99"),
+    )
+    out = exact
+    for est in ests:
+        out = out.join(est, "event_type")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("est_p50", 6).alias("est_p50"),
+        F.round("x50", 6).alias("exact_p50"),
+        F.round("est_p90", 6).alias("est_p90"),
+        F.round("x90", 6).alias("exact_p90"),
+        F.round("est_p99", 6).alias("est_p99"),
+        F.round("x99", 6).alias("exact_p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of

@@ -12,6 +12,7 @@ from victor_spark.streaming.search import (
     search_microbatch,
     stream_search,
 )
+from victor_spark.streaming.bloom_stream import stream_seen_filter
 from victor_spark.streaming.sketch_stream import (
     distinct_estimate,
     stream_distinct_rollup,
@@ -36,4 +37,5 @@ __all__ = [
     "incident_window_join_stream",
     "stream_distinct_rollup",
     "distinct_estimate",
+    "stream_seen_filter",
 ]
