@@ -327,3 +327,60 @@ def test_dsir_scoring_join_is_broadcast(spark):
     assert any(
         "keys" in ln and "bkt" in ln for ln in p.splitlines()
     ), "scoring join does not key on bkt"
+
+
+def test_hll_registers_partial_aggregate(spark):
+    # the register build must map-side combine: two HashAggregate stages
+    # around one Exchange keyed on bucket — the shuffle carries <=1024
+    # rows per upstream partition regardless of corpus size
+    p = plan("hll_distinct", spark)
+    assert "SortMergeJoin" not in p  # the spine join rides broadcast
+    assert p.count("partial_") >= 1  # map-side partial max/count
+    assert "CartesianProduct" not in p
+
+
+def test_cms_probe_side_broadcasts(spark):
+    # the 80-row (top-20 x 4 hashes) probe set must broadcast against the
+    # 8192-row sketch — no shuffle of either for the lookup
+    p = plan("cms_heavy_hitters", spark)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_bloom_screen_is_map_side(spark):
+    # the packed filter and the exact shingle set each collapse to ONE
+    # broadcast row; every corpus doc probes map-side — the only
+    # exchanges are the two tiny single-row aggregates
+    p = plan("bloom_screen", spark)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_textrank_joins_key_on_doc_and_token(spark):
+    # every iteration joins and aggregates on (doc_id, token): no join in
+    # the plan may degenerate to a cartesian/nested-loop over docs
+    p = plan("textrank_keywords", spark)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert any(
+        "keys" in ln and "doc_id" in ln for ln in p.splitlines()
+    ), "iteration joins do not key on doc_id"
+
+
+def test_zorder_audit_single_pass_aggregates(spark):
+    # the morton key is a pure projection (no UDF, no extra shuffle): the
+    # only exchanges are the two bucket aggregations and the 1-row bounds
+    # broadcast; both layouts' aggregates partial-combine map-side
+    p = plan("zorder_audit", spark)
+    assert "SortMergeJoin" not in p
+    assert "partial_" in p
+    assert "pythonUDF" not in p.lower()
+
+
+def test_hist_quantiles_bounds_broadcast(spark):
+    # per-group bounds (5 rows) broadcast back onto the stream; binning is
+    # a projection; per-(group, bin) counts partial-aggregate
+    p = plan("hist_quantiles", spark)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
