@@ -5833,6 +5833,21 @@ def q_hist_quantiles(spark, sf_dir):
 # the long-green tail keeps its relative order after them.
 # ---------------------------------------------------------------------------
 
+# Verified by the ROUND-2 JUDGE via an independent driver_sim run
+# (VERDICT.md: "all 30 pass"), but never by the driver's own gate.
+# They form the SECOND tier: after every never-checked-by-anyone query,
+# before the r2-driver-green tail — so round-3 additions always land
+# inside the 50-query gate cap, and whatever cap room remains re-checks
+# these.
+_R2_JUDGE_VERIFIED = [
+    "tpch_q3", "revenue_by_nation", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q2", "tpch_q7", "tpch_q8",
+    "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q19", "tpch_q20", "hash_split", "stratified_sample",
+    "contamination_check", "curation_pipeline", "multimodal_stats",
+    "multimodal_resize", "multimodal_features", "pca_project",
+]
+
 _R2_VERIFIED = [
     # tpch_q21/q22 were never reached by the r2 DRIVER gate, but the
     # round-2 judge verified the whole q2-q22 block independently via
@@ -5856,12 +5871,15 @@ _R2_VERIFIED = [
 
 
 def _gate_order() -> None:
-    verified = [n for n in _R2_VERIFIED if n in QUERIES]
-    front = {n: s for n, s in QUERIES.items() if n not in set(verified)}
-    back = {n: QUERIES[n] for n in verified}
+    mid = [n for n in _R2_JUDGE_VERIFIED if n in QUERIES]
+    back = [n for n in _R2_VERIFIED if n in QUERIES]
+    parked = set(mid) | set(back)
+    front = {n: s for n, s in QUERIES.items() if n not in parked}
+    ordered = dict(front)
+    ordered.update({n: QUERIES[n] for n in mid})
+    ordered.update({n: QUERIES[n] for n in back})
     QUERIES.clear()
-    QUERIES.update(front)
-    QUERIES.update(back)
+    QUERIES.update(ordered)
 
 
 _gate_order()
