@@ -50,6 +50,10 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "hll_distinct": {"documents": ["doc_id"]},
     "cms_heavy_hitters": {"documents": ["doc_id"]},
     "mix_weights": {"documents": ["doc_id"]},
+    "textrank_keywords": {"documents": ["doc_id"]},
+    "bloom_screen": {"documents": ["doc_id"]},
+    "hist_quantiles": {"events": ["event_id", "user_id"]},
+    "zorder_audit": {"events": ["event_id", "user_id"]},
     # semdedup is intentionally NOT probed: with a FIXED centroid count the
     # within-cluster pair cost grows r² as data replicates — that is the
     # algorithm's contract (SemDeDup scales k with the corpus so clusters
