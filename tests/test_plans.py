@@ -384,3 +384,12 @@ def test_hist_quantiles_bounds_broadcast(spark):
     p = plan("hist_quantiles", spark)
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_retrieve_rerank_stage1_is_bounded_heap(spark):
+    # stage 1 must cut to 20 candidates via TakeOrderedAndProject (never
+    # a corpus-wide sort shuffle); stage 2's window then ranks <=20 rows
+    p = plan("retrieve_rerank", spark)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "CartesianProduct" not in p

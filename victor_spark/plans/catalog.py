@@ -5825,6 +5825,105 @@ def q_hist_quantiles(spark, sf_dir):
     )
 
 
+# Two-stage retrieval: ANN-retrieve then rerank — the RAG/serving shape.
+# Stage 1 prunes the corpus to 20 candidates by embedding cosine (a
+# TakeOrderedAndProject bounded heap, never a corpus shuffle); stage 2
+# re-scores ONLY those 20 with the expensive evidence — here lexical
+# token-set Jaccard against the query document, the BM25-ish cross
+# check a reranker contributes — and keeps the top 5. At 100 TB the
+# stage-2 cost is O(candidates), which is the entire point of the
+# pattern; a real cross-encoder slots into stage 2 behind the same
+# bounded-candidate contract (the embedder's env-gated model seam).
+# Hash-embedding dots are integer-exact in double and norms are IEEE
+# sqrt of exact integers, so stage-1 scores (and the cutoff) replay
+# bit-for-bit in the oracle.
+
+_RERANK_QID = 5
+
+_RERANK_ORACLE = f"""
+WITH dsum AS ({{embed_sql}}),
+qsum AS (SELECT idx, v FROM dsum WHERE doc_id = {_RERANK_QID}),
+dn AS (SELECT doc_id, sqrt(sum(v * v)) nn FROM dsum GROUP BY 1),
+qn AS (SELECT sqrt(sum(v * v)) qq FROM qsum),
+ddot AS (SELECT d.doc_id, sum(d.v * q.v) dp
+         FROM dsum d JOIN qsum q USING (idx) GROUP BY 1),
+scored AS (
+  SELECT dn.doc_id, coalesce(ddot.dp, 0.0) / (dn.nn * qn.qq) s
+  FROM dn LEFT JOIN ddot USING (doc_id), qn
+  WHERE dn.nn > 0 AND dn.doc_id <> {_RERANK_QID}
+),
+r1 AS (SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) rn
+       FROM scored),
+t20 AS (SELECT doc_id, s FROM r1 WHERE rn <= 20),
+dt AS (SELECT doc_id, list_distinct({SQL_TOKS.format(s='lower(text)')}) toks
+       FROM documents),
+qt AS (SELECT toks AS qtoks FROM dt WHERE doc_id = {_RERANK_QID}),
+j AS (
+  SELECT t20.doc_id, t20.s,
+         len(list_intersect(dt.toks, qt.qtoks))
+           / len(list_distinct(dt.toks || qt.qtoks)) jac
+  FROM t20 JOIN dt USING (doc_id), qt
+),
+r2 AS (SELECT doc_id, s, jac,
+              row_number() OVER (ORDER BY jac DESC, doc_id) rk
+       FROM j)
+SELECT doc_id, round(s, 4) AS retrieve_sim, round(jac, 6) AS rerank_score,
+       CAST(rk AS INTEGER) AS rank
+FROM r2 WHERE rk <= 5
+"""
+
+
+@_q(
+    "retrieve_rerank",
+    _RERANK_ORACLE.format(embed_sql=_hash_embed_sql("documents", "doc_id", 64)),
+    "two-stage retrieval: embedding-cosine top-20 (bounded heap) then "
+    "token-Jaccard rerank of ONLY those candidates to top-5 — the "
+    "retrieve+rerank serving shape with stage-2 cost O(candidates); "
+    "stage-1 hash-cosines are integer-exact so the cutoff replays "
+    "bit-for-bit",
+)
+def q_retrieve_rerank(spark, sf_dir):
+    from victor_spark.functions.embedder import embed
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        to_double_array(embed("text", _EMBED_DIM)).alias("v"),
+        F.array_distinct(T.tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    q = F.broadcast(
+        d.filter(F.col("doc_id") == _RERANK_QID).select(
+            F.col("v").alias("qv"), F.col("toks").alias("qtoks")
+        ).withColumn("qn", norm("qv"))
+    )
+    top20 = (
+        d.filter(F.col("doc_id") != _RERANK_QID)
+        .crossJoin(q)
+        .filter(norm("v") > 0)
+        .select(
+            "doc_id", "toks", "qtoks",
+            (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("_s"),
+        )
+        .orderBy(F.desc("_s"), F.asc("doc_id"))
+        .limit(20)
+    )
+    jac = (
+        F.size(F.array_intersect("toks", "qtoks"))
+        / F.size(F.array_union("toks", "qtoks"))
+    )
+    w2 = Window.orderBy(F.desc("_j"), F.asc("doc_id"))
+    return (
+        top20.select("doc_id", "_s", jac.alias("_j"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "doc_id",
+            F.round("_s", 4).alias("retrieve_sim"),
+            F.round("_j", 6).alias("rerank_score"),
+            "rank",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
