@@ -604,3 +604,48 @@ def test_delete_ids_all_rows_clears_index(idx):
     ids = [r["id"] for r in idx.scan().collect()]
     assert idx.delete_ids(ids) == 2
     assert idx.is_empty()
+
+
+def test_search_rerank_lexical_evidence_reorders(spark, tmp_path):
+    """Two-stage search: candidates come from vector similarity, the
+    final order from token-set Jaccard vs the query text — a doc with
+    high lexical overlap outranks a vector-closer doc with none."""
+    from victor_spark.functions.embedder import embed_query
+    from victor_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "ix"))
+    # embed contents with the corpus model so retrieval is meaningful
+    contents = [
+        "spark shuffle partitions tuning guide",
+        "spark shuffle memory and spill behavior",
+        "cooking pasta with garlic and oil",
+    ]
+    idx.insert([(c, embed_query(c, 64), ["docs"]) for c in contents])
+
+    query = "spark shuffle partitions"
+    out = idx.search_rerank(query, k=3, fetch_k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    # the exact-overlap doc wins the rerank
+    assert out[0].content == "spark shuffle partitions tuning guide"
+    assert out[0].rerank_score > out[-1].rerank_score
+    # rerank_score is a true Jaccard in [0, 1]
+    assert all(0.0 <= r.rerank_score <= 1.0 for r in out)
+
+
+def test_search_rerank_respects_fetch_k_and_tags(spark, tmp_path):
+    from victor_spark.functions.embedder import embed_query
+    from victor_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "ix"))
+    idx.insert(
+        [("alpha beta", embed_query("alpha beta", 64), ["a"]),
+         ("alpha gamma", embed_query("alpha gamma", 64), ["b"]),
+         ("alpha delta", embed_query("alpha delta", 64), ["a"])]
+    )
+    # tag scope: only 'a' docs are candidates
+    out = idx.search_rerank("alpha beta", k=5, fetch_k=5, tags=["a"]).collect()
+    assert {r.content for r in out} <= {"alpha beta", "alpha delta"}
+    # fetch_k bounds the candidate set: with fetch_k=1 only the single
+    # vector-nearest candidate survives to the rerank
+    out1 = idx.search_rerank("alpha beta", k=5, fetch_k=1).collect()
+    assert len(out1) == 1

@@ -134,6 +134,40 @@ class VectorIndex:
         query_dim = dim if model is None else model.components.shape[0]
         return self.search(embed_query(text, query_dim or 64), k=k, tags=tags)
 
+    def search_rerank(self, text: str, k: int = 5, fetch_k: int = 20,
+                      tags: list[str] | None = None) -> DataFrame:
+        """Two-stage text search: retrieve ``fetch_k`` candidates by
+        embedding similarity, rerank ONLY those by lexical token-set
+        Jaccard between the stored content and the query text, return
+        the top ``k`` — (id, content, tags, score, rerank_score, rank).
+
+        The retrieve+rerank serving shape: stage 1 is the index's
+        bounded-heap vector search (pruned scan, TakeOrderedAndProject),
+        so stage 2's cost is O(fetch_k) regardless of corpus size —
+        the contract a real cross-encoder reranker slots into (swap the
+        Jaccard expression for a pandas_udf scoring model; the candidate
+        bound is what keeps model inference off the corpus scan path).
+        Works in projected (euclidean) mode too — the lexical evidence
+        is independent of the retrieval metric."""
+        from pyspark.sql import Window
+
+        from victor_spark.functions.text import tokens as _tokens
+
+        cand = self.search_text(text, k=fetch_k, tags=tags)
+        qt = F.array_distinct(_tokens(F.lit(text.lower())))
+        ct = F.array_distinct(_tokens(F.lower(F.col("content"))))
+        denom = F.size(F.array_union(ct, qt))
+        jac = F.when(denom == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_intersect(ct, qt)) / denom
+        )
+        w = Window.orderBy(F.desc("rerank_score"), F.asc("id"))
+        return (
+            cand.withColumn("rerank_score", jac)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "content", "tags", "score", "rerank_score", "rank")
+        )
+
     def insert_df(self, df: DataFrame) -> None:
         """Insert from a DataFrame with (content, embedding, tags) columns."""
         model = self._load_model()
