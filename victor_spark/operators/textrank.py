@@ -73,6 +73,15 @@ def textrank_scores(
         id_col, "u", "v", (F.col("w").cast("double") / F.col("ow")).alias("mc")
     )
     nodes = w.select(id_col, "u").distinct()
+    if iters > 1:
+        # the edge matrix and node set are loop INVARIANTS referenced by
+        # every round; without lineage truncation Spark re-derives them
+        # (scan -> tokenize -> explode -> aggregate) once per reference —
+        # ~20 parquet scans for 3 rounds. localCheckpoint materializes
+        # each once (the standard persist-the-graph move of iterative
+        # Spark jobs; same precedent as dedup's cluster propagation).
+        m = m.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
     pr = nodes.select(id_col, "u", F.lit(1.0).alias("pr"))
     for _ in range(iters):
         contrib = (
