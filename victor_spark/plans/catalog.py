@@ -1317,7 +1317,11 @@ def q_ann_recall(spark, sf_dir):
     from victor_spark.operators import pq
     from victor_spark.operators.ivfpq import _residual, ivfpq_topk
 
-    e = _emb(spark, sf_dir).select("vec_id", "v")
+    # the decoded embedding table feeds the fused model collect plus five
+    # scoring legs — truncate its lineage once (the audit's
+    # persist-the-dataset move; the model collect below materializes it
+    # as part of a job that was already being paid)
+    e = _emb(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=False)
     # ONE fused model collect for the whole audit: the PQ and IVF-PQ
     # pipelines share the codebook selection rule (same salt/k), so the
     # codebook rows, both query vectors, and the centroid rows come back
