@@ -5928,6 +5928,58 @@ def q_retrieve_rerank(spark, sf_dir):
     )
 
 
+# Document chunking: the RAG ingestion stage (fixed-size overlapping
+# token windows, LangChain-splitter semantics) as an oracle-checked
+# query. Pure integer window arithmetic + array slicing in one
+# map-side projection — chunking a corpus is a scan, not a shuffle.
+# size=16 / overlap=4 (stride 12), so typical ~30-token docs emit 2-3
+# chunks and the overlap contract is actually exercised.
+
+_CHUNK_ORACLE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS.format(s='lower(text)')} t FROM documents),
+n AS (SELECT doc_id, t, len(t) n FROM d),
+c AS (
+  SELECT doc_id, t, n,
+         CASE WHEN n <= 0 THEN 0
+              ELSE 1 + greatest((n - 16 + 11) // 12, 0) END n_chunks
+  FROM n
+),
+x AS (
+  SELECT doc_id, t, n, CAST(i AS BIGINT) chunk_id
+  FROM c, unnest(range(0, n_chunks)) r(i)
+),
+ch AS (
+  SELECT doc_id, chunk_id, t[chunk_id * 12 + 1 : chunk_id * 12 + 16] ck
+  FROM x
+)
+SELECT doc_id, chunk_id,
+       CAST(len(ck) AS INTEGER) AS n_tokens,
+       {SQL_H32.format(x="array_to_string(ck, ' ')")} AS chunk_hash
+FROM ch
+"""
+
+
+@_q(
+    "chunk_documents",
+    _CHUNK_ORACLE,
+    "RAG chunking: fixed 16-token windows with 4-token overlap (stride "
+    "12) — exact integer window math + array slicing, one map-side "
+    "projection, row expansion is the only cost; per-chunk token count "
+    "and md5 fingerprint oracle-checked",
+)
+def q_chunk_documents(spark, sf_dir):
+    from victor_spark.operators.chunking import chunk_tokens
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    ch = chunk_tokens(d, "doc_id", "text", chunk_size=16, overlap=4)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk_tokens").cast("int").alias("n_tokens"),
+        H.md5_32(F.array_join("chunk_tokens", " ")).alias("chunk_hash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
