@@ -649,3 +649,33 @@ def test_search_rerank_respects_fetch_k_and_tags(spark, tmp_path):
     # vector-nearest candidate survives to the rerank
     out1 = idx.search_rerank("alpha beta", k=5, fetch_k=1).collect()
     assert len(out1) == 1
+
+
+def test_add_chunked_ingests_retrievable_chunks(spark, tmp_path):
+    """The RAG ingestion path: documents chunk into overlapping windows,
+    each chunk is embedded and indexed with a doc:<id> provenance tag,
+    and a text search retrieves the right chunk; deleting the doc tag
+    removes exactly that document's chunks."""
+    from victor_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "ix"))
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"alpha{i}" for i in range(30))),
+         (2, " ".join(f"beta{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    idx.add_chunked(docs, "doc_id", "text", chunk_size=16, overlap=4,
+                    tags=["corpus"])
+    # 30 tokens / stride 12 -> 3 chunks per doc
+    assert idx.scan().count() == 6
+    # chunk-scoped retrieval: the best hit for a doc-1 phrase is a doc-1
+    # chunk, and the provenance tag scopes the search
+    hit = idx.search_text("alpha12 alpha13 alpha14", k=1,
+                          tags=["doc:1"]).collect()[0]
+    assert "alpha12" in hit.content
+    assert "doc:1" in hit.tags and "corpus" in hit.tags
+    # delete one document's chunks by provenance tag; the rest survive
+    removed = idx.delete(["doc:2"])
+    assert removed == 3
+    assert idx.scan().count() == 3
+    assert idx.search_text("beta5", k=5, tags=["doc:2"]).count() == 0

@@ -123,6 +123,35 @@ class VectorIndex:
         )
         self.insert_df(df)
 
+    def add_chunked(self, docs: DataFrame, id_col: str, text_col: str,
+                    chunk_size: int = 16, overlap: int = 4,
+                    tags: list[str] | None = None, dim: int = 64) -> None:
+        """RAG ingestion: chunk documents into overlapping token windows,
+        embed each chunk with the corpus embedder, and insert — one
+        distributed dataflow (chunk = map-side explode, embed = Arrow
+        pandas_udf inside the insert job, no driver materialization).
+
+        Each chunk's content is the window text; its tags are the
+        caller's tags plus ``doc:<id>``, so every chunk of a document is
+        retrievable (and deletable via ``delete(tags=['doc:<id>'])``) as
+        a group — the provenance link chunked serving needs."""
+        from victor_spark.functions.embedder import embed
+        from victor_spark.operators.chunking import chunk_tokens
+
+        base = sorted(set(tags or []))
+        ch = chunk_tokens(docs, id_col, text_col,
+                          chunk_size=chunk_size, overlap=overlap)
+        df = ch.select(
+            F.array_join("chunk_tokens", " ").alias("content"),
+            F.array_sort(
+                F.array(
+                    *[F.lit(t) for t in base],
+                    F.concat(F.lit("doc:"), F.col(id_col).cast("string")),
+                )
+            ).alias("tags"),
+        ).select("content", embed("content", dim).alias("embedding"), "tags")
+        self.insert_df(df)
+
     def search_text(self, text: str, k: int = 10,
                     tags: list[str] | None = None) -> DataFrame:
         """Text-entry search (reference `search`, db.rs:198-213): embed the
