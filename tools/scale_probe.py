@@ -52,6 +52,8 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "mix_weights": {"documents": ["doc_id"]},
     "textrank_keywords": {"documents": ["doc_id"]},
     "bloom_screen": {"documents": ["doc_id"]},
+    "chunk_documents": {"documents": ["doc_id"]},
+    "retrieve_rerank": {"documents": ["doc_id"]},
     "hist_quantiles": {"events": ["event_id", "user_id"]},
     "zorder_audit": {"events": ["event_id", "user_id"]},
     # semdedup is intentionally NOT probed: with a FIXED centroid count the
