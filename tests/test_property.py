@@ -281,3 +281,70 @@ def test_text_lines_escape_round_trip(spark, tmp_path_factory, docs):
     assert spark.read.text(out).count() == len(docs)
     got = sorted(r["text"] for r in read_text_lines(spark, out).collect())
     assert got == sorted(docs)
+
+
+words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=60
+)
+
+
+@PROP
+@given(toks=words, size=st.integers(2, 12), overlap_frac=st.integers(0, 99))
+def test_chunking_invariants(spark, toks, size, overlap_frac):
+    """For any token stream and any (size, overlap): concatenating the
+    stride-aligned prefix of every chunk reconstructs the document, every
+    chunk is at most `size` tokens, consecutive chunks share exactly
+    `overlap` tokens (while both are full), and empty docs emit nothing."""
+    from victor_spark.operators.chunking import chunk_tokens
+
+    overlap = overlap_frac * (size - 1) // 99  # any 0 <= overlap < size
+    stride = size - overlap
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(
+        (r.chunk_id, list(r.chunk_tokens))
+        for r in chunk_tokens(
+            df, "doc_id", "text", chunk_size=size, overlap=overlap
+        ).collect()
+    )
+    if not toks:
+        assert out == []
+        return
+    assert out[0][0] == 0 and [c for c, _ in out] == list(range(len(out)))
+    assert all(len(ck) <= size for _, ck in out)
+    # stride-prefix concatenation reconstructs the exact token stream
+    rebuilt = []
+    for i, (_, ck) in enumerate(out):
+        rebuilt.extend(ck if i == len(out) - 1 else ck[:stride])
+    # the last chunk may re-cover tokens the previous stride already
+    # emitted; dropping the re-covered overlap suffix must yield the doc
+    assert rebuilt[: len(toks)] == toks
+    assert set(t for _, ck in out for t in ck) == set(toks)
+
+
+@PROP
+@given(
+    xs=st.lists(st.text(alphabet="xyz0123456789-", min_size=1, max_size=8),
+                min_size=0, max_size=40),
+    cut=st.integers(0, 40),
+)
+def test_hll_merge_algebra_random(spark, xs, cut):
+    """registers(A ∪ B) == merge(registers(A), registers(B)) for ANY split
+    of ANY value set — the rollup algebra, property-tested."""
+    from pyspark.sql import functions as F
+
+    from victor_spark.operators.sketches import hll_merge, hll_prepare, hll_registers
+
+    a_vals, b_vals = xs[:cut], xs[cut:]
+    df = spark.createDataFrame([(x,) for x in xs] or [("_",)], "x string")
+    if not xs:
+        df = df.filter("x <> '_'")
+    a = df.filter(F.col("x").isin(a_vals) if a_vals else F.lit(False))
+    b = df.filter(~(F.col("x").isin(a_vals)) if a_vals else F.lit(True))
+    whole = hll_registers(hll_prepare(df, "x"))
+    merged = hll_merge(
+        hll_registers(hll_prepare(a, "x")), hll_registers(hll_prepare(b, "x"))
+    )
+    assert sorted((r.bucket, r.r) for r in whole.collect()) == sorted(
+        (r.bucket, r.r) for r in merged.collect()
+    )

@@ -451,6 +451,47 @@ def test_stream_seen_filter_emits_new_keys_at_most_once(spark, tmp_path):
     assert got2 == []
 
 
+def test_stream_chunked_ingest_matches_batch(spark, tmp_path):
+    """A drained raw-document stream chunked+embedded through
+    add_chunked per micro-batch yields exactly the batch-ingested index:
+    same chunk contents, same provenance tags, same search results."""
+    from victor_spark.index import VectorIndex
+    from victor_spark.streaming.index_ingest import stream_chunked_ingest
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}w{j}" for j in range(30))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    sdir = tmp_path / "docs"
+    docs.repartition(2).write.parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(sdir))
+    )
+
+    s_idx = VectorIndex(spark, str(tmp_path / "s_ix"))
+    q = stream_chunked_ingest(
+        stream, s_idx, "doc_id", "text",
+        checkpoint_dir=str(tmp_path / "ckpt"), tags=["corpus"],
+    )
+    q.awaitTermination(120)
+
+    b_idx = VectorIndex(spark, str(tmp_path / "b_ix"))
+    b_idx.add_chunked(docs, "doc_id", "text", tags=["corpus"])
+
+    s_rows = {(r.content, tuple(r.tags)) for r in s_idx.scan().collect()}
+    b_rows = {(r.content, tuple(r.tags)) for r in b_idx.scan().collect()}
+    assert s_rows == b_rows
+    assert len(s_rows) == 12  # 4 docs x 3 chunks
+    # chunk-scoped search agrees across both indexes
+    s_hit = s_idx.search_text("d2w12 d2w13", k=1, tags=["doc:2"]).collect()[0]
+    b_hit = b_idx.search_text("d2w12 d2w13", k=1, tags=["doc:2"]).collect()[0]
+    assert s_hit.content == b_hit.content
+    assert s_hit.score == b_hit.score
+
+
 def test_stream_index_ingest_builds_searchable_index(spark, tmp_path):
     """A drained (content, embedding, tags) stream appended through
     VectorIndex.insert_df yields the same searchable index as a batch

@@ -1,7 +1,10 @@
 from victor_spark.streaming.dedup_stream import stream_incremental_dedup
 from victor_spark.streaming.enrich import stream_asof_enrich
 from victor_spark.streaming.frames import stream_frame_extraction
-from victor_spark.streaming.index_ingest import stream_index_ingest
+from victor_spark.streaming.index_ingest import (
+    stream_chunked_ingest,
+    stream_index_ingest,
+)
 from victor_spark.streaming.ingest import (
     ensure_event_time,
     hourly_event_counts_stream,
@@ -38,4 +41,5 @@ __all__ = [
     "stream_distinct_rollup",
     "distinct_estimate",
     "stream_seen_filter",
+    "stream_chunked_ingest",
 ]

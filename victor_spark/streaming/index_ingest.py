@@ -42,3 +42,33 @@ def stream_index_ingest(doc_stream: DataFrame, index: VectorIndex,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_chunked_ingest(doc_stream: DataFrame, index: VectorIndex,
+                          id_col: str, text_col: str,
+                          checkpoint_dir: str,
+                          chunk_size: int = 16, overlap: int = 4,
+                          tags: list[str] | None = None,
+                          available_now: bool = True) -> StreamingQuery:
+    """Continuous RAG ingestion: each micro-batch of raw documents flows
+    through ``VectorIndex.add_chunked`` — chunk (map-side explode) →
+    embed (Arrow pandas_udf) → partitioned append — so the index grows
+    chunk-by-chunk as documents arrive, every chunk carrying its
+    ``doc:<id>`` provenance tag. The batch path and this stream are the
+    SAME code; stream == batch follows from determinism of the chunker
+    and embedder, and is asserted in tests/test_streaming.py."""
+
+    def _handle(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        index.add_chunked(batch, id_col, text_col,
+                          chunk_size=chunk_size, overlap=overlap, tags=tags)
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
