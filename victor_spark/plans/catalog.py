@@ -5980,6 +5980,77 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+# Embedding drift audit: pairwise cosine between per-label centroid
+# embeddings — the distribution-shift dashboard an embedding pipeline
+# watches across sources/shards/snapshots. Every cross-row float sum
+# rides the repo's exact-decimal convention (order-independent on any
+# partitioning, replayable in DuckDB): per-dim component sums at
+# DECIMAL(20,12) (|x| <= ~0.25 → x·10^12 well inside double's 53-bit
+# mantissa, so the double→decimal cast is exact on both engines) and
+# the 64-term dot/norm sums at DECIMAL(24,16) (products ~1e-2 →
+# p·10^16 still exact).
+
+_DRIFT_ORACLE = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+comp AS (SELECT label, i AS idx, v[i] x
+         FROM e, unnest(range(1, len(v) + 1)) r(i)),
+cent AS (SELECT label, idx,
+                CAST(sum(CAST(x AS DECIMAL(20,12))) AS DOUBLE) / count(*) m
+         FROM comp GROUP BY 1, 2),
+p AS (SELECT a.label la, b.label lb, a.m am, b.m bm
+      FROM cent a JOIN cent b ON a.idx = b.idx AND a.label < b.label),
+g AS (SELECT la, lb,
+             CAST(sum(CAST(am * bm AS DECIMAL(24,16))) AS DOUBLE) dp,
+             CAST(sum(CAST(am * am AS DECIMAL(24,16))) AS DOUBLE) na2,
+             CAST(sum(CAST(bm * bm AS DECIMAL(24,16))) AS DOUBLE) nb2
+      FROM p GROUP BY 1, 2)
+SELECT la AS label_a, lb AS label_b,
+       CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL
+            ELSE round(dp / (sqrt(na2) * sqrt(nb2)), 6) END AS centroid_cos
+FROM g
+"""
+
+
+@_q(
+    "embedding_drift",
+    _DRIFT_ORACLE,
+    "embedding drift audit: pairwise cosine between per-label centroid "
+    "vectors — per-dim means and the dot/norm folds all summed as exact "
+    "decimal, so the distributed result is order-independent and "
+    "replays bit-for-bit",
+)
+def q_embedding_drift(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    comp = e.select("label", F.posexplode("v").alias("idx", "x"))
+    cent = comp.groupBy("label", "idx").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,12)")).cast("double") / F.count("*")
+        ).alias("m")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.idx") == F.col("b.idx")) & (F.col("a.label") < F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("la"), F.col("b.label").alias("lb"),
+        F.col("a.m").alias("am"), F.col("b.m").alias("bm"),
+    )
+    g = p.groupBy("la", "lb").agg(
+        F.sum((F.col("am") * F.col("bm")).cast("decimal(24,16)")).cast("double").alias("dp"),
+        F.sum((F.col("am") * F.col("am")).cast("decimal(24,16)")).cast("double").alias("na2"),
+        F.sum((F.col("bm") * F.col("bm")).cast("decimal(24,16)")).cast("double").alias("nb2"),
+    )
+    return g.select(
+        F.col("la").alias("label_a"),
+        F.col("lb").alias("label_b"),
+        F.when((F.col("na2") == 0) | (F.col("nb2") == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("dp") / (F.sqrt("na2") * F.sqrt("nb2")), 6)
+        )
+        .alias("centroid_cos"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
