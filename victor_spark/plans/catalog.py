@@ -6051,6 +6051,49 @@ def q_embedding_drift(spark, sf_dir):
     )
 
 
+# k-anonymity audit: pii_redact scrubs direct identifiers; this is the
+# companion QUASI-identifier audit (Sweeney 2002) — how many documents
+# share each (lang, source, length-bucket) combination. Groups below
+# k=5 are re-identification risks a privacy review flags before
+# release. One partial-aggregated groupBy; all-integer, oracle exact.
+
+_KANON_ORACLE = """
+WITH g AS (
+  SELECT lang, source, CAST(n_chars // 50 AS BIGINT) chars_bucket,
+         count(*) k
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source, chars_bucket, CAST(k AS BIGINT) AS k,
+       k < 5 AS at_risk
+FROM g
+"""
+
+
+@_q(
+    "k_anonymity",
+    _KANON_ORACLE,
+    "k-anonymity audit over the quasi-identifiers (lang, source, "
+    "50-char length bucket): group sizes with the k<5 re-identification "
+    "flag — the privacy-review companion to pii_redact; one "
+    "partial-agg groupBy, all-integer",
+)
+def q_k_anonymity(spark, sf_dir):
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    g = (
+        d.select(
+            "lang", "source",
+            F.floor(F.col("n_chars") / 50).cast("long").alias("chars_bucket"),
+        )
+        .groupBy("lang", "source", "chars_bucket")
+        .agg(F.count("*").alias("k"))
+    )
+    return g.select(
+        "lang", "source", "chars_bucket",
+        F.col("k").cast("long").alias("k"),
+        (F.col("k") < 5).alias("at_risk"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
