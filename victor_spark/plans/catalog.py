@@ -6315,6 +6315,97 @@ def q_events_decayed_score(spark, sf_dir):
     )
 
 
+# Quality-weighted dedup materialization: dedup_keep keeps the MIN-ID
+# cluster member; real curation keeps the BEST one — here the longest
+# (most complete) version, the common policy when near-duplicates are
+# truncations/expansions of each other. The corpus variant re-inserts
+# every 10th doc EXPANDED by a 3-token tail (still ~0.85 Jaccard, so
+# the near-dup machinery links them), which makes the policy decide
+# differently from min-id: the kept representative is the LONGER
+# +100000 copy. Representative choice = per-cluster window (n_tokens
+# desc, doc asc) over the tiny cluster-membership table.
+
+_KEEP_LONGEST_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, "
+    "concat(text, ' tail alpha beta') AS text "
+    "FROM documents WHERE doc_id % 10 = 0"
+)
+
+
+@_q(
+    "dedup_keep_longest",
+    f"""
+WITH RECURSIVE {_minhash_ctes(_KEEP_LONGEST_CORPUS_SQL)},
+dup_edges AS (
+  SELECT id_a AS a, id_b AS b FROM ver WHERE jaccard >= 0.7
+  UNION
+  SELECT id_b AS a, id_a AS b FROM ver WHERE jaccard >= 0.7
+),
+reach(node, r) AS (
+  SELECT a, a FROM dup_edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN dup_edges e ON e.a = r.node
+),
+clusters AS (SELECT node AS doc, min(r) AS cluster FROM reach GROUP BY node),
+q AS (SELECT doc_id, len({SQL_TOKS.format(s='text')}) n FROM corpus),
+memb AS (SELECT c.doc, c.cluster, q.n
+         FROM clusters c JOIN q ON q.doc_id = c.doc),
+ranked AS (SELECT doc, cluster,
+                  row_number() OVER (PARTITION BY cluster
+                                     ORDER BY n DESC, doc) rn
+           FROM memb)
+SELECT doc_id, CAST(q.n AS INTEGER) AS n_tokens, sha256(text) AS content_hash
+FROM corpus JOIN q USING (doc_id)
+WHERE doc_id NOT IN (SELECT doc FROM ranked WHERE rn > 1)
+""",
+    "quality-weighted dedup materialization: keep the LONGEST member of "
+    "each duplicate cluster (ties -> min id) instead of the min-id one "
+    "— the keep-the-most-complete-version curation policy; the corpus "
+    "variant expands re-inserted dups so the policy provably differs "
+    "from min-id",
+)
+def q_dedup_keep_longest(spark, sf_dir):
+    from victor_spark.operators.dedup import duplicate_clusters, minhash_near_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = fan_out(
+        d.select("doc_id", "text").unionAll(
+            d.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail alpha beta")).alias("text"),
+            )
+        )
+    )
+    pairs = minhash_near_duplicates(
+        corpus, "doc_id", "text",
+        threshold=0.7, num_hashes=MINHASH_NUM, bands=MINHASH_BANDS,
+        shingle_n=3, unit="word",
+    )
+    clusters = duplicate_clusters(pairs)
+    qual = corpus.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).alias("n")
+    )
+    memb = clusters.join(
+        qual.withColumnRenamed("doc_id", "doc"), "doc"
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("doc"))
+    drops = (
+        memb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(F.col("doc").alias("doc_id"))
+    )
+    return (
+        corpus.join(F.broadcast(drops), "doc_id", "left_anti")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").cast("int").alias("n_tokens"),
+            F.sha2("text", 256).alias("content_hash"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
