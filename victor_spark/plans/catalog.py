@@ -6406,6 +6406,116 @@ def q_dedup_keep_longest(spark, sf_dir):
     )
 
 
+# Trending dashboard: top-2 event types per 6-hour tumbling window by
+# count (ties -> type asc) — one windowed aggregation plus a rank-limit
+# window over the tiny (windows x types) table; the WindowGroupLimit
+# pushdown keeps the rank bounded before any sort.
+
+_TRENDING_ORACLE = """
+WITH w AS (
+  SELECT CAST(epoch_us(ts) // 21600000000 AS BIGINT) win, event_type,
+         count(*) n
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT win, event_type, n,
+             row_number() OVER (PARTITION BY win
+                                ORDER BY n DESC, event_type) rn
+      FROM w)
+SELECT win, event_type, CAST(n AS BIGINT) AS n, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= 2
+"""
+
+
+@_q(
+    "events_trending",
+    _TRENDING_ORACLE,
+    "trending: top-2 event types per 6-hour tumbling window by count — "
+    "windowed aggregation + rank-limit over the (windows x types) "
+    "table, WindowGroupLimit-bounded",
+)
+def q_events_trending(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        e.select(
+            F.floor(epoch_us("ts") / F.lit(21_600_000_000)).cast("long").alias("win"),
+            "event_type",
+        )
+        .groupBy("win", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    win = Window.partitionBy("win").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        w.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 2)
+        .select("win", "event_type", F.col("n").cast("long").alias("n"), "rank")
+    )
+
+
+# Embedding outlier audit: the 10 vectors farthest from their own
+# label's centroid — the mislabeled-point / contamination probe over an
+# embedding table. Centroids come from the decimal-exact per-dim means
+# (order-independent, see embedding_drift); the per-row distance is a
+# single fold against the broadcast centroid, and the result is a
+# bounded heap.
+
+_EMB_OUTLIER_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+comp AS (SELECT label, i AS idx, v[i] x
+         FROM e, unnest(range(1, len(v) + 1)) r(i)),
+cent AS (SELECT label, idx,
+                CAST(sum(CAST(x AS DECIMAL(20,12))) AS DOUBLE) / count(*) m
+         FROM comp GROUP BY 1, 2),
+dist AS (
+  SELECT e.vec_id, e.label,
+         sqrt(sum((e.v[c.idx] - c.m) * (e.v[c.idx] - c.m))) d
+  FROM e JOIN cent c ON c.label = e.label
+  GROUP BY e.vec_id, e.label
+),
+r AS (SELECT vec_id, label, d,
+             row_number() OVER (ORDER BY d DESC, vec_id) rn
+      FROM dist)
+SELECT vec_id, label, round(d, 6) AS centroid_dist, CAST(rn AS INTEGER) AS rank
+FROM r WHERE rn <= 10
+"""
+
+
+@_q(
+    "embedding_outliers",
+    _EMB_OUTLIER_ORACLE,
+    "embedding outlier audit: top-10 vectors farthest from their own "
+    "label centroid (mislabeled-point probe) — decimal-exact centroids, "
+    "per-row distance fold, bounded-heap top-k",
+)
+def q_embedding_outliers(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    comp = e.select("label", F.posexplode("v").alias("idx", "x"))
+    cent = comp.groupBy("label", "idx").agg(
+        (
+            F.sum(F.col("x").cast("decimal(20,12)")).cast("double") / F.count("*")
+        ).alias("m")
+    )
+    # per-label centroid as an array, broadcast back onto the stream
+    carr = F.broadcast(
+        cent.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    )
+    dist = e.join(carr, "label").select(
+        "vec_id", "label", euclidean("v", F.col("cv")).alias("d")
+    )
+    w = Window.orderBy(F.desc("d"), F.asc("vec_id"))
+    return (
+        dist.orderBy(F.desc("d"), F.asc("vec_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "label", F.round("d", 6).alias("centroid_dist"), "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
 # order and may cap how many it runs (round 2 reached only the first 50 of
