@@ -393,3 +393,42 @@ def test_retrieve_rerank_stage1_is_bounded_heap(spark):
     assert "TakeOrderedAndProject" in p
     assert "Exchange rangepartitioning" not in p
     assert "CartesianProduct" not in p
+
+
+def test_hybrid_rrf_legs_are_bounded_heaps(spark):
+    # both retrieval legs cut to 20 via TakeOrderedAndProject; the fusion
+    # joins two 20-row lists — nothing corpus-sized past the scans
+    p = plan("hybrid_search_rrf", spark)
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_keep_longest_drop_set_broadcasts(spark):
+    # the corpus subtraction must stay a broadcast anti-join (the drop
+    # set is tiny); a sort-merge anti-join would shuffle the corpus
+    p = plan("dedup_keep_longest", spark)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_trending_and_decayed_partial_aggregate(spark):
+    for name in ("events_trending", "events_decayed_score"):
+        p = plan(name, spark)
+        assert "partial_" in p, f"{name} lacks map-side combine"
+        assert "CartesianProduct" not in p
+
+
+def test_embedding_outliers_centroids_broadcast(spark):
+    # per-label centroid arrays ride a broadcast join back onto the
+    # stream; the farthest-10 cut is a bounded heap
+    p = plan("embedding_outliers", spark)
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_fixed_sample_is_group_limited(spark):
+    # per-stratum top-20 must run as a window group limit / rank filter
+    # over a hash exchange on lang — never a global sort of the corpus
+    p = plan("stratified_fixed_sample", spark)
+    assert "Exchange rangepartitioning" not in p
+    assert "WindowGroupLimit" in p or "row_number" in p
