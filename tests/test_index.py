@@ -679,3 +679,32 @@ def test_add_chunked_ingests_retrievable_chunks(spark, tmp_path):
     assert removed == 3
     assert idx.scan().count() == 3
     assert idx.search_text("beta5", k=5, tags=["doc:2"]).count() == 0
+
+
+def test_hybrid_search_fuses_vector_and_lexical_evidence(spark, tmp_path):
+    """RRF on the index: a doc with strong lexical overlap but a weaker
+    embedding surfaces in the fused top-k; ranks and the fused score
+    follow 1/(60+rank) arithmetic; tag scoping applies to both legs."""
+    from victor_spark.functions.embedder import embed_query
+    from victor_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "ix"))
+    contents = [
+        "spark shuffle partitions tuning",
+        "spark shuffle spill memory",
+        "quantum gardening in spring",
+        "partitions tuning deep dive notes",
+    ]
+    idx.insert([(c, embed_query(c, 64), ["a"]) for c in contents])
+    out = idx.hybrid_search("spark shuffle partitions tuning", k=4, fetch_k=4).collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4]
+    # the exact-match doc tops the fusion with rank 1 on both legs
+    top = out[0]
+    assert top.content == "spark shuffle partitions tuning"
+    assert top.vec_rank == 1 and top.lex_rank == 1
+    assert top.rrf == pytest.approx(2.0 / 61.0)
+    # every fused row carries at least one leg rank
+    assert all(r.vec_rank is not None or r.lex_rank is not None for r in out)
+
+    # tag scoping: an unmatched tag yields nothing
+    assert idx.hybrid_search("spark", k=3, tags=["zzz"]).count() == 0

@@ -197,6 +197,70 @@ class VectorIndex:
             .select("id", "content", "tags", "score", "rerank_score", "rank")
         )
 
+    def hybrid_search(self, text: str, k: int = 5, fetch_k: int = 20,
+                      tags: list[str] | None = None,
+                      rrf_k: int = 60) -> DataFrame:
+        """Hybrid retrieval on the index: Reciprocal Rank Fusion of the
+        vector leg (embedding search, top ``fetch_k``) and a lexical leg
+        (token-set Jaccard of stored content vs the query text, top
+        ``fetch_k``, same tag scope). Returns the fused top ``k`` —
+        (id, content, tags, vec_rank, lex_rank, rrf, rank).
+
+        RRF (Cormack et al. 2009) needs no score calibration — only
+        RANKS enter (score = Σ 1/(rrf_k + rank)) — which is what makes
+        it safe to fuse a cosine (or, in projected mode, euclidean)
+        ranking with a Jaccard ranking. Both legs are bounded heaps;
+        the fusion joins two fetch_k-row lists, so post-scan work is
+        O(fetch_k) at any corpus size."""
+        from pyspark.sql import Window
+
+        from victor_spark.functions.text import tokens as _tokens
+
+        ascending = self._load_model() is not None  # euclidean in projected mode
+        vec = self.search_text(text, k=fetch_k, tags=tags)
+        vw = Window.orderBy(
+            F.asc("score") if ascending else F.desc("score"), F.asc("id")
+        )
+        vtop = vec.withColumn("vec_rank", F.row_number().over(vw)).select(
+            "id", "content", "tags", "vec_rank"
+        )
+
+        qt = F.array_distinct(_tokens(F.lit(text.lower())))
+        ct = F.array_distinct(_tokens(F.lower(F.col("content"))))
+        denom = F.size(F.array_union(ct, qt))
+        jac = F.when(denom == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_intersect(ct, qt)) / denom
+        )
+        lw = Window.orderBy(F.desc("_j"), F.asc("id"))
+        ltop = (
+            self.scan(tags)
+            .select("id", "content", "tags", jac.alias("_j"))
+            .orderBy(F.desc("_j"), F.asc("id"))
+            .limit(fetch_k)
+            .withColumn("lex_rank", F.row_number().over(lw))
+            .select("id", "content", "tags", "lex_rank")
+        )
+
+        fused = vtop.alias("v").join(
+            ltop.alias("l"), F.col("v.id") == F.col("l.id"), "full_outer"
+        ).select(
+            F.coalesce(F.col("v.id"), F.col("l.id")).alias("id"),
+            F.coalesce(F.col("v.content"), F.col("l.content")).alias("content"),
+            F.coalesce(F.col("v.tags"), F.col("l.tags")).alias("tags"),
+            F.col("v.vec_rank").alias("vec_rank"),
+            F.col("l.lex_rank").alias("lex_rank"),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("v.vec_rank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("l.lex_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        fw = Window.orderBy(F.desc("rrf"), F.asc("id"))
+        return (
+            fused.withColumn("rank", F.row_number().over(fw))
+            .filter(F.col("rank") <= k)
+            .select("id", "content", "tags", "vec_rank", "lex_rank", "rrf", "rank")
+        )
+
     def insert_df(self, df: DataFrame) -> None:
         """Insert from a DataFrame with (content, embedding, tags) columns."""
         model = self._load_model()
