@@ -324,6 +324,32 @@ def test_chunking_invariants(spark, toks, size, overlap_frac):
 
 @PROP
 @given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+        min_size=1, max_size=30,
+    )
+)
+def test_morton_key_roundtrips_and_orders(spark, pts):
+    """The Morton key is a bijection: Python-side bit de-interleave
+    recovers (x, y) exactly for any ranks, so distinct points get
+    distinct keys and the key is cross-run stable."""
+    from pyspark.sql import functions as F
+
+    from victor_spark.operators.zorder import morton_key
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", morton_key(F.col("x"), F.col("y"), bits=16).alias("z")
+    ).collect()
+    for r in rows:
+        xs = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        ys = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (xs, ys) == (r.x, r.y)
+    assert len({r.z for r in rows}) == len(set(pts))
+
+
+@PROP
+@given(
     xs=st.lists(st.text(alphabet="xyz0123456789-", min_size=1, max_size=8),
                 min_size=0, max_size=40),
     cut=st.integers(0, 40),
