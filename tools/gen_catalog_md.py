@@ -1,0 +1,48 @@
+"""Regenerate CATALOG.md — the one-line-per-query index of the catalog.
+
+Every entry in plans/catalog.py registers a short description with its
+(Spark builder, DuckDB oracle) pair; this tool renders them as a single
+reviewable table so the coverage inventory is greppable without reading
+5k lines of builder code. Run after adding queries:
+
+    python tools/gen_catalog_md.py > CATALOG.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from victor_spark.plans import QUERIES
+
+    n = len(QUERIES)
+    oracle = sum(1 for s in QUERIES.values() if s.oracle is not None)
+    dynamic = sum(1 for s in QUERIES.values() if callable(s.oracle))
+    print("# Catalog index")
+    print()
+    print(
+        f"{n} queries; {oracle} oracle-checked ({dynamic} via dynamic "
+        "oracles resolved at gate time), listed in gate order (the "
+        "driver checks the first 50 per round; tiers documented in "
+        "plans/catalog.py::_gate_order). Regenerate with "
+        "`python tools/gen_catalog_md.py > CATALOG.md`."
+    )
+    print()
+    print("| # | query | oracle | what it is |")
+    print("|---|---|---|---|")
+    for i, (name, spec) in enumerate(QUERIES.items(), 1):
+        kind = (
+            "dynamic" if callable(spec.oracle)
+            else "sql" if spec.oracle is not None
+            else "rows-only"
+        )
+        doc = " ".join((spec.doc or "").split())
+        print(f"| {i} | `{name}` | {kind} | {doc} |")
+
+
+if __name__ == "__main__":
+    main()
