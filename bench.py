@@ -148,6 +148,10 @@ def run_suite() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # the catalog GROWS every round, so the comparable
+                # across-round number is per-query, not the total
+                "n_queries": len(times),
+                "sec_per_query": round(total / max(len(times), 1), 4),
                 "ingest_rows_per_sec": ingest_rows_s,
                 "storage_bytes_per_vector": bytes_per_vec,
             }
