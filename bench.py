@@ -29,11 +29,13 @@ HEADLINE = list(QUERIES)
 # measuring process itself got hit by the sandbox's sticky scheduling
 # degradation (BASELINE.md: a stalled JVM stays degraded — 0.8s queries
 # measured at 36s — while a fresh process measures steady-state), and the
-# suite is re-run once in a NEW process. Steady-state for the 86-query
-# catalog at sf0.1 is ~70-80s, so 120s is ~1.6x margin; tune via env for
-# other SFs. (Was 75 when the catalog had 40 queries — the threshold must
-# track catalog growth or every honest run re-measures itself.)
-SANE_TOTAL_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_SANE_SEC", "120"))
+# suite is re-run once in a NEW process. The 117-query catalog measures
+# ~90-110s at sf0.1 on the post-reboot host (BASELINE.md), so 180s is
+# ~1.7x margin; a genuinely degraded process (30x per-query inflation)
+# still blows far past it. (Was 75 at 40 queries, 120 at 86 — the
+# threshold must track catalog growth or every honest run re-measures
+# itself, doubling the round-end bench for nothing.)
+SANE_TOTAL_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_SANE_SEC", "180"))
 
 
 def main() -> None:
