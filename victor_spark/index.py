@@ -30,8 +30,8 @@ maxPartitionBytes split it across executors.
 from __future__ import annotations
 
 import hashlib
-import os
-import shutil
+import io
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,6 +42,9 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from victor_spark.fs import fs_for
+from victor_spark.fs import join as fsjoin
 
 from victor_spark.functions.vector import (
     cosine,
@@ -81,15 +84,22 @@ class VectorIndex:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        self.data_path = os.path.join(path, "data")
-        self.tagsets_path = os.path.join(path, "tag_sets.parquet")
-        self.model_path = os.path.join(path, "pca_model.npz")
-        self.pq_path = os.path.join(path, "pq_codes")
-        self.pq_meta_path = os.path.join(path, "pq_meta.json")
-        self.ivf_path = os.path.join(path, "ivf_data")
-        self.ivf_meta_path = os.path.join(path, "ivf_meta.json")
-        self.ivfpq_path = os.path.join(path, "ivfpq_codes")
-        self.ivfpq_meta_path = os.path.join(path, "ivfpq_meta.json")
+        # maintenance backend (victor_spark/fs.py — the reference's
+        # filesystem trait, src/filesystem/mod.rs:22-59): a plain path
+        # gets the os/shutil fast path; any URI scheme (hdfs://, s3a://,
+        # file:) routes EVERY maintenance call — listing swaps, directory
+        # renames, artifact files, footer row counts — through the JVM
+        # Hadoop FileSystem, the same impls Spark's own reads use
+        self.fs = fs_for(spark, path)
+        self.data_path = fsjoin(path, "data")
+        self.tagsets_path = fsjoin(path, "tag_sets.parquet")
+        self.model_path = fsjoin(path, "pca_model.npz")
+        self.pq_path = fsjoin(path, "pq_codes")
+        self.pq_meta_path = fsjoin(path, "pq_meta.json")
+        self.ivf_path = fsjoin(path, "ivf_data")
+        self.ivf_meta_path = fsjoin(path, "ivf_meta.json")
+        self.ivfpq_path = fsjoin(path, "ivfpq_codes")
+        self.ivfpq_meta_path = fsjoin(path, "ivfpq_meta.json")
 
     # -- DML ---------------------------------------------------------------
 
@@ -331,18 +341,33 @@ class VectorIndex:
     # distinct over the tags column before every query — a scan-the-world
     # prologue at 100 TB. The listing is O(#distinct tag-sets) — hundreds of
     # rows — so it's read and filtered driver-side with no Spark job at all,
-    # exactly like the reference reads index.bin. (Local FS here, matching
-    # the rest of this class's directory maintenance; on a cluster the same
-    # file lives on the shared FS and is read via pyarrow's fsspec handler.)
+    # exactly like the reference reads index.bin. Reads and writes go
+    # through self.fs, so the listing lives wherever the data lives
+    # (local disk, HDFS, object store).
+    #
+    # CONCURRENT-WRITER CONTRACT: the listing is maintained by
+    # read-modify-write + replace, which assumes a SINGLE WRITER per
+    # index (the reference has the same contract — one process owns
+    # index.bin). Two concurrent insert_df calls can interleave so the
+    # second replace drops the first's new tag-set entry. That lost
+    # update is NOT data loss: the data partition exists, and the next
+    # read that consults the listing runs _reconcile_tag_sets, which
+    # diffs the listing against the partition directories and restores
+    # any unlisted entry (tests/test_fs.py::test_lost_update_reconciles).
+    # Queries between the lost update and the next reconcile can miss
+    # the affected tag-set — callers needing multi-writer ingest should
+    # serialize insert_df calls (the inserts themselves are append-only
+    # parquet writes and commute; only the listing flip needs the lock).
 
     def _read_tag_sets(self) -> list[tuple[str, list[str]]] | None:
         """The (tag_set_id, tags) listing, or None if no metadata exists
         (an index written before this listing existed)."""
-        if not os.path.exists(self.tagsets_path):
+        if not self.fs.exists(self.tagsets_path):
             return None
+        import pyarrow as pa
         import pyarrow.parquet as papq
 
-        t = papq.read_table(self.tagsets_path)
+        t = papq.read_table(pa.BufferReader(self.fs.read_bytes(self.tagsets_path)))
         return list(zip(
             (str(x) for x in t.column("tag_set_id").to_pylist()),
             ([list(v) for v in t.column("tags").to_pylist()]),
@@ -356,9 +381,9 @@ class VectorIndex:
             "tag_set_id": pa.array([r[0] for r in rows], pa.string()),
             "tags": pa.array([r[1] for r in rows], pa.list_(pa.string())),
         })
-        tmp = self.tagsets_path + ".tmp"
-        papq.write_table(t, tmp)
-        os.replace(tmp, self.tagsets_path)
+        sink = pa.BufferOutputStream()
+        papq.write_table(t, sink)
+        self.fs.write_bytes_atomic(self.tagsets_path, sink.getvalue().to_pybytes())
 
     def _register_tag_sets(self, batch_sets: set[tuple[str, ...]]) -> None:
         existing = self._read_tag_sets() or self._derive_tag_sets()
@@ -368,7 +393,7 @@ class VectorIndex:
             for ts in sorted(batch_sets)
             if tag_set_id(list(ts)) not in known
         ]
-        if new or not os.path.exists(self.tagsets_path):
+        if new or not self.fs.exists(self.tagsets_path):
             self._write_tag_sets(sorted(existing + new))
 
     def _derive_tag_sets(self) -> list[tuple[str, list[str]]]:
@@ -405,14 +430,15 @@ class VectorIndex:
         """Repair a listing that lags the data directories — a crash between
         the data write and _register_tag_sets leaves a partition the listing
         never names, and the no-metadata heal can't fire because the file
-        exists. The check is one os.listdir (already the cost model of
-        delete()); only UNLISTED partitions pay a pruned one-partition read
-        to recover their tags."""
+        exists. The check is one directory listing (already the cost model
+        of delete()); only UNLISTED partitions pay a pruned one-partition
+        read to recover their tags. The same pass heals the lost-update
+        window of the single-writer contract above."""
         if self.is_empty():
             return listing
         on_disk = {
             d[len("tag_set_id="):]
-            for d in os.listdir(self.data_path)
+            for d in self.fs.listdir(self.data_path)
             if d.startswith("tag_set_id=")
         }
         missing = on_disk - {tsid for tsid, _ in listing}
@@ -422,7 +448,7 @@ class VectorIndex:
         for tsid in sorted(missing):
             row = (
                 self.spark.read.parquet(
-                    os.path.join(self.data_path, f"tag_set_id={tsid}")
+                    fsjoin(self.data_path, f"tag_set_id={tsid}")
                 )
                 .select("tags")
                 .first()
@@ -438,8 +464,7 @@ class VectorIndex:
         for p in (self.data_path, self.tagsets_path, self.model_path, self.pq_path,
                   self.pq_meta_path, self.ivf_path, self.ivf_meta_path,
                   self.ivfpq_path, self.ivfpq_meta_path):
-            if os.path.exists(p):
-                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            self.fs.delete(p)
 
     def delete(self, tags: list[str]) -> int:
         """Delete every row whose tag-set ⊇ ``tags`` (the same superset
@@ -465,11 +490,11 @@ class VectorIndex:
         # returns the count from its in-memory index, db.rs:629-643)
         n = 0
         for tsid in ids:
-            part_dir = os.path.join(self.data_path, f"tag_set_id={tsid}")
-            if not os.path.isdir(part_dir):
+            part_dir = fsjoin(self.data_path, f"tag_set_id={tsid}")
+            if not self.fs.is_dir(part_dir):
                 continue
-            n += self._partition_row_count(part_dir)
-            shutil.rmtree(part_dir, ignore_errors=True)
+            n += self.fs.parquet_row_count(part_dir)
+            self.fs.delete(part_dir)
         doomed = set(ids)
         survivors = [
             (tsid, ts)
@@ -478,7 +503,8 @@ class VectorIndex:
         ]
         self._write_tag_sets(survivors)
         remaining = [
-            d for d in os.listdir(self.data_path) if d.startswith("tag_set_id=")
+            d for d in self.fs.listdir(self.data_path)
+            if d.startswith("tag_set_id=")
         ]
         if not remaining:
             self.clear()
@@ -509,10 +535,12 @@ class VectorIndex:
         hive-layout table. Membership changed, so ANN serving artifacts
         are dropped (callers rebuild on next use).
 
-        Crash contract (same as compact's local-FS swap): the temp and
+        Crash contract (same as compact's directory swap): the temp and
         backup directories live OUTSIDE data_path, so an interrupted swap
         can lose the one partition mid-rename but can never leave ghost
-        directories that a later scan would read as live partitions.
+        directories that a later scan would read as live partitions. On
+        object stores the swap is the documented non-atomic
+        delete→rename (victor_spark/fs.py module docstring).
         """
         if not ids or self.is_empty():
             return 0
@@ -536,21 +564,21 @@ class VectorIndex:
         for r in affected:
             tsid, n_vic = r["tag_set_id"], r["n"]
             n_victims += n_vic
-            part_dir = os.path.join(self.data_path, f"tag_set_id={tsid}")
-            if self._partition_row_count(part_dir) == n_vic:
+            part_dir = fsjoin(self.data_path, f"tag_set_id={tsid}")
+            if self.fs.parquet_row_count(part_dir) == n_vic:
                 # every row is a victim: drop the directory, no rewrite
-                shutil.rmtree(part_dir, ignore_errors=True)
+                self.fs.delete(part_dir)
                 emptied.add(tsid)
                 continue
             kept = self.spark.read.parquet(part_dir).filter(
                 ~F.col("id").isin(idset)
             )
-            shutil.rmtree(tmp, ignore_errors=True)
+            self.fs.delete(tmp)
             kept.write.mode("overwrite").parquet(tmp)
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(part_dir, old)
-            os.rename(tmp, part_dir)
-            shutil.rmtree(old, ignore_errors=True)
+            self.fs.delete(old)
+            self.fs.rename(part_dir, old)
+            self.fs.rename(tmp, part_dir)
+            self.fs.delete(old)
         if emptied:
             survivors = [
                 (tsid, ts)
@@ -559,7 +587,8 @@ class VectorIndex:
             ]
             self._write_tag_sets(survivors)
         remaining = [
-            d for d in os.listdir(self.data_path) if d.startswith("tag_set_id=")
+            d for d in self.fs.listdir(self.data_path)
+            if d.startswith("tag_set_id=")
         ]
         if not remaining:
             self.clear()
@@ -567,24 +596,10 @@ class VectorIndex:
             self._drop_ann_artifacts()
         return n_victims
 
-    @staticmethod
-    def _partition_row_count(part_dir: str) -> int:
-        """Row count of one partition directory from parquet FOOTERS only
-        (free metadata — no data pages are read)."""
-        import pyarrow.parquet as papq
-
-        n = 0
-        for fname in os.listdir(part_dir):
-            if fname.endswith(".parquet"):
-                n += papq.ParquetFile(
-                    os.path.join(part_dir, fname)
-                ).metadata.num_rows
-        return n
-
     # -- scan --------------------------------------------------------------
 
     def is_empty(self) -> bool:
-        return not os.path.exists(self.data_path)
+        return not self.fs.exists(self.data_path)
 
     def scan(self, tags: list[str] | None = None) -> DataFrame:
         """Dequantized view of the stored rows, partition-pruned by
@@ -729,8 +744,6 @@ class VectorIndex:
         ``train_iters`` Lloyd rounds from the same deterministic init —
         better quantization error, same serving algebra.
         """
-        import json
-
         from victor_spark.operators import pq
 
         if self.is_empty():
@@ -743,12 +756,10 @@ class VectorIndex:
                                   metric="l2", salt="pq")
         enc = pq.encode(full, "embedding", cb, m=m).select("id", "pq_code")
         tmp = self.pq_path + "__building"
-        shutil.rmtree(tmp, ignore_errors=True)
+        self.fs.delete(tmp)
         enc.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.pq_path, ignore_errors=True)
-        os.rename(tmp, self.pq_path)
-        with open(self.pq_meta_path, "w") as f:
-            json.dump({"m": m, "codebook": cb}, f)
+        self.fs.replace(tmp, self.pq_path)
+        self._write_json(self.pq_meta_path, {"m": m, "codebook": cb})
 
     def _train_codebook(self, df, k: int, trainer: str, train_iters: int,
                         metric: str, salt: str) -> list[list[float]]:
@@ -776,14 +787,11 @@ class VectorIndex:
         the code table against the tag-PRUNED data's id column BEFORE
         scoring, so the top-k is exact within the tag scope (not a lossy
         post-filter) and the id set comes from pruned partitions only."""
-        import json
-
-        if not os.path.exists(self.pq_meta_path):
+        if not self.fs.exists(self.pq_meta_path):
             raise ValueError("no PQ table built; call build_pq() first")
         from victor_spark.operators import pq
 
-        with open(self.pq_meta_path) as f:
-            meta = json.load(f)
+        meta = self._read_json(self.pq_meta_path)
         q = [float(x) for x in query]
         model = self._load_model()
         if model is not None:
@@ -830,8 +838,6 @@ class VectorIndex:
         (tests/test_kmeans.py measures it). A maintenance artifact —
         rebuild after batch loads.
         """
-        import json
-
         if self.is_empty():
             raise ValueError("cannot build IVF over an empty index")
         full = self.scan().select("id", "content", "tags", "embedding")
@@ -857,12 +863,10 @@ class VectorIndex:
             F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
         ).select("id", "content", "tags", "embedding", "cell")
         tmp = self.ivf_path + "__building"
-        shutil.rmtree(tmp, ignore_errors=True)
+        self.fs.delete(tmp)
         assigned.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        shutil.rmtree(self.ivf_path, ignore_errors=True)
-        os.rename(tmp, self.ivf_path)
-        with open(self.ivf_meta_path, "w") as f:
-            json.dump({"centroids": cents}, f)
+        self.fs.replace(tmp, self.ivf_path)
+        self._write_json(self.ivf_meta_path, {"centroids": cents})
 
     def search_ivf(self, query: list[float], k: int = 10,
                    nprobe: int = 2,
@@ -878,13 +882,11 @@ class VectorIndex:
         scores are cosine even where search() reports euclidean ascending;
         a consistent metric within the ANN path beats mirroring the
         reference's metric switch halfway through an index."""
-        import json
         import math
 
-        if not os.path.exists(self.ivf_meta_path):
+        if not self.fs.exists(self.ivf_meta_path):
             raise ValueError("no IVF table built; call build_ivf() first")
-        with open(self.ivf_meta_path) as f:
-            cents = json.load(f)["centroids"]
+        cents = self._read_json(self.ivf_meta_path)["centroids"]
         q = [float(x) for x in query]
         model = self._load_model()
         if model is not None:
@@ -944,7 +946,6 @@ class VectorIndex:
         cells, then L2 Lloyd over the RESIDUALS for the codebook — the
         FAISS training recipe. A maintenance artifact — rebuild after
         batch loads."""
-        import json
         import math
 
         from victor_spark.operators import pq as PQ
@@ -1029,20 +1030,19 @@ class VectorIndex:
     def _write_ivfpq(self, full: DataFrame, cents: list[list[float]],
                      codebook: list[list[float]], m: int,
                      assigned: DataFrame | None = None) -> None:
-        import json
-
         from victor_spark.operators import pq as PQ
 
         if assigned is None:
             assigned = self._assign_cells_with_residuals(full, cents)
         enc = PQ.encode(assigned, "_r", codebook, m=m).select("id", "cell", "pq_code")
         tmp = self.ivfpq_path + "__building"
-        shutil.rmtree(tmp, ignore_errors=True)
+        self.fs.delete(tmp)
         enc.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        shutil.rmtree(self.ivfpq_path, ignore_errors=True)
-        os.rename(tmp, self.ivfpq_path)
-        with open(self.ivfpq_meta_path, "w") as f:
-            json.dump({"m": m, "centroids": cents, "codebook": codebook}, f)
+        self.fs.replace(tmp, self.ivfpq_path)
+        self._write_json(
+            self.ivfpq_meta_path,
+            {"m": m, "centroids": cents, "codebook": codebook},
+        )
 
     def _build_ivfpq_kmeans(self, full: DataFrame, m: int, n_codes: int,
                             n_cells: int, train_iters: int) -> None:
@@ -1070,16 +1070,14 @@ class VectorIndex:
         (id, content, tags, adc_dist ascending). Requires
         :meth:`build_ivfpq`. ``tags`` scopes to tag-superset rows via a
         pre-scoring semi-join (exact within scope)."""
-        import json
         import math
 
         from victor_spark.functions.vector import bind
         from victor_spark.operators import pq as PQ
 
-        if not os.path.exists(self.ivfpq_meta_path):
+        if not self.fs.exists(self.ivfpq_meta_path):
             raise ValueError("no IVF-PQ table built; call build_ivfpq() first")
-        with open(self.ivfpq_meta_path) as f:
-            meta = json.load(f)
+        meta = self._read_json(self.ivfpq_meta_path)
         cents, codebook, m = meta["centroids"], meta["codebook"], meta["m"]
         q = [float(x) for x in query]
         model = self._load_model()
@@ -1186,18 +1184,13 @@ class VectorIndex:
     # -- PCA maintenance (db.rs:287-299, trigger :551-553) ------------------
 
     def storage_bytes(self) -> int:
-        total = 0
-        for root, _dirs, files in os.walk(self.data_path):
-            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-        return total
+        return sum(size for _p, size in self.fs.file_sizes(self.data_path))
 
     def stats(self) -> list[dict]:
         """Per-tag-set accounting from METADATA only — the listing gives
         (tag_set_id, tags), parquet footers give row counts, the directory
         gives bytes and file counts. Zero data pages read (the ANALYZE
         a 100 TB table can afford); rows sorted by tag_set_id."""
-        import pyarrow.parquet as papq
-
         if self.is_empty():
             return []
         listing = self._read_tag_sets()
@@ -1208,14 +1201,14 @@ class VectorIndex:
             listing = self._reconcile_tag_sets(listing)
         out = []
         for tsid, tags in sorted(listing):
-            part_dir = os.path.join(self.data_path, f"tag_set_id={tsid}")
+            part_dir = fsjoin(self.data_path, f"tag_set_id={tsid}")
             n_rows = n_files = n_bytes = 0
-            if os.path.isdir(part_dir):
-                for fname in os.listdir(part_dir):
+            if self.fs.is_dir(part_dir):
+                for fname in self.fs.listdir(part_dir):
                     if fname.endswith(".parquet"):
-                        fpath = os.path.join(part_dir, fname)
-                        n_rows += papq.ParquetFile(fpath).metadata.num_rows
-                        n_bytes += os.path.getsize(fpath)
+                        fpath = fsjoin(part_dir, fname)
+                        n_rows += self.fs.parquet_row_count(fpath)
+                        n_bytes += self.fs.file_size(fpath)
                         n_files += 1
             out.append({
                 "tag_set_id": tsid, "tags": list(tags),
@@ -1244,15 +1237,15 @@ class VectorIndex:
         of OPTIMIZE: a later scan filtering on a sorted column skips whole
         files/row groups from footers alone.
 
-        Local-FS directory swap (write temp, rename over); on an object
-        store the same job writes to a new prefix and flips a pointer.
-        Returns {"files_before", "files_after", "rows"}.
+        Directory swap: write temp, rename over (self.fs — on object
+        stores the rename pair is the documented non-atomic window,
+        victor_spark/fs.py). Returns {"files_before", "files_after",
+        "rows"}.
         """
         def _count_files(p: str) -> int:
-            n = 0
-            for _root, _dirs, files in os.walk(p):
-                n += sum(1 for f in files if f.endswith(".parquet"))
-            return n
+            return sum(
+                1 for fp, _s in self.fs.file_sizes(p) if fp.endswith(".parquet")
+            )
 
         if self.is_empty():
             return {"files_before": 0, "files_after": 0, "rows": 0}
@@ -1293,7 +1286,7 @@ class VectorIndex:
                 .drop("__grp", "__n")
             )
         tmp = self.data_path + "__compacting"
-        shutil.rmtree(tmp, ignore_errors=True)
+        self.fs.delete(tmp)
         # the salted repartition buys write parallelism on a huge tag; the
         # writer's maxRecordsPerFile enforces the per-file bound even when
         # AQE coalesces the (tag, group) shuffle partitions into fewer tasks
@@ -1301,10 +1294,10 @@ class VectorIndex:
             "maxRecordsPerFile", target_rows_per_file
         ).partitionBy("tag_set_id").parquet(tmp)
         old = self.data_path + "__old"
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(self.data_path, old)
-        os.rename(tmp, self.data_path)
-        shutil.rmtree(old, ignore_errors=True)
+        self.fs.delete(old)
+        self.fs.rename(self.data_path, old)
+        self.fs.rename(tmp, self.data_path)
+        self.fs.delete(old)
         return {
             "files_before": files_before,
             "files_after": _count_files(self.data_path),
@@ -1354,9 +1347,10 @@ class VectorIndex:
         )
         tmp = self.data_path + ".projected"
         projected.write.mode("overwrite").partitionBy("tag_set_id").parquet(tmp)
-        shutil.rmtree(self.data_path)
-        os.rename(tmp, self.data_path)
-        model.save(self.model_path)
+        self.fs.replace(tmp, self.data_path)
+        buf = io.BytesIO()
+        model.save(buf)
+        self.fs.write_bytes_atomic(self.model_path, buf.getvalue())
         # the vector space just changed dimension — PQ codes / IVF cells
         # built on the original space are meaningless now
         self._drop_ann_artifacts()
@@ -1365,10 +1359,17 @@ class VectorIndex:
     def _drop_ann_artifacts(self) -> None:
         for p in (self.pq_path, self.pq_meta_path, self.ivf_path,
                   self.ivf_meta_path, self.ivfpq_path, self.ivfpq_meta_path):
-            if os.path.exists(p):
-                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+            self.fs.delete(p)
 
     def _load_model(self) -> PCAModel | None:
-        if os.path.exists(self.model_path):
-            return PCAModel.load(self.model_path)
+        if self.fs.exists(self.model_path):
+            return PCAModel.load(io.BytesIO(self.fs.read_bytes(self.model_path)))
         return None
+
+    # -- small JSON artifacts over self.fs ----------------------------------
+
+    def _read_json(self, p: str) -> dict:
+        return json.loads(self.fs.read_bytes(p).decode("utf-8"))
+
+    def _write_json(self, p: str, obj: dict) -> None:
+        self.fs.write_bytes_atomic(p, json.dumps(obj).encode("utf-8"))

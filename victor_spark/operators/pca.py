@@ -38,12 +38,15 @@ class PCAModel:
     means: np.ndarray  # (d,)
     explained_variance: np.ndarray  # (k,)
 
-    def save(self, path: str) -> None:
+    def save(self, path) -> None:
+        """``path``: a local filename or a binary file-like (the index
+        routes model bytes through its filesystem shim, victor_spark/fs.py,
+        so the artifact lands wherever the data lives)."""
         np.savez(path, components=self.components, means=self.means,
                  explained_variance=self.explained_variance)
 
     @staticmethod
-    def load(path: str) -> "PCAModel":
+    def load(path) -> "PCAModel":
         z = np.load(path)
         return PCAModel(z["components"], z["means"], z["explained_variance"])
 
