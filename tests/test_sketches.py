@@ -116,6 +116,25 @@ def test_cms_head_is_near_exact(spark, zipf_counts):
     assert all(r.cms_count - r.c < 50 for r in joined)
 
 
+def test_cms_unseen_keys_estimate_zero_not_inflated(spark, zipf_counts):
+    """The sketch table is sparse: a key hashing to any never-touched
+    (j, bucket) must estimate 0 (min over ALL depth counters includes
+    the empty one), not an inflated min over its non-empty rows — and
+    must appear in the output, not vanish from the inner join."""
+    from victor_spark.operators.sketches import cms_lookup, cms_sketch
+
+    # a nearly-empty sketch leaves most cells untouched, so probe keys
+    # outside the corpus are all but guaranteed an empty counter
+    tiny = zipf_counts.limit(3)
+    sk = cms_sketch(tiny, "k", "c")
+    probes = spark.createDataFrame(
+        [(f"ghost-{i}",) for i in range(50)], "k string"
+    )
+    est = cms_lookup(sk, probes, "k").collect()
+    assert len(est) == 50  # every probed key answers
+    assert all(r.cms_count == 0 for r in est)
+
+
 def test_cms_sketches_merge_by_summing(spark, zipf_counts):
     from victor_spark.operators.sketches import cms_sketch
 

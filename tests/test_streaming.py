@@ -562,3 +562,79 @@ def test_stream_frame_extraction_matches_batch(spark, tmp_path):
         for r in sample_frames(media, frame_bytes=16, stride=2).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_stream_state_survives_interrupted_swap(spark, tmp_path):
+    """Crash-safety of the persisted streaming state (streaming/state.py):
+    a crash mid-swap leaves either the old or the new complete copy, and
+    read_state heals instead of wedging on a partial directory; a
+    legacy zero-row state directory reads as no-state."""
+    import os
+    import shutil
+
+    from victor_spark.streaming.state import read_state, write_state
+
+    schema = "words array<bigint>"
+    sdir = str(tmp_path / "state")
+    df1 = spark.createDataFrame([([1, 2, 3],)], schema)
+    write_state(df1, sdir)
+    assert read_state(spark, sdir, schema).collect()[0]["words"] == [1, 2, 3]
+
+    # overwrite with new state — normal path
+    df2 = spark.createDataFrame([([9, 9],)], schema)
+    write_state(df2, sdir)
+    assert read_state(spark, sdir, schema).collect()[0]["words"] == [9, 9]
+
+    # simulate a crash between retire and promote: live dir gone, the
+    # pre-batch copy parked at __old
+    os.rename(sdir, sdir + "__old")
+    healed = read_state(spark, sdir, schema)
+    assert healed is not None and healed.collect()[0]["words"] == [9, 9]
+    assert os.path.isdir(sdir) and not os.path.exists(sdir + "__old")
+
+    # simulate a crash after retire where only the NEW complete copy
+    # (tmp) survives
+    os.rename(sdir, sdir + "__tmp")
+    healed = read_state(spark, sdir, schema)
+    assert healed is not None and healed.collect()[0]["words"] == [9, 9]
+
+    # legacy partial write: state dir exists but holds no rows
+    shutil.rmtree(sdir)
+    spark.createDataFrame([], schema).write.parquet(sdir)
+    assert read_state(spark, sdir, schema) is None
+
+
+def test_stream_seen_filter_tolerates_words_column_and_empty_state(
+    spark, tmp_path
+):
+    """A batch column named 'words' must survive the probe crossJoin
+    un-clobbered (the filter payload rides a reserved alias), and an
+    empty/partial state directory must not wedge the query."""
+    from victor_spark.streaming.bloom_stream import stream_seen_filter
+
+    # pre-create a ZERO-ROW state dir — the legacy partial-write shape
+    sdir = str(tmp_path / "bloom")
+    spark.createDataFrame([], "words array<bigint>").write.parquet(sdir)
+
+    rows = [(f"k-{i % 5}", f"w{i}") for i in range(20)]
+    src = spark.createDataFrame(rows, "key string, words string")
+    srcdir = tmp_path / "keys"
+    src.repartition(2).write.parquet(str(srcdir))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(srcdir))
+    )
+    got = []
+    q = stream_seen_filter(
+        stream, "key",
+        state_dir=sdir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink=lambda df, epoch: got.extend(df.collect()),
+    )
+    q.awaitTermination(120)
+    assert len(got) == 20
+    # the user's words column came through intact
+    assert {r["words"] for r in got} == {f"w{i}" for i in range(20)}
+    assert {r["key"] for r in got if not r["seen"]} == {f"k-{i}" for i in range(5)}

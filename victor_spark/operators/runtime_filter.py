@@ -33,11 +33,21 @@ def bloom_filtered_join(big: DataFrame, small: DataFrame, on: str,
     broadcast) for the small side's distinct key count."""
     if how not in ("inner", "semi", "left_semi", "leftsemi"):
         raise ValueError(f"bloom_filtered_join supports inner/semi, got {how!r}")
-    bits = bloom_build(small.select(F.col(on)), on, k=k, m=m, salt="bj")
+    # the filter payload rides under a reserved alias so a big-side column
+    # named "words" is neither shadowed in the probe nor dropped below
+    if "__bloom_words" in big.columns:
+        raise ValueError("big side may not contain a __bloom_words column")
+    bits = bloom_build(small.select(F.col(on)), on, k=k, m=m, salt="bj").select(
+        F.col("words").alias("__bloom_words")
+    )
     pruned = (
         big.crossJoin(F.broadcast(bits))
-        .filter(bloom_might_contain(F.col("words"), F.col(on), k=k, m=m, salt="bj"))
-        .drop("words")
+        .filter(
+            bloom_might_contain(
+                F.col("__bloom_words"), F.col(on), k=k, m=m, salt="bj"
+            )
+        )
+        .drop("__bloom_words")
     )
     spark_how = "left_semi" if how in ("semi", "left_semi", "leftsemi") else "inner"
     return pruned.join(small, on, spark_how)

@@ -189,6 +189,14 @@ def cms_lookup(
 
     The key set is broadcast (queries are small); the join hits
     depth·|keys| of the sketch's depth·width rows.
+
+    The sketch table is SPARSE (never-incremented (j, bucket) cells have
+    no row), so a probed key whose hash lands on an untouched cell has a
+    zero counter the inner join can't see. The estimate must be the min
+    over ALL depth counters: a key matched by fewer than ``depth`` sketch
+    rows estimates 0 — the exact CMS answer for a key with any empty
+    counter. Keys absent from the corpus therefore return 0, never an
+    inflated min over their non-empty rows only.
     """
     k = F.col(key_col).cast("string")
     probes = keys.select(
@@ -205,10 +213,22 @@ def cms_lookup(
             )
         ).alias("e"),
     ).select(key_col, "e.j", "e.bucket")
-    return (
+    hits = (
         sketch.join(F.broadcast(probes), ["j", "bucket"])
         .groupBy(key_col)
-        .agg(F.min("s").alias("cms_count"))
+        .agg(F.min("s").alias("_min_s"), F.count("*").alias("_rows"))
+    )
+    return (
+        keys.select(key_col)
+        .distinct()
+        .join(hits, key_col, "left")
+        .select(
+            key_col,
+            F.when(F.col("_rows") == depth, F.col("_min_s"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cms_count"),
+        )
     )
 
 

@@ -5457,7 +5457,12 @@ keys AS (
            AS bucket
   FROM top, unnest([0, 1, 2, 3]) t(j)
 ),
-est AS (SELECT tok, min(c) c, min(s) e FROM keys JOIN sk USING (j, bucket) GROUP BY tok)
+est AS (
+  SELECT k.tok, min(k.c) c,
+         CASE WHEN count(sk.s) = 4 THEN min(sk.s) ELSE 0 END e
+  FROM keys k LEFT JOIN sk ON k.j = sk.j AND k.bucket = sk.bucket
+  GROUP BY k.tok
+)
 SELECT tok AS token, CAST(c AS BIGINT) AS exact_count,
        CAST(e AS BIGINT) AS cms_count, CAST(e - c AS BIGINT) AS overestimate
 FROM est

@@ -12,20 +12,26 @@ Semantics are the Bloom contract, stated honestly: "seen" can
 false-positive (a truly new key dropped at ~fill^k rate — the price of
 bounded state; size m for the expected corpus), "new" never
 false-negatives AGAINST THE FILTER — every key admitted as new is
-immediately OR'd in, so a key can be emitted as new at most once
-across the stream's lifetime, replay included.
+OR'd in before the next batch probes, so in failure-free operation a
+key is emitted as new at most once across the stream's lifetime.
+Under failures the guarantee narrows to the window described below.
 
 Restart semantics: the checkpoint replays unacknowledged batches; the
-OR update is idempotent, so replays cannot corrupt the filter. A
-replayed batch re-probes the filter AFTER its own keys were merged, so
-its keys test as seen and are not re-emitted — at-most-once emission of
-"new" keys survives restarts, which an exact-set screen only achieves
-with transactional state.
+OR update is idempotent, so replays cannot corrupt the filter. The
+emission contract under failure depends on WHERE the crash lands: a
+crash AFTER the state write replays the batch against a filter that
+already contains its keys, so they test as seen and are not re-emitted
+— at-most-once holds for that (common) window. A crash after sink()
+but BEFORE the state write replays the batch against the pre-batch
+filter and re-emits the same keys as new — that window is
+at-least-once unless the sink is idempotent (keyed upserts make it
+exactly-once end to end). The state write itself is crash-safe
+(streaming/state.py): an interrupted swap heals on the next read
+instead of wedging the query on a partial directory.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,14 +45,9 @@ from victor_spark.operators.sketches import (
     bloom_merge,
     bloom_might_contain,
 )
+from victor_spark.streaming.state import read_state, write_state
 
 _STATE_SCHEMA = "words array<bigint>"
-
-
-def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    if not os.path.isdir(state_dir):
-        return None
-    return spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
 
 
 def stream_seen_filter(
@@ -71,17 +72,29 @@ def stream_seen_filter(
     spark = keys.sparkSession
 
     def _handle(batch: DataFrame, epoch_id: int) -> None:
-        prev = _read_state(spark, state_dir)
+        prev = read_state(spark, state_dir, _STATE_SCHEMA)
         if prev is not None:
-            w = prev.collect()[0]["words"]
-            words_df = spark.createDataFrame([(w,)], _STATE_SCHEMA)
+            rows = prev.collect()
+            words_df = (
+                spark.createDataFrame([(rows[0]["words"],)], _STATE_SCHEMA)
+                if rows else None  # empty state frame == no state
+            )
         else:
             words_df = None
         if words_df is not None:
-            flagged = batch.crossJoin(F.broadcast(words_df)).select(
+            # the filter row rides under a reserved alias so a batch
+            # column named "words" is neither shadowed nor clobbered
+            if "__bloom_words" in batch.columns:
+                raise ValueError(
+                    "batch may not contain a __bloom_words column"
+                )
+            payload = F.broadcast(
+                words_df.select(F.col("words").alias("__bloom_words"))
+            )
+            flagged = batch.crossJoin(payload).select(
                 *batch.columns,
                 bloom_might_contain(
-                    F.col("words"), F.col(col), k=k, m=m, salt=salt
+                    F.col("__bloom_words"), F.col(col), k=k, m=m, salt=salt
                 ).alias("seen"),
             )
         else:
@@ -90,9 +103,9 @@ def stream_seen_filter(
         fresh = bloom_build(batch, col, k=k, m=m, salt=salt)
         merged = fresh if words_df is None else bloom_merge(words_df, fresh)
         rows = merged.collect()  # one row, m/32 longs — bounded artifact
-        spark.createDataFrame(rows, _STATE_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        write_state(
+            spark.createDataFrame(rows, _STATE_SCHEMA), state_dir
+        )
 
     writer = (
         keys.writeStream.foreachBatch(_handle)

@@ -26,8 +26,6 @@ distinct counting.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -38,14 +36,9 @@ from victor_spark.operators.sketches import (
     hll_prepare,
     hll_registers,
 )
+from victor_spark.streaming.state import read_state, write_state
 
 _STATE_SCHEMA = "bucket long, r int"
-
-
-def _read_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    if not os.path.isdir(state_dir):
-        return None
-    return spark.read.schema(_STATE_SCHEMA).parquet(state_dir)
 
 
 def stream_distinct_rollup(
@@ -68,13 +61,13 @@ def stream_distinct_rollup(
 
     def _handle(batch: DataFrame, epoch_id: int) -> None:
         regs = hll_registers(hll_prepare(batch, col, p=p, salt=salt), p=p)
-        prev = _read_state(spark, state_dir)
+        prev = read_state(spark, state_dir, _STATE_SCHEMA)
         if prev is not None:
             regs = hll_merge(prev, regs)
         rows = regs.collect()
-        spark.createDataFrame(rows, _STATE_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(state_dir)
+        # crash-safe swap (streaming/state.py): the register history is
+        # never lost to a partial overwrite
+        write_state(spark.createDataFrame(rows, _STATE_SCHEMA), state_dir)
 
     writer = (
         values.writeStream.foreachBatch(_handle)
@@ -90,7 +83,7 @@ def distinct_estimate(
     spark: SparkSession, state_dir: str, p: int = 10, correct: bool = True
 ) -> float:
     """The live estimate from the persisted register table."""
-    state = _read_state(spark, state_dir)
+    state = read_state(spark, state_dir, _STATE_SCHEMA)
     if state is None:
         return 0.0
     # densify in case a legacy/partial writer dropped empty buckets

@@ -1,0 +1,71 @@
+"""Crash-safe persistence for small cross-batch streaming state.
+
+The Bloom / HLL streaming topologies keep their bounded state (one row
+of packed words; a 2^p-row register table) as a parquet directory the
+batch side can also read. A plain Spark ``mode("overwrite")`` rewrite of
+that directory is NOT crash-safe: overwrite deletes first, so a crash
+mid-write leaves the path existing but empty or partial — after which a
+naive reader sees a zero-row frame and either wedges (indexing
+``collect()[0]`` raises forever) or silently serves empty state.
+
+This module gives both topologies the same swap discipline as
+``VectorIndex``'s directory maintenance, over the fs shim
+(victor_spark/fs.py — so streaming state is object-store-capable too):
+
+write:  state__tmp ← new data (complete before anything is touched)
+        state → state__old   (retire)
+        state__tmp → state   (promote)
+        delete state__old
+
+read:   if state is missing but state__old exists, a crash hit the
+        retire→promote window — heal by promoting whichever complete
+        copy exists (old, else tmp), then read. A zero-row read (legacy
+        partial write) is treated as no-state rather than wedging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from victor_spark.fs import fs_for
+
+
+def read_state(
+    spark: SparkSession, state_dir: str, schema: str
+) -> DataFrame | None:
+    """The persisted state frame, or None if no (usable) state exists.
+    Heals an interrupted swap before reading; guards the empty-dir case
+    so callers can index collect() results safely."""
+    fs = fs_for(spark, state_dir)
+    old, tmp = state_dir + "__old", state_dir + "__tmp"
+    if not fs.exists(state_dir):
+        # crash between retire and promote: exactly one complete copy
+        # survives — promote it (old = pre-batch state, preferred; tmp =
+        # post-batch state, used only if old is already gone)
+        for cand in (old, tmp):
+            if fs.exists(cand):
+                fs.rename(cand, state_dir)
+                break
+        else:
+            return None
+    df = spark.read.schema(schema).parquet(state_dir)
+    if df.isEmpty():  # legacy non-atomic partial write
+        return None
+    return df
+
+
+def write_state(df: DataFrame, state_dir: str) -> None:
+    """Atomically-as-possible replace ``state_dir`` with ``df``: the new
+    copy is COMPLETE on disk before the live directory is touched, and a
+    crash at any point leaves at least one complete copy for read_state
+    to heal from. (On object stores the renames are copy+delete — the
+    same documented window as the index's directory swaps.)"""
+    fs = fs_for(df.sparkSession, state_dir)
+    old, tmp = state_dir + "__old", state_dir + "__tmp"
+    fs.delete(tmp)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs.delete(old)
+    if fs.exists(state_dir):
+        fs.rename(state_dir, old)
+    fs.rename(tmp, state_dir)
+    fs.delete(old)
