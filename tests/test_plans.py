@@ -432,3 +432,42 @@ def test_fixed_sample_is_group_limited(spark):
     p = plan("stratified_fixed_sample", spark)
     assert "Exchange rangepartitioning" not in p
     assert "WindowGroupLimit" in p or "row_number" in p
+
+
+def test_ann_recall_is_two_actions(spark):
+    """The recall audit's round-3 regression was STRUCTURAL: ~10 serial
+    driver round trips that a busy cluster scheduler amplifies. The
+    restructured audit is exactly TWO actions — one fused model collect
+    inside the builder (codebook + all three query vectors + centroids
+    in a single union'd round trip), then the returned frame computes in
+    one final action — and the scheduler-job total stays well under the
+    old serial chain even counting AQE stage-jobs and broadcast builds."""
+    # pyspark 4 routes pyspark.sql.DataFrame to the classic impl class —
+    # patch the class the runtime actually dispatches to
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    sc = spark.sparkContext
+    real_collect = DataFrame.collect
+    calls = {"n": 0}
+
+    def counting(self):
+        calls["n"] += 1
+        return real_collect(self)
+
+    DataFrame.collect = counting
+    try:
+        sc.setJobGroup("annrecall_test", "job-count audit")
+        df = QUERIES["ann_recall"].build(spark, SF_T2)
+        assert calls["n"] == 1, (
+            f"builder ran {calls['n']} internal collects, wants exactly 1"
+        )
+        rows = real_collect(df)
+    finally:
+        DataFrame.collect = real_collect
+        sc.setJobGroup(None, None)
+    assert [r["method"] for r in rows] == ["pq_adc", "ivf", "lsh", "ivf_pq"]
+    assert all(0.0 <= r["recall"] <= 1.0 and r["k"] == 10 for r in rows)
+    jobs = sc.statusTracker().getJobIdsForGroup("annrecall_test")
+    # 2 actions; AQE stage-jobs + broadcast builds ride along. The old
+    # structure produced 19 — anything near that is a regression.
+    assert len(jobs) <= 12, f"{len(jobs)} scheduler jobs (old serial chain: 19)"

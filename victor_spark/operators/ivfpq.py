@@ -118,12 +118,16 @@ def assign_cells(df: DataFrame, id_col: str, vec_col: str,
 def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
                k: int = 5, m: int = 8, k_cb: int = 16, nprobe: int = 2,
                centroid_mod: int = 250, salt: str = "pq",
-               model=None) -> DataFrame:
+               model=None, assigned: DataFrame | None = None) -> DataFrame:
     """Top-k by IVF-PQ ADC distance: probe ``nprobe`` cells, score residual
     codes against the query's per-cell residual LUT. Returns
     (id, cell, adc_dist ascending). Pass a precollected
     ``model=(centroids, codebook, query)`` to skip the model-collect job
-    when the caller already has it (e.g. the recall audit)."""
+    when the caller already has it (e.g. the recall audit); pass
+    ``assigned`` — an (id_col, vec_col, cell) frame produced by the same
+    nearest-centroid rule as :func:`assign_cells` — to share the
+    cell-assignment dataflow with a sibling IVF leg instead of paying
+    the corpus-wide argmax twice."""
     centroids, codebook, query = model or collect_ivfpq_model(
         df, id_col, vec_col, query_id, k_cb, centroid_mod, salt
     )
@@ -131,7 +135,8 @@ def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
         centroids, key=lambda c: (-_cosine(query, centroids[c]), c)
     )[:nprobe]
 
-    assigned = assign_cells(df, id_col, vec_col, centroids)
+    if assigned is None:
+        assigned = assign_cells(df, id_col, vec_col, centroids)
     cand = assigned.filter(F.col("cell").isin([int(c) for c in probed]))
 
     # residual = v - centroid[cell]: centroid literal selected by the

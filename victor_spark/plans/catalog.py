@@ -1314,33 +1314,43 @@ SELECT 'ivf_pq', 10,
     "the tuning metric for m/nprobe, computed as a query",
 )
 def q_ann_recall(spark, sf_dir):
-    from victor_spark.operators import pq
-    from victor_spark.operators.ivfpq import _residual, ivfpq_topk
+    import math
 
-    # the decoded embedding table feeds the fused model collect plus five
-    # scoring legs — truncate its lineage once (the audit's
-    # persist-the-dataset move; the model collect below materializes it
-    # as part of a job that was already being paid)
+    from victor_spark.operators import pq
+    from victor_spark.operators.ivfpq import _cosine as _pycos
+    from victor_spark.operators.ivfpq import _residual, ivfpq_topk
+    from victor_spark.operators.topk import topk_per_group
+
+    # Two driver actions TOTAL (the round-3 verdict's fix for the audit's
+    # serial-barrier structure): (1) one fused model collect, (2) the
+    # final result. Every downstream frame is built from literals of that
+    # one collect, so no leg hides an extra round trip — on a busy
+    # cluster scheduler each serial action is a full job-launch barrier.
     e = _emb(spark, sf_dir).select("vec_id", "v").localCheckpoint(eager=False)
-    # ONE fused model collect for the whole audit: the PQ and IVF-PQ
-    # pipelines share the codebook selection rule (same salt/k), so the
-    # codebook rows, both query vectors, and the centroid rows come back
-    # in a single union'd driver round trip instead of two — on a busy
-    # scheduler each separate action costs a full job launch.
+
+    # ACTION 1 — fused model collect: PQ codebook rows, ALL THREE query
+    # vectors (11, 7, and 3 — with 3's LSH bucket computed inside this
+    # same job, so the bucket rule stays the executors' own expression),
+    # and the IVF centroid rows, in a single union'd round trip.
     tagged = e.select(
         F.col("vec_id").alias("_id"), F.col("v").alias("_v")
     ).withColumn(
         "_h", H.md5_32(F.concat(F.lit("pq:"), F.col("_id").cast("string")))
     )
+    zb = F.lit(0).cast("long").alias("_b")
     parts = (
         tagged.orderBy("_h", "_id").limit(16)
-        .select("_id", "_v", F.lit("cb").alias("_part"))
+        .select("_id", "_v", zb, F.lit("cb").alias("_part"))
         .unionAll(tagged.filter(F.col("_id") == 11)
-                  .select("_id", "_v", F.lit("q11").alias("_part")))
+                  .select("_id", "_v", zb, F.lit("q11").alias("_part")))
         .unionAll(tagged.filter(F.col("_id") == 7)
-                  .select("_id", "_v", F.lit("q7").alias("_part")))
+                  .select("_id", "_v", zb, F.lit("q7").alias("_part")))
+        .unionAll(tagged.filter(F.col("_id") == 3)
+                  .select("_id", "_v",
+                          H.hyperplane_bucket("_v", 8).alias("_b"),
+                          F.lit("q3").alias("_part")))
         .unionAll(tagged.filter(F.col("_id") % 250 == 0)
-                  .select("_id", "_v", F.lit("cent").alias("_part")))
+                  .select("_id", "_v", zb, F.lit("cent").alias("_part")))
     ).collect()
     cb_rows = sorted(
         (r for r in parts if r["_part"] == "cb"), key=lambda r: r["_id"]
@@ -1349,52 +1359,125 @@ def q_ann_recall(spark, sf_dir):
     try:
         qv = [float(x) for x in next(r["_v"] for r in parts if r["_part"] == "q11")]
         q7v = [float(x) for x in next(r["_v"] for r in parts if r["_part"] == "q7")]
+        q3 = next(r for r in parts if r["_part"] == "q3")
     except StopIteration:
-        raise ValueError("query id 11 or 7 not found in embeddings")
+        raise ValueError("query id 11, 7, or 3 not found in embeddings")
+    q3v, qb3 = [float(x) for x in q3["_v"]], int(q3["_b"])
     centroids = {
         int(r["_id"]): [float(x) for x in r["_v"]]
         for r in parts if r["_part"] == "cent"
     }
     model = (centroids, [_residual(v, centroids) for v in cb], q7v)
+
+    def _lit(vec):
+        return F.array(*[F.lit(float(x)) for x in vec])
+
+    def _coslit(q):
+        qn = math.sqrt(sum(x * x for x in q))
+        return dot("v", _lit(q)) / (norm("v") * F.lit(qn))
+
+    def _negl2(q):
+        # negated so every leg ranks DESCENDING in the shared window
+        return -euclidean("v", _lit(q))
+
+    # exact baselines: ONE corpus pass scores all four (method, query,
+    # metric) pairs; per-method top-10 rides WindowGroupLimit (partial
+    # limits before the 4-group shuffle — ≤10·partitions rows move, so
+    # the tiny group count is not a scale hazard)
+    exact = topk_per_group(
+        e.select(
+            "vec_id",
+            F.explode(F.array(
+                F.struct(F.lit("pq_adc").alias("method"), _negl2(qv).alias("_s")),
+                F.struct(F.lit("ivf").alias("method"), _coslit(q7v).alias("_s")),
+                F.struct(F.lit("lsh").alias("method"), _coslit(q3v).alias("_s")),
+                F.struct(F.lit("ivf_pq").alias("method"), _negl2(q7v).alias("_s")),
+            )).alias("x"),
+        ).select("vec_id", F.col("x.method").alias("method"),
+                 F.col("x._s").alias("_s")),
+        ["method"], "_s", 10, tie_cols=["vec_id"],
+    ).select("method", "vec_id")
+
+    # PQ/ADC leg over the full corpus (codebook is a literal)
     enc = pq.encode(e, "v", cb, m=8)
-    adc_top = pq.adc_topk(enc, qv, cb, k=10, m=8, id_col="vec_id").select("vec_id")
-    qlit = F.array(*[F.lit(x) for x in qv])
-    l2_top = (
-        e.select("vec_id", euclidean("v", qlit).alias("_d"))
-        .orderBy(F.asc("_d"), F.asc("vec_id"))
-        .limit(10)
-        .select("vec_id")
+    adc_top = pq.adc_topk(enc, qv, cb, k=10, m=8, id_col="vec_id").select(
+        F.lit("pq_adc").alias("method"), "vec_id"
     )
-    ivf_top = _ivf_topk(spark, sf_dir, qid=7, k=10).select("vec_id")
-    cos_top = _cosine_topk(spark, sf_dir, qid=7, k=10).select("vec_id")
-    lsh_top = _lsh_topk(spark, sf_dir, qid=3, k=10).select("vec_id")
-    cos3_top = _cosine_topk(spark, sf_dir, qid=3, k=10).select("vec_id")
-    # one model collect serves both the IVF-PQ pipeline and its exact-L2
-    # baseline (the fused model above carries the query vector)
+
+    # IVF leg: centroid set is a LOCAL literal relation (no corpus
+    # subtree to re-scan for the broadcast), probe cells picked
+    # DRIVER-side from the collected model; the cell assignment is
+    # lineage-truncated and SHARED with the IVF-PQ leg below
+    cent_df = F.broadcast(spark.createDataFrame(
+        [(int(c), v) for c, v in sorted(centroids.items())],
+        "cell long, cv array<double>",
+    ))
+    assigned = (
+        e.withColumn("_vn", norm("v")).crossJoin(cent_df)
+        .select(
+            "vec_id", "v", "cell",
+            (dot("v", "cv") / (F.col("_vn") * norm("cv"))).alias("_cs"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    probe7 = sorted(
+        centroids, key=lambda c: (-_pycos(q7v, centroids[c]), c)
+    )[:2]
+    ivf_top = (
+        assigned.filter(F.col("cell").isin([int(c) for c in probe7]))
+        .select("vec_id", _coslit(q7v).alias("_s"))
+        .orderBy(F.desc("_s"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.lit("ivf").alias("method"), "vec_id")
+    )
+
+    # LSH leg: the query's own bucket came back in the fused collect, so
+    # the candidate filter is a pure literal IN-list (bucket ± 1 bit)
+    probes3 = [qb3] + [qb3 ^ d for d in (1, 2, 4, 8, 16, 32, 64, 128)]
+    lsh_top = (
+        e.withColumn("bucket", H.hyperplane_bucket("v", 8))
+        .filter(F.col("bucket").isin(probes3))
+        .select("vec_id", _coslit(q3v).alias("_s"))
+        .orderBy(F.desc("_s"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.lit("lsh").alias("method"), "vec_id")
+    )
+
+    # IVF-PQ leg: shares the model AND the cell assignment
     ivfpq_top = ivfpq_topk(
         e, "vec_id", "v", query_id=7, k=10, m=8, k_cb=16,
         nprobe=2, centroid_mod=250, salt="pq", model=model,
-    ).select("vec_id")
-    q7lit = F.array(*[F.lit(float(x)) for x in model[2]])
-    l27_top = (
-        e.select("vec_id", euclidean("v", q7lit).alias("_d"))
-        .orderBy(F.asc("_d"), F.asc("vec_id"))
-        .limit(10)
-        .select("vec_id")
+        assigned=assigned,
+    ).select(F.lit("ivf_pq").alias("method"), "vec_id")
+
+    approx = adc_top.unionAll(ivf_top).unionAll(lsh_top).unionAll(ivfpq_top)
+    hits = (
+        approx.join(exact, ["method", "vec_id"])
+        .groupBy("method")
+        .agg(F.count("*").alias("_n"))
     )
-
-    def recall_row(approx, exact, method):
-        return approx.join(exact, "vec_id").agg(
-            F.round(F.count("*") / F.lit(10.0), 6).alias("recall")
-        ).select(
-            F.lit(method).alias("method"), F.lit(10).alias("k"), "recall"
-        )
-
+    # the literal leg table pins output order (oracle UNION order) and
+    # keeps a 0-recall method in the result instead of dropping it
+    legs = spark.createDataFrame(
+        [("pq_adc", 1), ("ivf", 2), ("lsh", 3), ("ivf_pq", 4)],
+        "method string, _ord int",
+    )
+    # ACTION 2 — the driver's collect of this frame is the only other job
     return (
-        recall_row(adc_top, l2_top, "pq_adc")
-        .unionAll(recall_row(ivf_top, cos_top, "ivf"))
-        .unionAll(recall_row(lsh_top, cos3_top, "lsh"))
-        .unionAll(recall_row(ivfpq_top, l27_top, "ivf_pq"))
+        legs.join(hits, "method", "left")
+        .orderBy("_ord")
+        .select(
+            "method",
+            F.lit(10).alias("k"),
+            F.round(
+                F.coalesce(F.col("_n"), F.lit(0)) / F.lit(10.0), 6
+            ).alias("recall"),
+        )
     )
 
 
