@@ -3109,6 +3109,61 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
+@_q(
+    "events_quantiles_approx",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type
+""",
+    "the 100 TB drop-in for events_quantiles AS A TESTED QUERY: "
+    "percentile_approx (Greenwald-Khanna sketch, accuracy=1000) per "
+    "group, then the sketch's rank-error CONTRACT is verified in-engine "
+    "— each approx value's true rank fraction must sit within 2/accuracy "
+    "of its target percentile, checked against exact rank counts from "
+    "one broadcast-join pass (no per-group sort anywhere). The oracle "
+    "pins n exactly and expects every bound to hold (TRUE); a sketch "
+    "outside its contract hash-mismatches the gate",
+)
+def q_events_quantiles_approx(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    acc = 1000
+    # theoretical rank error is n/accuracy; 2x headroom for merge
+    # degradation across partial sketches
+    eps = 2.0 / acc + 1e-12
+    pcts = [0.5, 0.9, 0.99]
+    ap = e.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(*[F.lit(p) for p in pcts]), F.lit(acc)
+        ).alias("aps"),
+        F.count("*").alias("n"),
+    )
+    j = e.select("event_type", "value").join(F.broadcast(ap), "event_type")
+    aggs = [F.first("n").alias("n")]
+    for i in range(len(pcts)):
+        av = F.element_at(F.col("aps"), i + 1)
+        aggs.append(
+            F.sum(F.when(F.col("value") < av, 1).otherwise(0)).alias(f"_lt{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("value") <= av, 1).otherwise(0)).alias(f"_le{i}")
+        )
+    counts = j.groupBy("event_type").agg(*aggs)
+    ok_cols = []
+    for i, (p, name) in enumerate(zip(pcts, ["p50_ok", "p90_ok", "p99_ok"])):
+        # count(<v)/n may only undershoot the target rank by eps and
+        # count(<=v)/n may only overshoot it — the two-sided restatement
+        # of |rank(approx) - p*n| <= eps*n that is duplicate-safe
+        ok = (
+            (F.col(f"_lt{i}") / F.col("n") <= F.lit(p + eps))
+            & (F.col(f"_le{i}") / F.col("n") >= F.lit(p - eps))
+        ).alias(name)
+        ok_cols.append(ok)
+    return counts.select(
+        "event_type", F.col("n").cast("long").alias("n"), *ok_cols
+    )
+
+
 # Range join: match every event to the 15-minute incident windows opened by
 # high-value error events. No equi-key exists, so the naive join is a
 # nested-loop/cartesian; operators/ranges.py rewrites it as an equi-join on
@@ -5058,6 +5113,103 @@ def q_events_rolling_active(spark, sf_dir):
     )
 
 
+_ROLLING_ACTIVE_HLL_ORACLE = f"""
+WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) d, user_id
+            FROM events),
+mx AS (SELECT max(d) md FROM du),
+contrib AS (SELECT CAST(d + CAST(o AS INTEGER) AS DATE) wd, user_id
+            FROM du, (SELECT unnest(range(0, 7)) o)),
+wc AS (SELECT wd, user_id FROM contrib, mx WHERE wd <= md),
+pre AS (SELECT wd,
+               {SQL_H32.format(x='CAST(user_id AS VARCHAR)')} % 1024 AS bucket,
+               {SQL_H32.format(x="concat('hll:', CAST(user_id AS VARCHAR))")} AS w
+        FROM wc),
+regs AS (SELECT wd, bucket,
+                max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) r
+         FROM pre GROUP BY wd, bucket),
+agg AS (SELECT wd,
+               sum(power(2.0, -r)) + (1024 - count(*)) s,
+               1024 - count(*) v
+        FROM regs GROUP BY wd),
+est AS (SELECT wd,
+               CASE WHEN v > 0
+                     AND 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 / s
+                         <= 2560.0
+                    THEN 1024.0 * ln(1024.0 / v)
+                    ELSE 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 / s
+               END e
+        FROM agg),
+exact AS (SELECT wd, count(DISTINCT user_id) x FROM wc GROUP BY wd)
+SELECT strftime(est.wd, '%Y-%m-%d') AS day,
+       round(est.e + 1e-9, 4) AS wau_7d_hll,
+       abs(est.e / exact.x - 1.0) <= 0.15 AS within_err
+FROM est JOIN exact ON est.wd = exact.wd
+"""
+
+
+@_q(
+    "events_rolling_active_approx",
+    _ROLLING_ACTIVE_HLL_ORACLE,
+    "the 100 TB drop-in for events_rolling_active AS A TESTED QUERY: "
+    "trailing-7-day WAU per day from per-(day, bucket) HLL registers "
+    "(p=10, the sketches.py md5 family) instead of exact "
+    "COUNT(DISTINCT) — registers max-combine map-side and the per-day "
+    "state is 1024 rows regardless of user cardinality, the algebra a "
+    "100 TB rollup merges instead of re-reading data. The oracle "
+    "REPLAYS the registers bit-for-bit (dyadic sums exact; ln only in "
+    "the linear-counting branch, shared-shift rounded) AND computes the "
+    "exact count DuckDB-side, asserting the estimate lands within 15% — "
+    "an out-of-contract sketch hash-mismatches the gate",
+)
+def q_events_rolling_active_approx(spark, sf_dir):
+    from victor_spark.functions.hashing import md5_32
+
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    maxd = F.broadcast(du.agg(F.max("d").alias("md")))
+    contrib = (
+        du.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("wd"),
+            "user_id",
+        )
+        .crossJoin(maxd)
+        .filter(F.col("wd") <= F.col("md"))
+    )
+    u = F.col("user_id").cast("string")
+    w = md5_32(F.concat(F.lit("hll:"), u))
+    rho = F.when(w == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(w)))
+    pre = contrib.select(
+        "wd", (md5_32(u) % F.lit(1024)).alias("bucket"), rho.alias("rho")
+    )
+    regs = pre.groupBy("wd", "bucket").agg(F.max("rho").alias("r"))
+    # algebraic densification: the 1024 - count(*) empty registers each
+    # contribute 2^0 to the harmonic sum — no spine join per day
+    agg = regs.groupBy("wd").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double")))
+            + (F.lit(1024) - F.count("*"))
+        ).alias("s"),
+        (F.lit(1024) - F.count("*")).alias("v"),
+    )
+    raw = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
+        * F.lit(1024.0) * F.lit(1024.0) / F.col("s")
+    )
+    est = F.when(
+        (F.col("v") > 0) & (raw <= F.lit(2560.0)),
+        F.lit(1024.0) * F.log(F.lit(1024.0) / F.col("v").cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.date_format("wd", "yyyy-MM-dd").alias("day"),
+        F.round(est + F.lit(1e-9), 4).alias("wau_7d_hll"),
+        F.lit(True).alias("within_err"),
+    )
+
+
 # Event-type transition matrix (the Markov view of user journeys): count
 # and P(next | prev) over each user's time-ordered event stream. One
 # shuffle (the per-user lag window); the matrix itself is k² rows, so the
@@ -6612,33 +6764,46 @@ def q_embedding_outliers(spark, sf_dir):
 # the long-green tail keeps its relative order after them.
 # ---------------------------------------------------------------------------
 
-# Verified by the ROUND-2 JUDGE via an independent driver_sim run
-# (VERDICT.md: "all 30 pass"), but never by the driver's own gate.
-# They form the SECOND tier: after every never-checked-by-anyone query,
-# before the r2-driver-green tail — so round-3 additions always land
-# inside the 50-query gate cap, and whatever cap room remains re-checks
-# these.
+# ROUND-4 GATE WINDOW. Two standing rules (round-3 verdict + advice):
+# (1) every query must accumulate at least one green CORRECTNESS_r* row
+# across rounds — union r1-r3 covered 101/117, so the 16 never-checked
+# queries lead; (2) any query whose BUILDER (or oracle) changed in the
+# current round is promoted into the front tier for one round before
+# re-parking, so the gate re-checks exactly what the diff touched.
+
+_R4_FRONT = [
+    # (a) new in round 4 — the approx drop-ins
+    "events_quantiles_approx", "events_rolling_active_approx",
+    # (b) never driver-checked in any round (verdict task 2: the TPC-H
+    # tail + sampling/contamination/curation/multimodal_resize)
+    "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    "hash_split", "stratified_sample", "contamination_check",
+    "curation_pipeline", "multimodal_resize",
+    # (c) modified THIS round: ann_recall rewritten (2-action audit),
+    # cms_heavy_hitters' lookup + oracle changed (sparse-counter fix),
+    # ann_ivfpq_topk's operator grew the assigned= seam
+    "ann_recall", "cms_heavy_hitters", "ann_ivfpq_topk",
+    # (d) modified in round 3 but parked beyond that round's cap
+    # (the advice finding this rule exists to close)
+    "topk_batch",
+]
+
+# Long-green tails (judge-verified r2 + driver-green r1/r2); whatever
+# cap room remains past _R4_FRONT re-checks these oldest-first.
 _R2_JUDGE_VERIFIED = [
     "tpch_q3", "revenue_by_nation", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q2", "tpch_q7", "tpch_q8",
-    "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q19", "tpch_q20", "hash_split", "stratified_sample",
-    "contamination_check", "curation_pipeline", "multimodal_stats",
-    "multimodal_resize", "multimodal_features", "pca_project",
+    "multimodal_stats", "multimodal_features", "pca_project",
 ]
 
 _R2_VERIFIED = [
-    # tpch_q21/q22 were never reached by the r2 DRIVER gate, but the
-    # round-2 judge verified the whole q2-q22 block independently via
-    # driver_sim (VERDICT.md) — parking two of them in the long-green
-    # tail keeps the unverified front within a 50-query gate cap
-    "tpch_q21", "tpch_q22",
-    "topk_cosine", "topk_cosine_tagged", "topk_euclidean", "topk_batch",
+    "topk_cosine", "topk_cosine_tagged", "topk_euclidean",
     "search_with_content", "quantize_roundtrip", "tag_index_listing",
     "dim_check", "embedding_stats", "dedup_exact", "dedup_minhash",
     "dedup_clusters", "dedup_keep", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_embedding", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "ann_ivfpq_topk", "ann_recall", "text_stats", "embed_documents",
+    "text_stats", "embed_documents",
     "token_count_bpe", "lang_id", "doc_fingerprint", "vocab_topk",
     "bpe_pairs", "tfidf_top_terms", "events_retention", "events_moving_avg",
     "quality_gopher", "dup_span_frac", "pack_sequences", "events_hourly",
@@ -6650,13 +6815,16 @@ _R2_VERIFIED = [
 
 
 def _gate_order() -> None:
+    front = [n for n in _R4_FRONT if n in QUERIES]
     mid = [n for n in _R2_JUDGE_VERIFIED if n in QUERIES]
     back = [n for n in _R2_VERIFIED if n in QUERIES]
-    parked = set(mid) | set(back)
-    front = {n: s for n, s in QUERIES.items() if n not in parked}
-    ordered = dict(front)
-    ordered.update({n: QUERIES[n] for n in mid})
-    ordered.update({n: QUERIES[n] for n in back})
+    placed = set(front) | set(mid) | set(back)
+    # queries in none of the lists (e.g. added after this ordering was
+    # written) go right after the explicit front — still inside the cap
+    rest = [n for n in QUERIES if n not in placed]
+    ordered: dict = {}
+    for n in front + rest + mid + back:
+        ordered[n] = QUERIES[n]
     QUERIES.clear()
     QUERIES.update(ordered)
 
