@@ -56,11 +56,20 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "retrieve_rerank": {"documents": ["doc_id"]},
     "hist_quantiles": {"events": ["event_id", "user_id"]},
     "zorder_audit": {"events": ["event_id", "user_id"]},
-    # semdedup is intentionally NOT probed: with a FIXED centroid count the
-    # within-cluster pair cost grows r² as data replicates — that is the
-    # algorithm's contract (SemDeDup scales k with the corpus so clusters
-    # stay small), so a fixed-k probe would report the data property, not
-    # the plan shape.
+    # round-4 heavy dedup/reassembly family (the newest shuffle-heaviest
+    # queries; verdict task 7)
+    "dedup_substring_global": {"documents": ["doc_id"]},
+    "line_dedup_global": {"documents": ["doc_id"]},
+    "dedup_keep_longest": {"documents": ["doc_id"]},
+    # semdedup probes FAIRLY under replication because (a) replica
+    # embedding vectors are ROTATED (coordinate roll — an orthogonal
+    # transform that preserves every within-replica cosine exactly while
+    # making cross-replica similarity generic, so replication does not
+    # manufacture near-dup pairs), and (b) ID_STRIDE % 250 == 0, so
+    # replica copies of the every-250th centroid rows are centroids too —
+    # the centroid count scales with the corpus, which IS the SemDeDup
+    # contract (k grows so clusters stay small).
+    "semdedup": {"embeddings": ["vec_id"]},
 }
 
 ID_STRIDE = 100_000_000
@@ -77,6 +86,17 @@ def build_scaled(spark, sf_dir: str, out_dir: str, scale: int,
             rep = src
             for c in id_cols:
                 rep = rep.withColumn(c, F.col(c) + F.lit(i * ID_STRIDE))
+            if table == "embeddings" and i > 0:
+                # orthogonal per-replica transform (see PROBES note): roll
+                # the coordinates by a replica-specific offset
+                k = (i * 7) % 64
+                rep = rep.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", k + 1, 64 - k),
+                        F.slice("embedding", 1, k),
+                    ),
+                )
             if table == "documents" and i > 0:
                 # break EVERY shingle across replicas, not just append one
                 # token (a suffix leaves word-3-gram Jaccard ~0.99 between
