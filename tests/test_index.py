@@ -708,3 +708,28 @@ def test_hybrid_search_fuses_vector_and_lexical_evidence(spark, tmp_path):
 
     # tag scoping: an unmatched tag yields nothing
     assert idx.hybrid_search("spark", k=3, tags=["zzz"]).count() == 0
+
+
+def test_legacy_heal_reads_partitions_not_corpus(idx, monkeypatch):
+    """The no-metadata self-heal must be O(partitions) — directory names
+    plus a limit-1 read per partition dir, never a corpus-wide read (the
+    round-3 posture nit: at 100 TB even a one-time full distinct is a
+    scan-the-world job)."""
+    import os
+
+    idx.insert([("a", [1.0, 0.0], ["x"]), ("b", [0.0, 1.0], ["y"])])
+    os.remove(idx.tagsets_path)  # legacy index: data, no listing
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    real = DataFrameReader.parquet
+
+    def spy(self, *paths, **k):
+        assert all("tag_set_id=" in p for p in paths), (
+            f"corpus-wide read during heal: {paths}"
+        )
+        return real(self, *paths, **k)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    listing = idx._derive_tag_sets()
+    assert sorted(ts for _tsid, ts in listing) == [["x"], ["y"]]

@@ -397,19 +397,30 @@ class VectorIndex:
             self._write_tag_sets(sorted(existing + new))
 
     def _derive_tag_sets(self) -> list[tuple[str, list[str]]]:
-        """Rebuild the listing from the data (self-healing fallback for
-        indexes created before the metadata file existed). This is the old
-        full-corpus distinct — paid at most once, after which the listing
-        is maintained incrementally."""
+        """Rebuild the listing from the DATA LAYOUT (self-heal for indexes
+        created before the metadata file existed): one directory listing,
+        then ONE pruned single-row read per partition to recover its tags
+        — O(partitions) tiny jobs, never a full-corpus distinct. (The
+        round-3 posture nit: the old distinct+collect was paid at most
+        once, but at 100 TB "once" is still a scan-the-world job; the
+        partition directory names already carry the tag_set_ids, and each
+        partition's tags are constant by construction, so a limit-1 read
+        per directory is the whole recovery.)"""
         if self.is_empty():
             return []
-        rows = (
-            self.spark.read.parquet(self.data_path)
-            .select("tag_set_id", "tags")
-            .distinct()
-            .collect()
-        )
-        return [(r["tag_set_id"], list(r["tags"])) for r in rows]
+        out = []
+        for d in sorted(self.fs.listdir(self.data_path)):
+            if not d.startswith("tag_set_id="):
+                continue
+            tsid = d[len("tag_set_id="):]
+            row = (
+                self.spark.read.parquet(fsjoin(self.data_path, d))
+                .select("tags")
+                .first()
+            )
+            if row is not None:
+                out.append((tsid, list(row["tags"])))
+        return out
 
     def _matching_tag_set_ids(self, tags: list[str]) -> list[str]:
         """tag_set_ids whose stored tag-set ⊇ ``tags`` (reference
