@@ -23,7 +23,16 @@ from victor_spark.plans import QUERIES
 # plus the two rows-only ones (multimodal decode, PCA). Deriving it from
 # QUERIES keeps the bench honest as the catalog grows - a new operator is
 # automatically timed, so a slow addition can't hide outside the headline.
-HEADLINE = list(QUERIES)
+#
+# SORTED, not registry order: the registry is reordered every round for
+# the driver's correctness-gate window, and measured per-query times are
+# position-sensitive (a query pays whole-stage-codegen/JIT cold start
+# unless a sibling with similar expressions ran before it — moving
+# ann_ivfpq_topk ahead of its PQ siblings measured 5.9s vs 2.3s for
+# identical code). Alphabetical order is stable across rounds AND groups
+# expression-sharing families (ann_*, dedup_*, events_*, tpch_*), so
+# per-round diffs compare steady-state cost, not gate-window placement.
+HEADLINE = sorted(QUERIES)
 
 # A measured suite slower than this (seconds) is treated as evidence the
 # measuring process itself got hit by the sandbox's sticky scheduling
