@@ -638,3 +638,83 @@ def test_stream_seen_filter_tolerates_words_column_and_empty_state(
     # the user's words column came through intact
     assert {r["words"] for r in got} == {f"w{i}" for i in range(20)}
     assert {r["key"] for r in got if not r["seen"]} == {f"k-{i}" for i in range(5)}
+
+
+def test_stream_quantile_rollup_matches_batch(spark, tmp_path):
+    """The third streaming-sketch state discipline: bin-count SUM is not
+    idempotent, so state is EPOCH-KEYED (each micro-batch overwrites its
+    own epoch=<id> directory) and the estimator sums across epochs —
+    replay rewrites an epoch instead of double-counting it. The streamed
+    estimate must equal the batch estimate over the same data exactly
+    (deterministic binning, integer sums)."""
+    from victor_spark.streaming.hist_stream import (
+        batch_bins,
+        merged_bins,
+        quantile_estimate,
+        stream_quantile_rollup,
+    )
+
+    rows = [(float(i % 997),) for i in range(5000)]
+    src = spark.createDataFrame(rows, "v double")
+    sdir = tmp_path / "vals"
+    src.repartition(3).write.parquet(str(sdir))
+    stream = (
+        spark.readStream.schema(src.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(sdir))
+    )
+    state = str(tmp_path / "hist")
+    q = stream_quantile_rollup(
+        stream, "v", state_dir=state,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lo=0.0, hi=1000.0, bins=256,
+    )
+    q.awaitTermination(120)
+
+    # multi-epoch state accumulated
+    import os
+
+    epochs = [d for d in os.listdir(state) if d.startswith("epoch=")]
+    assert len(epochs) == 3
+
+    est = quantile_estimate(spark, state, [0.5, 0.9, 0.99], 0.0, 1000.0)
+    # exact parity with the batch path over the same data
+    batch = batch_bins(src, "v", 0.0, 1000.0).collect()
+    streamed = merged_bins(spark, state).collect()
+    assert sorted((r["bin"], r["cnt"]) for r in streamed) == sorted(
+        (r["bin"], r["cnt"]) for r in batch
+    )
+    # estimates track the true quantiles within one bin width (~3.9)
+    assert abs(est[0.5] - 498.0) < 8.0
+    assert abs(est[0.9] - 897.0) < 8.0
+
+    # replaying an epoch is idempotent: re-drain over the same checkpoint
+    # adds no epochs and changes no counts
+    stream2 = (
+        spark.readStream.schema(src.schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(sdir))
+    )
+    q2 = stream_quantile_rollup(
+        stream2, "v", state_dir=state,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        lo=0.0, hi=1000.0, bins=256,
+    )
+    q2.awaitTermination(120)
+    again = merged_bins(spark, state).collect()
+    assert sorted((r["bin"], r["cnt"]) for r in again) == sorted(
+        (r["bin"], r["cnt"]) for r in batch
+    )
+
+
+def test_stream_quantile_rollup_clamps_out_of_range(spark, tmp_path):
+    from victor_spark.streaming.hist_stream import batch_bins
+
+    df = spark.createDataFrame(
+        [(-50.0,), (0.0,), (999.0,), (5000.0,)], "v double"
+    )
+    got = {r["bin"]: r["cnt"] for r in batch_bins(df, "v", 0.0, 1000.0, bins=10).collect()}
+    assert got[0] == 2  # -50 clamps down, 0.0 lands in bin 0
+    assert got[9] == 2  # 999 in last bin, 5000 clamps up
