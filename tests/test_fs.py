@@ -209,3 +209,22 @@ def test_reconcile_only_reads_unlisted_partition(hidx, monkeypatch):
     hidx._matching_tag_set_ids(["y"])
     recovery_reads = [p for p in seen if "tag_set_id=" in p]
     assert len(recovery_reads) == 1 and y_id in recovery_reads[0]
+
+
+def test_register_merges_concurrent_listing_entries(hidx):
+    """Merge-on-write: _register_tag_sets re-reads the listing right
+    before its replace and unions, so an entry another writer landed
+    between this writer's initial read and its flip survives (the
+    remaining race is only the read->replace gap, healed by the
+    reconciler)."""
+    hidx.insert([("a", [1.0, 0.0], ["x"])])
+    from victor_spark.index import tag_set_id
+
+    # simulate a concurrent writer's entry appearing after our read:
+    # seed the listing with a foreign entry, then register a new set
+    foreign = (tag_set_id(["zzz"]), ["zzz"])
+    hidx._write_tag_sets(sorted((hidx._read_tag_sets() or []) + [foreign]))
+    hidx._register_tag_sets({("y",)})
+    got = dict(hidx._read_tag_sets())
+    assert tag_set_id(["y"]) in got and tag_set_id(["zzz"]) in got
+    assert tag_set_id(["x"]) in got

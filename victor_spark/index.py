@@ -393,8 +393,21 @@ class VectorIndex:
             for ts in sorted(batch_sets)
             if tag_set_id(list(ts)) not in known
         ]
-        if new or not self.fs.exists(self.tagsets_path):
-            self._write_tag_sets(sorted(existing + new))
+        if not new and self.fs.exists(self.tagsets_path):
+            return
+        # merge-on-write: the data write above can take minutes, so
+        # re-read the listing immediately before the replace and union —
+        # a concurrent writer that landed in the meantime keeps its
+        # entry. This SHRINKS the lost-update window to the read→replace
+        # gap; the contract is still single-writer (see section note),
+        # with _reconcile_tag_sets healing whatever slips through.
+        latest = {
+            (tsid, tuple(ts)) for tsid, ts in (self._read_tag_sets() or [])
+        }
+        merged = latest | {(tsid, tuple(ts)) for tsid, ts in existing + new}
+        self._write_tag_sets(
+            sorted((tsid, list(ts)) for tsid, ts in merged)
+        )
 
     def _derive_tag_sets(self) -> list[tuple[str, list[str]]]:
         """Rebuild the listing from the DATA LAYOUT (self-heal for indexes

@@ -2036,6 +2036,185 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+# Gopher repetition signals (Rae et al. 2021, appendix A1.2), the
+# token-level members (this corpus has no newlines, so the line/paragraph
+# members are vacuous here): fraction of characters inside the most
+# frequent 2-gram, and inside duplicated (count >= 2) 3-grams. All-integer
+# numerators/denominators -> the single final division is IEEE-exact on
+# both engines; no float caveats.
+
+_REPETITION_ORACLE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS.format(s='lower(text)')} t FROM documents),
+base AS (SELECT doc_id, t,
+               coalesce(length(array_to_string(t, ' ')), 0) nc FROM d),
+g2 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+         list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))
+         ELSE [] END) g
+       FROM base),
+c2 AS (SELECT doc_id, g, count(*) c FROM g2 GROUP BY doc_id, g),
+m2 AS (SELECT doc_id, max(c * length(g)) chars2 FROM c2 GROUP BY doc_id),
+g3 AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+         list_transform(range(1, len(t) - 1),
+                        i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+         ELSE [] END) g
+       FROM base),
+c3 AS (SELECT doc_id, g, count(*) c FROM g3 GROUP BY doc_id, g),
+m3 AS (SELECT doc_id, sum(c * length(g)) chars3 FROM c3 WHERE c >= 2
+       GROUP BY doc_id)
+SELECT base.doc_id,
+       CAST(len(base.t) AS BIGINT) AS n_tokens,
+       round(CASE WHEN base.nc = 0 THEN 0.0
+                  ELSE CAST(coalesce(m2.chars2, 0) AS DOUBLE) / base.nc END,
+             6) AS top2_char_frac,
+       round(least(1.0,
+                   CASE WHEN base.nc = 0 THEN 0.0
+                        ELSE CAST(coalesce(m3.chars3, 0) AS DOUBLE) / base.nc
+                   END),
+             6) AS dup3_char_frac,
+       CASE WHEN base.nc = 0 THEN FALSE
+            ELSE CAST(coalesce(m2.chars2, 0) AS DOUBLE) / base.nc > 0.2
+       END AS gopher_top2_flag
+FROM base LEFT JOIN m2 ON base.doc_id = m2.doc_id
+          LEFT JOIN m3 ON base.doc_id = m3.doc_id
+"""
+
+
+def _word_ngrams_all(t, n: int):
+    """ALL word n-gram occurrences (space-joined, WITH multiplicity —
+    word_shingles is distinct-only, wrong for repetition counting)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.array_join(F.slice(t, i, n), " "),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+@_q(
+    "repetition_stats",
+    _REPETITION_ORACLE,
+    "Gopher repetition signals (Rae et al. 2021 A1.2), token-level "
+    "members: per-doc fraction of characters inside the most frequent "
+    "2-gram and inside duplicated 3-grams (capped at 1.0 — overlapping "
+    "occurrences overcount by construction), plus the top-2-gram > 0.2 "
+    "removal flag. Two explode + partial-agg count pipelines joined per "
+    "doc; all-integer until the final division, oracle exact",
+)
+def q_repetition_stats(spark, sf_dir):
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        T.tokens(F.lower(F.col("text"))).alias("t"),
+    ).select(
+        "doc_id", "t", F.length(F.array_join("t", " ")).alias("nc")
+    )
+
+    def _gram_chars(n, agg):
+        g = base.select(
+            "doc_id", F.explode(_word_ngrams_all(F.col("t"), n)).alias("g")
+        )
+        c = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return agg(c)
+
+    m2 = _gram_chars(
+        2,
+        lambda c: c.groupBy("doc_id").agg(
+            F.max(F.col("c") * F.length("g")).alias("chars2")
+        ),
+    )
+    m3 = _gram_chars(
+        3,
+        lambda c: c.filter(F.col("c") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.length("g")).alias("chars3")),
+    )
+    top2 = F.when(F.col("nc") == 0, F.lit(0.0)).otherwise(
+        F.coalesce("chars2", F.lit(0)).cast("double") / F.col("nc")
+    )
+    dup3 = F.when(F.col("nc") == 0, F.lit(0.0)).otherwise(
+        F.coalesce("chars3", F.lit(0)).cast("double") / F.col("nc")
+    )
+    return (
+        base.join(m2, "doc_id", "left")
+        .join(m3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.round(top2, 6).alias("top2_char_frac"),
+            F.round(F.least(F.lit(1.0), dup3), 6).alias("dup3_char_frac"),
+            F.when(F.col("nc") == 0, F.lit(False))
+            .otherwise(top2 > 0.2)
+            .alias("gopher_top2_flag"),
+        )
+    )
+
+
+# CCNet perplexity buckets (Wenzek et al. 2020): per-language
+# head/middle/tail terciles by LM score — the curation split CCNet
+# publishes its corpus in. The LM here is the corpus unigram model
+# (unigram_logprob's scoring); ordering for the tercile window is on the
+# ROUNDED score (the repo's cross-engine parity boundary — raw ln values
+# can differ in the last ulp between engines, and a flipped near-tie
+# would flip a bucket) with doc_id as the deterministic tie-break.
+
+_CCNET_ORACLE = f"""
+WITH d AS (SELECT doc_id, lang, {SQL_TOKS.format(s='lower(text)')} t
+           FROM documents),
+tok AS (SELECT doc_id, unnest(t) tok FROM d),
+dist AS (SELECT tok, count(*) c FROM tok GROUP BY tok),
+total AS (SELECT CAST(sum(c) AS DOUBLE) s FROM dist),
+scored AS (SELECT tok.doc_id, ln(dist.c / total.s) lp
+           FROM tok JOIN dist USING (tok), total),
+per_doc AS (SELECT doc_id, avg(lp) avg_logp FROM scored GROUP BY doc_id),
+r AS (SELECT d.doc_id, d.lang,
+             round(coalesce(per_doc.avg_logp, 0.0), 6) lp6
+      FROM d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id),
+b AS (SELECT doc_id, lang, lp6,
+             ntile(3) OVER (PARTITION BY lang ORDER BY lp6 DESC, doc_id) nt
+      FROM r)
+SELECT doc_id, lang, lp6 AS avg_logp,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM b
+"""
+
+
+@_q(
+    "ccnet_buckets",
+    _CCNET_ORACLE,
+    "CCNet head/middle/tail buckets (Wenzek et al. 2020): per-language "
+    "terciles by unigram-LM score — ntile(3) over (rounded score desc, "
+    "doc_id), the rounding being the cross-engine parity boundary so a "
+    "last-ulp ln drift can never flip a bucket; one scoring pass + one "
+    "per-language window over doc-count rows",
+)
+def q_ccnet_buckets(spark, sf_dir):
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", "lang", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    tok = d.select("doc_id", F.explode("t").alias("tok"))
+    dist = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = F.broadcast(dist.agg(F.sum("c").cast("double").alias("_s")))
+    scored = tok.join(dist, "tok").crossJoin(total).select(
+        "doc_id", F.log(F.col("c").cast("double") / F.col("_s")).alias("lp")
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.avg("lp").alias("avg_logp"))
+    r = d.select("doc_id", "lang").join(per_doc, "doc_id", "left").select(
+        "doc_id", "lang",
+        F.round(F.coalesce("avg_logp", F.lit(0.0)), 6).alias("lp6"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("lp6"), F.asc("doc_id"))
+    return r.select(
+        "doc_id", "lang", F.col("lp6").alias("avg_logp"),
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 # Per-source corpus accounting over the documents table's source column —
 # the ops dashboard a curation pipeline watches (docs, token mass, quality
 # mix per crawl/source). One explode-free aggregation: token counts come
