@@ -733,3 +733,71 @@ def test_legacy_heal_reads_partitions_not_corpus(idx, monkeypatch):
     monkeypatch.setattr(DataFrameReader, "parquet", spy)
     listing = idx._derive_tag_sets()
     assert sorted(ts for _tsid, ts in listing) == [["x"], ["y"]]
+
+
+def test_merge_from_combines_shards(spark, tmp_path):
+    """Shard-parallel ingest: two privately-built shard indexes merge
+    into one, rows moving AS-IS (no second quantization error), listings
+    unioned — search over the merged index equals search over an index
+    built from all rows directly."""
+    from victor_spark.index import VectorIndex
+
+    rows_a = [(f"a{i}", [float(i), 1.0, 0.5, 0.0], ["s", "a"]) for i in range(10)]
+    rows_b = [(f"b{i}", [0.5, float(i), 1.0, 1.0], ["s", "b"]) for i in range(10)]
+    sh_a = VectorIndex(spark, str(tmp_path / "shard_a"))
+    sh_b = VectorIndex(spark, str(tmp_path / "shard_b"))
+    sh_a.insert(rows_a)
+    sh_b.insert(rows_b)
+    target = VectorIndex(spark, str(tmp_path / "target"))
+    assert target.merge_from(sh_a) == 10
+    assert target.merge_from(sh_b) == 10
+
+    ref = VectorIndex(spark, str(tmp_path / "reference"))
+    ref.insert(rows_a + rows_b)
+    q = [2.0, 1.5, 0.7, 0.3]
+    got = [(r["content"], round(r["score"], 9))
+           for r in target.search(q, k=5).collect()]
+    want = [(r["content"], round(r["score"], 9))
+            for r in ref.search(q, k=5).collect()]
+    assert got == want
+    # tag scoping sees both shards' tag sets from the unioned listing
+    assert target.search(q, k=20, tags=["a"]).count() == 10
+    assert target.search(q, k=20, tags=["b"]).count() == 10
+    assert sum(s["rows"] for s in target.stats()) == 20
+
+
+def test_merge_from_rejects_mismatches(spark, tmp_path):
+    from victor_spark.index import VectorIndex
+
+    a = VectorIndex(spark, str(tmp_path / "m_a"))
+    b = VectorIndex(spark, str(tmp_path / "m_b"))
+    a.insert([("x", [1.0, 0.0], [])])
+    b.insert([("y", [1.0, 0.0, 0.0], [])])
+    with pytest.raises(Exception, match="dimension"):
+        a.merge_from(b)
+    with pytest.raises(ValueError, match="itself"):
+        a.merge_from(a)
+    # projected/unprojected mix refused
+    c = VectorIndex(spark, str(tmp_path / "m_c"))
+    c.insert([(f"c{i}", [float(i), float(i % 3), 1.0], []) for i in range(12)])
+    c.project(k=2)
+    d = VectorIndex(spark, str(tmp_path / "m_d"))
+    # same stored dimension as the projected index (k=2) so the
+    # projection-state check, not the dimension check, is what fires
+    d.insert([("d0", [1.0, 2.0], [])])
+    with pytest.raises(ValueError, match="projected"):
+        d.merge_from(c)
+
+
+def test_merge_from_empty_target_adopts_projection(spark, tmp_path):
+    from victor_spark.index import VectorIndex
+
+    shard = VectorIndex(spark, str(tmp_path / "p_shard"))
+    shard.insert([(f"p{i}", [float(i), float(i % 3), 1.0], []) for i in range(12)])
+    shard.project(k=2)
+    target = VectorIndex(spark, str(tmp_path / "p_target"))
+    assert target.merge_from(shard) == 12
+    assert target._load_model() is not None
+    # projected-mode search (euclidean ascending) works on the merged copy
+    got = target.search([1.0, 1.0, 1.0], k=3).collect()
+    assert len(got) == 3

@@ -1205,6 +1205,59 @@ class VectorIndex:
         )
         self.insert_df(df)
 
+    def merge_from(self, other: "VectorIndex") -> int:
+        """Fold another index's rows into this one — the shard-merge step
+        of parallel ingest (N workers each build a private shard index
+        with no listing contention, then one merge per shard; the
+        single-writer listing contract holds trivially because only the
+        merger writes). Returns the number of rows merged.
+
+        The stored rows move AS-IS — one distributed partitioned append
+        of the already-quantized table (no dequantize/requantize round
+        trip, so no second quantization error) — and the tag-set
+        listings union. Works across filesystems (a local shard can
+        merge into an hdfs:// index; the append is a Spark job either
+        way). Both indexes must agree on dimension and on projection
+        state (same PCA model or both unprojected — merging differently
+        projected spaces would corrupt scoring). ANN serving artifacts
+        are dropped here: membership changed (same contract as delete).
+        """
+        if other.is_empty():
+            return 0
+        if self.path == other.path:
+            raise ValueError("cannot merge an index into itself")
+        if not self.is_empty():
+            d_self, d_other = self.dimension(), other.dimension()
+            if d_self != d_other:
+                raise DimensionMismatchError(
+                    f"cannot merge dimension {d_other} into {d_self}"
+                )
+            m_self, m_other = self._load_model(), other._load_model()
+            if (m_self is None) != (m_other is None):
+                raise ValueError(
+                    "cannot merge a projected index with an unprojected one"
+                )
+            if m_self is not None and not (
+                (m_self.components == m_other.components).all()
+                and (m_self.means == m_other.means).all()
+            ):
+                raise ValueError(
+                    "cannot merge indexes projected with different PCA models"
+                )
+        elif other._load_model() is not None:
+            # empty target adopts the shard's projection state
+            self.fs.write_bytes_atomic(
+                self.model_path, other.fs.read_bytes(other.model_path)
+            )
+        src = other.spark.read.parquet(other.data_path)
+        n = src.count()
+        src.write.mode("append").partitionBy("tag_set_id").parquet(self.data_path)
+        # data first, then metadata (same ordering contract as insert_df)
+        theirs = other._read_tag_sets() or other._derive_tag_sets()
+        self._register_tag_sets({tuple(ts) for _tsid, ts in theirs})
+        self._drop_ann_artifacts()
+        return n
+
     # -- PCA maintenance (db.rs:287-299, trigger :551-553) ------------------
 
     def storage_bytes(self) -> int:
