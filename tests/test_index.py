@@ -801,3 +801,60 @@ def test_merge_from_empty_target_adopts_projection(spark, tmp_path):
     # projected-mode search (euclidean ascending) works on the merged copy
     got = target.search([1.0, 1.0, 1.0], k=3).collect()
     assert len(got) == 3
+
+
+def test_vacuum_reclaims_crash_debris(idx):
+    """Every maintenance writer stages under a debris suffix outside the
+    live paths; vacuum reclaims what a crash leaves, and only that."""
+    import os
+
+    idx.insert([("a", [1.0, 0.0], ["x"])])
+    base = idx.path
+    # simulate interrupted maintenance of each flavor
+    for d in ("data__compacting", "ivf_data__building", "data__del_tmp",
+              "data__old"):
+        os.makedirs(os.path.join(base, d), exist_ok=True)
+    with open(os.path.join(base, "tag_sets.parquet.tmp"), "w") as f:
+        f.write("partial")
+    removed = idx.vacuum()
+    assert len(removed) == 5
+    assert sorted(os.listdir(base)) == ["data", "tag_sets.parquet"]
+    # live data untouched, index still serves
+    assert idx.scan(["x"]).count() == 1
+    # idempotent
+    assert idx.vacuum() == []
+
+
+def test_concurrent_inserts_both_tag_sets_survive(spark, tmp_path):
+    """The real listing race: two threads insert_df concurrently (shared
+    SparkSession, distinct tag sets). Whatever interleaving happens —
+    merge-on-write usually keeps both entries; in the residual window the
+    reconciler heals on next consult — BOTH tag sets must end up
+    queryable and the listing complete."""
+    import threading
+
+    from victor_spark.index import VectorIndex, tag_set_id
+
+    idx = VectorIndex(spark, str(tmp_path / "conc"))
+    errs = []
+
+    def ins(tag):
+        try:
+            idx.insert([(f"doc-{tag}-{i}", [float(i), 1.0], [tag])
+                        for i in range(5)])
+        except Exception as e:  # surface failures to the main thread
+            errs.append(e)
+
+    threads = [threading.Thread(target=ins, args=(t,)) for t in
+               ("alpha", "beta", "gamma", "delta")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # every tag set queryable (reconciler heals any lost update on read)
+    for tag in ("alpha", "beta", "gamma", "delta"):
+        assert idx.scan([tag]).count() == 5, tag
+    listing = dict(idx._read_tag_sets())
+    for tag in ("alpha", "beta", "gamma", "delta"):
+        assert tag_set_id([tag]) in listing

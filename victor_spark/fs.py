@@ -81,6 +81,9 @@ class LocalFS:
         elif os.path.exists(p):
             os.remove(p)
 
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
     def rename(self, src: str, dst: str) -> None:
         if os.path.exists(dst):
             raise FileExistsError(f"rename target exists: {dst}")
@@ -172,6 +175,9 @@ class HadoopFS:
 
     def delete(self, p: str) -> None:
         self._fs.delete(self._p(p), True)  # False on missing — fine
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._p(p))
 
     def rename(self, src: str, dst: str) -> None:
         if not self._fs.rename(self._p(src), self._p(dst)):

@@ -327,10 +327,47 @@ class VectorIndex:
             F.transform(F.col("q.quant"), lambda b: (b - 128).cast("tinyint")).alias("quant"),
             F.sha2(F.array_join(F.col("tags"), ","), 256).alias("tag_set_id"),
         )
-        out.write.mode("append").partitionBy("tag_set_id").parquet(self.data_path)
+        self._staged_append(out)
         # data first, then metadata: the listing must never name a tag-set
         # whose partition directory doesn't exist yet
         self._register_tag_sets(batch_sets)
+
+    def _staged_append(self, out: DataFrame) -> None:
+        """Append partitioned rows via a PRIVATE staging directory plus
+        per-file moves into the live partition dirs.
+
+        A direct ``write.mode("append").parquet(data_path)`` is NOT safe
+        under concurrent writers: Hadoop's FileOutputCommitter stages
+        every concurrent job under the SAME ``<data_path>/_temporary/0``,
+        and the first job to commit deletes the others' in-flight task
+        files (observed as FileNotFoundException mid-commit). Each insert
+        therefore writes to its own ``…__staging`` directory — its own
+        private ``_temporary`` — and then moves the finished part files,
+        whose names are globally unique, into the live partition
+        directories. File moves never collide, so concurrent insert_df /
+        merge_from calls are safe on the DATA side; the listing side
+        remains merge-on-write + reconciler (contract above). A crash
+        mid-move leaves a partial batch (same non-atomicity as any
+        multi-partition append) plus a ``__staging`` directory that
+        :meth:`vacuum` reclaims."""
+        import uuid as _uuid
+
+        staging = f"{self.data_path}__insert_{_uuid.uuid4().hex[:12]}__staging"
+        out.write.mode("overwrite").partitionBy("tag_set_id").parquet(staging)
+        try:
+            for d in self.fs.listdir(staging):
+                if not d.startswith("tag_set_id="):
+                    continue
+                live = fsjoin(self.data_path, d)
+                self.fs.mkdirs(live)
+                src_dir = fsjoin(staging, d)
+                for fname in self.fs.listdir(src_dir):
+                    if fname.endswith(".parquet"):
+                        self.fs.rename(
+                            fsjoin(src_dir, fname), fsjoin(live, fname)
+                        )
+        finally:
+            self.fs.delete(staging)
 
     # -- tag-set metadata listing ------------------------------------------
     #
@@ -1251,12 +1288,38 @@ class VectorIndex:
             )
         src = other.spark.read.parquet(other.data_path)
         n = src.count()
-        src.write.mode("append").partitionBy("tag_set_id").parquet(self.data_path)
+        self._staged_append(src)
         # data first, then metadata (same ordering contract as insert_df)
         theirs = other._read_tag_sets() or other._derive_tag_sets()
         self._register_tag_sets({tuple(ts) for _tsid, ts in theirs})
         self._drop_ann_artifacts()
         return n
+
+    def vacuum(self) -> list[str]:
+        """Remove maintenance debris a crash can leave behind: staging
+        directories from interrupted ANN builds / compactions / row-level
+        deletes / projections, retired ``__old`` backups, and orphaned
+        ``.tmp`` artifact files. Returns the paths removed.
+
+        Safe by construction: every maintenance writer stages under a
+        suffix OUTSIDE the live paths (``__building``, ``__compacting``,
+        ``__del_tmp``/``__del_old``, ``__old``, ``.projected``, ``.tmp``)
+        precisely so that no crash leaves half-written state inside a
+        directory readers scan — vacuum just reclaims the disk. Run it
+        before maintenance jobs, never concurrently with one (a live
+        compact/build owns its staging directory)."""
+        debris_suffixes = ("__building", "__compacting", "__del_tmp",
+                           "__del_old", "__old", ".projected", ".tmp",
+                           "__staging")
+        removed = []
+        if not self.fs.exists(self.path):
+            return removed
+        for name in self.fs.listdir(self.path):
+            if name.endswith(debris_suffixes):
+                p = fsjoin(self.path, name)
+                self.fs.delete(p)
+                removed.append(p)
+        return removed
 
     # -- PCA maintenance (db.rs:287-299, trigger :551-553) ------------------
 
