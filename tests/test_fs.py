@@ -78,6 +78,11 @@ def test_fs_primitives(fs_and_root):
     fs.delete(join(root, "never-existed"))  # no-op, no raise
 
 
+def test_fs_file_sizes_missing_path_parity(fs_and_root):
+    fs, root = fs_and_root
+    assert fs.file_sizes(join(root, "never-existed")) == []
+
+
 def test_fs_parquet_row_count(fs_and_root, spark):
     fs, root = fs_and_root
     d = join(root, "pq")

@@ -214,6 +214,8 @@ class HadoopFS:
         return int(self._fs.getFileStatus(self._p(p)).getLen())
 
     def file_sizes(self, p: str) -> list[tuple[str, int]]:
+        if not self.exists(p):  # parity with LocalFS's empty walk
+            return []
         out = []
         it = self._fs.listFiles(self._p(p), True)
         while it.hasNext():
