@@ -135,6 +135,19 @@ def test_cms_unseen_keys_estimate_zero_not_inflated(spark, zipf_counts):
     assert all(r.cms_count == 0 for r in est)
 
 
+def test_cms_lookup_tolerates_duplicate_probe_keys(spark, zipf_counts):
+    """A duplicated key in the probe frame must estimate the same value
+    once, not fall to 0 because its matched-row count exceeds depth."""
+    from victor_spark.operators.sketches import cms_lookup, cms_sketch
+
+    sk = cms_sketch(zipf_counts, "k", "c")
+    dup = spark.createDataFrame([("key-0",), ("key-0",), ("key-1",)],
+                                "k string")
+    est = {r["k"]: r["cms_count"] for r in cms_lookup(sk, dup, "k").collect()}
+    assert len(est) == 2
+    assert est["key-0"] >= 1000 and est["key-1"] >= 500
+
+
 def test_cms_sketches_merge_by_summing(spark, zipf_counts):
     from victor_spark.operators.sketches import cms_sketch
 

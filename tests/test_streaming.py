@@ -567,8 +567,9 @@ def test_stream_frame_extraction_matches_batch(spark, tmp_path):
 def test_stream_state_survives_interrupted_swap(spark, tmp_path):
     """Crash-safety of the persisted streaming state (streaming/state.py):
     a crash mid-swap leaves either the old or the new complete copy, and
-    read_state heals instead of wedging on a partial directory; a
-    legacy zero-row state directory reads as no-state."""
+    read_state serves it IN PLACE (no renames — a destructive heal could
+    race an in-flight writer); the next write_state clears the leftover
+    copies; a legacy zero-row state directory reads as no-state."""
     import os
     import shutil
 
@@ -586,17 +587,22 @@ def test_stream_state_survives_interrupted_swap(spark, tmp_path):
     assert read_state(spark, sdir, schema).collect()[0]["words"] == [9, 9]
 
     # simulate a crash between retire and promote: live dir gone, the
-    # pre-batch copy parked at __old
+    # pre-batch copy parked at __old — served in place, NOT renamed
     os.rename(sdir, sdir + "__old")
     healed = read_state(spark, sdir, schema)
     assert healed is not None and healed.collect()[0]["words"] == [9, 9]
+    assert os.path.isdir(sdir + "__old") and not os.path.exists(sdir)
+
+    # the next write_state recovers the live dir and clears leftovers
+    # (read_state fed the prev state into the writer in real topologies)
+    write_state(df2, sdir)
     assert os.path.isdir(sdir) and not os.path.exists(sdir + "__old")
 
-    # simulate a crash after retire where only the NEW complete copy
-    # (tmp) survives
+    # crash shape where only the NEW complete copy (tmp) survives
     os.rename(sdir, sdir + "__tmp")
     healed = read_state(spark, sdir, schema)
     assert healed is not None and healed.collect()[0]["words"] == [9, 9]
+    os.rename(sdir + "__tmp", sdir)  # restore for the next phase
 
     # legacy partial write: state dir exists but holds no rows
     shutil.rmtree(sdir)

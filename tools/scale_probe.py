@@ -88,12 +88,15 @@ def build_scaled(spark, sf_dir: str, out_dir: str, scale: int,
                 rep = rep.withColumn(c, F.col(c) + F.lit(i * ID_STRIDE))
             if table == "embeddings" and i > 0:
                 # orthogonal per-replica transform (see PROBES note): roll
-                # the coordinates by a replica-specific offset
-                k = (i * 7) % 64
+                # the coordinates by a replica-specific nonzero offset.
+                # dim read from the data, not hard-coded — a wrong literal
+                # would silently truncate vectors and corrupt the probe
+                dim = len(src.select("embedding").first()["embedding"])
+                k = (i * 7) % dim or 1
                 rep = rep.withColumn(
                     "embedding",
                     F.concat(
-                        F.slice("embedding", k + 1, 64 - k),
+                        F.slice("embedding", k + 1, dim - k),
                         F.slice("embedding", 1, k),
                     ),
                 )

@@ -66,6 +66,19 @@ INSERT_SCHEMA = StructType(
 )
 
 
+def _canon_path(p: str) -> str:
+    """Normalize a path for identity comparison (merge_from's self-merge
+    guard): strip a file: scheme, collapse duplicate slashes, drop the
+    trailing slash — so aliases of the same directory compare equal."""
+    from urllib.parse import urlparse
+
+    u = urlparse(p)
+    path = (u.netloc + u.path) if u.scheme == "file" else p
+    while "//" in path:
+        path = path.replace("//", "/")
+    return path.rstrip("/") or "/"
+
+
 def tag_set_id(tags: list[str]) -> str:
     """Canonical partition key for a tag set: sha256 of the sorted,
     deduplicated, comma-joined tags (reference: sha256 of the Debug format
@@ -1261,7 +1274,7 @@ class VectorIndex:
         """
         if other.is_empty():
             return 0
-        if self.path == other.path:
+        if _canon_path(self.path) == _canon_path(other.path):
             raise ValueError("cannot merge an index into itself")
         if not self.is_empty():
             d_self, d_other = self.dimension(), other.dimension()
@@ -1286,9 +1299,14 @@ class VectorIndex:
             self.fs.write_bytes_atomic(
                 self.model_path, other.fs.read_bytes(other.model_path)
             )
-        src = other.spark.read.parquet(other.data_path)
-        n = src.count()
-        self._staged_append(src)
+        # row count from parquet FOOTERS of the shard's partitions — free
+        # metadata, no scan job (same mechanism as delete/delete_ids)
+        n = sum(
+            other.fs.parquet_row_count(fsjoin(other.data_path, d))
+            for d in other.fs.listdir(other.data_path)
+            if d.startswith("tag_set_id=")
+        )
+        self._staged_append(other.spark.read.parquet(other.data_path))
         # data first, then metadata (same ordering contract as insert_df)
         theirs = other._read_tag_sets() or other._derive_tag_sets()
         self._register_tag_sets({tuple(ts) for _tsid, ts in theirs})
@@ -1306,8 +1324,10 @@ class VectorIndex:
         ``__del_tmp``/``__del_old``, ``__old``, ``.projected``, ``.tmp``)
         precisely so that no crash leaves half-written state inside a
         directory readers scan — vacuum just reclaims the disk. Run it
-        before maintenance jobs, never concurrently with one (a live
-        compact/build owns its staging directory)."""
+        only while NO writer of any kind is active (insert_df/merge_from
+        staging, compact, delete_ids, ANN builds, project): a live
+        writer owns its staging/backup directory and vacuum would
+        destroy the in-flight work."""
         debris_suffixes = ("__building", "__compacting", "__del_tmp",
                            "__del_old", "__old", ".projected", ".tmp",
                            "__staging")

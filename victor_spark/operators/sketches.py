@@ -199,6 +199,10 @@ def cms_lookup(
     inflated min over their non-empty rows only.
     """
     k = F.col(key_col).cast("string")
+    # dedup first: the completeness test below counts matched rows per
+    # key VALUE, so a duplicated input key would inflate _rows past depth
+    # and falsely report 0
+    keys = keys.select(key_col).distinct()
     probes = keys.select(
         F.col(key_col),
         F.explode(
@@ -219,9 +223,7 @@ def cms_lookup(
         .agg(F.min("s").alias("_min_s"), F.count("*").alias("_rows"))
     )
     return (
-        keys.select(key_col)
-        .distinct()
-        .join(hits, key_col, "left")
+        keys.join(hits, key_col, "left")
         .select(
             key_col,
             F.when(F.col("_rows") == depth, F.col("_min_s"))

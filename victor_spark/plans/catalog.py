@@ -1318,7 +1318,11 @@ def q_ann_recall(spark, sf_dir):
 
     from victor_spark.operators import pq
     from victor_spark.operators.ivfpq import _cosine as _pycos
-    from victor_spark.operators.ivfpq import _residual, ivfpq_topk
+    from victor_spark.operators.ivfpq import (
+        _residual,
+        assign_cells,
+        ivfpq_topk,
+    )
     from victor_spark.operators.topk import topk_per_group
 
     # Two driver actions TOTAL (the round-3 verdict's fix for the audit's
@@ -1404,26 +1408,13 @@ def q_ann_recall(spark, sf_dir):
         F.lit("pq_adc").alias("method"), "vec_id"
     )
 
-    # IVF leg: centroid set is a LOCAL literal relation (no corpus
-    # subtree to re-scan for the broadcast), probe cells picked
-    # DRIVER-side from the collected model; the cell assignment is
-    # lineage-truncated and SHARED with the IVF-PQ leg below
-    cent_df = F.broadcast(spark.createDataFrame(
-        [(int(c), v) for c, v in sorted(centroids.items())],
-        "cell long, cv array<double>",
-    ))
-    assigned = (
-        e.withColumn("_vn", norm("v")).crossJoin(cent_df)
-        .select(
-            "vec_id", "v", "cell",
-            (dot("v", "cv") / (F.col("_vn") * norm("cv"))).alias("_cs"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.first("v").alias("v"),
-            F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
-        )
-        .localCheckpoint(eager=False)
+    # IVF leg: cell assignment via the OPERATOR (ivfpq.assign_cells —
+    # the rule ivfpq_topk's assigned= seam must stay in lockstep with;
+    # an inline copy here would silently drift if the operator's
+    # tie-break ever changed), lineage-truncated and SHARED with the
+    # IVF-PQ leg below; probe cells picked DRIVER-side from the model
+    assigned = assign_cells(e, "vec_id", "v", centroids).localCheckpoint(
+        eager=False
     )
     probe7 = sorted(
         centroids, key=lambda c: (-_pycos(q7v, centroids[c]), c)

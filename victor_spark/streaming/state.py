@@ -17,10 +17,13 @@ write:  state__tmp ← new data (complete before anything is touched)
         state__tmp → state   (promote)
         delete state__old
 
-read:   if state is missing but state__old exists, a crash hit the
-        retire→promote window — heal by promoting whichever complete
-        copy exists (old, else tmp), then read. A zero-row read (legacy
-        partial write) is treated as no-state rather than wedging.
+read:   if state is missing, read whichever complete copy exists
+        (old — the pre-batch state — else tmp) IN PLACE. The read never
+        renames: a destructive "heal" could race an in-flight writer
+        between its retire and promote renames and crash either side,
+        and the next write_state clears the leftover copies anyway. A
+        zero-row read (legacy partial write) is treated as no-state
+        rather than wedging.
 """
 
 from __future__ import annotations
@@ -34,21 +37,17 @@ def read_state(
     spark: SparkSession, state_dir: str, schema: str
 ) -> DataFrame | None:
     """The persisted state frame, or None if no (usable) state exists.
-    Heals an interrupted swap before reading; guards the empty-dir case
-    so callers can index collect() results safely."""
+    Reads a surviving copy of an interrupted swap IN PLACE (no renames —
+    see module docstring); guards the empty-dir case so callers can
+    index collect() results safely."""
     fs = fs_for(spark, state_dir)
     old, tmp = state_dir + "__old", state_dir + "__tmp"
-    if not fs.exists(state_dir):
-        # crash between retire and promote: exactly one complete copy
-        # survives — promote it (old = pre-batch state, preferred; tmp =
-        # post-batch state, used only if old is already gone)
-        for cand in (old, tmp):
-            if fs.exists(cand):
-                fs.rename(cand, state_dir)
-                break
-        else:
-            return None
-    df = spark.read.schema(schema).parquet(state_dir)
+    path = next(
+        (p for p in (state_dir, old, tmp) if fs.exists(p)), None
+    )
+    if path is None:
+        return None
+    df = spark.read.schema(schema).parquet(path)
     if df.isEmpty():  # legacy non-atomic partial write
         return None
     return df
