@@ -31,7 +31,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCALES = (1, 2, 4)
+# override with e.g. SPARK_GRAFT_PROBE_SCALES=1,2,4,8 for a deeper curve
+SCALES = tuple(
+    int(s) for s in os.environ.get("SPARK_GRAFT_PROBE_SCALES", "1,2,4").split(",")
+)
 
 # (query name, tables it reads, id columns to offset per table)
 PROBES: dict[str, dict[str, list[str]]] = {
