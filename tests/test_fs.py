@@ -233,3 +233,31 @@ def test_register_merges_concurrent_listing_entries(hidx):
     got = dict(hidx._read_tag_sets())
     assert tag_set_id(["y"]) in got and tag_set_id(["zzz"]) in got
     assert tag_set_id(["x"]) in got
+
+
+def test_merge_from_across_filesystems(spark, tmp_path):
+    """The docstring's cross-FS claim: a plain-path (LocalFS) shard
+    merges into a file:-URI (HadoopFS) target — the append is a Spark
+    job and the listing/model plumbing rides each index's own shim."""
+    shard = VectorIndex(spark, str(tmp_path / "local_shard"))
+    shard.insert([(f"s{i}", [float(i), 1.0], ["t"]) for i in range(6)])
+    target = VectorIndex(spark, "file:" + str(tmp_path / "huri_target"))
+    assert isinstance(shard.fs, LocalFS) and isinstance(target.fs, HadoopFS)
+    assert target.merge_from(shard) == 6
+    assert target.scan(["t"]).count() == 6
+    assert sum(s["rows"] for s in target.stats()) == 6
+
+
+def test_merge_from_rejects_path_aliases(spark, tmp_path):
+    """The self-merge guard must catch ALIASES of the same directory
+    (trailing slash, file: URI vs plain path), not just equal strings —
+    a bypassed guard silently duplicates every row."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "alias")
+    idx = VectorIndex(spark, p)
+    idx.insert([("a", [1.0, 0.0], [])])
+    for alias in (p + "/", "file:" + p, "file://" + p + "/"):
+        with _pytest.raises(ValueError, match="itself"):
+            idx.merge_from(VectorIndex(spark, alias))
+    assert idx.scan().count() == 1

@@ -724,3 +724,23 @@ def test_stream_quantile_rollup_clamps_out_of_range(spark, tmp_path):
     got = {r["bin"]: r["cnt"] for r in batch_bins(df, "v", 0.0, 1000.0, bins=10).collect()}
     assert got[0] == 2  # -50 clamps down, 0.0 lands in bin 0
     assert got[9] == 2  # 999 in last bin, 5000 clamps up
+
+
+def test_stream_state_works_over_file_uri(spark, tmp_path):
+    """streaming/state.py routes through the fs shim, so persistent
+    sketch state is object-store-capable — exercised via a file: URI
+    (the Hadoop code path), including the crash-survivor read."""
+    from victor_spark.fs import HadoopFS, fs_for
+    from victor_spark.streaming.state import read_state, write_state
+
+    schema = "words array<bigint>"
+    sdir = "file:" + str(tmp_path / "hstate")
+    assert isinstance(fs_for(spark, sdir), HadoopFS)
+    write_state(spark.createDataFrame([([7, 8],)], schema), sdir)
+    assert read_state(spark, sdir, schema).collect()[0]["words"] == [7, 8]
+    write_state(spark.createDataFrame([([9],)], schema), sdir)
+    assert read_state(spark, sdir, schema).collect()[0]["words"] == [9]
+    # crash survivor served in place through the Hadoop path too
+    fs = fs_for(spark, sdir)
+    fs.rename(sdir, sdir + "__old")
+    assert read_state(spark, sdir, schema).collect()[0]["words"] == [9]
