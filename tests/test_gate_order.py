@@ -1,0 +1,75 @@
+"""The driver's correctness gate checks queries() in dict order under a
+row cap, so the catalog's registry order IS the gate schedule. Round-4
+verdict task 4: the schedule must be computed from the accumulated
+CORRECTNESS_r*.json artifacts (never-green first, diff-touched second,
+oldest-green third), not hand-maintained lists. These tests pin the
+computed ordering's invariants against the committed artifacts."""
+
+from __future__ import annotations
+
+from victor_spark.plans import QUERIES
+from victor_spark.plans.catalog import (
+    _TOUCHED_THIS_ROUND,
+    _last_green_rounds,
+    _row_is_green,
+)
+
+
+def test_row_green_classification():
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    assert _row_is_green(ok)
+    # rows-only checks (no oracle_sql) leave hash_match null — still green
+    assert _row_is_green({**ok, "hash_match": None})
+    assert not _row_is_green({**ok, "hash_match": False})
+    assert not _row_is_green({**ok, "rows_match": False})
+    assert not _row_is_green({**ok, "err": "no_oracle"})
+    assert not _row_is_green({**ok, "err": "Traceback ..."})
+    assert not _row_is_green("not a dict")
+
+
+def test_never_green_queries_lead():
+    last_green = _last_green_rounds()
+    names = list(QUERIES)
+    never = {n for n in names if n not in last_green}
+    # every never-green query sits strictly before every green one
+    if never:
+        last_never_idx = max(names.index(n) for n in never)
+        first_green_idx = min(
+            names.index(n) for n in names if n in last_green
+        )
+        assert last_never_idx < first_green_idx, (
+            "a green-tail query precedes a never-driver-green query: "
+            f"{sorted(never)}"
+        )
+
+
+def test_touched_queries_follow_never_green():
+    last_green = _last_green_rounds()
+    names = list(QUERIES)
+    never = [n for n in names if n not in last_green]
+    touched = [
+        n for n in _TOUCHED_THIS_ROUND if n in QUERIES and n in last_green
+    ]
+    assert names[: len(never) + len(touched)] == never + touched
+
+
+def test_green_tail_is_oldest_first():
+    last_green = _last_green_rounds()
+    names = list(QUERIES)
+    tail_rounds = [
+        last_green[n]
+        for n in names
+        if n in last_green and n not in _TOUCHED_THIS_ROUND
+    ]
+    assert tail_rounds == sorted(tail_rounds)
+
+
+def test_round4_misplaced_queries_are_front():
+    """The concrete round-4 finding: pca_project and multimodal_features
+    have no green driver row (their r1 rows predate their oracles) and
+    must lead the round-5 gate window."""
+    names = list(QUERIES)
+    last_green = _last_green_rounds()
+    for q in ("pca_project", "multimodal_features"):
+        if q not in last_green:  # still pending a green row
+            assert names.index(q) < 5

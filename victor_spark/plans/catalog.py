@@ -6928,72 +6928,95 @@ def q_embedding_outliers(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # gate ordering: the driver's correctness gate checks queries() in dict
-# order and may cap how many it runs (round 2 reached only the first 50 of
-# 80). Entries the gate has NOT yet verified go first, so every catalog
-# query accumulates at least one green CORRECTNESS_r* row across rounds;
-# the long-green tail keeps its relative order after them.
+# order and may cap how many it runs (rounds 2-4 ran only the first 50 of
+# the catalog). Ordering therefore decides which queries accumulate
+# driver CORRECTNESS rows — and is COMPUTED from the accumulated
+# CORRECTNESS_r*.json artifacts rather than hand-maintained (the round-4
+# hand tier table misplaced pca_project/multimodal_features; a computed
+# ordering cannot repeat that mistake). Standing rules, by construction:
+#
+#   1. queries with NO green CORRECTNESS row in ANY round lead, in
+#      catalog order (this automatically fronts queries added this
+#      round — they have no artifact rows yet);
+#   2. queries whose builder or oracle changed THIS round follow —
+#      the one input the artifacts cannot know (_TOUCHED_THIS_ROUND,
+#      reset each round);
+#   3. the long-green tail is re-checked oldest-green-first (ties in
+#      catalog order), so a 50-row cap window rotates through the
+#      whole catalog across rounds instead of re-checking the same
+#      front forever.
 # ---------------------------------------------------------------------------
 
-# ROUND-4 GATE WINDOW. Two standing rules (round-3 verdict + advice):
-# (1) every query must accumulate at least one green CORRECTNESS_r* row
-# across rounds — union r1-r3 covered 101/117, so the 16 never-checked
-# queries lead; (2) any query whose BUILDER (or oracle) changed in the
-# current round is promoted into the front tier for one round before
-# re-parking, so the gate re-checks exactly what the diff touched.
-
-_R4_FRONT = [
-    # (a) new in round 4 — the approx drop-ins
-    "events_quantiles_approx", "events_rolling_active_approx",
-    # (b) never driver-checked in any round (verdict task 2: the TPC-H
-    # tail + sampling/contamination/curation/multimodal_resize)
-    "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    "hash_split", "stratified_sample", "contamination_check",
-    "curation_pipeline", "multimodal_resize",
-    # (c) modified THIS round: ann_recall rewritten (2-action audit),
-    # cms_heavy_hitters' lookup + oracle changed (sparse-counter fix),
-    # ann_ivfpq_topk's operator grew the assigned= seam
-    "ann_recall", "cms_heavy_hitters", "ann_ivfpq_topk",
-    # (d) modified in round 3 but parked beyond that round's cap
-    # (the advice finding this rule exists to close)
-    "topk_batch",
+# Builders/oracles touched in the CURRENT round — the only hand input.
+# Reset when a new round starts; the artifact-derived tiers handle the rest.
+_TOUCHED_THIS_ROUND: list[str] = [
+    # round 5: extract_features grew real PPM/WAV decode dispatch (the
+    # synthesized-text payloads still take the stub path, but the builder
+    # code changed, so the gate re-checks it — it is also never-green, so
+    # this is belt-and-braces)
+    "multimodal_features",
 ]
 
-# Long-green tails (judge-verified r2 + driver-green r1/r2); whatever
-# cap room remains past _R4_FRONT re-checks these oldest-first.
-_R2_JUDGE_VERIFIED = [
-    "tpch_q3", "revenue_by_nation", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q2", "tpch_q7", "tpch_q8",
-    "multimodal_stats", "multimodal_features", "pca_project",
-]
 
-_R2_VERIFIED = [
-    "topk_cosine", "topk_cosine_tagged", "topk_euclidean",
-    "search_with_content", "quantize_roundtrip", "tag_index_listing",
-    "dim_check", "embedding_stats", "dedup_exact", "dedup_minhash",
-    "dedup_clusters", "dedup_keep", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "text_stats", "embed_documents",
-    "token_count_bpe", "lang_id", "doc_fingerprint", "vocab_topk",
-    "bpe_pairs", "tfidf_top_terms", "events_retention", "events_moving_avg",
-    "quality_gopher", "dup_span_frac", "pack_sequences", "events_hourly",
-    "events_topn_per_user", "events_sessionize", "events_asof_join",
-    "events_json_props", "events_rollup", "events_cube", "events_first_last",
-    "events_pivot", "events_quantiles", "events_range_join", "events_funnel",
-    "events_gapfill", "tpch_q1",
-]
+def _row_is_green(v: object) -> bool:
+    """A driver CORRECTNESS row counts as green iff it matched on rows +
+    schema with no error and the value hash (when the driver computed
+    one — rows-only checks leave it null) did not mismatch."""
+    return (
+        isinstance(v, dict)
+        and bool(v.get("rows_match"))
+        and bool(v.get("schema_match"))
+        and v.get("hash_match") is not False
+        and not v.get("err")
+    )
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """query name -> latest round with a green driver row, read from the
+    committed CORRECTNESS_r*.json artifacts at the repo root. Missing or
+    unparsable artifacts are skipped (a clean checkout simply fronts
+    everything in catalog order, which is the right degenerate answer)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    last: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)", _os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, v in rows.items():
+            if _row_is_green(v):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _gate_order() -> None:
-    front = [n for n in _R4_FRONT if n in QUERIES]
-    mid = [n for n in _R2_JUDGE_VERIFIED if n in QUERIES]
-    back = [n for n in _R2_VERIFIED if n in QUERIES]
-    placed = set(front) | set(mid) | set(back)
-    # queries in none of the lists (e.g. added after this ordering was
-    # written) go right after the explicit front — still inside the cap
-    rest = [n for n in QUERIES if n not in placed]
+    last_green = _last_green_rounds()
+    pos = {n: i for i, n in enumerate(QUERIES)}
+    never = [n for n in QUERIES if n not in last_green]
+    touched = [
+        n for n in _TOUCHED_THIS_ROUND if n in QUERIES and n in last_green
+    ]
+    placed = set(never) | set(touched)
+    tail = sorted(
+        (n for n in QUERIES if n not in placed),
+        key=lambda n: (last_green[n], pos[n]),
+    )
     ordered: dict = {}
-    for n in front + rest + mid + back:
+    for n in never + touched + tail:
         ordered[n] = QUERIES[n]
     QUERIES.clear()
     QUERIES.update(ordered)
