@@ -254,10 +254,30 @@ def test_merge_from_rejects_path_aliases(spark, tmp_path):
     a bypassed guard silently duplicates every row."""
     import pytest as _pytest
 
+    import os
+
     p = str(tmp_path / "alias")
     idx = VectorIndex(spark, p)
     idx.insert([("a", [1.0, 0.0], [])])
-    for alias in (p + "/", "file:" + p, "file://" + p + "/"):
+    link = str(tmp_path / "symlink")
+    os.symlink(p, link)
+    for alias in (
+        p + "/",
+        "file:" + p,
+        "file://" + p + "/",
+        "file://localhost" + p,  # localhost authority == local path
+        link,                     # symlinked directory resolves to p
+        "file:" + link,
+    ):
         with _pytest.raises(ValueError, match="itself"):
             idx.merge_from(VectorIndex(spark, alias))
     assert idx.scan().count() == 1
+
+    # remote-URI normalization: default port and host case are aliases
+    from victor_spark.index import _canon_path
+
+    assert _canon_path("hdfs://nn:8020/warehouse/idx/") == _canon_path(
+        "hdfs://NN/warehouse//idx"
+    )
+    assert _canon_path("hdfs://nn:9000/x") != _canon_path("hdfs://nn/x")
+    assert _canon_path("s3a://bucket/k/") == _canon_path("s3a://Bucket//k")

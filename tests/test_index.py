@@ -805,7 +805,10 @@ def test_merge_from_empty_target_adopts_projection(spark, tmp_path):
 
 def test_vacuum_reclaims_crash_debris(idx):
     """Every maintenance writer stages under a debris suffix outside the
-    live paths; vacuum reclaims what a crash leaves, and only that."""
+    live paths; vacuum reclaims what a crash leaves, and only that —
+    gated on age, so a LIVE writer's fresh staging survives the default
+    call (the no-active-writer contract is now hard to violate by
+    accident) while aged debris is reclaimed."""
     import os
 
     idx.insert([("a", [1.0, 0.0], ["x"])])
@@ -816,6 +819,18 @@ def test_vacuum_reclaims_crash_debris(idx):
         os.makedirs(os.path.join(base, d), exist_ok=True)
     with open(os.path.join(base, "tag_sets.parquet.tmp"), "w") as f:
         f.write("partial")
+    # all five are FRESH — the default age gate must leave every one alone
+    assert idx.vacuum() == []
+    assert sorted(os.listdir(base)) == [
+        "data", "data__compacting", "data__del_tmp", "data__old",
+        "ivf_data__building", "tag_sets.parquet", "tag_sets.parquet.tmp",
+    ]
+    # age them past the gate (simulated crash debris from an hour+ ago)
+    aged = 5 * 3600
+    for name in os.listdir(base):
+        if name not in ("data", "tag_sets.parquet"):
+            p = os.path.join(base, name)
+            os.utime(p, (os.path.getatime(p) - aged, os.path.getmtime(p) - aged))
     removed = idx.vacuum()
     assert len(removed) == 5
     assert sorted(os.listdir(base)) == ["data", "tag_sets.parquet"]
@@ -823,6 +838,63 @@ def test_vacuum_reclaims_crash_debris(idx):
     assert idx.scan(["x"]).count() == 1
     # idempotent
     assert idx.vacuum() == []
+
+
+def test_recover_staged_completes_interrupted_insert(spark, tmp_path):
+    """An insert that fails partway through its move phase leaves its
+    __staging directory intact (delete-on-success only — the round-4
+    advice finding); recover_staged() finishes the remaining moves
+    exactly-once and reconciles the listing, so the batch lands fully
+    with no duplicated rows."""
+    import os
+
+    from victor_spark.index import VectorIndex
+
+    p = str(tmp_path / "recov")
+    idx = VectorIndex(spark, p)
+    idx.insert([("a", [1.0, 0.0], ["x"]), ("b", [0.0, 1.0], ["x"])])
+
+    # craft an interrupted insert with the REAL on-disk layout: a scratch
+    # index writes the 4-row 'y' batch (two insert calls -> >=2 part
+    # files), whose partition dir becomes the staging payload; _SUCCESS
+    # marks the staging write as complete; ONE part file is already moved
+    # into the live partition — exactly the state a crash mid-loop leaves
+    import shutil
+
+    from victor_spark.index import tag_set_id as _tsid
+
+    scratch = VectorIndex(spark, str(tmp_path / "scratch"))
+    scratch.insert([("c0", [2.0, 0.0], ["y"]), ("c1", [3.0, 0.0], ["y"])])
+    scratch.insert([("c2", [4.0, 0.0], ["y"]), ("c3", [5.0, 0.0], ["y"])])
+    tsid = _tsid(["y"])
+    staging = os.path.join(p, "data__insert_testcrash__staging")
+    shutil.copytree(
+        os.path.join(scratch.path, "data"), staging,
+        ignore=lambda d, names: [n for n in names if n.startswith("_")],
+    )
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    part_dir = os.path.join(staging, f"tag_set_id={tsid}")
+    files = sorted(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+    assert len(files) >= 2
+    live = os.path.join(p, "data", f"tag_set_id={tsid}")
+    os.makedirs(live, exist_ok=True)
+    os.rename(os.path.join(part_dir, files[0]), os.path.join(live, files[0]))
+
+    recovered = idx.recover_staged()
+    assert recovered == [staging]
+    assert not os.path.exists(staging)
+    # the whole 4-row batch is live exactly once, and the reconciled
+    # listing makes the recovered tag-set queryable
+    assert idx.scan(["y"]).count() == 4
+    assert idx.scan(["x"]).count() == 2
+    # a second recover is a no-op
+    assert idx.recover_staged() == []
+
+    # an interrupted WRITE (no _SUCCESS) is NOT recovered — vacuum's job
+    dead = os.path.join(p, "data__insert_deadwrite__staging")
+    os.makedirs(os.path.join(dead, "_temporary"), exist_ok=True)
+    assert idx.recover_staged() == []
+    assert os.path.exists(dead)
 
 
 def test_concurrent_inserts_both_tag_sets_survive(spark, tmp_path):

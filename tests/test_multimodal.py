@@ -90,3 +90,118 @@ def test_sample_frames_contract(spark):
     ]
     assert bytes(rows[0]["frame"]) == bytes(range(16))
     assert bytes(rows[1]["frame"]) == bytes(range(32, 40))  # short tail, no padding
+
+
+# ---------------------------------------------------------------------------
+# REAL uncompressed-format codecs (round-4 verdict task 2)
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    import numpy as np
+
+    arr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    payload = M._encode_ppm(arr)
+    w, h, maxval, back = M._parse_ppm(payload)
+    assert (w, h, maxval) == (8, 8, 255) and (back == arr).all()
+    # header comments and arbitrary token whitespace per the Netpbm spec
+    commented = b"P6\n# a comment\n8  8\n# another\n255\n" + arr.tobytes()
+    _, _, _, back2 = M._parse_ppm(commented)
+    assert (back2 == arr).all()
+    with pytest.raises(ValueError, match="raster short"):
+        M._parse_ppm(payload[:-1])
+    with pytest.raises(ValueError, match="not a P6"):
+        M._parse_ppm(b"P5\n8 8\n255\n" + b"\x00" * 64)
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import numpy as np
+    import struct
+
+    samples = np.arange(-32, 32, dtype=np.int16) * 512
+    payload = M._encode_wav(samples, 22050)
+    rate, back = M._parse_wav(payload)
+    assert rate == 22050 and (back == samples).all()
+    # an extra chunk between fmt and data must be walked over, not choked on
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    with_extra = payload[:fmt_end] + extra + payload[fmt_end:]
+    rate2, back2 = M._parse_wav(with_extra)
+    assert rate2 == 22050 and (back2 == samples).all()
+    # stereo/8-bit/compressed streams are rejected, not mis-decoded
+    bad = bytearray(payload)
+    bad[22] = 2  # num_channels = 2
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        M._parse_wav(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        M._parse_wav(b"OggS" + payload[4:])
+
+
+def test_decode_image_real_vs_stub_dispatch():
+    import numpy as np
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    arr[..., 0] = 200  # solid red-ish
+    feats = M._decode_image(M._encode_ppm(arr))
+    # [w, h, mean_r, mean_g, mean_b, min, max, std_gray]
+    assert feats[:5] == [4.0, 4.0, 200.0, 0.0, 0.0]
+    assert feats[5] == 0.0 and feats[6] == 200.0
+    # non-PPM payloads still take the byte-histogram stub (8 buckets, sum 1)
+    stub = M._decode_image(b"\x89PNG fake compressed bytes")
+    assert len(stub) == 8 and abs(sum(stub) - 1.0) < 1e-9
+
+
+def test_decode_audio_real_vs_stub_dispatch():
+    samples = [0, 100, -100, 300]
+    feats = M._decode_audio(M._encode_wav(samples, 8000))
+    assert feats[0] == 8000.0 and feats[1] == 4.0
+    assert abs(feats[2] - 75.0) < 1e-12  # mean
+    assert abs(feats[3] - (sum(s * s for s in samples) / 4) ** 0.5) < 1e-9
+    assert len(M._decode_audio(b"not riff")) == 4  # stub path
+
+
+def test_resize_ppm_nearest_neighbor():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    out = M._resize_image(M._encode_ppm(arr), 4, 4)
+    w, h, _, small = M._parse_ppm(out)
+    assert (w, h) == (4, 4)
+    assert (small == arr[[0, 2, 4, 6]][:, [0, 2, 4, 6]]).all()
+    # upscale repeats source pixels (true nearest-neighbor, not padding)
+    up = M._resize_image(M._encode_ppm(arr), 16, 16)
+    _, _, _, big = M._parse_ppm(up)
+    assert (big[::2, ::2] == arr).all() and (big[1::2, 1::2] == arr).all()
+
+
+def test_synthesize_ppm_is_valid_and_decodes(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij" * 6), (2, "zz")], "id long, text string"
+    )
+    media = M.synthesize_ppm(df, "id", "text", width=8, height=8)
+    rows = {r["media_id"]: r for r in media.collect()}
+    w, h, maxval, arr = M._parse_ppm(bytes(rows[1]["payload"]))
+    assert (w, h, maxval) == (8, 8, 255)
+    expected = ("abcdefghij" * 20)[:192].encode()
+    assert arr.tobytes() == expected
+    # the SQL cycling handles texts shorter than the raster
+    _, _, _, arr2 = M._parse_ppm(bytes(rows[2]["payload"]))
+    assert arr2.tobytes() == (b"zz" * 96)
+    stats = {r["media_id"]: r for r in M.decode_image_stats(media).collect()}
+    assert stats[2]["mean_r"] == float(ord("z"))
+    assert stats[2]["min_px"] == stats[2]["max_px"] == ord("z")
+
+
+def test_synthesize_wav_is_valid_and_decodes(spark):
+    df = spark.createDataFrame([(5, "AB")], "id long, text string")
+    media = M.synthesize_wav(df, "id", "text", n_samples=4, sample_rate=8000)
+    r = media.first()
+    rate, samples = M._parse_wav(bytes(r["payload"]))
+    # sample j = (ord(text[j % len]) - 80) * 128, cycled A,B,A,B
+    exp = [(ord(c) - 80) * 128 for c in "ABAB"]
+    assert rate == 8000 and list(samples) == exp
+    stats = M.decode_audio_stats(media).first()
+    assert stats["sample_rate"] == 8000 and stats["n_samples"] == 4
+    assert stats["mean_amp"] == sum(exp) / 4
+    assert stats["min_amp"] == min(exp) and stats["max_amp"] == max(exp)

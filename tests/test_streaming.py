@@ -604,8 +604,21 @@ def test_stream_state_survives_interrupted_swap(spark, tmp_path):
     assert healed is not None and healed.collect()[0]["words"] == [9, 9]
     os.rename(sdir + "__tmp", sdir)  # restore for the next phase
 
-    # legacy partial write: state dir exists but holds no rows
+    # crash BETWEEN retire and promote: BOTH __old (pre-batch) and __tmp
+    # (new — guaranteed complete, it is fully written before any rename)
+    # survive. The NEWER tmp copy must win, so out-of-band readers see
+    # the state the stream converges to on replay (round-4 advice).
     shutil.rmtree(sdir)
+    write_state(df1, str(tmp_path / "pre"))
+    os.rename(str(tmp_path / "pre"), sdir + "__old")
+    write_state(df2, str(tmp_path / "post"))
+    os.rename(str(tmp_path / "post"), sdir + "__tmp")
+    healed = read_state(spark, sdir, schema)
+    assert healed is not None and healed.collect()[0]["words"] == [9, 9]
+    shutil.rmtree(sdir + "__old")
+    shutil.rmtree(sdir + "__tmp")
+
+    # legacy partial write: state dir exists but holds no rows
     spark.createDataFrame([], schema).write.parquet(sdir)
     assert read_state(spark, sdir, schema) is None
 

@@ -116,6 +116,11 @@ class LocalFS:
     def file_size(self, p: str) -> int:
         return os.path.getsize(p)
 
+    def mtime(self, p: str) -> float:
+        """Last-modification time of a file or directory, seconds since
+        the epoch (vacuum's age gate)."""
+        return os.path.getmtime(p)
+
     def file_sizes(self, p: str) -> list[tuple[str, int]]:
         """Recursive (path, size) of every regular file under ``p``."""
         out = []
@@ -212,6 +217,10 @@ class HadoopFS:
 
     def file_size(self, p: str) -> int:
         return int(self._fs.getFileStatus(self._p(p)).getLen())
+
+    def mtime(self, p: str) -> float:
+        """Last-modification time in seconds (Hadoop reports millis)."""
+        return self._fs.getFileStatus(self._p(p)).getModificationTime() / 1000.0
 
     def file_sizes(self, p: str) -> list[tuple[str, int]]:
         if not self.exists(p):  # parity with LocalFS's empty walk

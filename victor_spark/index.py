@@ -68,15 +68,37 @@ INSERT_SCHEMA = StructType(
 
 def _canon_path(p: str) -> str:
     """Normalize a path for identity comparison (merge_from's self-merge
-    guard): strip a file: scheme, collapse duplicate slashes, drop the
-    trailing slash — so aliases of the same directory compare equal."""
+    guard), so aliases of the same directory compare equal:
+
+    - a ``file:`` scheme with an empty or ``localhost`` authority IS the
+      local path (``file://localhost/p`` == ``file:///p`` == ``/p``);
+    - local paths are resolved through ``os.path.realpath`` so symlinked
+      directories and relative spellings cannot bypass the guard;
+    - remote URIs lowercase scheme+host, drop the scheme's default port
+      (``hdfs://nn:8020`` == ``hdfs://nn``), collapse duplicate slashes
+      and the trailing slash."""
+    import os as _os
     from urllib.parse import urlparse
 
+    def _collapse(path: str) -> str:
+        while "//" in path:
+            path = path.replace("//", "/")
+        return path.rstrip("/") or "/"
+
     u = urlparse(p)
-    path = (u.netloc + u.path) if u.scheme == "file" else p
-    while "//" in path:
-        path = path.replace("//", "/")
-    return path.rstrip("/") or "/"
+    scheme = u.scheme.lower()
+    if scheme in ("", "file"):
+        host = u.netloc.lower()
+        if scheme == "file" and host not in ("", "localhost"):
+            # genuinely remote file:// authority — no local resolution
+            return f"file://{host}{_collapse(u.path)}"
+        path = u.path if scheme == "file" else p
+        return _os.path.realpath(_collapse(path))
+    host = u.netloc.lower()
+    default_port = {"hdfs": ":8020", "webhdfs": ":9870", "ftp": ":21"}.get(scheme)
+    if default_port and host.endswith(default_port):
+        host = host[: -len(default_port)]
+    return f"{scheme}://{host}{_collapse(u.path)}"
 
 
 def tag_set_id(tags: list[str]) -> str:
@@ -359,28 +381,74 @@ class VectorIndex:
         whose names are globally unique, into the live partition
         directories. File moves never collide, so concurrent insert_df /
         merge_from calls are safe on the DATA side; the listing side
-        remains merge-on-write + reconciler (contract above). A crash
-        mid-move leaves a partial batch (same non-atomicity as any
-        multi-partition append) plus a ``__staging`` directory that
-        :meth:`vacuum` reclaims."""
+        remains merge-on-write + reconciler (contract above).
+
+        FAILURE CONTRACT: the staging directory is deleted only after
+        EVERY part file has moved. If the move loop fails partway (crash,
+        transient FS error), ``__staging`` is left in place with exactly
+        the not-yet-moved files — so the insert is completable, not just
+        reclaimable: :meth:`recover_staged` finishes the remaining moves
+        exactly-once (file names are globally unique, and a rename that
+        already happened leaves no source file behind). Blindly retrying
+        the insert instead would duplicate the rows whose files already
+        moved; run recover_staged() — or, to abandon the partial batch,
+        :meth:`vacuum` the aged staging dir (accepting the partial
+        batch's already-moved rows, which the listing reconciler makes
+        queryable)."""
         import uuid as _uuid
 
         staging = f"{self.data_path}__insert_{_uuid.uuid4().hex[:12]}__staging"
         out.write.mode("overwrite").partitionBy("tag_set_id").parquet(staging)
-        try:
-            for d in self.fs.listdir(staging):
-                if not d.startswith("tag_set_id="):
-                    continue
-                live = fsjoin(self.data_path, d)
-                self.fs.mkdirs(live)
-                src_dir = fsjoin(staging, d)
-                for fname in self.fs.listdir(src_dir):
-                    if fname.endswith(".parquet"):
-                        self.fs.rename(
-                            fsjoin(src_dir, fname), fsjoin(live, fname)
-                        )
-        finally:
-            self.fs.delete(staging)
+        self._complete_staged_moves(staging)
+
+    def _complete_staged_moves(self, staging: str) -> None:
+        """Move every staged part file into its live partition directory,
+        then delete the staging dir. Idempotent/resumable: a destination
+        that already exists means an earlier attempt moved this file
+        (rename is atomic locally and on HDFS; on object stores the
+        copy half completed) — drop the source instead of re-moving. On
+        failure the staging dir is left in place (see _staged_append's
+        failure contract)."""
+        for d in self.fs.listdir(staging):
+            if not d.startswith("tag_set_id="):
+                continue
+            live = fsjoin(self.data_path, d)
+            self.fs.mkdirs(live)
+            src_dir = fsjoin(staging, d)
+            for fname in self.fs.listdir(src_dir):
+                if fname.endswith(".parquet"):
+                    src, dst = fsjoin(src_dir, fname), fsjoin(live, fname)
+                    if self.fs.exists(dst):
+                        self.fs.delete(src)
+                    else:
+                        self.fs.rename(src, dst)
+        self.fs.delete(staging)
+
+    def recover_staged(self) -> list[str]:
+        """Complete any insert/merge interrupted during its move phase.
+
+        A ``__staging`` directory containing Spark's ``_SUCCESS`` marker
+        holds a COMPLETELY written batch whose per-file moves did not all
+        finish — resume them (exactly-once, see _complete_staged_moves)
+        and reconcile the tag listing so the recovered partitions are
+        queryable. A staging dir WITHOUT ``_SUCCESS`` is an interrupted
+        WRITE (no file of it ever went live) and is left for
+        :meth:`vacuum`. Returns the staging paths completed."""
+        recovered: list[str] = []
+        if not self.fs.exists(self.path):
+            return recovered
+        for name in self.fs.listdir(self.path):
+            if not name.endswith("__staging"):
+                continue
+            staging = fsjoin(self.path, name)
+            if self.fs.exists(fsjoin(staging, "_SUCCESS")):
+                self._complete_staged_moves(staging)
+                recovered.append(staging)
+        if recovered:
+            listing = self._read_tag_sets()
+            if listing is not None:
+                self._reconcile_tag_sets(listing)
+        return recovered
 
     # -- tag-set metadata listing ------------------------------------------
     #
@@ -1272,10 +1340,13 @@ class VectorIndex:
         projected spaces would corrupt scoring). ANN serving artifacts
         are dropped here: membership changed (same contract as delete).
         """
-        if other.is_empty():
-            return 0
+        # identity first — pure path canonicalization, no FS access (some
+        # alias spellings, e.g. a file://localhost authority, are caught
+        # here but rejected outright by the Hadoop local FS)
         if _canon_path(self.path) == _canon_path(other.path):
             raise ValueError("cannot merge an index into itself")
+        if other.is_empty():
+            return 0
         if not self.is_empty():
             d_self, d_other = self.dimension(), other.dimension()
             if d_self != d_other:
@@ -1313,7 +1384,7 @@ class VectorIndex:
         self._drop_ann_artifacts()
         return n
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove maintenance debris a crash can leave behind: staging
         directories from interrupted ANN builds / compactions / row-level
         deletes / projections, retired ``__old`` backups, and orphaned
@@ -1323,20 +1394,31 @@ class VectorIndex:
         suffix OUTSIDE the live paths (``__building``, ``__compacting``,
         ``__del_tmp``/``__del_old``, ``__old``, ``.projected``, ``.tmp``)
         precisely so that no crash leaves half-written state inside a
-        directory readers scan — vacuum just reclaims the disk. Run it
-        only while NO writer of any kind is active (insert_df/merge_from
-        staging, compact, delete_ids, ANN builds, project): a live
-        writer owns its staging/backup directory and vacuum would
-        destroy the in-flight work."""
+        directory readers scan — vacuum just reclaims the disk.
+
+        AGE GATE: only debris whose modification time is older than
+        ``min_age_seconds`` (default 1 h) is reclaimed, so the documented
+        no-active-writer contract cannot be violated by accident — a
+        concurrent insert/compact/delete owns a staging or backup
+        directory that is by definition FRESH, and vacuum leaves it
+        alone. Pass ``min_age_seconds=0`` only when no writer of any
+        kind can be active. Interrupted-but-completable insert staging
+        (``__staging`` with a ``_SUCCESS`` marker) is better served by
+        :meth:`recover_staged` first — vacuum abandons the remainder."""
+        import time as _time
+
         debris_suffixes = ("__building", "__compacting", "__del_tmp",
                            "__del_old", "__old", ".projected", ".tmp",
                            "__staging")
         removed = []
         if not self.fs.exists(self.path):
             return removed
+        now = _time.time()
         for name in self.fs.listdir(self.path):
             if name.endswith(debris_suffixes):
                 p = fsjoin(self.path, name)
+                if now - self.fs.mtime(p) < min_age_seconds:
+                    continue  # fresh — likely a live writer's staging
                 self.fs.delete(p)
                 removed.append(p)
         return removed

@@ -3,10 +3,16 @@
 The Spark-side contract is real and tested: a `binary` payload column plus
 a typed metadata struct, processed in Arrow batches via mapInPandas so a
 1000-executor cluster streams media bytes through Python workers without
-ever materializing a partition in driver memory. The actual codecs
-(PIL/ffmpeg/torchaudio) are NOT in this container, so the decode kernels
-are deterministic fakes behind `_decode_*` seams — swap the function body,
-keep the schema/partitioning/batch shape.
+ever materializing a partition in driver memory.
+
+Decode is REAL for the dependency-free uncompressed formats — a
+pure-numpy binary-PPM (P6) image codec and a RIFF/WAVE PCM-16 audio
+codec, dispatched by magic bytes inside the same Arrow-batched seams
+(_parse_ppm/_encode_ppm, _parse_wav/_encode_wav). COMPRESSED formats
+(JPEG/PNG/MP3/H.264) remain deterministic-fake stubs behind the same
+`_decode_*` seams, because their codecs (PIL/ffmpeg/torchaudio) are not
+in this container — swap the stub body, keep the schema/partitioning/
+batch shape.
 
 Batch sizing note for 100 TB: media rows are large, so the knobs that
 matter are spark.sql.files.maxPartitionBytes (keep raw-scan partitions
@@ -24,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -67,9 +74,125 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str, kind: str = "ima
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL uncompressed-format codecs (pure python/numpy, zero dependencies)
+# ---------------------------------------------------------------------------
+
+
+def _parse_ppm(payload: bytes):
+    """Decode a binary PPM (P6) image: 'P6', then width/height/maxval as
+    whitespace-separated ASCII tokens with '#' comments allowed, one
+    whitespace byte, then width*height*3 raster bytes. Returns
+    (width, height, maxval, uint8 ndarray of shape (h, w, 3)).
+    Netpbm spec only; maxval must fit one byte."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    width, height, maxval = vals
+    if not 0 < maxval <= 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = width * height * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"PPM raster short: {len(raster)} != {need}")
+    return width, height, maxval, np.frombuffer(raster, dtype=np.uint8).reshape(
+        height, width, 3
+    )
+
+
+def _encode_ppm(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6, maxval 255)."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr, dtype=np.uint8
+    ).tobytes()
+
+
+def _parse_wav(payload: bytes):
+    """Decode a RIFF/WAVE container: walks the chunk list (so extra
+    chunks like LIST/fact are tolerated), requires a PCM ('fmt ' audio
+    format 1) mono 16-bit stream. Returns (sample_rate, int16 ndarray)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"only PCM16 mono supported, got fmt={audio_format} "
+            f"ch={channels} bits={bits}"
+        )
+    return rate, np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+
+
+def _encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode int16 mono samples as a canonical RIFF/WAVE (PCM16)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        struct.pack(
+            "<4sI4s4sIHHIIHH4sI",
+            b"RIFF", 36 + len(data), b"WAVE",
+            b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+            b"data", len(data),
+        )
+        + data
+    )
+
+
 def _decode_image(payload: bytes) -> list[float]:
-    """STUB — real impl: PIL.Image.open(io.BytesIO(payload)), resize,
-    normalize. Deterministic fake: 8 byte-histogram buckets of the payload."""
+    """Image features. REAL path: a P6 PPM payload is actually decoded
+    (pure-numpy parser) and the features are pixel statistics
+    [w, h, mean_r, mean_g, mean_b, min_px, max_px, std_gray].
+    STUB path for compressed formats (real impl: PIL.Image.open) —
+    deterministic fake: 8 byte-histogram buckets of the payload."""
+    if payload.startswith(b"P6"):
+        import numpy as np
+
+        w, h, _maxval, arr = _parse_ppm(payload)
+        a = arr.astype(np.float64)
+        return [
+            float(w), float(h),
+            float(a[..., 0].mean()), float(a[..., 1].mean()),
+            float(a[..., 2].mean()),
+            float(a.min()), float(a.max()),
+            float(a.mean(axis=2).std()),
+        ]
     hist = [0] * 8
     for b in payload:
         hist[b >> 5] += 1
@@ -78,8 +201,21 @@ def _decode_image(payload: bytes) -> list[float]:
 
 
 def _decode_audio(payload: bytes) -> list[float]:
-    """STUB — real impl: soundfile/torchaudio decode + frame features.
-    Deterministic fake: mean/max/min byte value + length."""
+    """Audio features. REAL path: a RIFF/WAVE payload is actually decoded
+    (chunk walker + int16 PCM) into [sample_rate, n_samples, mean_amp,
+    rms_amp]. STUB path for compressed formats (real impl: soundfile/
+    torchaudio) — deterministic fake: mean/max/min byte value + length."""
+    if payload.startswith(b"RIFF"):
+        import numpy as np
+
+        rate, samples = _parse_wav(payload)
+        a = samples.astype(np.float64)
+        n = max(len(a), 1)
+        return [
+            float(rate), float(len(a)),
+            float(a.sum() / n),
+            float(np.sqrt((a * a).sum() / n)),
+        ]
     if not payload:
         return [0.0, 0.0, 0.0, 0.0]
     return [
@@ -101,11 +237,21 @@ _DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _decode_vi
 
 
 def _resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB — real impl: PIL decode → resize((width, height)) → re-encode.
-    Deterministic fake: budget one byte per 8x8 pixel block and
+    """Image resize. REAL path: a P6 PPM payload is decoded, resized by
+    nearest-neighbor (pure numpy index selection — the same sampling
+    PIL's Image.NEAREST does), and re-encoded as P6. STUB path for
+    compressed formats (real impl: PIL decode → resize → re-encode) —
+    deterministic fake: budget one byte per 8x8 pixel block and
     truncate / zero-pad the encoded payload to that size, so the output
     length is a pure function of (width, height) and the head bytes are a
     stable prefix of the input (both properties the oracle checks)."""
+    if payload.startswith(b"P6"):
+        import numpy as np
+
+        w0, h0, _maxval, arr = _parse_ppm(payload)
+        ys = (np.arange(height) * h0) // height
+        xs = (np.arange(width) * w0) // width
+        return _encode_ppm(arr[ys][:, xs])
     target = max((width * height) // 64, 1)
     return payload[:target].ljust(target, b"\x00")
 
@@ -244,3 +390,163 @@ def sample_frames(media: DataFrame, frame_bytes: int = 16,
             )
 
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL-format synthesis + decode operators. synthesize_ppm builds genuine
+# P6 images with pure SQL expressions (all-ASCII source text → the raster
+# bytes ARE the cycled text bytes, which is what makes the decode
+# DuckDB-oracle-replayable end-to-end); synthesize_wav builds genuine
+# RIFF/WAVE PCM16 files (binary header → Arrow-batched Python, but the
+# sample values are a pure function of the text so the decode oracle
+# replays them too).
+# ---------------------------------------------------------------------------
+
+
+def synthesize_ppm(
+    df: DataFrame, id_col: str, text_col: str, width: int = 8, height: int = 8
+) -> DataFrame:
+    """A real binary-PPM media table from a text table: payload =
+    'P6\\n{w} {h}\\n255\\n' + the first w*h*3 bytes of the text cycled —
+    a VALID image any Netpbm reader decodes. Pure SQL (the text is
+    ASCII, so chars == bytes); no Python in the synthesis path."""
+    n = width * height * 3
+    raster = F.expr(
+        f"substring(repeat({text_col}, CAST(ceil({n}.0 / length({text_col})) "
+        f"AS INT)), 1, {n})"
+    )
+    header = f"P6\n{width} {height}\n255\n"
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.concat(F.lit(header), raster), "utf-8").alias("payload"),
+        F.lit(width).cast("int").alias("meta_width"),
+        F.lit(height).cast("int").alias("meta_height"),
+        F.lit(None).cast("int").alias("meta_sample_rate"),
+    )
+
+
+def synthesize_wav(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_samples: int = 64,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """A real RIFF/WAVE media table from a text table: sample j =
+    (ord(text[j mod len]) - 80) * 128 (int16, covers negative and
+    positive amplitudes), packed into a canonical PCM16 mono container
+    via _encode_wav. Arrow-batched (the binary header needs struct
+    packing), deterministic, and decode-oracle-replayable because the
+    samples are a pure function of the text."""
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                t = text or " "
+                samples = [
+                    (ord(t[j % len(t)]) - 80) * 128 for j in range(n_samples)
+                ]
+                payloads.append(_encode_wav(samples, sample_rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta_width": None,
+                    "meta_height": None,
+                    "meta_sample_rate": sample_rate,
+                }
+            )
+
+    return src.mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("min_px", LongType()),
+        StructField("max_px", LongType()),
+    ]
+)
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("mean_amp", DoubleType()),
+        StructField("rms_amp", DoubleType()),
+        StructField("min_amp", LongType()),
+        StructField("max_amp", LongType()),
+    ]
+)
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode → per-image pixel statistics: every payload is
+    parsed as binary PPM (P6) and the statistics are computed from the
+    decoded pixel array, not the container bytes. Arrow-batched
+    mapInPandas, partition-local (no shuffle) — the per-image decode
+    farm shape for a 100 TB media column."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                "min_px", "max_px",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _maxval, arr = _parse_ppm(bytes(payload))
+                a = arr.astype(np.float64)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(float(a[..., 0].mean()))
+                rows["mean_g"].append(float(a[..., 1].mean()))
+                rows["mean_b"].append(float(a[..., 2].mean()))
+                rows["min_px"].append(int(arr.min()))
+                rows["max_px"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode → per-clip sample statistics: every payload is
+    parsed as RIFF/WAVE PCM16 (chunk walker) and the statistics are
+    computed from the decoded int16 samples. Same Arrow-batched,
+    shuffle-free shape as decode_image_stats."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "n_samples", "mean_amp",
+                "rms_amp", "min_amp", "max_amp",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = _parse_wav(bytes(payload))
+                a = samples.astype(np.float64)
+                n = max(len(a), 1)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+                rows["mean_amp"].append(float(a.sum() / n))
+                rows["rms_amp"].append(float(np.sqrt((a * a).sum() / n)))
+                rows["min_amp"].append(int(samples.min()) if len(samples) else 0)
+                rows["max_amp"].append(int(samples.max()) if len(samples) else 0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)

@@ -4785,6 +4785,132 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(media).select("media_id", "kind", "n_bytes", "checksum")
 
 
+# -- REAL uncompressed-format decode (round-4 verdict task 2): the media
+# payloads below are genuine binary-PPM images / RIFF-WAVE PCM16 files,
+# and the queries' outputs are statistics of the DECODED pixels/samples.
+# The oracle can replay them because the synthesized raster bytes are the
+# document's ASCII text cycled — so DuckDB recomputes pixel/sample values
+# from the text with ord()/substr() while Spark actually parses the
+# containers with the pure-numpy codecs (multimodal.py _parse_ppm /
+# _parse_wav). Compressed formats remain stubs behind the same seams.
+
+
+@_q(
+    "multimodal_ppm_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         substr(repeat(text, CAST(ceil(192.0 / length(text)) AS INT)), 1, 192) AS s
+  FROM documents
+),
+px AS (
+  SELECT media_id,
+         list_transform(range(0, 192), i -> ord(substr(s, CAST(i AS INT) + 1, 1))) AS b
+  FROM m
+)
+SELECT media_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 1])) / 64.0, 6) AS mean_r,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 2])) / 64.0, 6) AS mean_g,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 3])) / 64.0, 6) AS mean_b,
+       CAST(list_min(b) AS BIGINT) AS min_px, CAST(list_max(b) AS BIGINT) AS max_px
+FROM px
+""",
+    "REAL image decode: genuine binary-PPM (P6) payloads synthesized in "
+    "pure SQL, parsed by the pure-numpy PPM codec in an Arrow-batched "
+    "mapInPandas stage, per-channel pixel statistics out; the oracle "
+    "replays the decoded pixel values from the source text bytes",
+)
+def q_multimodal_ppm_decode(spark, sf_dir):
+    from victor_spark.operators.multimodal import decode_image_stats, synthesize_ppm
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synthesize_ppm(d, "doc_id", "text", width=8, height=8)
+    s = decode_image_stats(media)
+    return s.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "min_px", "max_px",
+    )
+
+
+@_q(
+    "multimodal_wav_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(0, 64),
+           j -> (ord(substr(text, CAST(j % length(text) AS INT) + 1, 1)) - 80) * 128) AS smp
+  FROM documents
+)
+SELECT media_id, CAST(16000 AS BIGINT) AS sample_rate, CAST(64 AS BIGINT) AS n_samples,
+       round(list_sum(smp) / 64.0, 6) AS mean_amp,
+       round(sqrt(list_sum(list_transform(smp, x -> CAST(x AS DOUBLE) * x)) / 64.0), 6) AS rms_amp,
+       CAST(list_min(smp) AS BIGINT) AS min_amp, CAST(list_max(smp) AS BIGINT) AS max_amp
+FROM m
+""",
+    "REAL audio decode: genuine RIFF/WAVE PCM16 payloads (canonical "
+    "fmt+data container built with struct packing), parsed by the "
+    "chunk-walking WAV codec, int16 sample statistics out; the oracle "
+    "replays the sample values from the source text bytes",
+)
+def q_multimodal_wav_decode(spark, sf_dir):
+    from victor_spark.operators.multimodal import decode_audio_stats, synthesize_wav
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synthesize_wav(d, "doc_id", "text", n_samples=64, sample_rate=16000)
+    s = decode_audio_stats(media)
+    return s.select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms_amp", 6).alias("rms_amp"),
+        "min_amp", "max_amp",
+    )
+
+
+@_q(
+    "multimodal_ppm_resize",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         substr(repeat(text, CAST(ceil(192.0 / length(text)) AS INT)), 1, 192) AS s
+  FROM documents
+),
+r AS (
+  SELECT media_id,
+         'P6' || chr(10) || '4 4' || chr(10) || '255' || chr(10) ||
+         list_aggregate(list_transform(range(0, 48), i ->
+           substr(s, CAST((i // 3) // 4 * 48 + (i // 3) % 4 * 6 + i % 3 AS INT) + 1, 1)),
+           'string_agg', '') AS p
+  FROM m
+)
+SELECT media_id, CAST(4 AS BIGINT) AS meta_width, CAST(4 AS BIGINT) AS meta_height,
+       CAST(octet_length(encode(p)) AS BIGINT) AS n_bytes,
+       md5(hex(encode(p))) AS payload_md5
+FROM r
+""",
+    "REAL image resize: P6 payloads decoded, nearest-neighbor resampled "
+    "8x8 -> 4x4 with numpy index selection, re-encoded as P6; the oracle "
+    "reconstructs the exact resized container bytes (output pixel (x,y) "
+    "= input (2x,2y)) and compares payload md5",
+)
+def q_multimodal_ppm_resize(spark, sf_dir):
+    from victor_spark.operators.multimodal import resize_images, synthesize_ppm
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    media = synthesize_ppm(d, "doc_id", "text", width=8, height=8)
+    resized = resize_images(media, 4, 4)
+    return resized.select(
+        "media_id",
+        F.col("meta_width").cast("long").alias("meta_width"),
+        F.col("meta_height").cast("long").alias("meta_height"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("payload_md5"),
+    )
+
+
 def _pca_project_oracle(sf_dir: str) -> str:
     """Dynamic oracle: fit the same population-covariance PCA with plain
     numpy over the raw parquet (independent of the Spark distributed-Gram
@@ -6950,11 +7076,12 @@ def q_embedding_outliers(spark, sf_dir):
 # Builders/oracles touched in the CURRENT round — the only hand input.
 # Reset when a new round starts; the artifact-derived tiers handle the rest.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round 5: extract_features grew real PPM/WAV decode dispatch (the
-    # synthesized-text payloads still take the stub path, but the builder
-    # code changed, so the gate re-checks it — it is also never-green, so
-    # this is belt-and-braces)
+    # round 5: extract_features/_resize_image grew real PPM/WAV decode
+    # dispatch (these queries' synthesized-text payloads still take the
+    # stub path, but the builder code changed, so the gate re-checks
+    # them; multimodal_features is also never-green — belt-and-braces)
     "multimodal_features",
+    "multimodal_resize",
 ]
 
 

@@ -17,13 +17,17 @@ write:  state__tmp ← new data (complete before anything is touched)
         state__tmp → state   (promote)
         delete state__old
 
-read:   if state is missing, read whichever complete copy exists
-        (old — the pre-batch state — else tmp) IN PLACE. The read never
-        renames: a destructive "heal" could race an in-flight writer
-        between its retire and promote renames and crash either side,
-        and the next write_state clears the leftover copies anyway. A
-        zero-row read (legacy partial write) is treated as no-state
-        rather than wedging.
+read:   if state is missing, read whichever surviving copy exists IN
+        PLACE, preferring tmp over old: when BOTH exist the crash fell
+        between retire and promote, and tmp is the NEWER copy that is
+        guaranteed complete (it is fully written before any rename
+        starts), so out-of-band readers see the post-batch state the
+        stream will converge to on replay. The read never renames: a
+        destructive "heal" could race an in-flight writer between its
+        retire and promote renames and crash either side, and the next
+        write_state clears the leftover copies anyway. A zero-row read
+        (legacy partial write) is treated as no-state rather than
+        wedging.
 """
 
 from __future__ import annotations
@@ -38,12 +42,13 @@ def read_state(
 ) -> DataFrame | None:
     """The persisted state frame, or None if no (usable) state exists.
     Reads a surviving copy of an interrupted swap IN PLACE (no renames —
-    see module docstring); guards the empty-dir case so callers can
-    index collect() results safely."""
+    see module docstring; tmp wins over old because when both exist tmp
+    is the newer, guaranteed-complete copy); guards the empty-dir case
+    so callers can index collect() results safely."""
     fs = fs_for(spark, state_dir)
     old, tmp = state_dir + "__old", state_dir + "__tmp"
     path = next(
-        (p for p in (state_dir, old, tmp) if fs.exists(p)), None
+        (p for p in (state_dir, tmp, old) if fs.exists(p)), None
     )
     if path is None:
         return None
