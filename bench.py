@@ -57,6 +57,7 @@ def main() -> None:
     import subprocess
 
     best = None
+    per_query_min: dict[str, float] = {}
     for attempt in range(2):
         env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
         proc = subprocess.run(
@@ -72,6 +73,8 @@ def main() -> None:
                   f"(rc={proc.returncode})", file=sys.stderr)
             continue
         parsed = json.loads(line)
+        for q, t in parsed.get("queries", {}).items():
+            per_query_min[q] = min(per_query_min.get(q, t), t)
         if best is None or parsed["value"] < best[1]["value"]:
             best = (line, parsed)
         if parsed["value"] <= SANE_TOTAL_SEC:
@@ -81,7 +84,14 @@ def main() -> None:
               file=sys.stderr)
     if best is None:
         sys.exit(1)
-    print(best[0])
+    # noise-robust per-query evidence: each child already reports
+    # best-of-N passes; ALSO keep the min across all children, so a
+    # cross-round per-query diff compares steady-state cost even when
+    # one child process was hit by the sandbox's scheduling degradation
+    out = dict(best[1])
+    out["per_query_min"] = per_query_min
+    out["per_query_min_total"] = round(sum(per_query_min.values()), 3)
+    print(json.dumps(out))
 
 
 def run_suite() -> None:

@@ -930,3 +930,64 @@ def test_concurrent_inserts_both_tag_sets_survive(spark, tmp_path):
     listing = dict(idx._read_tag_sets())
     for tag in ("alpha", "beta", "gamma", "delta"):
         assert tag_set_id([tag]) in listing
+
+
+def test_listing_lock_serializes_concurrent_inserts(spark, tmp_path):
+    """listing_lock=True (the opt-in for callers who can't serialize):
+    every listing read-modify-write runs under a create-exclusive lock
+    file, so concurrent inserts land both entries in the listing FILE
+    directly — no reconciler heal needed — and the lock file is gone
+    when the writers finish."""
+    import os
+    import threading
+
+    from victor_spark.index import VectorIndex, tag_set_id
+
+    p = str(tmp_path / "locked")
+    errs = []
+
+    def ins(tag):
+        try:
+            # separate handles, like separate processes would hold
+            VectorIndex(spark, p, listing_lock=True).insert(
+                [(f"doc-{tag}-{i}", [float(i), 1.0], [tag]) for i in range(5)]
+            )
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=ins, args=(t,)) for t in
+               ("alpha", "beta", "gamma", "delta")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    idx = VectorIndex(spark, p)
+    listing = dict(idx._read_tag_sets())  # raw file read, no reconcile
+    for tag in ("alpha", "beta", "gamma", "delta"):
+        assert tag_set_id([tag]) in listing
+    assert not os.path.exists(idx.lock_path)
+
+
+def test_listing_lock_timeout_and_stale_expiry(spark, tmp_path):
+    """A held (fresh) lock makes acquisition time out; a stale lock file
+    (crashed holder) is broken and acquisition proceeds."""
+    import os
+
+    import pytest as _pytest
+
+    from victor_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "lk"), listing_lock=True)
+    os.makedirs(idx.path, exist_ok=True)
+    # a live holder: fresh lock file -> timeout
+    assert idx.fs.create_exclusive(idx.lock_path, b"pid=other")
+    with _pytest.raises(TimeoutError, match="listing lock"):
+        idx._acquire_listing_lock(timeout_s=0.3, stale_s=600.0)
+    # a crashed holder: stale lock file -> broken, acquisition succeeds
+    old = os.path.getmtime(idx.lock_path) - 10_000
+    os.utime(idx.lock_path, (old, old))
+    idx._acquire_listing_lock(timeout_s=1.0, stale_s=600.0)
+    assert os.path.exists(idx.lock_path)  # we hold it now
+    idx._release_listing_lock()
+    assert not os.path.exists(idx.lock_path)

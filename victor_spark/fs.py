@@ -121,6 +121,18 @@ class LocalFS:
         the epoch (vacuum's age gate)."""
         return os.path.getmtime(p)
 
+    def create_exclusive(self, p: str, data: bytes = b"") -> bool:
+        """Create ``p`` only if it does not exist (O_EXCL — POSIX-atomic).
+        Returns False when it already exists. The advisory-lock primitive."""
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        return True
+
     def file_sizes(self, p: str) -> list[tuple[str, int]]:
         """Recursive (path, size) of every regular file under ``p``."""
         out = []
@@ -221,6 +233,21 @@ class HadoopFS:
     def mtime(self, p: str) -> float:
         """Last-modification time in seconds (Hadoop reports millis)."""
         return self._fs.getFileStatus(self._p(p)).getModificationTime() / 1000.0
+
+    def create_exclusive(self, p: str, data: bytes = b"") -> bool:
+        """Create ``p`` only if it does not exist (``create(overwrite=
+        False)``). Atomic on HDFS; on S3-like object stores the
+        exists+create pair is only best-effort — the advisory lock is
+        accordingly advisory, not a mutex (docstring at the call site)."""
+        try:
+            out = self._fs.create(self._p(p), False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        return True
 
     def file_sizes(self, p: str) -> list[tuple[str, int]]:
         if not self.exists(p):  # parity with LocalFS's empty walk

@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import io
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -116,9 +117,21 @@ class DimensionMismatchError(ValueError):
 
 
 class VectorIndex:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, listing_lock: bool = False
+    ):
         self.spark = spark
         self.path = path
+        # Optional ADVISORY write lock for the tag-set listing: when True,
+        # every listing read-modify-write (_register_tag_sets) runs under
+        # a create-exclusive lock file with stale expiry, closing the
+        # lost-update window for callers who cannot serialize their
+        # insert_df calls. Off by default — the documented single-writer
+        # contract plus reconciler heal is the blessed mode, and
+        # merge_from is the blessed multi-writer ingest pattern. The lock
+        # is ADVISORY: all writers must opt in, and on S3-like object
+        # stores create-exclusive is best-effort rather than atomic.
+        self.listing_lock = listing_lock
         # maintenance backend (victor_spark/fs.py — the reference's
         # filesystem trait, src/filesystem/mod.rs:22-59): a plain path
         # gets the os/shutil fast path; any URI scheme (hdfs://, s3a://,
@@ -128,6 +141,7 @@ class VectorIndex:
         self.fs = fs_for(spark, path)
         self.data_path = fsjoin(path, "data")
         self.tagsets_path = fsjoin(path, "tag_sets.parquet")
+        self.lock_path = fsjoin(path, "tag_sets.lock")
         self.model_path = fsjoin(path, "pca_model.npz")
         self.pq_path = fsjoin(path, "pq_codes")
         self.pq_meta_path = fsjoin(path, "pq_meta.json")
@@ -503,7 +517,49 @@ class VectorIndex:
         papq.write_table(t, sink)
         self.fs.write_bytes_atomic(self.tagsets_path, sink.getvalue().to_pybytes())
 
+    def _acquire_listing_lock(
+        self, timeout_s: float = 60.0, stale_s: float = 600.0
+    ) -> None:
+        """Take the advisory listing lock: create-exclusive a lock file,
+        spinning (with backoff) until it succeeds or ``timeout_s``
+        elapses. A lock file older than ``stale_s`` is presumed to be a
+        crashed holder's debris and is broken. Raises TimeoutError when
+        a live holder outlasts the wait."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        payload = f"pid={os.getpid()}".encode()
+        while True:
+            if self.fs.create_exclusive(self.lock_path, payload):
+                return
+            try:
+                if _time.time() - self.fs.mtime(self.lock_path) > stale_s:
+                    self.fs.delete(self.lock_path)  # crashed holder
+                    continue
+            except OSError:
+                continue  # holder released between exists and mtime
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"listing lock held past {timeout_s}s: {self.lock_path}"
+                )
+            _time.sleep(0.05)
+
+    def _release_listing_lock(self) -> None:
+        self.fs.delete(self.lock_path)
+
     def _register_tag_sets(self, batch_sets: set[tuple[str, ...]]) -> None:
+        if self.listing_lock:
+            self._acquire_listing_lock()
+            try:
+                self._register_tag_sets_unlocked(batch_sets)
+            finally:
+                self._release_listing_lock()
+            return
+        self._register_tag_sets_unlocked(batch_sets)
+
+    def _register_tag_sets_unlocked(
+        self, batch_sets: set[tuple[str, ...]]
+    ) -> None:
         existing = self._read_tag_sets() or self._derive_tag_sets()
         known = {tsid for tsid, _ in existing}
         new = [

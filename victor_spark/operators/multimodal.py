@@ -522,6 +522,51 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
 
 
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", StringType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over DECODED image pixels — the
+    image-dedup primitive (near-duplicate images hash equal; in
+    particular the hash is invariant under resize, which is the point
+    of perceptual hashing vs byte hashing).
+
+    Per image: decode (PPM codec), grayscale as the INTEGER channel sum
+    (r+g+b — no division, so every comparison is exact and the hash is
+    bit-replayable by an integer-only oracle), nearest-neighbor resample
+    to a 9-wide × 8-tall grid, then one bit per horizontal neighbor
+    pair: bit = gray[i, j] < gray[i, j+1]. Returns (media_id, dhash) with
+    the hash as a 64-char '0'/'1' string (no 64-bit sign pitfalls, and
+    Hamming distance is a cheap zip-compare downstream).
+
+    Arrow-batched mapInPandas, partition-local; dedup is then an exact
+    groupBy on the hash — banding/bucketing semantics identical to the
+    text-dedup family, so the 100 TB story is the same hash-shuffle."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _maxval, arr = _parse_ppm(bytes(payload))
+                gray = arr.astype(np.int64).sum(axis=2)
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g = gray[ys][:, xs]
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.uint8).ravel()
+                ids.append(mid)
+                hashes.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
 def decode_audio_stats(media: DataFrame) -> DataFrame:
     """REAL audio decode → per-clip sample statistics: every payload is
     parsed as RIFF/WAVE PCM16 (chunk walker) and the statistics are
