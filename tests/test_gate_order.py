@@ -70,6 +70,7 @@ def test_round4_misplaced_queries_are_front():
     must lead the round-5 gate window."""
     names = list(QUERIES)
     last_green = _last_green_rounds()
+    n_never = sum(1 for n in names if n not in last_green)
     for q in ("pca_project", "multimodal_features"):
         if q not in last_green:  # still pending a green row
-            assert names.index(q) < 5
+            assert names.index(q) < n_never  # inside the never-green tier

@@ -205,3 +205,24 @@ def test_synthesize_wav_is_valid_and_decodes(spark):
     assert stats["sample_rate"] == 8000 and stats["n_samples"] == 4
     assert stats["mean_amp"] == sum(exp) / 4
     assert stats["min_amp"] == min(exp) and stats["max_amp"] == max(exp)
+
+
+def test_image_dhash_resize_invariant(spark):
+    """The perceptual property the operator exists for: a nearest-neighbor
+    upscale hashes identically to its source image, while a genuinely
+    different image hashes differently."""
+    df = spark.createDataFrame(
+        [(1, "0123456789abcdef0123456789abcdef"),
+         (2, "fedcba9876543210fedcba9876543210")],
+        "id long, text string",
+    )
+    base = M.synthesize_ppm(df, "id", "text", width=8, height=8)
+    up = M.resize_images(
+        base.withColumn("media_id", base["media_id"] + 100), 16, 16
+    )
+    hashes = {r["media_id"]: r["dhash"]
+              for r in M.image_dhash(base.unionByName(up)).collect()}
+    assert len(hashes[1]) == 64 and set(hashes[1]) <= {"0", "1"}
+    assert hashes[1] == hashes[101]   # resize-invariant
+    assert hashes[2] == hashes[102]
+    assert hashes[1] != hashes[2]     # different images differ

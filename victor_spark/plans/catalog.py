@@ -4920,6 +4920,73 @@ def q_multimodal_ppm_resize(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_image_phash",
+    """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents),
+allm AS (
+  SELECT media_id, s FROM m
+  UNION ALL
+  SELECT media_id + 1000000, s FROM m WHERE media_id % 10 = 0
+),
+g AS (
+  SELECT media_id,
+    list_transform(range(0, 72), t ->
+      ord(substr(s, CAST(((t // 9) * 8 + (t % 9) * 8 // 9) * 3 % 32 AS INT) + 1, 1)) +
+      ord(substr(s, CAST((((t // 9) * 8 + (t % 9) * 8 // 9) * 3 + 1) % 32 AS INT) + 1, 1)) +
+      ord(substr(s, CAST((((t // 9) * 8 + (t % 9) * 8 // 9) * 3 + 2) % 32 AS INT) + 1, 1))
+    ) AS gv
+  FROM allm
+),
+hh AS (
+  SELECT media_id,
+    list_aggregate(list_transform(range(0, 64), k ->
+      CASE WHEN gv[CAST((k // 8) * 9 + (k % 8) AS INT) + 1]
+                < gv[CAST((k // 8) * 9 + (k % 8) AS INT) + 2]
+           THEN '1' ELSE '0' END), 'string_agg', '') AS dhash
+  FROM g
+)
+SELECT dhash, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(min(media_id) AS BIGINT) AS min_media_id
+FROM hh GROUP BY dhash HAVING count(*) >= 2
+""",
+    "image dedup via perceptual difference-hash over DECODED pixels: "
+    "every 10th image also appears as a REAL nearest-neighbor 16x16 "
+    "upscale under a different id, and the dHash (integer-gray 9x8 "
+    "grid, horizontal-neighbor bits) groups each upscale with its "
+    "original — resize-invariance is the property byte-hashing lacks. "
+    "Exact groupBy on the 64-bit hash = same shuffle shape as the text "
+    "dedup family; the oracle replays every hash bit integer-exactly "
+    "from the md5-hex raster derivation",
+)
+def q_dedup_image_phash(spark, sf_dir):
+    from victor_spark.operators.multimodal import (
+        image_dhash,
+        resize_images,
+        synthesize_ppm,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    base = synthesize_ppm(d, "doc_id", "text", width=8, height=8)
+    clones = resize_images(
+        base.filter(F.col("media_id") % 10 == 0).withColumn(
+            "media_id", F.col("media_id") + 1_000_000
+        ),
+        16, 16,
+    )
+    hashes = image_dhash(base.unionByName(clones))
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.min("media_id").alias("min_media_id"),
+        )
+        .filter(F.col("n_media") >= 2)
+    )
+
+
 def _pca_project_oracle(sf_dir: str) -> str:
     """Dynamic oracle: fit the same population-covariance PCA with plain
     numpy over the raw parquet (independent of the Spark distributed-Gram
