@@ -757,3 +757,48 @@ def test_stream_state_works_over_file_uri(spark, tmp_path):
     fs = fs_for(spark, sdir)
     fs.rename(sdir, sdir + "__old")
     assert read_state(spark, sdir, schema).collect()[0]["words"] == [9]
+
+
+def test_stream_media_decode_matches_batch(spark, tmp_path):
+    """Topology 15 — streaming media decode: readStream over a media
+    table (two micro-batches), the SAME real-codec decode operators as
+    the batch side, append sink. Stateless map => stream == batch
+    exactly, for both the image-stats and perceptual-hash transforms."""
+    from victor_spark.operators import multimodal as M
+    from victor_spark.streaming.media_stream import stream_decode_media
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i} with some extra words") for i in range(20)],
+        "id long, text string",
+    )
+    media = M.synthesize_ppm(
+        docs.selectExpr("id", "md5(text) AS text"), "id", "text", 8, 8
+    )
+    src = str(tmp_path / "media_src")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    media.filter("media_id < 10").coalesce(1).write.parquet(src)
+    media.filter("media_id >= 10").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    for transform, batch_fn in (
+        ("image_stats", M.decode_image_stats),
+        ("image_dhash", M.image_dhash),
+    ):
+        sink = str(tmp_path / f"sink_{transform}")
+        ckpt = str(tmp_path / f"ckpt_{transform}")
+        stream_decode_media(stream, sink, ckpt, transform=transform
+                            ).awaitTermination()
+        got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+        want = {tuple(r) for r in batch_fn(media).collect()}
+        assert got == want and len(got) == 20
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown transform"):
+        stream_decode_media(stream, str(tmp_path / "x"), str(tmp_path / "y"),
+                            transform="nope")

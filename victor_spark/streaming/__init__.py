@@ -16,6 +16,7 @@ from victor_spark.streaming.search import (
     stream_search,
 )
 from victor_spark.streaming.bloom_stream import stream_seen_filter
+from victor_spark.streaming.media_stream import stream_decode_media
 from victor_spark.streaming.sketch_stream import (
     distinct_estimate,
     stream_distinct_rollup,
@@ -42,4 +43,5 @@ __all__ = [
     "distinct_estimate",
     "stream_seen_filter",
     "stream_chunked_ingest",
+    "stream_decode_media",
 ]
