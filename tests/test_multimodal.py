@@ -226,3 +226,39 @@ def test_image_dhash_resize_invariant(spark):
     assert hashes[1] == hashes[101]   # resize-invariant
     assert hashes[2] == hashes[102]
     assert hashes[1] != hashes[2]     # different images differ
+
+
+def test_resample_audio_zero_order_hold(spark):
+    import numpy as np
+
+    df = spark.createDataFrame([(1, "AbCd")], "id long, text string")
+    base = M.synthesize_wav(df, "id", "text", n_samples=8, sample_rate=1000)
+    out = M.resample_audio(base, factor=3).first()
+    rate, samples = M._parse_wav(bytes(out["payload"]))
+    _, orig = M._parse_wav(bytes(base.first()["payload"]))
+    assert rate == 3000 and out["meta_sample_rate"] == 3000
+    assert (samples == np.repeat(orig, 3)).all()
+    # non-RIFF rows pass through untouched
+    img = M.synthesize_ppm(df, "id", "text", 4, 4)
+    passthrough = M.resample_audio(img, factor=2).first()
+    assert bytes(passthrough["payload"]) == bytes(img.first()["payload"])
+
+
+def test_audio_fingerprint_resample_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "0123456789abcdef0123456789abcdef"),
+         (2, "fedcba9876543210fedcba9876543210")],
+        "id long, text string",
+    )
+    base = M.synthesize_wav(df, "id", "text", n_samples=64, sample_rate=16000)
+    for factor in (2, 3, 5):
+        clones = M.resample_audio(
+            base.withColumn("media_id", base["media_id"] + 100 * factor),
+            factor=factor,
+        )
+        fps = {r["media_id"]: r["dhash"]
+               for r in M.audio_fingerprint(base.unionByName(clones)).collect()}
+        assert len(fps[1]) == 64 and set(fps[1]) <= {"0", "1"}
+        assert fps[1] == fps[1 + 100 * factor]    # invariant at this factor
+        assert fps[2] == fps[2 + 100 * factor]
+        assert fps[1] != fps[2]                   # different clips differ

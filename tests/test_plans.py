@@ -471,3 +471,39 @@ def test_ann_recall_is_two_actions(spark):
     # 2 actions; AQE stage-jobs + broadcast builds ride along. The old
     # structure produced 19 — anything near that is a regression.
     assert len(jobs) <= 12, f"{len(jobs)} scheduler jobs (old serial chain: 19)"
+
+
+def test_image_phash_dedup_single_shuffle_mapside_partial(spark):
+    """The image-dedup plan must be a pure decode farm + one hash shuffle:
+    both union branches decode partition-local (MapInPandas directly over
+    the synthesized payloads), the clone branch's doc_id % 10 filter is
+    pushed into its scan, the dhash groupBy partial-aggregates map-side,
+    and there is exactly ONE hash-partitioning exchange (the groupBy) —
+    no join of any kind, so nothing can degenerate at 100 TB of media."""
+    import re
+
+    p = plan("dedup_image_phash", spark)
+    # node-detail headers count each node exactly once in formatted mode
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2  # hash + clone resize
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    assert "BroadcastHashJoin" not in p  # no join at all — exact groupBy
+    hash_exchanges = re.findall(r"hashpartitioning\(([a-z_]+)", p)
+    assert set(hash_exchanges) == {"dhash"}, hash_exchanges
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2  # partial + final
+    # the planted-clone branch prunes 90% of the corpus AT THE SCAN
+    assert "PushedFilters: [IsNotNull(doc_id)" in p
+
+
+def test_media_decode_queries_are_shuffle_free(spark):
+    """The decode-stats queries are per-row maps: after the (deliberate,
+    small-scan-only) fan_out round-robin, no exchange of any kind may
+    appear — the 100 TB contract is that decode cost parallelizes with
+    the scan and nothing ever re-shuffles the media bytes."""
+    import re
+
+    for name in ("multimodal_ppm_decode", "multimodal_wav_decode",
+                 "multimodal_ppm_resize"):
+        p = plan(name, spark)
+        exchanges = re.findall(r"Exchange (\w+)", p)
+        assert all(e == "RoundRobinPartitioning" for e in exchanges), (name, exchanges)
+        assert "Join" not in p and "Cartesian" not in p, name

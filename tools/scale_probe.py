@@ -73,6 +73,11 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # the centroid count scales with the corpus, which IS the SemDeDup
     # contract (k grows so clusters stay small).
     "semdedup": {"embeddings": ["vec_id"]},
+    # round-5 real-decode family: per-row codec work (decode + hash) over
+    # the synthesized media column plus one hash shuffle; the probe's
+    # per-replica doc_id offsets keep planted-clone ids (doc_id + 1e6)
+    # collision-free because the replica stride is 1e8
+    "dedup_image_phash": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -567,6 +567,76 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hash, schema=DHASH_SCHEMA)
 
 
+def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL audio resample (zero-order hold): every RIFF/WAVE payload is
+    decoded, each sample repeated ``factor`` times, the sample rate
+    scaled by ``factor``, and the clip re-encoded — the same duration at
+    a higher rate (the crude analog of nearest-neighbor image upscale,
+    and exactly what audio_fingerprint must be invariant to). Non-RIFF
+    rows pass through untouched, so a mixed table resamples in one
+    shuffle-free mapInPandas pass."""
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads, rates = [], []
+            for payload, rate in zip(pdf["payload"], pdf["meta_sample_rate"]):
+                b = bytes(payload) if payload is not None else b""
+                if b.startswith(b"RIFF"):
+                    r, samples = _parse_wav(b)
+                    payloads.append(
+                        _encode_wav(np.repeat(samples, factor), r * factor)
+                    )
+                    rates.append(r * factor)
+                else:
+                    payloads.append(payload)
+                    rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta_width": pdf["meta_width"],
+                    "meta_height": pdf["meta_height"],
+                    "meta_sample_rate": rates,
+                }
+            )
+
+    return media.mapInPandas(_resample, schema=MEDIA_SCHEMA)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint over DECODED samples — the audio-dedup
+    primitive. Per clip: decode (WAV codec), nearest-neighbor resample
+    the int16 samples to a 65-point grid, one bit per consecutive grid
+    pair (bit = s[j] < s[j+1]) → a 64-char '0'/'1' string.
+
+    Invariant under zero-order-hold resampling by ANY integer factor:
+    grid index (j*f*n)//65 // f == (j*n)//65 exactly (floor(floor(f*x)/f)
+    = floor(x)), so a clip and its resample fingerprint identically while
+    different clips differ — dedup is then the same exact hash groupBy as
+    image dHash / the text dedup family. Integer comparisons only, so an
+    integer-only SQL oracle replays every bit."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, samples = _parse_wav(bytes(payload))
+                n = len(samples)
+                idx = (np.arange(65) * n) // 65
+                g = samples[idx].astype(np.int64)
+                bits = (g[:-1] < g[1:]).astype(np.uint8)
+                ids.append(mid)
+                fps.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"media_id": ids, "dhash": fps})
+
+    return media.mapInPandas(_fp, schema=DHASH_SCHEMA)
+
+
 def decode_audio_stats(media: DataFrame) -> DataFrame:
     """REAL audio decode → per-clip sample statistics: every payload is
     parsed as RIFF/WAVE PCM16 (chunk walker) and the statistics are

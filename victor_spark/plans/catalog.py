@@ -4987,6 +4987,70 @@ def q_dedup_image_phash(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_audio_fingerprint",
+    """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents),
+allm AS (
+  SELECT media_id, s FROM m
+  UNION ALL
+  SELECT media_id + 1000000, s FROM m WHERE media_id % 10 = 0
+),
+g AS (
+  SELECT media_id,
+    list_transform(range(0, 65),
+      j -> (ord(substr(s, CAST(j * 64 // 65 % 32 AS INT) + 1, 1)) - 80) * 128) AS sv
+  FROM allm
+),
+fp AS (
+  SELECT media_id,
+    list_aggregate(list_transform(range(0, 64), k ->
+      CASE WHEN sv[CAST(k AS INT) + 1] < sv[CAST(k AS INT) + 2]
+           THEN '1' ELSE '0' END), 'string_agg', '') AS fingerprint
+  FROM g
+)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(min(media_id) AS BIGINT) AS min_media_id
+FROM fp GROUP BY fingerprint HAVING count(*) >= 2
+""",
+    "audio dedup via perceptual fingerprint over DECODED samples: every "
+    "10th clip also appears as a REAL zero-order-hold 2x resample under "
+    "a different id, and the sign-of-delta fingerprint (65-point "
+    "nearest-neighbor grid over the int16 samples, 64 bits) groups each "
+    "resample with its original — floor((floor(f*x))/f) = floor(x) makes "
+    "the grid resample-invariant exactly. Same exact-groupBy shuffle "
+    "shape as image dHash; the oracle replays every bit integer-exactly",
+)
+def q_dedup_audio_fingerprint(spark, sf_dir):
+    from victor_spark.operators.multimodal import (
+        audio_fingerprint,
+        resample_audio,
+        synthesize_wav,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    base = synthesize_wav(d, "doc_id", "text", n_samples=64, sample_rate=16000)
+    clones = resample_audio(
+        base.filter(F.col("media_id") % 10 == 0).withColumn(
+            "media_id", F.col("media_id") + 1_000_000
+        ),
+        factor=2,
+    )
+    fps = audio_fingerprint(base.unionByName(clones)).select(
+        "media_id", F.col("dhash").alias("fingerprint")
+    )
+    return (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.min("media_id").alias("min_media_id"),
+        )
+        .filter(F.col("n_media") >= 2)
+    )
+
+
 def _pca_project_oracle(sf_dir: str) -> str:
     """Dynamic oracle: fit the same population-covariance PCA with plain
     numpy over the raw parquet (independent of the Spark distributed-Gram
