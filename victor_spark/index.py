@@ -536,8 +536,10 @@ class VectorIndex:
                 if _time.time() - self.fs.mtime(self.lock_path) > stale_s:
                     self.fs.delete(self.lock_path)  # crashed holder
                     continue
-            except OSError:
-                continue  # holder released between exists and mtime
+            except Exception:
+                # holder released between create-excl and mtime (LocalFS
+                # raises OSError, HadoopFS a py4j wrapper) — just retry
+                continue
             if _time.monotonic() > deadline:
                 raise TimeoutError(
                     f"listing lock held past {timeout_s}s: {self.lock_path}"
@@ -1473,8 +1475,11 @@ class VectorIndex:
         for name in self.fs.listdir(self.path):
             if name.endswith(debris_suffixes):
                 p = fsjoin(self.path, name)
-                if now - self.fs.mtime(p) < min_age_seconds:
-                    continue  # fresh — likely a live writer's staging
+                try:
+                    if now - self.fs.mtime(p) < min_age_seconds:
+                        continue  # fresh — likely a live writer's staging
+                except Exception:
+                    continue  # vanished since listdir (owner cleaned up)
                 self.fs.delete(p)
                 removed.append(p)
         return removed

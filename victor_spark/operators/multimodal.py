@@ -627,10 +627,13 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 _rate, samples = _parse_wav(bytes(payload))
                 n = len(samples)
+                ids.append(mid)
+                if n == 0:  # degenerate empty clip: all-flat fingerprint
+                    fps.append("0" * 64)
+                    continue
                 idx = (np.arange(65) * n) // 65
                 g = samples[idx].astype(np.int64)
                 bits = (g[:-1] < g[1:]).astype(np.uint8)
-                ids.append(mid)
                 fps.append("".join("1" if b else "0" for b in bits))
             yield pd.DataFrame({"media_id": ids, "dhash": fps})
 
