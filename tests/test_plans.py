@@ -482,16 +482,24 @@ def test_image_phash_dedup_single_shuffle_mapside_partial(spark):
     no join of any kind, so nothing can degenerate at 100 TB of media."""
     import re
 
-    p = plan("dedup_image_phash", spark)
-    # node-detail headers count each node exactly once in formatted mode
-    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 2  # hash + clone resize
-    assert "SortMergeJoin" not in p and "Cartesian" not in p
-    assert "BroadcastHashJoin" not in p  # no join at all — exact groupBy
-    hash_exchanges = re.findall(r"hashpartitioning\(([a-z_]+)", p)
-    assert set(hash_exchanges) == {"dhash"}, hash_exchanges
-    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2  # partial + final
-    # the planted-clone branch prunes 90% of the corpus AT THE SCAN
-    assert "PushedFilters: [IsNotNull(doc_id)" in p
+    for name, key, n_pandas in (
+        # image: 1 decode over the union + 1 clone resize (synthesis is
+        # JVM-side); audio: 1 fingerprint + 1 clone resample + 2 synthesis
+        # stages (the WAV container needs python struct packing)
+        ("dedup_image_phash", "dhash", 2),
+        ("dedup_audio_fingerprint", "fingerprint", 4),
+    ):
+        p = plan(name, spark)
+        # node-detail headers count each node exactly once in formatted mode
+        assert len(re.findall(r"\(\d+\) MapInPandas", p)) == n_pandas, name
+        assert "SortMergeJoin" not in p and "Cartesian" not in p, name
+        assert "BroadcastHashJoin" not in p, name  # no join — exact groupBy
+        hash_exchanges = re.findall(r"hashpartitioning\(([a-z_]+)", p)
+        assert set(hash_exchanges) == {key}, (name, hash_exchanges)
+        assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2, name  # partial + final
+        # the planted-clone branch prunes 90% of the corpus AT THE SCAN
+        # (for audio that requires filtering BEFORE the python synthesis)
+        assert "PushedFilters: [IsNotNull(doc_id)" in p, name
 
 
 def test_media_decode_queries_are_shuffle_free(spark):

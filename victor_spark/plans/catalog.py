@@ -5032,10 +5032,14 @@ def q_dedup_audio_fingerprint(spark, sf_dir):
         "doc_id", F.md5("text").alias("text")
     )
     base = synthesize_wav(d, "doc_id", "text", n_samples=64, sample_rate=16000)
+    # clone branch filters BEFORE the python synthesis stage so the
+    # doc_id % 10 predicate reaches the parquet scan (plan-asserted)
+    clone_src = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
     clones = resample_audio(
-        base.filter(F.col("media_id") % 10 == 0).withColumn(
-            "media_id", F.col("media_id") + 1_000_000
-        ),
+        synthesize_wav(clone_src, "doc_id", "text", n_samples=64,
+                       sample_rate=16000),
         factor=2,
     )
     fps = audio_fingerprint(base.unionByName(clones)).select(
