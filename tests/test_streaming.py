@@ -802,3 +802,62 @@ def test_stream_media_decode_matches_batch(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown transform"):
         stream_decode_media(stream, str(tmp_path / "x"), str(tmp_path / "y"),
                             transform="nope")
+
+
+def test_stream_media_dedup_on_ingest_composition(spark, tmp_path):
+    """Pure composition of existing topologies — image dedup ON INGEST:
+    readStream → image_dhash (real decode + perceptual hash) feeds
+    stream_seen_filter as its key column, so a batch-2 image that is a
+    REAL RESIZE of a batch-1 image probes the Bloom state as seen while
+    genuinely new images pass. No new operator code; this is the 100 TB
+    media-crawl dedup loop assembled from the shipped pieces."""
+    from victor_spark.operators import multimodal as M
+    from victor_spark.streaming.bloom_stream import stream_seen_filter
+
+    docs1 = spark.createDataFrame(
+        [(i, f"first wave doc {i}") for i in range(8)], "id long, text string"
+    )
+    docs2 = spark.createDataFrame(
+        [(i, f"second wave doc {i}") for i in range(100, 104)],
+        "id long, text string",
+    )
+    base = M.synthesize_ppm(
+        docs1.selectExpr("id", "md5(text) AS text"), "id", "text", 8, 8
+    )
+    # wave 2 = 4 genuinely new images + REAL 2x upscales of images 0-3
+    fresh = M.synthesize_ppm(
+        docs2.selectExpr("id", "md5(text) AS text"), "id", "text", 8, 8
+    )
+    dups = M.resize_images(
+        base.filter("media_id < 4").withColumn(
+            "media_id", base["media_id"] + 1000
+        ),
+        16, 16,
+    )
+    src = str(tmp_path / "crawl")
+    base.coalesce(1).write.parquet(src)
+    fresh.unionByName(dups).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(src)
+    )
+    got: dict[int, bool] = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            got[r["media_id"]] = r["seen"]
+
+    stream_seen_filter(
+        M.image_dhash(stream), "dhash",
+        state_dir=str(tmp_path / "bloom_state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink=sink,
+    ).awaitTermination()
+
+    assert len(got) == 16
+    assert all(not got[i] for i in range(8))          # wave 1: all new
+    assert all(not got[i] for i in range(100, 104))   # wave 2 fresh: new
+    assert all(got[i] for i in range(1000, 1004))     # resized copies: seen
