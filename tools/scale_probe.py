@@ -78,6 +78,7 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # per-replica doc_id offsets keep planted-clone ids (doc_id + 1e6)
     # collision-free because the replica stride is 1e8
     "dedup_image_phash": {"documents": ["doc_id"]},
+    "dedup_audio_fingerprint": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000
