@@ -281,3 +281,88 @@ def test_merge_from_rejects_path_aliases(spark, tmp_path):
     )
     assert _canon_path("hdfs://nn:9000/x") != _canon_path("hdfs://nn/x")
     assert _canon_path("s3a://bucket/k/") == _canon_path("s3a://Bucket//k")
+
+
+def test_fs_mtime_and_create_exclusive_parity(fs_and_root):
+    """Round-5 primitives behave identically on both backends: mtime is
+    epoch seconds for files and directories; create_exclusive succeeds
+    exactly once and writes its payload."""
+    import time
+
+    fs, root = fs_and_root
+    d = join(root, "sub")
+    fs.mkdirs(d)
+    f = join(d, "x.bin")
+    fs.write_bytes(f, b"payload")
+    now = time.time()
+    for p in (f, d):
+        mt = fs.mtime(p)
+        assert isinstance(mt, float)
+        assert abs(mt - now) < 300  # fresh, epoch-seconds scale
+    lock = join(root, "l.lock")
+    assert fs.create_exclusive(lock, b"pid=1") is True
+    assert fs.create_exclusive(lock, b"pid=2") is False  # already held
+    assert fs.read_bytes(lock) == b"pid=1"  # loser did not clobber
+    fs.delete(lock)
+    assert fs.create_exclusive(lock, b"pid=3") is True  # reusable after release
+
+
+def test_hadoop_path_vacuum_age_gate_and_staged_recovery(spark, tmp_path):
+    """The round-5 maintenance additions work over the Hadoop code path
+    (file: URI): a fresh staging dir survives default vacuum, an aged one
+    is reclaimed, and recover_staged completes an interrupted move."""
+    import os
+
+    root = str(tmp_path / "hmaint")
+    idx = VectorIndex(spark, "file:" + root)
+    idx.insert([("a", [1.0, 0.0], ["x"])])
+    # interrupted insert: complete staging (_SUCCESS) never moved at all
+    from victor_spark.index import tag_set_id as _tsid
+
+    scratch = VectorIndex(spark, str(tmp_path / "hscratch"))
+    scratch.insert([("b", [2.0, 0.0], ["y"]), ("c", [3.0, 0.0], ["y"])])
+    import shutil
+
+    staging_local = os.path.join(root, "data__insert_hcrash__staging")
+    shutil.copytree(
+        os.path.join(str(tmp_path / "hscratch"), "data"), staging_local,
+        ignore=lambda d, names: [n for n in names if n.startswith("_")],
+    )
+    open(os.path.join(staging_local, "_SUCCESS"), "w").close()
+    # fresh staging survives the default age-gated vacuum (Hadoop mtime)
+    assert idx.vacuum() == []
+    assert os.path.exists(staging_local)
+    recovered = idx.recover_staged()
+    assert len(recovered) == 1 and not os.path.exists(staging_local)
+    assert idx.scan(["y"]).count() == 2
+    # aged debris IS reclaimed through the Hadoop path
+    dead = os.path.join(root, "data__old")
+    os.makedirs(dead)
+    aged = os.path.getmtime(dead) - 5 * 3600
+    os.utime(dead, (aged, aged))
+    removed = idx.vacuum()
+    assert removed == ["file:" + dead] and not os.path.exists(dead)
+
+
+def test_listing_lock_over_hadoop_path(spark, tmp_path):
+    """The advisory lock's create-exclusive + stale-expiry cycle works
+    through HadoopFS (create(overwrite=False))."""
+    import os
+
+    import pytest as _pytest
+
+    root = str(tmp_path / "hlock")
+    os.makedirs(root)
+    idx = VectorIndex(spark, "file:" + root, listing_lock=True)
+    assert idx.fs.create_exclusive(idx.lock_path, b"pid=other")
+    with _pytest.raises(TimeoutError, match="listing lock"):
+        idx._acquire_listing_lock(timeout_s=0.3, stale_s=600.0)
+    lock_local = os.path.join(root, "tag_sets.lock")
+    old = os.path.getmtime(lock_local) - 10_000
+    os.utime(lock_local, (old, old))
+    idx._acquire_listing_lock(timeout_s=2.0, stale_s=600.0)
+    idx._release_listing_lock()
+    assert not os.path.exists(lock_local)
+    # and a locked insert works end-to-end over the URI path
+    idx.insert([("z", [1.0, 1.0], ["w"])])
+    assert idx.scan(["w"]).count() == 1
