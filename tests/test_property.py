@@ -374,3 +374,89 @@ def test_hll_merge_algebra_random(spark, xs, cut):
     assert sorted((r.bucket, r.r) for r in whole.collect()) == sorted(
         (r.bucket, r.r) for r in merged.collect()
     )
+
+
+# -- round-5 pure codec kernels (no Spark job per example) -------------------
+
+CODEC_PROP = settings(max_examples=80, deadline=None,
+                      suppress_health_check=list(HealthCheck))
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 12), h=st.integers(1, 12),
+    data=st.data(),
+)
+def test_ppm_roundtrip_any_geometry(w, h, data):
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                              max_size=w * h * 3))
+    arr = np.array(flat, dtype=np.uint8).reshape(h, w, 3)
+    w2, h2, maxval, back = M._parse_ppm(M._encode_ppm(arr))
+    assert (w2, h2, maxval) == (w, h, 255)
+    assert (back == arr).all()
+
+
+@CODEC_PROP
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+    rate=st.integers(1, 384_000),
+)
+def test_wav_roundtrip_any_samples(samples, rate):
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    got_rate, got = M._parse_wav(M._encode_wav(samples, rate))
+    assert got_rate == rate
+    assert (got == np.array(samples, dtype=np.int16)).all()
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 10), h=st.integers(1, 10),
+    factor=st.integers(1, 4), data=st.data(),
+)
+def test_dhash_invariant_under_nearest_neighbor_upscale(w, h, factor, data):
+    """dHash(upscale(img, f)) == dHash(img) for ANY geometry and integer
+    factor — the floor((floor(f*x))/f) = floor(x) identity, generatively."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                              max_size=w * h * 3))
+    arr = np.array(flat, dtype=np.uint8).reshape(h, w, 3)
+    up = M._resize_image(M._encode_ppm(arr), w * factor, h * factor)
+    _, _, _, big = M._parse_ppm(up)
+    assert M._dhash_bits(big) == M._dhash_bits(arr)
+
+
+@CODEC_PROP
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=150),
+    factor=st.integers(1, 5),
+)
+def test_audio_fingerprint_invariant_under_zoh_resample(samples, factor):
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    s = np.array(samples, dtype=np.int16)
+    assert M._audio_fp_bits(np.repeat(s, factor)) == M._audio_fp_bits(s)
+
+
+@CODEC_PROP
+@given(p=st.from_regex(r"/[a-z0-9]{1,8}(/[a-z0-9]{1,8}){0,3}", fullmatch=True))
+def test_canon_path_idempotent_and_alias_stable(p):
+    from victor_spark.index import _canon_path
+
+    c = _canon_path(p)
+    assert _canon_path(c) == c                      # idempotent
+    assert _canon_path(p + "/") == c                # trailing slash
+    assert _canon_path(p.replace("/", "//", 1)) == c  # duplicate slashes
+    assert _canon_path("file:" + p) == c            # bare file scheme
+    assert _canon_path("file://localhost" + p) == c  # localhost authority

@@ -549,22 +549,30 @@ def image_dhash(media: DataFrame) -> DataFrame:
     text-dedup family, so the 100 TB story is the same hash-shuffle."""
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             ids, hashes = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, _maxval, arr = _parse_ppm(bytes(payload))
-                gray = arr.astype(np.int64).sum(axis=2)
-                ys = (np.arange(8) * h) // 8
-                xs = (np.arange(9) * w) // 9
-                g = gray[ys][:, xs]
-                bits = (g[:, :-1] < g[:, 1:]).astype(np.uint8).ravel()
+                _w, _h, _maxval, arr = _parse_ppm(bytes(payload))
                 ids.append(mid)
-                hashes.append("".join("1" if b else "0" for b in bits))
+                hashes.append(_dhash_bits(arr))
             yield pd.DataFrame({"media_id": ids, "dhash": hashes})
 
     return media.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+def _dhash_bits(arr) -> str:
+    """The pure dHash kernel over a decoded (h, w, 3) pixel array — see
+    image_dhash for the contract. Module-level so the invariance property
+    is unit-testable without a Spark job."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    gray = arr.astype(np.int64).sum(axis=2)
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    g = gray[ys][:, xs]
+    bits = (g[:, :-1] < g[:, 1:]).astype(np.uint8).ravel()
+    return "".join("1" if b else "0" for b in bits)
 
 
 def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
@@ -620,24 +628,31 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     integer-only SQL oracle replays every bit."""
 
     def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             ids, fps = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 _rate, samples = _parse_wav(bytes(payload))
-                n = len(samples)
                 ids.append(mid)
-                if n == 0:  # degenerate empty clip: all-flat fingerprint
-                    fps.append("0" * 64)
-                    continue
-                idx = (np.arange(65) * n) // 65
-                g = samples[idx].astype(np.int64)
-                bits = (g[:-1] < g[1:]).astype(np.uint8)
-                fps.append("".join("1" if b else "0" for b in bits))
+                fps.append(_audio_fp_bits(samples))
             yield pd.DataFrame({"media_id": ids, "dhash": fps})
 
     return media.mapInPandas(_fp, schema=DHASH_SCHEMA)
+
+
+def _audio_fp_bits(samples) -> str:
+    """The pure fingerprint kernel over decoded int16 samples — see
+    audio_fingerprint for the contract. Module-level so the
+    resample-invariance property is unit-testable without a Spark job."""
+    import numpy as np
+
+    samples = np.asarray(samples)
+    n = len(samples)
+    if n == 0:  # degenerate empty clip: all-flat fingerprint
+        return "0" * 64
+    idx = (np.arange(65) * n) // 65
+    g = samples[idx].astype(np.int64)
+    bits = (g[:-1] < g[1:]).astype(np.uint8)
+    return "".join("1" if b else "0" for b in bits)
 
 
 def decode_audio_stats(media: DataFrame) -> DataFrame:
