@@ -175,6 +175,71 @@ def _encode_wav(samples, sample_rate: int = 16000) -> bytes:
     )
 
 
+_Y4M_CHROMA_FACTOR = {
+    # chroma subsampling -> chroma bytes per luma pixel (frame size =
+    # w*h * (1 + factor)); keys cover the C tags y4m defines
+    "420": 0.5, "420jpeg": 0.5, "420paldv": 0.5, "420mpeg2": 0.5,
+    "422": 1.0, "444": 2.0, "mono": 0.0,
+}
+
+
+def _parse_y4m(payload: bytes):
+    """Demux a YUV4MPEG2 (y4m) stream — the standard UNCOMPRESSED video
+    container (ffmpeg's -f yuv4mpegpipe): one ASCII header line
+    ('YUV4MPEG2 W<w> H<h> F<n>:<d> ... C<chroma>'), then per frame a
+    'FRAME[ params]\\n' marker followed by the raw planar YUV bytes.
+    Returns (width, height, chroma, [frame_bytes, ...])."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated y4m header")
+    width = height = None
+    chroma = "420"  # the spec's default when no C tag is present
+    for tok in payload[9:nl].decode("ascii").split():
+        if tok.startswith("W"):
+            width = int(tok[1:])
+        elif tok.startswith("H"):
+            height = int(tok[1:])
+        elif tok.startswith("C"):
+            chroma = tok[1:]
+    if not width or not height:
+        raise ValueError("y4m header missing W/H")
+    factor = _Y4M_CHROMA_FACTOR.get(chroma)
+    if factor is None:
+        raise ValueError(f"unsupported y4m chroma {chroma!r}")
+    frame_size = int(width * height * (1 + factor))
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("corrupt y4m FRAME marker")
+        start = fnl + 1
+        frame = payload[start : start + frame_size]
+        if len(frame) != frame_size:
+            raise ValueError(
+                f"y4m frame short: {len(frame)} != {frame_size}"
+            )
+        frames.append(frame)
+        pos = start + frame_size
+    return width, height, chroma, frames
+
+
+def _encode_y4m(
+    frames, width: int, height: int, chroma: str = "420", fps: str = "30:1"
+) -> bytes:
+    """Mux raw planar frames into a YUV4MPEG2 stream (header + FRAME
+    markers). Frame byte lengths must match the geometry/chroma."""
+    frame_size = int(width * height * (1 + _Y4M_CHROMA_FACTOR[chroma]))
+    out = [f"YUV4MPEG2 W{width} H{height} F{fps} Ip A1:1 C{chroma}\n".encode()]
+    for f in frames:
+        if len(f) != frame_size:
+            raise ValueError(f"frame size {len(f)} != {frame_size}")
+        out.append(b"FRAME\n")
+        out.append(bytes(f))
+    return b"".join(out)
+
+
 def _decode_image(payload: bytes) -> list[float]:
     """Image features. REAL path: a P6 PPM payload is actually decoded
     (pure-numpy parser) and the features are pixel statistics
@@ -356,12 +421,13 @@ def sample_frames(media: DataFrame, frame_bytes: int = 16,
                   stride: int = 2) -> DataFrame:
     """Video frame sampling: one output ROW per sampled frame.
 
-    Treats a video payload as consecutive ``frame_bytes``-byte frames
-    (standing in for ffmpeg's decoded frame stream — swap the slicing for
-    a real demuxer, keep the row-expanding batch shape) and emits every
-    ``stride``-th frame as its own row (frame_idx 0, stride, 2·stride, …;
-    the tail frame may be short — no padding, mirroring a real stream).
-    Non-video rows produce no output rows.
+    REAL path: a YUV4MPEG2 payload is actually demuxed (_parse_y4m —
+    header geometry + chroma, FRAME markers) and every ``stride``-th
+    decoded frame's raw planar bytes become a row. STUB path for
+    compressed containers (real impl: ffmpeg): the payload is treated as
+    consecutive ``frame_bytes``-byte frames (frame_idx 0, stride,
+    2·stride, …; the tail frame may be short — no padding, mirroring a
+    real stream). Non-video rows produce no output rows.
 
     This is the row-EXPANDING mapInPandas shape a training pipeline needs
     for frame extraction: partition-local (no shuffle), Arrow-batched, and
@@ -378,6 +444,15 @@ def sample_frames(media: DataFrame, frame_bytes: int = 16,
                 if kind != "video" or payload is None:
                     continue
                 b = bytes(payload)
+                if b.startswith(b"YUV4MPEG2"):
+                    _w, _h, _c, decoded = _parse_y4m(b)
+                    n = len(decoded)
+                    for i in range(0, n, stride):
+                        ids.append(mid)
+                        idxs.append(i)
+                        ns.append(n)
+                        frames.append(decoded[i])
+                    continue
                 n = (len(b) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n, stride):
                     ids.append(mid)
@@ -390,6 +465,50 @@ def sample_frames(media: DataFrame, frame_bytes: int = 16,
             )
 
     return media.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def synthesize_y4m(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 4,
+    height: int = 4,
+    n_frames: int = 6,
+) -> DataFrame:
+    """A real YUV4MPEG2 media table from a text table: C420 planar frames
+    whose bytes are the text cycled with a per-frame offset (frame f byte
+    i = text[(f*frame_size + i) mod len]) — a VALID stream any y4m reader
+    (ffmpeg, mplayer) demuxes, and frame bytes an integer-only oracle can
+    replay. Arrow-batched (the container needs byte-level muxing)."""
+    frame_size = int(width * height * 1.5)  # C420: Y + quarter-res U,V
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                t = text or " "
+                frames = [
+                    bytes(
+                        ord(t[(f * frame_size + i) % len(t)])
+                        for i in range(frame_size)
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(_encode_y4m(frames, width, height, "420"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "video",
+                    "payload": payloads,
+                    "meta_width": width,
+                    "meta_height": height,
+                    "meta_sample_rate": None,
+                }
+            )
+
+    return src.mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

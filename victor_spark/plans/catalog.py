@@ -4988,6 +4988,41 @@ def q_dedup_image_phash(spark, sf_dir):
 
 
 @_q(
+    "multimodal_y4m_frames",
+    """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents)
+SELECT media_id, CAST(f AS BIGINT) AS frame_idx, CAST(6 AS BIGINT) AS n_frames,
+       md5(hex(encode(
+         list_aggregate(list_transform(range(0, 24),
+           i -> substr(s, CAST((f * 24 + i) % 32 AS INT) + 1, 1)),
+           'string_agg', '')
+       ))) AS frame_md5
+FROM m, (VALUES (0), (2), (4)) v(f)
+""",
+    "REAL video demux: genuine YUV4MPEG2 streams (ASCII geometry header, "
+    "FRAME markers, C420 planar payloads) demuxed by the pure-python y4m "
+    "parser inside the row-expanding sample_frames stage; every 2nd of 6 "
+    "frames becomes a row and the oracle replays the exact frame bytes "
+    "(md5) from the md5-hex derivation — the last media modality's "
+    "decode is now real, with compressed containers still stubbed",
+)
+def q_multimodal_y4m_frames(spark, sf_dir):
+    from victor_spark.operators.multimodal import sample_frames, synthesize_y4m
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_y4m(d, "doc_id", "text", width=4, height=4, n_frames=6)
+    fr = sample_frames(media, stride=2)
+    return fr.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "n_frames",
+        F.md5(F.hex("frame")).alias("frame_md5"),
+    )
+
+
+@_q(
     "dedup_audio_fingerprint",
     """
 WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents),
