@@ -460,3 +460,26 @@ def test_canon_path_idempotent_and_alias_stable(p):
     assert _canon_path(p.replace("/", "//", 1)) == c  # duplicate slashes
     assert _canon_path("file:" + p) == c            # bare file scheme
     assert _canon_path("file://localhost" + p) == c  # localhost authority
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 8), h=st.integers(1, 8),
+    chroma=st.sampled_from(["420", "422", "444", "mono"]),
+    n_frames=st.integers(0, 5), data=st.data(),
+)
+def test_y4m_roundtrip_any_geometry_chroma(w, h, chroma, n_frames, data):
+    from victor_spark.operators import multimodal as M
+
+    # C420 needs even luma-plane byte counts to stay integral
+    if chroma == "420" and (w * h) % 2:
+        h *= 2
+    size = int(w * h * (1 + M._Y4M_CHROMA_FACTOR[chroma]))
+    frames = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=size,
+                                 max_size=size)))
+        for _ in range(n_frames)
+    ]
+    w2, h2, c2, back = M._parse_y4m(M._encode_y4m(frames, w, h, chroma))
+    assert (w2, h2, c2) == (w, h, chroma)
+    assert back == frames

@@ -7255,12 +7255,14 @@ def q_embedding_outliers(spark, sf_dir):
 # Builders/oracles touched in the CURRENT round — the only hand input.
 # Reset when a new round starts; the artifact-derived tiers handle the rest.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round 5: extract_features/_resize_image grew real PPM/WAV decode
-    # dispatch (these queries' synthesized-text payloads still take the
-    # stub path, but the builder code changed, so the gate re-checks
-    # them; multimodal_features is also never-green — belt-and-braces)
+    # round 5: extract_features/_resize_image/sample_frames grew real
+    # PPM/WAV/y4m decode dispatch (these queries' synthesized-text
+    # payloads still take the stub path, but the builder code changed,
+    # so the gate re-checks them; multimodal_features is also
+    # never-green — belt-and-braces)
     "multimodal_features",
     "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 
