@@ -149,3 +149,45 @@ def test_text_lines_write_read_round_trip_lossless(spark, tmp_path):
     assert spark.read.text(str(out)).count() == len(docs)
     got = sorted(r["text"] for r in read_text_lines(spark, str(out)).collect())
     assert got == sorted(docs)
+
+
+def test_load_media_dir_sniffs_kinds_and_metadata(spark, tmp_path):
+    """File-per-asset ingestion (binaryFile source): each file becomes a
+    MEDIA_SCHEMA row with kind + metadata read from its own container
+    header; unknown and corrupt payloads are kept as kind='binary'."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+    from victor_spark.sources.media import load_media_dir
+
+    d = tmp_path / "lake"
+    (d / "sub").mkdir(parents=True)
+    arr = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    (d / "7.ppm").write_bytes(M._encode_ppm(arr))
+    (d / "8.wav").write_bytes(M._encode_wav([1, -2, 3], 22050))
+    (d / "sub" / "9.y4m").write_bytes(
+        M._encode_y4m([bytes(24)], 4, 4, "420")
+    )
+    (d / "weird.bin").write_bytes(b"\x89PNG not decodable here")
+    (d / "corrupt.ppm").write_bytes(b"P6\n6 4\n255\nshort")
+
+    media = load_media_dir(spark, str(d))
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[7]["kind"] == "image"
+    assert (rows[7]["meta_width"], rows[7]["meta_height"]) == (6, 4)
+    assert rows[8]["kind"] == "audio" and rows[8]["meta_sample_rate"] == 22050
+    assert rows[9]["kind"] == "video"  # recursive lookup found sub/
+    assert (rows[9]["meta_width"], rows[9]["meta_height"]) == (4, 4)
+    binaries = [r for r in rows.values() if r["kind"] == "binary"]
+    assert len(binaries) == 2  # unknown magic + corrupt container, kept
+    assert all(r["meta_width"] is None for r in binaries)
+    # non-numeric stems get stable hashed ids, distinct from numeric ones
+    assert len(rows) == 5
+
+    # the ingested rows feed the decode operators directly
+    stats = M.decode_image_stats(media.filter("kind = 'image'")).first()
+    assert (stats["width"], stats["height"]) == (6, 4)
+
+    # listing-time pruning via pathGlobFilter
+    only_wav = load_media_dir(spark, str(d), glob="*.wav")
+    assert [r["kind"] for r in only_wav.collect()] == ["audio"]

@@ -1,0 +1,95 @@
+"""File-per-asset media ingestion: a directory of raw media files →
+the MEDIA_SCHEMA table.
+
+Real media lakes land as one file per asset (crawl dumps, upload
+buckets). Spark's ``binaryFile`` source reads such a tree scalably —
+each file becomes a row read executor-side, with pathGlobFilter /
+recursiveFileLookup pruning at the listing (and Catalyst pushes a
+``length`` filter into the reader) — so ingestion needs no driver-side
+directory walk. This module wraps it: one Arrow-batched pass sniffs each
+payload's container by magic bytes (the same dispatch rule the decode
+operators use), extracts the typed metadata the container actually
+declares (PPM geometry, WAV sample rate, y4m geometry), and emits
+MEDIA_SCHEMA rows ready for the decode/dedup/frame-sampling operators.
+
+Unknown formats are kept, not dropped: kind='binary' with null metadata,
+so a pipeline can quarantine or route them; the decode operators'
+compressed-format stubs remain the seam for real codecs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from victor_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    _parse_ppm,
+    _parse_wav,
+    _parse_y4m,
+)
+
+
+def _media_id_for(path: str) -> int:
+    """Stable media_id from the file path: a purely-numeric stem is used
+    as-is (so exported/derived layouts round-trip ids); otherwise the
+    low 63 bits of md5(path) — deterministic across runs and executors."""
+    stem = os.path.splitext(os.path.basename(path))[0]
+    if re.fullmatch(r"\d{1,18}", stem):
+        return int(stem)
+    return int.from_bytes(hashlib.md5(path.encode()).digest()[:8], "big") >> 1
+
+
+def load_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Read a directory tree of media files into a MEDIA_SCHEMA frame.
+
+    ``glob`` maps to binaryFile's pathGlobFilter (listing-time pruning);
+    kind and metadata come from each payload's own container header."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    raw = reader.load(path).select("path", "content")
+
+    def _sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "kind", "payload", "meta_width", "meta_height",
+                "meta_sample_rate",
+            )}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                b = bytes(content)
+                kind, w, h, rate = "binary", None, None, None
+                try:
+                    if b.startswith(b"P6"):
+                        kind = "image"
+                        w, h, _maxval, _arr = _parse_ppm(b)
+                    elif b.startswith(b"RIFF"):
+                        kind = "audio"
+                        rate, _samples = _parse_wav(b)
+                    elif b.startswith(b"YUV4MPEG2"):
+                        kind = "video"
+                        w, h, _chroma, _frames = _parse_y4m(b)
+                except ValueError:
+                    kind = "binary"  # right magic, corrupt container
+                    w = h = rate = None
+                rows["media_id"].append(_media_id_for(p))
+                rows["kind"].append(kind)
+                rows["payload"].append(b)
+                rows["meta_width"].append(w)
+                rows["meta_height"].append(h)
+                rows["meta_sample_rate"].append(rate)
+            yield pd.DataFrame(rows)
+
+    return raw.mapInPandas(_sniff, schema=MEDIA_SCHEMA)
