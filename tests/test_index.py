@@ -991,3 +991,39 @@ def test_listing_lock_timeout_and_stale_expiry(spark, tmp_path):
     assert os.path.exists(idx.lock_path)  # we hold it now
     idx._release_listing_lock()
     assert not os.path.exists(idx.lock_path)
+
+
+def test_stale_lock_break_is_single_winner(spark, tmp_path):
+    """Round-5 advice: breaking a stale lock must not be check-then-
+    delete. _break_stale_lock claims via atomic rename (one winner; the
+    loser raises and retries) and re-verifies staleness on the private
+    victim copy — a lock that was re-created FRESH in the check→break
+    window is renamed back untouched instead of destroyed."""
+    import os
+
+    import pytest as _pytest
+
+    from victor_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "lk2"), listing_lock=True)
+    os.makedirs(idx.path, exist_ok=True)
+
+    # stale file: the break destroys it and leaves no debris
+    assert idx.fs.create_exclusive(idx.lock_path, b"pid=dead")
+    old = os.path.getmtime(idx.lock_path) - 10_000
+    os.utime(idx.lock_path, (old, old))
+    idx._break_stale_lock(stale_s=600.0)
+    assert not os.path.exists(idx.lock_path)
+    assert os.listdir(os.path.dirname(idx.lock_path)) == []  # no victim left
+
+    # fresh file (re-created by the break winner between our staleness
+    # check and our break): restored in place, content intact
+    assert idx.fs.create_exclusive(idx.lock_path, b"pid=alive")
+    idx._break_stale_lock(stale_s=600.0)
+    assert os.path.exists(idx.lock_path)
+    assert idx.fs.read_bytes(idx.lock_path) == b"pid=alive"
+
+    # losing the claim race (file already gone) raises -> caller retries
+    os.remove(idx.lock_path)
+    with _pytest.raises(Exception):
+        idx._break_stale_lock(stale_s=600.0)

@@ -615,7 +615,17 @@ def test_stream_state_survives_interrupted_swap(spark, tmp_path):
     os.rename(str(tmp_path / "post"), sdir + "__tmp")
     healed = read_state(spark, sdir, schema)
     assert healed is not None and healed.collect()[0]["words"] == [9, 9]
+
+    # DOUBLE crash (round-5 advice): crash #1 left old+tmp, the next
+    # write_state deleted and began REWRITING tmp, crash #2 left tmp
+    # PARTIAL (no _SUCCESS marker). The partial tmp must NOT win — old,
+    # the last complete copy, is served.
+    os.remove(os.path.join(sdir + "__tmp", "_SUCCESS"))
+    healed = read_state(spark, sdir, schema)
+    assert healed is not None and healed.collect()[0]["words"] == [1, 2, 3]
+    # ... and when a partial tmp is the ONLY survivor, that's no-state
     shutil.rmtree(sdir + "__old")
+    assert read_state(spark, sdir, schema) is None
     shutil.rmtree(sdir + "__tmp")
 
     # legacy partial write: state dir exists but holds no rows

@@ -523,8 +523,16 @@ class VectorIndex:
         """Take the advisory listing lock: create-exclusive a lock file,
         spinning (with backoff) until it succeeds or ``timeout_s``
         elapses. A lock file older than ``stale_s`` is presumed to be a
-        crashed holder's debris and is broken. Raises TimeoutError when
-        a live holder outlasts the wait."""
+        crashed holder's debris and is broken — NOT by check-then-delete
+        (two waiters observing the same stale mtime could both delete,
+        the loser's pending delete destroying the winner's freshly
+        created lock and admitting two holders) but by an atomic rename
+        to a waiter-unique victim name: exactly one claimant's rename
+        succeeds, and the claimant RE-VERIFIES staleness on the victim
+        copy (now private, so the check is race-free) before destroying
+        it — a freshly re-created lock stolen by mistake is renamed
+        straight back. Raises TimeoutError when a live holder outlasts
+        the wait."""
         import time as _time
 
         deadline = _time.monotonic() + timeout_s
@@ -534,17 +542,46 @@ class VectorIndex:
                 return
             try:
                 if _time.time() - self.fs.mtime(self.lock_path) > stale_s:
-                    self.fs.delete(self.lock_path)  # crashed holder
+                    self._break_stale_lock(stale_s)
                     continue
             except Exception:
-                # holder released between create-excl and mtime (LocalFS
-                # raises OSError, HadoopFS a py4j wrapper) — just retry
+                # holder released / another waiter won the break between
+                # our create-excl and mtime (LocalFS raises OSError,
+                # HadoopFS a py4j wrapper) — just retry
                 continue
             if _time.monotonic() > deadline:
                 raise TimeoutError(
                     f"listing lock held past {timeout_s}s: {self.lock_path}"
                 )
             _time.sleep(0.05)
+
+    def _break_stale_lock(self, stale_s: float) -> None:
+        """Atomically claim a presumed-stale lock file and destroy it only
+        if it really is stale. rename is atomic and refuses to clobber on
+        both backends, so at most one concurrent claimant gets the file;
+        the mtime re-check then runs on a path only this claimant knows.
+        If the claim caught a lock that was re-created fresh in the
+        window after the caller's staleness check, it is renamed back
+        untouched (should even THAT restore collide with a brand-new
+        lock — a triple interleave inside microseconds of a 10-minute
+        expiry — the victim is deleted and the listing's reconciler
+        heals any lost update, as it does for unlocked writers)."""
+        import time as _time
+        import uuid as _uuid
+
+        victim = f"{self.lock_path}__stale_{_uuid.uuid4().hex}"
+        self.fs.rename(self.lock_path, victim)  # raises if we lost the race
+        try:
+            fresh = _time.time() - self.fs.mtime(victim) <= stale_s
+        except Exception:
+            fresh = False
+        if fresh:
+            try:
+                self.fs.rename(victim, self.lock_path)
+                return
+            except Exception:
+                pass
+        self.fs.delete(victim)
 
     def _release_listing_lock(self) -> None:
         self.fs.delete(self.lock_path)

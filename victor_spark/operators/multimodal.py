@@ -142,6 +142,9 @@ def _parse_wav(payload: bytes):
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated/corrupt chunk: ValueError (not
+                # struct.error) so ingest sniffers quarantine, not crash
+                raise ValueError(f"WAV fmt chunk short: {len(body)} < 16")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -155,6 +158,17 @@ def _parse_wav(payload: bytes):
             f"ch={channels} bits={bits}"
         )
     return rate, np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+
+
+def _is_wave(payload: bytes) -> bool:
+    """True only for a genuine RIFF/WAVE container (both magics). RIFF
+    alone also wraps AVI/WebP — dispatching the WAV decoder on the bare
+    prefix would crash the decode farm on any such payload."""
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
 
 
 def _encode_wav(samples, sample_rate: int = 16000) -> bytes:
@@ -269,18 +283,25 @@ def _decode_audio(payload: bytes) -> list[float]:
     """Audio features. REAL path: a RIFF/WAVE payload is actually decoded
     (chunk walker + int16 PCM) into [sample_rate, n_samples, mean_amp,
     rms_amp]. STUB path for compressed formats (real impl: soundfile/
-    torchaudio) — deterministic fake: mean/max/min byte value + length."""
-    if payload.startswith(b"RIFF"):
+    torchaudio) — deterministic fake: mean/max/min byte value + length.
+    Dispatch requires BOTH RIFF magics (bare 'RIFF' also wraps AVI/WebP),
+    and an unsupported WAV encoding (stereo/8-bit/float/corrupt) falls
+    back to the stub rather than failing the whole extract job."""
+    if _is_wave(payload):
         import numpy as np
 
-        rate, samples = _parse_wav(payload)
-        a = samples.astype(np.float64)
-        n = max(len(a), 1)
-        return [
-            float(rate), float(len(a)),
-            float(a.sum() / n),
-            float(np.sqrt((a * a).sum() / n)),
-        ]
+        try:
+            rate, samples = _parse_wav(payload)
+        except ValueError:
+            pass  # non-PCM16-mono or corrupt: stub path below
+        else:
+            a = samples.astype(np.float64)
+            n = max(len(a), 1)
+            return [
+                float(rate), float(len(a)),
+                float(a.sum() / n),
+                float(np.sqrt((a * a).sum() / n)),
+            ]
     if not payload:
         return [0.0, 0.0, 0.0, 0.0]
     return [
@@ -298,7 +319,25 @@ def _decode_video_frames(payload: bytes, stride: int = 4) -> list[float]:
     return [b / 255.0 for b in frames] or [0.0]
 
 
-_DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _decode_video_frames}
+def _decode_binary(payload: bytes) -> list[float]:
+    """Features for QUARANTINED assets (kind='binary' — what
+    load_media_dir assigns to unknown magics and corrupt containers):
+    the 8-bucket byte histogram, deterministic over arbitrary bytes, so
+    a quarantined asset flows through the feature farm instead of
+    failing the job (the 'kept, not dropped' contract end-to-end)."""
+    hist = [0] * 8
+    for b in payload:
+        hist[b >> 5] += 1
+    n = max(len(payload), 1)
+    return [h / n for h in hist]
+
+
+_DECODERS = {
+    "image": _decode_image,
+    "audio": _decode_audio,
+    "video": _decode_video_frames,
+    "binary": _decode_binary,
+}
 
 
 def _resize_image(payload: bytes, width: int, height: int) -> bytes:
@@ -699,9 +738,11 @@ def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
     decoded, each sample repeated ``factor`` times, the sample rate
     scaled by ``factor``, and the clip re-encoded — the same duration at
     a higher rate (the crude analog of nearest-neighbor image upscale,
-    and exactly what audio_fingerprint must be invariant to). Non-RIFF
-    rows pass through untouched, so a mixed table resamples in one
-    shuffle-free mapInPandas pass."""
+    and exactly what audio_fingerprint must be invariant to). Non-WAVE
+    rows — and WAVE encodings the PCM16-mono codec doesn't support —
+    pass through untouched, so a mixed table resamples in one
+    shuffle-free mapInPandas pass without a single bad asset failing
+    the job."""
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -710,8 +751,14 @@ def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
             payloads, rates = [], []
             for payload, rate in zip(pdf["payload"], pdf["meta_sample_rate"]):
                 b = bytes(payload) if payload is not None else b""
-                if b.startswith(b"RIFF"):
-                    r, samples = _parse_wav(b)
+                decoded = None
+                if _is_wave(b):
+                    try:
+                        decoded = _parse_wav(b)
+                    except ValueError:
+                        decoded = None  # unsupported encoding: pass through
+                if decoded is not None:
+                    r, samples = decoded
                     payloads.append(
                         _encode_wav(np.repeat(samples, factor), r * factor)
                     )
@@ -778,7 +825,12 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
     """REAL audio decode → per-clip sample statistics: every payload is
     parsed as RIFF/WAVE PCM16 (chunk walker) and the statistics are
     computed from the decoded int16 samples. Same Arrow-batched,
-    shuffle-free shape as decode_image_stats."""
+    shuffle-free shape as decode_image_stats.
+
+    STRICT contract: every row must be a decodable PCM16-mono WAV —
+    route mixed/unknown assets through load_media_dir's sniffer (which
+    quarantines them as kind='binary') before this stage; the tolerant
+    mixed-table operators are extract_features / resample_audio."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

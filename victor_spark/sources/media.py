@@ -29,19 +29,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 from victor_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    _is_wave,
     _parse_ppm,
     _parse_wav,
     _parse_y4m,
 )
 
 
-def _media_id_for(path: str) -> int:
-    """Stable media_id from the file path: a purely-numeric stem is used
-    as-is (so exported/derived layouts round-trip ids); otherwise the
-    low 63 bits of md5(path) — deterministic across runs and executors."""
-    stem = os.path.splitext(os.path.basename(path))[0]
-    if re.fullmatch(r"\d{1,18}", stem):
-        return int(stem)
+def _media_id_for(path: str, numeric_stem_ids: bool = False) -> int:
+    """Stable media_id from the file path: by default the low 63 bits of
+    md5(full path) — deterministic across runs/executors and collision-
+    free across directories. With ``numeric_stem_ids``, a purely-numeric
+    stem is used as-is (so exported/derived layouts round-trip their
+    ids); that mode PRESUMES stems are unique across the whole tree —
+    a/1.ppm and b/1.ppm would collide, and a numeric stem can collide
+    with another file's hashed id."""
+    if numeric_stem_ids:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        if re.fullmatch(r"\d{1,18}", stem):
+            return int(stem)
     return int.from_bytes(hashlib.md5(path.encode()).digest()[:8], "big") >> 1
 
 
@@ -50,11 +56,14 @@ def load_media_dir(
     path: str,
     glob: str | None = None,
     recursive: bool = True,
+    numeric_stem_ids: bool = False,
 ) -> DataFrame:
     """Read a directory tree of media files into a MEDIA_SCHEMA frame.
 
     ``glob`` maps to binaryFile's pathGlobFilter (listing-time pruning);
-    kind and metadata come from each payload's own container header."""
+    kind and metadata come from each payload's own container header.
+    ``numeric_stem_ids`` opts into stem-derived ids for layouts whose
+    filenames ARE the ids (uniqueness precondition in _media_id_for)."""
     reader = spark.read.format("binaryFile")
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
@@ -63,6 +72,8 @@ def load_media_dir(
     raw = reader.load(path).select("path", "content")
 
     def _sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         for pdf in batches:
             rows = {k: [] for k in (
                 "media_id", "kind", "payload", "meta_width", "meta_height",
@@ -75,16 +86,21 @@ def load_media_dir(
                     if b.startswith(b"P6"):
                         kind = "image"
                         w, h, _maxval, _arr = _parse_ppm(b)
-                    elif b.startswith(b"RIFF"):
+                    elif _is_wave(b):  # both RIFF magics — bare 'RIFF'
+                        # also wraps AVI/WebP, which stay kind='binary'
                         kind = "audio"
                         rate, _samples = _parse_wav(b)
                     elif b.startswith(b"YUV4MPEG2"):
                         kind = "video"
                         w, h, _chroma, _frames = _parse_y4m(b)
-                except ValueError:
-                    kind = "binary"  # right magic, corrupt container
+                except (ValueError, struct.error):
+                    # right magic, corrupt container — quarantined, never
+                    # fails the ingest job (struct.error caught as a
+                    # belt-and-braces backstop; the parsers' contract is
+                    # ValueError)
+                    kind = "binary"
                     w = h = rate = None
-                rows["media_id"].append(_media_id_for(p))
+                rows["media_id"].append(_media_id_for(p, numeric_stem_ids))
                 rows["kind"].append(kind)
                 rows["payload"].append(b)
                 rows["meta_width"].append(w)

@@ -18,23 +18,32 @@ write:  state__tmp ← new data (complete before anything is touched)
         delete state__old
 
 read:   if state is missing, read whichever surviving copy exists IN
-        PLACE, preferring tmp over old: when BOTH exist the crash fell
-        between retire and promote, and tmp is the NEWER copy that is
-        guaranteed complete (it is fully written before any rename
-        starts), so out-of-band readers see the post-batch state the
-        stream will converge to on replay. The read never renames: a
-        destructive "heal" could race an in-flight writer between its
-        retire and promote renames and crash either side, and the next
-        write_state clears the leftover copies anyway. A zero-row read
-        (legacy partial write) is treated as no-state rather than
-        wedging.
+        PLACE, preferring a COMPLETE tmp over old: tmp counts as
+        complete only when it carries Spark's _SUCCESS commit marker.
+        When both survive with tmp complete, the crash fell between
+        retire and promote and tmp is the newer post-batch state the
+        stream converges to on replay. A tmp WITHOUT the marker is a
+        partial write (e.g. crash #1 between retire and promote, then
+        crash #2 inside the next write_state's rewrite of tmp) and is
+        never read — old, the last complete pre-batch copy, wins. The
+        read never renames: a destructive "heal" could race an
+        in-flight writer between its retire and promote renames and
+        crash either side, and the next write_state clears the
+        leftover copies anyway. A zero-row read (legacy partial write)
+        is treated as no-state rather than wedging.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from victor_spark.fs import fs_for
+from victor_spark.fs import fs_for, join as fsjoin
+
+
+def _is_complete(fs, path: str) -> bool:
+    """A directory counts as a complete parquet copy only with Spark's
+    _SUCCESS commit marker (written last by the output committer)."""
+    return fs.exists(path) and fs.exists(fsjoin(path, "_SUCCESS"))
 
 
 def read_state(
@@ -42,14 +51,19 @@ def read_state(
 ) -> DataFrame | None:
     """The persisted state frame, or None if no (usable) state exists.
     Reads a surviving copy of an interrupted swap IN PLACE (no renames —
-    see module docstring; tmp wins over old because when both exist tmp
-    is the newer, guaranteed-complete copy); guards the empty-dir case
-    so callers can index collect() results safely."""
+    see module docstring; tmp wins over old only when its _SUCCESS
+    marker proves it complete — a double-crash can leave tmp partial);
+    guards the empty-dir case so callers can index collect() results
+    safely."""
     fs = fs_for(spark, state_dir)
     old, tmp = state_dir + "__old", state_dir + "__tmp"
-    path = next(
-        (p for p in (state_dir, tmp, old) if fs.exists(p)), None
-    )
+    path = None
+    if fs.exists(state_dir):
+        path = state_dir
+    elif _is_complete(fs, tmp):
+        path = tmp
+    elif fs.exists(old):
+        path = old
     if path is None:
         return None
     df = spark.read.schema(schema).parquet(path)
