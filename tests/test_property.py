@@ -483,3 +483,71 @@ def test_y4m_roundtrip_any_geometry_chroma(w, h, chroma, n_frames, data):
     w2, h2, c2, back = M._parse_y4m(M._encode_y4m(frames, w, h, chroma))
     assert (w2, h2, c2) == (w, h, chroma)
     assert back == frames
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 12), h=st.integers(1, 12),
+    filter_type=st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+    data=st.data(),
+)
+def test_png_roundtrip_any_geometry_and_filter(w, h, filter_type, data):
+    """encode→decode is the identity for ANY geometry under EVERY
+    scanline filter (None/Sub/Up/Average/Paeth and the per-row cycle) —
+    the compressed-format analog of the PPM roundtrip property. A match
+    proves the full pipeline: filtering, deflate, chunk CRCs, inflate,
+    unfiltering."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                              max_size=w * h * 3))
+    arr = np.array(flat, dtype=np.uint8).reshape(h, w, 3)
+    png = M._encode_png(arr, filter_type=filter_type)
+    w2, h2, back = M._parse_png(png)
+    assert (w2, h2) == (w, h)
+    assert (back == arr).all()
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 10), h=st.integers(1, 10),
+    factor=st.integers(1, 4), data=st.data(),
+)
+def test_dhash_invariant_under_png_upscale(w, h, factor, data):
+    """The perceptual-dedup invariance holds through the COMPRESSED
+    container too: dHash(decode(resize(png, f))) == dHash(pixels)."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    flat = data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3,
+                              max_size=w * h * 3))
+    arr = np.array(flat, dtype=np.uint8).reshape(h, w, 3)
+    up = M._resize_image(M._encode_png(arr, "cycle"), w * factor, h * factor)
+    _, _, big = M._parse_png(up)
+    assert M._dhash_bits(big) == M._dhash_bits(arr)
+
+
+@CODEC_PROP
+@given(data=st.data())
+def test_png_corruption_raises_valueerror(data):
+    """Any single-byte corruption of a valid PNG either still decodes to
+    the SAME pixels (bytes the checks don't cover don't exist: every
+    chunk is CRC'd) or raises ValueError — never a non-ValueError crash
+    and never silently wrong pixels (the quarantine contract)."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    png = bytearray(M._encode_png(arr, "cycle"))
+    i = data.draw(st.integers(0, len(png) - 1))
+    delta = data.draw(st.integers(1, 255))
+    png[i] = (png[i] + delta) % 256
+    try:
+        w2, h2, back = M._parse_png(bytes(png))
+    except ValueError:
+        return
+    assert (w2, h2) == (4, 4) and (back == arr).all()

@@ -29,7 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from victor_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    _PNG_SIG,
     _is_wave,
+    _parse_png,
     _parse_ppm,
     _parse_wav,
     _parse_y4m,
@@ -86,6 +88,9 @@ def load_media_dir(
                     if b.startswith(b"P6"):
                         kind = "image"
                         w, h, _maxval, _arr = _parse_ppm(b)
+                    elif b.startswith(_PNG_SIG):
+                        kind = "image"
+                        w, h, _arr = _parse_png(b)
                     elif _is_wave(b):  # both RIFF magics — bare 'RIFF'
                         # also wraps AVI/WebP, which stay kind='binary'
                         kind = "audio"
