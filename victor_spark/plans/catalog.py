@@ -4988,6 +4988,169 @@ def q_dedup_image_phash(spark, sf_dir):
 
 
 @_q(
+    "multimodal_png_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(text), 6) AS s
+  FROM documents
+),
+px AS (
+  SELECT media_id,
+         list_transform(range(0, 192), i -> ord(substr(s, CAST(i AS INT) + 1, 1))) AS b
+  FROM m
+)
+SELECT media_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 1])) / 64.0, 6) AS mean_r,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 2])) / 64.0, 6) AS mean_g,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 3])) / 64.0, 6) AS mean_b,
+       CAST(list_min(b) AS BIGINT) AS min_px, CAST(list_max(b) AS BIGINT) AS max_px
+FROM px
+""",
+    "REAL COMPRESSED-format decode: genuine PNG containers (stdlib-zlib "
+    "deflate, CRC'd chunks, scanline filter y mod 5 so every unfilter "
+    "path — None/Sub/Up/Average/Paeth — runs per image), parsed by the "
+    "pure-stdlib PNG codec in the Arrow-batched decode farm; the oracle "
+    "replays the decoded pixels from the md5-hex derivation, so a match "
+    "proves the whole inflate+unfilter pipeline bit-exactly",
+)
+def q_multimodal_png_decode(spark, sf_dir):
+    from victor_spark.operators.multimodal import decode_image_stats, synthesize_png
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_png(d, "doc_id", "text", width=8, height=8,
+                           filter_type="cycle")
+    s = decode_image_stats(media)
+    return s.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "min_px", "max_px",
+    )
+
+
+@_q(
+    "multimodal_png_resize",
+    """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents),
+px AS (
+  SELECT media_id,
+         list_transform(range(0, 48), i ->
+           ord(substr(s, CAST((((i // 12) * 2 * 8 + ((i % 12) // 3) * 2) * 3 + i % 3) % 32 AS INT) + 1, 1))) AS b
+  FROM m
+)
+SELECT media_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+       round(list_sum(list_transform(range(0, 16), j -> b[CAST(j*3 AS INT) + 1])) / 16.0, 6) AS mean_r,
+       round(list_sum(list_transform(range(0, 16), j -> b[CAST(j*3 AS INT) + 2])) / 16.0, 6) AS mean_g,
+       round(list_sum(list_transform(range(0, 16), j -> b[CAST(j*3 AS INT) + 3])) / 16.0, 6) AS mean_b,
+       CAST(list_min(b) AS BIGINT) AS min_px, CAST(list_max(b) AS BIGINT) AS max_px
+FROM px
+""",
+    "REAL compressed-format resize roundtrip: PNG decoded (inflate + "
+    "unfilter), nearest-neighbor resampled 8x8 -> 4x4, RE-ENCODED as PNG "
+    "(filter + deflate + CRC), then decoded AGAIN by the stats farm — "
+    "two full trips through the compressed codec. The container bytes "
+    "aren't SQL-replayable (deflate), so the oracle replays the DECODED "
+    "pixels of the result: output pixel (x,y,c) = md5 char at "
+    "((2y*8+2x)*3+c) mod 32",
+)
+def q_multimodal_png_resize(spark, sf_dir):
+    from victor_spark.operators.multimodal import (
+        decode_image_stats,
+        resize_images,
+        synthesize_png,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_png(d, "doc_id", "text", width=8, height=8,
+                           filter_type="cycle")
+    s = decode_image_stats(resize_images(media, 4, 4))
+    return s.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "min_px", "max_px",
+    )
+
+
+@_q(
+    "dedup_image_cross_format",
+    """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents),
+allm AS (
+  SELECT media_id, s FROM m
+  UNION ALL
+  SELECT media_id + 1000000, s FROM m WHERE media_id % 10 = 0
+),
+g AS (
+  SELECT media_id,
+    list_transform(range(0, 72), t ->
+      ord(substr(s, CAST(((t // 9) * 8 + (t % 9) * 8 // 9) * 3 % 32 AS INT) + 1, 1)) +
+      ord(substr(s, CAST((((t // 9) * 8 + (t % 9) * 8 // 9) * 3 + 1) % 32 AS INT) + 1, 1)) +
+      ord(substr(s, CAST((((t // 9) * 8 + (t % 9) * 8 // 9) * 3 + 2) % 32 AS INT) + 1, 1))
+    ) AS gv
+  FROM allm
+),
+hh AS (
+  SELECT media_id,
+    list_aggregate(list_transform(range(0, 64), k ->
+      CASE WHEN gv[CAST((k // 8) * 9 + (k % 8) AS INT) + 1]
+                < gv[CAST((k // 8) * 9 + (k % 8) AS INT) + 2]
+           THEN '1' ELSE '0' END), 'string_agg', '') AS dhash
+  FROM g
+)
+SELECT dhash, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(min(media_id) AS BIGINT) AS min_media_id
+FROM hh GROUP BY dhash HAVING count(*) >= 2
+""",
+    "CROSS-CONTAINER image dedup: originals are uncompressed PPM, every "
+    "10th image's clone is a real 16x16 upscale stored as a COMPRESSED "
+    "PNG under a different id — the perceptual dHash is computed over "
+    "DECODED pixels, so the same picture dedups across container "
+    "formats AND resolutions (byte/container hashing catches neither). "
+    "Same exact-groupBy shuffle shape as the text dedup family; the "
+    "oracle replays every hash bit integer-exactly",
+)
+def q_dedup_image_cross_format(spark, sf_dir):
+    from victor_spark.operators.multimodal import (
+        image_dhash,
+        resize_images,
+        synthesize_png,
+        synthesize_ppm,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    base = synthesize_ppm(d, "doc_id", "text", width=8, height=8)
+    png_clones = resize_images(
+        synthesize_png(
+            d.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            ),
+            "doc_id", "text", width=8, height=8, filter_type="cycle",
+        ),
+        16, 16,
+    )
+    hashes = image_dhash(base.unionByName(png_clones))
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.min("media_id").alias("min_media_id"),
+        )
+        .filter(F.col("n_media") >= 2)
+    )
+
+
+@_q(
     "multimodal_y4m_frames",
     """
 WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents)
@@ -7255,14 +7418,19 @@ def q_embedding_outliers(spark, sf_dir):
 # Builders/oracles touched in the CURRENT round — the only hand input.
 # Reset when a new round starts; the artifact-derived tiers handle the rest.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round 5: extract_features/_resize_image/sample_frames grew real
-    # PPM/WAV/y4m decode dispatch (these queries' synthesized-text
-    # payloads still take the stub path, but the builder code changed,
-    # so the gate re-checks them; multimodal_features is also
-    # never-green — belt-and-braces)
+    # round 6: the image decode farm dispatches through _parse_image
+    # (PPM or the new PNG codec), _decode_audio/_resize_image/
+    # resample_audio grew corrupt-input fallbacks, and _parse_wav grew
+    # the short-fmt-chunk guard — re-check every query whose builder
+    # rides those seams (the three new PNG queries are never-green and
+    # front automatically)
+    "dedup_image_phash",
+    "dedup_audio_fingerprint",
+    "multimodal_ppm_decode",
+    "multimodal_ppm_resize",
+    "multimodal_wav_decode",
     "multimodal_features",
     "multimodal_resize",
-    "multimodal_frame_sample",
 ]
 
 
