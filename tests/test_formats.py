@@ -243,30 +243,66 @@ def test_load_media_dir_default_ids_and_corrupt_riff(spark, tmp_path):
 
 def test_audio_operators_tolerate_unsupported_wav_encodings(spark):
     """_decode_audio falls back to the deterministic stub (and
-    resample_audio passes through) for WAVE encodings outside the PCM16-
-    mono codec — a single stereo/float asset must not fail the farm."""
+    resample_audio passes through) for WAVE encodings outside the codec
+    (e.g. IEEE float, format 3) — a single such asset must not fail the
+    farm. Stereo, by contrast, is now REALLY decoded (downmixed)."""
     import struct
 
     from victor_spark.operators import multimodal as M
 
-    # a valid RIFF/WAVE container declaring stereo (2 channels)
-    data = struct.pack("<4h", 1, 2, 3, 4)
-    stereo = (
+    # a valid RIFF/WAVE container declaring IEEE float samples (fmt 3)
+    data = struct.pack("<2f", 0.5, -0.5)
+    floaty = (
         b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
         + b"data" + struct.pack("<I", len(data)) + data
     )
-    feats = M._decode_audio(stereo)
+    feats = M._decode_audio(floaty)
     # stub signature: 4th feature is the BYTE length (the real path
     # would put the rms amplitude there)
-    assert len(feats) == 4 and feats[3] == float(len(stereo))
+    assert len(feats) == 4 and feats[3] == float(len(floaty))
 
     media = spark.createDataFrame(
-        [(1, "audio", bytearray(stereo), None, None, 8000)],
+        [(1, "audio", bytearray(floaty), None, None, 8000)],
         M.MEDIA_SCHEMA,
     )
     out = M.resample_audio(media, factor=2).collect()[0]
-    assert bytes(out["payload"]) == stereo  # untouched pass-through
+    assert bytes(out["payload"]) == floaty  # untouched pass-through
     assert out["meta_sample_rate"] == 8000
     # extract_features over the same mixed row also survives
     assert M.extract_features(media).count() == 1
+
+
+def test_wav_decodes_stereo_pcm8_and_mulaw():
+    """The WAV codec really decodes the other common encodings: stereo
+    PCM16 downmixes (l+r)//2 with floor semantics, 8-bit PCM recenters
+    and rescales, and G.711 mu-law expands to the standard linear table
+    values — all to mono int16."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    # stereo: interleaved l,r — floor((l+r)/2), negatives included
+    rate, got = M._parse_wav(
+        M._encode_wav([100, 201, -3, -4, -5, 4], 8000, channels=2)
+    )
+    assert rate == 8000 and list(got) == [150, -4, -1]  # floor(-7/2) = -4
+
+    # PCM8: unsigned bytes, 128 is silence
+    rate, got = M._parse_wav(
+        M._encode_wav([128, 0, 255], 8000, bits=8)
+    )
+    assert list(got) == [0, -32768, 32512]
+
+    # mu-law: spec landmark values after complementing — 0xFF and 0x7F
+    # are the two zero codes, 0x80 the positive peak (+32124), 0x00 the
+    # negative peak (-32124)
+    rate, got = M._parse_wav(
+        M._encode_wav([0xFF, 0x7F, 0x80, 0x00], 8000, bits=8, audio_format=7)
+    )
+    assert list(got) == [0, 0, 32124, -32124]
+    # mu-law stereo downmix composes with the expansion
+    rate, got = M._parse_wav(
+        M._encode_wav([0xFF, 0x80], 8000, channels=2, bits=8, audio_format=7)
+    )
+    assert list(got) == [(0 + 32124) // 2]

@@ -128,10 +128,17 @@ def test_wav_codec_roundtrip_and_chunk_walk():
     with_extra = payload[:fmt_end] + extra + payload[fmt_end:]
     rate2, back2 = M._parse_wav(with_extra)
     assert rate2 == 22050 and (back2 == samples).all()
-    # stereo/8-bit/compressed streams are rejected, not mis-decoded
+    # stereo is now REALLY decoded: the same byte stream re-labelled as
+    # 2-channel downmixes each adjacent pair with floor semantics
+    two_ch = bytearray(payload)
+    two_ch[22] = 2  # num_channels = 2
+    _, mixed = M._parse_wav(bytes(two_ch))
+    assert (mixed == (samples[0::2].astype(int)
+                      + samples[1::2].astype(int)) // 2).all()
+    # genuinely unsupported encodings are rejected, not mis-decoded
     bad = bytearray(payload)
-    bad[22] = 2  # num_channels = 2
-    with pytest.raises(ValueError, match="PCM16 mono"):
+    bad[20] = 3  # audio_format = IEEE float
+    with pytest.raises(ValueError, match="unsupported WAV encoding"):
         M._parse_wav(bytes(bad))
     with pytest.raises(ValueError, match="RIFF"):
         M._parse_wav(b"OggS" + payload[4:])

@@ -551,3 +551,46 @@ def test_png_corruption_raises_valueerror(data):
     except ValueError:
         return
     assert (w2, h2) == (4, 4) and (back == arr).all()
+
+
+@CODEC_PROP
+@given(
+    lr=st.lists(st.integers(-32768, 32767), min_size=0, max_size=120),
+    rate=st.integers(1, 384_000),
+)
+def test_wav_stereo_downmix_is_floor_mean(lr, rate):
+    """Stereo PCM16 decodes to floor((l+r)/2) per frame (the odd
+    trailing value of an unpaired stream is dropped, mirroring a
+    truncated final frame)."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    got_rate, got = M._parse_wav(M._encode_wav(lr, rate, channels=2))
+    assert got_rate == rate
+    frames = len(lr) // 2
+    expect = [(lr[2 * k] + lr[2 * k + 1]) // 2 for k in range(frames)]
+    assert list(got) == expect
+    assert got.dtype == np.int16
+
+
+@CODEC_PROP
+@given(data=st.lists(st.integers(0, 255), min_size=0, max_size=120))
+def test_wav_mulaw_matches_reference_expansion(data):
+    """The μ-law path matches an independently-written G.711 expansion
+    for every byte value, and PCM8 recenters/rescales exactly."""
+    from victor_spark.operators import multimodal as M
+
+    def ref_mulaw(b):  # independent formulation, straight from G.711
+        b = b ^ 0xFF
+        sign = -1 if b & 0x80 else 1
+        exponent = (b >> 4) & 0x07
+        mantissa = b & 0x0F
+        magnitude = ((2 * mantissa + 33) << exponent) - 33
+        return sign * magnitude * 4  # table is in units of 4
+
+    _, got = M._parse_wav(M._encode_wav(data, 8000, bits=8, audio_format=7))
+    assert list(got) == [ref_mulaw(b) for b in data]
+
+    _, got8 = M._parse_wav(M._encode_wav(data, 8000, bits=8))
+    assert list(got8) == [(b - 128) * 256 for b in data]

@@ -315,10 +315,24 @@ def _parse_image(payload: bytes):
     return w, h, arr
 
 
+def _mulaw_decode(u):
+    """G.711 μ-law byte → linear int16, the standard expansion (ITU-T
+    G.711 table 2a, as implemented by every telephony stack): complement,
+    split sign/exponent/mantissa, reconstruct with the +33 bias."""
+    import numpy as np
+
+    u = (~np.asarray(u, dtype=np.uint8)).astype(np.int32) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
 def _parse_wav(payload: bytes):
     """Decode a RIFF/WAVE container: walks the chunk list (so extra
-    chunks like LIST/fact are tolerated), requires a PCM ('fmt ' audio
-    format 1) mono 16-bit stream. Returns (sample_rate, int16 ndarray)."""
+    chunks like LIST/fact are tolerated). REAL decode for the common
+    encodings — PCM 16-bit, PCM 8-bit (unsigned, rescaled by ×256 after
+    centering), and G.711 μ-law (format 7), each mono or stereo (stereo
+    is downmixed (l+r)//2, floor semantics) — all to a mono int16
+    stream. Returns (sample_rate, int16 ndarray)."""
     import struct
 
     import numpy as np
@@ -341,12 +355,28 @@ def _parse_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
-    if (audio_format, channels, bits) != (1, 1, 16):
-        raise ValueError(
-            f"only PCM16 mono supported, got fmt={audio_format} "
-            f"ch={channels} bits={bits}"
+    if channels not in (1, 2):
+        raise ValueError(f"unsupported WAV channel count {channels}")
+    if (audio_format, bits) == (1, 16):
+        samples = np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2"
+        ).astype(np.int32)
+    elif (audio_format, bits) == (1, 8):  # PCM8 is unsigned per the spec
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+        ) * 256
+    elif (audio_format, bits) == (7, 8):
+        samples = _mulaw_decode(np.frombuffer(data, dtype=np.uint8)).astype(
+            np.int32
         )
-    return rate, np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+    else:
+        raise ValueError(
+            f"unsupported WAV encoding: fmt={audio_format} bits={bits}"
+        )
+    if channels == 2:
+        samples = samples[: len(samples) // 2 * 2]
+        samples = (samples[0::2] + samples[1::2]) // 2
+    return rate, samples.astype(np.int16)
 
 
 def _is_wave(payload: bytes) -> bool:
@@ -360,18 +390,36 @@ def _is_wave(payload: bytes) -> bool:
     )
 
 
-def _encode_wav(samples, sample_rate: int = 16000) -> bytes:
-    """Encode int16 mono samples as a canonical RIFF/WAVE (PCM16)."""
+def _encode_wav(
+    samples,
+    sample_rate: int = 16000,
+    channels: int = 1,
+    bits: int = 16,
+    audio_format: int = 1,
+) -> bytes:
+    """Encode samples as a canonical RIFF/WAVE. Default (and the only
+    shape victor_spark itself writes): PCM16 mono from int16 samples.
+    The other parser-supported encodings can also be built — stereo
+    (``samples`` interleaved l,r), 8-bit PCM (unsigned 0-255 values) and
+    μ-law (``audio_format=7``, raw companded bytes) — so tests and
+    synthesis can produce real containers for every decode path."""
     import struct
 
     import numpy as np
 
-    data = np.asarray(samples, dtype="<i2").tobytes()
+    if bits == 16:
+        data = np.asarray(samples, dtype="<i2").tobytes()
+    elif bits == 8:
+        data = np.asarray(samples, dtype=np.uint8).tobytes()
+    else:
+        raise ValueError(f"unsupported bits {bits}")
+    block_align = channels * (bits // 8)
     return (
         struct.pack(
             "<4sI4s4sIHHIIHH4sI",
             b"RIFF", 36 + len(data), b"WAVE",
-            b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+            b"fmt ", 16, audio_format, channels, sample_rate,
+            sample_rate * block_align, block_align, bits,
             b"data", len(data),
         )
         + data
@@ -839,13 +887,20 @@ def synthesize_wav(
     text_col: str,
     n_samples: int = 64,
     sample_rate: int = 16000,
+    channels: int = 1,
+    bits: int = 16,
+    audio_format: int = 1,
 ) -> DataFrame:
-    """A real RIFF/WAVE media table from a text table: sample j =
-    (ord(text[j mod len]) - 80) * 128 (int16, covers negative and
-    positive amplitudes), packed into a canonical PCM16 mono container
-    via _encode_wav. Arrow-batched (the binary header needs struct
-    packing), deterministic, and decode-oracle-replayable because the
-    samples are a pure function of the text."""
+    """A real RIFF/WAVE media table from a text table. Default (PCM16
+    mono): sample j = (ord(text[j mod len]) - 80) * 128 (int16, covers
+    negative and positive amplitudes). For the 8-bit encodings (PCM8, or
+    μ-law with ``audio_format=7``): byte j = (ord(text[j mod len]) +
+    91*j) mod 256, which sweeps both sign branches of the μ-law
+    expansion. ``n_samples`` counts stored values, so a stereo container
+    holds n_samples/2 frames. Packed via _encode_wav into a canonical
+    container; Arrow-batched (the binary header needs struct packing),
+    deterministic, and decode-oracle-replayable because the stored
+    values are a pure function of the text."""
 
     src = df.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
 
@@ -854,10 +909,22 @@ def synthesize_wav(
             payloads = []
             for text in pdf["text"]:
                 t = text or " "
-                samples = [
-                    (ord(t[j % len(t)]) - 80) * 128 for j in range(n_samples)
-                ]
-                payloads.append(_encode_wav(samples, sample_rate))
+                if bits == 8:
+                    samples = [
+                        (ord(t[j % len(t)]) + 91 * j) % 256
+                        for j in range(n_samples)
+                    ]
+                else:
+                    samples = [
+                        (ord(t[j % len(t)]) - 80) * 128
+                        for j in range(n_samples)
+                    ]
+                payloads.append(
+                    _encode_wav(
+                        samples, sample_rate, channels=channels, bits=bits,
+                        audio_format=audio_format,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -4878,6 +4878,61 @@ def q_multimodal_wav_decode(spark, sf_dir):
 
 
 @_q(
+    "multimodal_wav_mulaw_decode",
+    """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents),
+mu AS (
+  SELECT media_id,
+    list_transform(range(0, 64),
+      j -> 255 - (ord(substr(s, CAST(j % 32 AS INT) + 1, 1)) + 91 * j) % 256) AS u
+  FROM m
+),
+lin AS (
+  SELECT media_id,
+    list_transform(u, x ->
+      CASE WHEN x >= 128 THEN 132 - ((x % 16) * 8 + 132) * ([1,2,4,8,16,32,64,128])[CAST((x // 16) % 8 AS INT) + 1]
+           ELSE ((x % 16) * 8 + 132) * ([1,2,4,8,16,32,64,128])[CAST((x // 16) % 8 AS INT) + 1] - 132 END) AS sv
+  FROM mu
+),
+mono AS (
+  SELECT media_id,
+    list_transform(range(0, 32), k ->
+      CAST(floor((sv[CAST(k * 2 AS INT) + 1] + sv[CAST(k * 2 AS INT) + 2]) / 2.0) AS BIGINT)) AS mv
+  FROM lin
+)
+SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate, CAST(32 AS BIGINT) AS n_samples,
+       round(list_sum(mv) / 32.0, 6) AS mean_amp,
+       round(sqrt(list_sum(list_transform(mv, x -> CAST(x AS DOUBLE) * x)) / 32.0), 6) AS rms_amp,
+       CAST(list_min(mv) AS BIGINT) AS min_amp, CAST(list_max(mv) AS BIGINT) AS max_amp
+FROM mono
+""",
+    "REAL telephony-codec decode: genuine G.711 mu-law STEREO containers "
+    "(8-bit companded bytes sweeping both sign branches), expanded to "
+    "linear int16 and downmixed (l+r)//2 by the WAV codec, sample "
+    "statistics out; the oracle replays the full expansion — complement, "
+    "exponent/mantissa split, +33 bias, sign — integer-exactly per byte, "
+    "so a match proves the non-trivial compressed-audio path bit for bit",
+)
+def q_multimodal_wav_mulaw_decode(spark, sf_dir):
+    from victor_spark.operators.multimodal import decode_audio_stats, synthesize_wav
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_wav(
+        d, "doc_id", "text", n_samples=64, sample_rate=8000,
+        channels=2, bits=8, audio_format=7,
+    )
+    s = decode_audio_stats(media)
+    return s.select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms_amp", 6).alias("rms_amp"),
+        "min_amp", "max_amp",
+    )
+
+
+@_q(
     "multimodal_ppm_resize",
     """
 WITH m AS (
