@@ -29,6 +29,32 @@ def test_jsonl_round_trip(spark, tmp_path):
     )
 
 
+def test_jsonl_gzip_round_trip(spark, tmp_path):
+    """compression='gzip' writes real .gz shards (the .jsonl.gz
+    interchange format) that read_jsonl decompresses transparently,
+    losslessly through newlines and unicode — the payloads raw text
+    lines can't carry without escaping."""
+    import glob
+    import gzip
+    import json
+
+    docs = spark.createDataFrame(
+        [(1, "line one\nline two", ["a"], [0.1]),
+         (2, "unicode é世界", [], [0.2])],
+        CORPUS_SCHEMA,
+    )
+    out = tmp_path / "jz"
+    write_jsonl(docs, str(out), compression="gzip")
+    shards = glob.glob(str(out / "*.json.gz"))
+    assert shards  # the codec actually produced gzip members
+    with gzip.open(shards[0], "rt") as f:  # genuine gzip, line-oriented
+        json.loads(f.readline())
+    back = read_jsonl(spark, str(out), CORPUS_SCHEMA)
+    assert sorted(back.collect(), key=lambda r: r["doc_id"]) == sorted(
+        docs.collect(), key=lambda r: r["doc_id"]
+    )
+
+
 def test_csv_round_trip_with_array_columns(spark, tmp_path):
     d = _corpus(spark)
     write_csv(d, str(tmp_path / "c"))

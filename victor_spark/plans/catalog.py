@@ -4933,6 +4933,42 @@ def q_multimodal_wav_mulaw_decode(spark, sf_dir):
 
 
 @_q(
+    "ingest_jsonl_gz_roundtrip",
+    """
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars_rt,
+       md5(text) AS text_md5
+FROM documents
+""",
+    "gzip-compressed JSON-Lines ingest roundtrip — THE training-corpus "
+    "interchange format: the documents table is written as .json.gz "
+    "shards (Spark's gzip codec) and read back through the transparent "
+    "decompression path with an explicit schema (no inference pass); "
+    "the oracle is the identity projection, so a match proves byte-"
+    "lossless transport of every document INCLUDING embedded newlines "
+    "and unicode (JSON escaping — exactly what raw text lines can't "
+    "carry). Scale note in write_jsonl's docstring: gzip shards are "
+    "not splittable, so parallelism = shard count by construction",
+)
+def q_ingest_jsonl_gz_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from victor_spark.sources.formats import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = tempfile.mkdtemp(prefix="victor_jsonl_gz_")
+    write_jsonl(docs.repartition(8), out, compression="gzip")
+    back = read_jsonl(spark, out, "doc_id bigint, text string, lang string")
+    return back.select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("n_chars_rt"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@_q(
     "multimodal_ppm_resize",
     """
 WITH m AS (

@@ -26,9 +26,21 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> Data
     return spark.read.schema(schema).json(path)
 
 
-def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Write as JSON Lines (one object per row; splittable shards)."""
-    df.write.mode(mode).json(path)
+def write_jsonl(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """Write as JSON Lines (one object per row). ``compression`` enables
+    a codec ('gzip', 'bzip2', 'zstd', ... — whatever the Spark build
+    carries); .jsonl.gz is THE training-corpus interchange format, and
+    read_jsonl decompresses it transparently by extension. Scale note:
+    gzip shards are NOT splittable — one task reads one shard — so the
+    parallelism of every downstream consumer is the shard count; write
+    with enough partitions (or use zstd/bzip2, which split)."""
+    w = df.write.mode(mode)
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def _array_cols(schema: StructType) -> list[str]:
