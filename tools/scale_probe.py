@@ -79,6 +79,15 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # collision-free because the replica stride is 1e8
     "dedup_image_phash": {"documents": ["doc_id"]},
     "dedup_audio_fingerprint": {"documents": ["doc_id"]},
+    # round-6 compressed-codec family: deflate inflate/deflate + scanline
+    # unfiltering per row (the heaviest per-row Python work in the repo)
+    # and the mu-law expansion; same shape as the round-5 decode farms —
+    # partition-local decode, at most one hash shuffle
+    "multimodal_png_decode": {"documents": ["doc_id"]},
+    "multimodal_png_resize": {"documents": ["doc_id"]},
+    "dedup_image_cross_format": {"documents": ["doc_id"]},
+    "multimodal_wav_mulaw_decode": {"documents": ["doc_id"]},
+    "ingest_jsonl_gz_roundtrip": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000
