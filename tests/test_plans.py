@@ -488,6 +488,9 @@ def test_image_phash_dedup_single_shuffle_mapside_partial(spark):
         # stages (the WAV container needs python struct packing)
         ("dedup_image_phash", "dhash", 2),
         ("dedup_audio_fingerprint", "fingerprint", 4),
+        # cross-format: PNG synthesis + clone resize + one dhash over the
+        # union (the PPM branch synthesizes JVM-side)
+        ("dedup_image_cross_format", "dhash", 3),
     ):
         p = plan(name, spark)
         # node-detail headers count each node exactly once in formatted mode
@@ -510,7 +513,8 @@ def test_media_decode_queries_are_shuffle_free(spark):
     import re
 
     for name in ("multimodal_ppm_decode", "multimodal_wav_decode",
-                 "multimodal_ppm_resize"):
+                 "multimodal_ppm_resize", "multimodal_png_decode",
+                 "multimodal_png_resize", "multimodal_wav_mulaw_decode"):
         p = plan(name, spark)
         exchanges = re.findall(r"Exchange (\w+)", p)
         assert all(e == "RoundRobinPartitioning" for e in exchanges), (name, exchanges)
