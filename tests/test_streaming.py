@@ -770,10 +770,12 @@ def test_stream_state_works_over_file_uri(spark, tmp_path):
 
 
 def test_stream_media_decode_matches_batch(spark, tmp_path):
-    """Topology 15 — streaming media decode: readStream over a media
-    table (two micro-batches), the SAME real-codec decode operators as
-    the batch side, append sink. Stateless map => stream == batch
-    exactly, for both the image-stats and perceptual-hash transforms."""
+    """Topology 15 — streaming media decode: readStream over a MIXED
+    media table (uncompressed PPM in batch 1, compressed PNG in batch 2;
+    two micro-batches), the SAME real-codec decode operators as the
+    batch side, append sink. Stateless map => stream == batch exactly,
+    for both the image-stats and perceptual-hash transforms — including
+    the full inflate+unfilter pipeline inside the stream."""
     from victor_spark.operators import multimodal as M
     from victor_spark.streaming.media_stream import stream_decode_media
 
@@ -781,8 +783,11 @@ def test_stream_media_decode_matches_batch(spark, tmp_path):
         [(i, f"doc text number {i} with some extra words") for i in range(20)],
         "id long, text string",
     )
+    hashed = docs.selectExpr("id", "md5(text) AS text")
     media = M.synthesize_ppm(
-        docs.selectExpr("id", "md5(text) AS text"), "id", "text", 8, 8
+        hashed.filter("id < 10"), "id", "text", 8, 8
+    ).unionByName(
+        M.synthesize_png(hashed.filter("id >= 10"), "id", "text", 8, 8)
     )
     src = str(tmp_path / "media_src")
     # two files -> two micro-batches under maxFilesPerTrigger=1
