@@ -384,3 +384,112 @@ def test_load_media_dir_sniffs_png(spark, tmp_path):
     rows = {r["kind"]: r for r in load_media_dir(spark, str(d)).collect()}
     assert (rows["image"]["meta_width"], rows["image"]["meta_height"]) == (5, 3)
     assert rows["binary"]["meta_width"] is None
+
+
+def test_gif_external_fixture_and_structure():
+    """The decoder opens the canonical 35-byte 1x1 white-pixel GIF89a —
+    an EXTERNAL fixture (documented byte-for-byte in the 'smallest GIF'
+    references, not produced by our encoder) — pinning the LZW bit
+    packing and width conventions to the interoperable ones. Corrupt
+    containers raise ValueError for the quarantine path."""
+    import pytest
+
+    from victor_spark.operators import multimodal as M
+
+    g = bytes.fromhex(
+        "474946383961"          # GIF89a
+        "01000100800000"        # 1x1 logical screen, 2-entry GCT
+        "ffffff000000"          # palette: white, black
+        "2c000000000100010000"  # full-frame image descriptor
+        "0202440100"            # LZW min=2, [44 01], terminator
+        "3b"
+    )
+    w, h, frames = M._parse_gif(g)
+    assert (w, h) == (1, 1) and frames[0].tolist() == [[[255, 255, 255]]]
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        M._parse_gif(b"GIF99a" + g[6:])
+    with pytest.raises(ValueError, match="truncated GIF data sub-block"):
+        M._parse_gif(g[:-3])
+    bad = bytearray(g)
+    bad[30] = 0x07  # declare a 7-byte sub-block where 2 bytes follow
+    with pytest.raises(ValueError, match="truncated GIF"):
+        M._parse_gif(bytes(bad))
+
+
+def test_synthesize_gif_decodes_and_samples_frames(spark):
+    """synthesize_gif emits genuine LZW-compressed containers: a still
+    feeds the image decode farm (stats/dHash); an animated one is a
+    compressed video container whose frames sample_frames really
+    demuxes, matching the index/palette derivation exactly."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    df = spark.createDataFrame(
+        [(1, "0123456789abcdef0123456789abcdef")], "doc_id long, text string"
+    )
+    t = "0123456789abcdef0123456789abcdef"
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([i, (2 * i) % 256, (7 * i) % 256], 1).astype(np.uint8)
+
+    still = M.synthesize_gif(df, "doc_id", "text", width=8, height=8)
+    row = still.collect()[0]
+    assert row["kind"] == "image"
+    idx = np.array(
+        [(ord(t[j % 32]) + 91 * j) % 256 for j in range(64)], dtype=np.uint8
+    )
+    expect = pal[idx].reshape(8, 8, 3)
+    stats = M.decode_image_stats(still).collect()[0]
+    assert stats["width"] == 8
+    assert stats["mean_r"] == float(expect[..., 0].mean())
+    assert stats["min_px"] == int(expect.min())
+    assert M.image_dhash(still).collect()[0]["dhash"] == M._dhash_bits(expect)
+
+    anim = M.synthesize_gif(df, "doc_id", "text", width=4, height=4,
+                            n_frames=4)
+    arow = anim.collect()[0]
+    assert arow["kind"] == "video"
+    got = {
+        (r["frame_idx"], r["n_frames"], bytes(r["frame"]))
+        for r in M.sample_frames(anim, stride=2).collect()
+    }
+    want = set()
+    for f in (0, 2):
+        fi = np.array(
+            [(ord(t[(f * 16 + j) % 32]) + 91 * (f * 16 + j)) % 256
+             for j in range(16)],
+            dtype=np.uint8,
+        )
+        want.add((f, 4, pal[fi].reshape(4, 4, 3).tobytes()))
+    assert got == want
+
+
+def test_load_media_dir_sniffs_gif_kinds(spark, tmp_path):
+    """A still .gif ingests as image, an animated one as video, with
+    geometry from the logical screen; corrupt GIFs quarantine."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+    from victor_spark.sources.media import load_media_dir
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    rng = np.random.default_rng(2)
+    frame = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    (d / "still.gif").write_bytes(M._encode_gif([frame], 5, 3))
+    (d / "anim.gif").write_bytes(M._encode_gif([frame, frame], 5, 3))
+    bad = bytearray(M._encode_gif([frame], 5, 3))
+    # first sub-block LENGTH byte: header 6 + LSD 7 + GCT 768 + image
+    # descriptor 10 + min-code 1 = offset 792; declare 255 bytes where
+    # far fewer follow -> truncated sub-block -> quarantined
+    bad[792] = 0xFF
+    (d / "bad.gif").write_bytes(bytes(bad))
+
+    rows = sorted(load_media_dir(spark, str(d)).collect(),
+                  key=lambda r: r["kind"])
+    assert [r["kind"] for r in rows] == ["binary", "image", "video"]
+    assert all(
+        (r["meta_width"], r["meta_height"]) == (5, 3)
+        for r in rows if r["kind"] != "binary"
+    )

@@ -594,3 +594,47 @@ def test_wav_mulaw_matches_reference_expansion(data):
 
     _, got8 = M._parse_wav(M._encode_wav(data, 8000, bits=8))
     assert list(got8) == [(b - 128) * 256 for b in data]
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 10), h=st.integers(1, 10),
+    n_frames=st.integers(1, 4), data=st.data(),
+)
+def test_gif_roundtrip_any_geometry_and_frames(w, h, n_frames, data):
+    """encode→decode is the identity (through the palette) for ANY
+    geometry and frame count — real LZW with dictionary growth, not a
+    degenerate clear-per-symbol stream."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+
+    frames = [
+        np.array(
+            data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                               max_size=w * h)),
+            dtype=np.uint8,
+        ).reshape(h, w)
+        for _ in range(n_frames)
+    ]
+    gif = M._encode_gif(frames, w, h)
+    w2, h2, back = M._parse_gif(gif)
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([i, (2 * i) % 256, (7 * i) % 256], 1).astype(np.uint8)
+    assert (w2, h2) == (w, h) and len(back) == n_frames
+    for f, b in zip(frames, back):
+        assert np.array_equal(b, pal[f])
+
+
+@CODEC_PROP
+@given(data=st.binary(min_size=0, max_size=30000),
+       min_code=st.integers(2, 8))
+def test_lzw_roundtrip_arbitrary_bytes(data, min_code):
+    """The LZW layer alone roundtrips arbitrary byte strings at every
+    legal minimum code size — long inputs push the code width through
+    9→12 bits and across the 4096-entry dictionary reset."""
+    from victor_spark.operators import multimodal as M
+
+    if min_code < 8:  # symbols must fit the initial code space
+        data = bytes(b % (1 << min_code) for b in data)
+    assert M._lzw_decode(M._lzw_encode(data, min_code), min_code) == data

@@ -88,6 +88,8 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "dedup_image_cross_format": {"documents": ["doc_id"]},
     "multimodal_wav_mulaw_decode": {"documents": ["doc_id"]},
     "ingest_jsonl_gz_roundtrip": {"documents": ["doc_id"]},
+    "multimodal_gif_decode": {"documents": ["doc_id"]},
+    "multimodal_gif_frames": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -305,12 +305,239 @@ def _encode_png(arr, filter_type: int | str = 0) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# GIF codec — a second REAL compressed format, with REAL LZW compression
+# (variable-width codes, dictionary growth, code-size bumps, 4095-reset),
+# pure stdlib. GIF is lossless over its palette, so decoded pixels are
+# bit-exactly oracle-replayable; multi-image GIFs are the classic
+# compressed ANIMATION container, which gives sample_frames a genuinely
+# compressed video-ish format next to uncompressed y4m.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: LSB-first bit packing, CLEAR/EOI codes, code width
+    grows from min_code_size+1 up to 12 bits, dictionary reset at 4095.
+    A real compressor (longest-match dictionary), not a degenerate
+    clear-per-symbol stream — so decoding it exercises every decoder
+    path."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:  # dictionary full: reset
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Inverse of _lzw_encode (the GIF appendix-F algorithm), including
+    the deferred (cScSc) case, width bumps and CLEAR resets."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    buf = nbits = pos = 0
+    width = min_code_size + 1
+    table = list(base)
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate, stream ended
+            buf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and (code < clear or code > eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the cScSc special case
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _encode_gif(frames, width: int, height: int, palette=None) -> bytes:
+    """Mux palette-index frames into a real GIF89a: logical screen +
+    256-entry global color table, per-frame image descriptors, REAL LZW
+    image data in 255-byte sub-blocks. ``frames`` are (h, w) uint8 index
+    arrays; ``palette`` is a 256×3 array (default: the SQL-replayable
+    formula (i, 2i mod 256, 7i mod 256)). Multi-frame input produces the
+    classic compressed animation container."""
+    import struct
+
+    import numpy as np
+
+    if palette is None:
+        i = np.arange(256, dtype=np.int64)
+        palette = np.stack([i, (2 * i) % 256, (7 * i) % 256], 1)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.shape != (256, 3):
+        raise ValueError("palette must be 256x3")
+    out = [b"GIF89a", struct.pack("<HHBBB", width, height, 0xF7, 0, 0),
+           pal.tobytes()]
+    for f in frames:
+        a = np.ascontiguousarray(f, dtype=np.uint8)
+        if a.shape != (height, width):
+            raise ValueError(f"frame shape {a.shape} != {(height, width)}")
+        out.append(b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0))
+        lzw = _lzw_encode(a.tobytes(), 8)
+        out.append(bytes([8]))  # LZW minimum code size
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(bytes([len(block)]) + block)
+        out.append(b"\x00")  # block terminator
+    out.append(b"\x3b")  # trailer
+    return b"".join(out)
+
+
+def _parse_gif(payload: bytes):
+    """Demux + decode a GIF: global color table, extension skipping, per
+    image LZW decode (full-frame, non-interlaced images — what
+    _encode_gif writes; anything else raises ValueError for the
+    quarantine path). Returns (width, height, [frame (h,w,3) uint8
+    arrays]) with pixels already palette-resolved."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    width, height, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
+        if len(gct) != 3 * n:
+            raise ValueError("truncated GIF color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    frames = []
+    while pos < len(payload):
+        marker = payload[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, w, h, ipacked = struct.unpack(
+            "<HHHHB", payload[pos : pos + 9]
+        )
+        pos += 9
+        if (left, top, w, h) != (0, 0, width, height):
+            raise ValueError("unsupported GIF: partial-frame image")
+        if ipacked & 0x40:
+            raise ValueError("unsupported GIF: interlaced image")
+        table = gct
+        if ipacked & 0x80:  # local color table overrides
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            )
+            if len(table) != 3 * n:
+                raise ValueError("truncated GIF local color table")
+            table = table.reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF image data")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 8:
+            raise ValueError(f"bad LZW minimum code size {min_code}")
+        chunks = []
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("truncated GIF data sub-block")
+            chunks.append(chunk)
+            pos += 1 + ln
+        pos += 1  # the 0x00 terminator
+        idx = _lzw_decode(b"".join(chunks), min_code)
+        if len(idx) < w * h:
+            raise ValueError(f"GIF frame short: {len(idx)} < {w * h}")
+        indices = np.frombuffer(idx[: w * h], dtype=np.uint8)
+        if int(indices.max(initial=0)) >= len(table):
+            raise ValueError("GIF index out of palette range")
+        frames.append(table[indices].reshape(h, w, 3))
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return width, height, frames
+
+
 def _parse_image(payload: bytes):
     """Decode any supported image container to (w, h, (h,w,3) uint8):
-    binary PPM (uncompressed) or PNG (compressed). The single dispatch
-    point for the image decode farm operators."""
+    binary PPM (uncompressed), PNG (compressed), or GIF (compressed,
+    palette-resolved first frame). The single dispatch point for the
+    image decode farm operators."""
     if payload.startswith(_PNG_SIG):
         return _parse_png(payload)
+    if payload[:6] in _GIF_MAGICS:
+        w, h, frames = _parse_gif(payload)
+        return w, h, frames[0]
     w, h, _maxval, arr = _parse_ppm(payload)
     return w, h, arr
 
@@ -492,14 +719,16 @@ def _encode_y4m(
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Image features. REAL paths: a P6 PPM (uncompressed) or PNG
-    (compressed — stdlib-zlib codec) payload is actually decoded and the
-    features are pixel statistics [w, h, mean_r, mean_g, mean_b, min_px,
-    max_px, std_gray]. STUB path for other compressed formats (real
-    impl: PIL.Image.open) — deterministic fake: 8 byte-histogram buckets
-    of the payload; a corrupt/unsupported container with a known magic
-    also falls back to the stub rather than failing the extract job."""
-    if payload.startswith(b"P6") or payload.startswith(_PNG_SIG):
+    """Image features. REAL paths: a P6 PPM (uncompressed), PNG
+    (compressed — stdlib-zlib codec) or GIF (compressed — LZW codec,
+    first frame) payload is actually decoded and the features are pixel
+    statistics [w, h, mean_r, mean_g, mean_b, min_px, max_px, std_gray].
+    STUB path for other compressed formats (real impl: PIL.Image.open) —
+    deterministic fake: 8 byte-histogram buckets of the payload; a
+    corrupt/unsupported container with a known magic also falls back to
+    the stub rather than failing the extract job."""
+    if (payload.startswith(b"P6") or payload.startswith(_PNG_SIG)
+            or payload[:6] in _GIF_MAGICS):
         import numpy as np
 
         try:
@@ -710,10 +939,12 @@ def sample_frames(media: DataFrame, frame_bytes: int = 16,
                   stride: int = 2) -> DataFrame:
     """Video frame sampling: one output ROW per sampled frame.
 
-    REAL path: a YUV4MPEG2 payload is actually demuxed (_parse_y4m —
-    header geometry + chroma, FRAME markers) and every ``stride``-th
-    decoded frame's raw planar bytes become a row. STUB path for
-    compressed containers (real impl: ffmpeg): the payload is treated as
+    REAL paths: a YUV4MPEG2 payload is demuxed (_parse_y4m — header
+    geometry + chroma, FRAME markers) and every ``stride``-th decoded
+    frame's raw planar bytes become a row; an animated GIF — a REAL
+    COMPRESSED animation container — is LZW-decoded and the sampled
+    frames' palette-resolved RGB raster bytes become rows. STUB path for
+    other compressed containers (real impl: ffmpeg): the payload is treated as
     consecutive ``frame_bytes``-byte frames (frame_idx 0, stride,
     2·stride, …; the tail frame may be short — no padding, mirroring a
     real stream). Non-video rows produce no output rows.
@@ -741,6 +972,18 @@ def sample_frames(media: DataFrame, frame_bytes: int = 16,
                         idxs.append(i)
                         ns.append(n)
                         frames.append(decoded[i])
+                    continue
+                if b[:6] in _GIF_MAGICS:
+                    # animated GIF: a REAL COMPRESSED animation container
+                    # — LZW-decode every image and emit the sampled
+                    # frames' palette-resolved RGB raster bytes
+                    _w, _h, decoded = _parse_gif(b)
+                    n = len(decoded)
+                    for i in range(0, n, stride):
+                        ids.append(mid)
+                        idxs.append(i)
+                        ns.append(n)
+                        frames.append(decoded[i].tobytes())
                     continue
                 n = (len(b) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n, stride):
@@ -871,6 +1114,58 @@ def synthesize_png(
                 {
                     "media_id": pdf["media_id"],
                     "kind": "image",
+                    "payload": payloads,
+                    "meta_width": width,
+                    "meta_height": height,
+                    "meta_sample_rate": None,
+                }
+            )
+
+    return src.mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def synthesize_gif(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 8,
+    height: int = 8,
+    n_frames: int = 1,
+) -> DataFrame:
+    """A real GIF media table from a text table: palette index at global
+    position k (= frame*w*h + offset) is (ord(text[k mod len]) + 91*k)
+    mod 256, LZW-compressed into a genuine GIF89a with the default
+    SQL-replayable palette (i, 2i mod 256, 7i mod 256). ``n_frames`` > 1
+    produces the classic compressed ANIMATION container (kind='video')
+    for the frame-sampling path; 1 produces a still (kind='image') for
+    the decode farm. Arrow-batched (LZW needs byte-level packing)."""
+    import numpy as np
+
+    size = width * height
+    kind = "video" if n_frames > 1 else "image"
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                t = text or " "
+                frames = []
+                for f in range(n_frames):
+                    idx = [
+                        (ord(t[(f * size + j) % len(t)]) + 91 * (f * size + j))
+                        % 256
+                        for j in range(size)
+                    ]
+                    frames.append(
+                        np.array(idx, dtype=np.uint8).reshape(height, width)
+                    )
+                payloads.append(_encode_gif(frames, width, height))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": kind,
                     "payload": payloads,
                     "meta_width": width,
                     "meta_height": height,

@@ -4933,6 +4933,100 @@ def q_multimodal_wav_mulaw_decode(spark, sf_dir):
 
 
 @_q(
+    "multimodal_gif_decode",
+    """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents),
+ix AS (
+  SELECT media_id,
+         list_transform(range(0, 64),
+           j -> (ord(substr(s, CAST(j % 32 AS INT) + 1, 1)) + 91 * j) % 256) AS iv
+  FROM m
+),
+px AS (
+  SELECT media_id,
+         list_transform(range(0, 192), i -> CASE CAST(i % 3 AS INT)
+           WHEN 0 THEN iv[CAST(i // 3 AS INT) + 1]
+           WHEN 1 THEN (2 * iv[CAST(i // 3 AS INT) + 1]) % 256
+           ELSE (7 * iv[CAST(i // 3 AS INT) + 1]) % 256 END) AS b
+  FROM ix
+)
+SELECT media_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 1])) / 64.0, 6) AS mean_r,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 2])) / 64.0, 6) AS mean_g,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 3])) / 64.0, 6) AS mean_b,
+       CAST(list_min(b) AS BIGINT) AS min_px, CAST(list_max(b) AS BIGINT) AS max_px
+FROM px
+""",
+    "REAL LZW-compressed decode: genuine GIF89a containers (variable-"
+    "width LZW codes, dictionary growth, 255-byte sub-blocks, 256-entry "
+    "palette) decoded by the pure-stdlib GIF codec in the Arrow-batched "
+    "farm; the oracle replays index derivation + palette lookup "
+    "integer-exactly, so a match proves the LZW decompressor bit for "
+    "bit — GIF is lossless over its palette, which is what makes a "
+    "compressed format's pixels SQL-replayable at all",
+)
+def q_multimodal_gif_decode(spark, sf_dir):
+    from victor_spark.operators.multimodal import decode_image_stats, synthesize_gif
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_gif(d, "doc_id", "text", width=8, height=8)
+    s = decode_image_stats(media)
+    return s.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "min_px", "max_px",
+    )
+
+
+@_q(
+    "multimodal_gif_frames",
+    """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents),
+fr AS (
+  SELECT media_id, f,
+         list_transform(range(0, 16), j ->
+           (ord(substr(s, CAST((f * 16 + j) % 32 AS INT) + 1, 1)) + 91 * (f * 16 + j)) % 256) AS iv
+  FROM m, (VALUES (0), (2)) v(f)
+)
+SELECT media_id, CAST(f AS BIGINT) AS frame_idx, CAST(4 AS BIGINT) AS n_frames,
+       md5(list_aggregate(list_transform(range(0, 48), i -> lpad(hex(
+         CASE CAST(i % 3 AS INT)
+           WHEN 0 THEN iv[CAST(i // 3 AS INT) + 1]
+           WHEN 1 THEN (2 * iv[CAST(i // 3 AS INT) + 1]) % 256
+           ELSE (7 * iv[CAST(i // 3 AS INT) + 1]) % 256 END), 2, '0')),
+         'string_agg', '')) AS frame_md5
+FROM fr
+""",
+    "REAL compressed-ANIMATION demux: 4-frame GIF89a containers (the "
+    "classic compressed animation format) LZW-decoded by sample_frames, "
+    "every 2nd frame's palette-resolved RGB raster becoming a row; the "
+    "oracle reconstructs each sampled frame's exact bytes (md5 over the "
+    "hex expansion) from the index/palette derivation — the video "
+    "modality's first compressed container with a bit-exact oracle, "
+    "next to uncompressed y4m",
+)
+def q_multimodal_gif_frames(spark, sf_dir):
+    from victor_spark.operators.multimodal import sample_frames, synthesize_gif
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_gif(d, "doc_id", "text", width=4, height=4, n_frames=4)
+    fr = sample_frames(media, stride=2)
+    return fr.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "n_frames",
+        F.md5(F.hex("frame")).alias("frame_md5"),
+    )
+
+
+@_q(
     "ingest_jsonl_gz_roundtrip",
     """
 SELECT doc_id, lang,
@@ -7522,6 +7616,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "multimodal_wav_decode",
     "multimodal_features",
     "multimodal_resize",
+    # sample_frames grew the animated-GIF demux path
+    "multimodal_frame_sample",
+    "multimodal_y4m_frames",
 ]
 
 

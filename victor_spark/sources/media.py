@@ -29,8 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from victor_spark.operators.multimodal import (
     MEDIA_SCHEMA,
+    _GIF_MAGICS,
     _PNG_SIG,
     _is_wave,
+    _parse_gif,
     _parse_png,
     _parse_ppm,
     _parse_wav,
@@ -91,6 +93,11 @@ def load_media_dir(
                     elif b.startswith(_PNG_SIG):
                         kind = "image"
                         w, h, _arr = _parse_png(b)
+                    elif b[:6] in _GIF_MAGICS:
+                        # an animated GIF is a video for routing purposes
+                        # (it feeds the frame sampler); a still is an image
+                        w, h, frames = _parse_gif(b)
+                        kind = "video" if len(frames) > 1 else "image"
                     elif _is_wave(b):  # both RIFF magics — bare 'RIFF'
                         # also wraps AVI/WebP, which stay kind='binary'
                         kind = "audio"
