@@ -5027,6 +5027,45 @@ def q_multimodal_gif_frames(spark, sf_dir):
 
 
 @_q(
+    "ingest_webdataset_roundtrip",
+    """
+SELECT doc_id, lang, md5(text) AS text_md5
+FROM documents
+""",
+    "WebDataset tar-shard ingest roundtrip — the LAION-style interchange "
+    "layout for multimodal training corpora: the documents table is "
+    "packed into POSIX tar shards (one per partition, members grouped "
+    "by key with .txt/.cls extensions, packed and written executor-"
+    "side) and read back through binaryFile + an Arrow-batched untar "
+    "that pivots members into one row per sample; the oracle is the "
+    "identity projection, so a match proves lossless sample transport. "
+    "Shards are whole-file tasks by design (the format's sizing "
+    "contract); read parallelism = shard count",
+)
+def q_ingest_webdataset_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from victor_spark.sources.webdataset import (
+        load_webdataset,
+        write_webdataset,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = tempfile.mkdtemp(prefix="victor_wds_")
+    write_webdataset(
+        docs.repartition(8), out, "doc_id", {"text": "txt", "lang": "cls"}
+    ).collect()
+    back = load_webdataset(spark, out, ["txt", "cls"])
+    return back.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.decode("cls", "utf-8").alias("lang"),
+        F.md5(F.decode("txt", "utf-8")).alias("text_md5"),
+    )
+
+
+@_q(
     "ingest_jsonl_gz_roundtrip",
     """
 SELECT doc_id, lang,

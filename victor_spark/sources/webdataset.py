@@ -1,0 +1,176 @@
+"""WebDataset-style tar-shard ingestion: the standard interchange layout
+for large multimodal training corpora (LAION-scale image/text pairs ship
+as thousands of .tar shards whose members group into samples by basename:
+``00042.jpg`` + ``00042.txt`` + ``00042.json`` is one sample).
+
+Spark-first shape, both directions partition-local:
+
+- read: ``binaryFile`` lists and reads whole shards executor-side (one
+  task per shard — tars aren't splittable, exactly like .gz; shard count
+  IS the read parallelism, which is why the format standardizes ~shard
+  sizes), then one Arrow-batched pass untars in memory and pivots the
+  members into one row per sample with a binary column per extension.
+- write: one tar per partition, packed and written executor-side (local
+  filesystem — Python workers have no JVM gateway, so object-store
+  targets stage locally and ship via merge_from/distcp; the read side
+  goes through binaryFile and is scheme-agnostic), with a manifest row
+  per shard back in the returned DataFrame. No collect, no driver I/O —
+  writes scale with partitions.
+
+Reference parity note: the reference engine has no archive ingestion;
+this is part of the training-data-pipeline extension surface (SURVEY
+§2's "multimodal columns" family). Format: the public WebDataset
+convention (POSIX tar, members grouped by key = name up to the FIRST
+dot, extension = the rest).
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from victor_spark.fs import fs_for, join as fsjoin
+
+
+def _split_member(name: str) -> tuple[str, str]:
+    """WebDataset key rule: sample key = basename up to the FIRST dot,
+    extension = everything after it ('a/0042.seg.png' -> ('0042',
+    'seg.png'))."""
+    base = name.rsplit("/", 1)[-1]
+    key, _, ext = base.partition(".")
+    return key, ext
+
+
+def load_webdataset(
+    spark: SparkSession, path: str, exts: list[str], glob: str = "*.tar"
+) -> DataFrame:
+    """Read a directory of WebDataset tar shards into one row per sample:
+    ``(key string, <ext> binary ...)`` with a column per requested
+    extension (dots become underscores in column names). Members with
+    unrequested extensions are ignored; a sample missing a requested
+    member gets NULL — filter or quarantine downstream.
+
+    The untar runs inside mapInPandas on whole-shard payloads, so memory
+    per task is one shard (the format's sizing contract); nothing is
+    ever collected to the driver."""
+    fields = [StructField("key", StringType())]
+    cols = {e: e.replace(".", "_") for e in exts}
+    fields += [StructField(cols[e], BinaryType()) for e in exts]
+    schema = StructType(fields)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("content")
+    )
+
+    def _untar(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, dict[str, bytes]] = {}
+            order: list[str] = []
+            for content in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        key, ext = _split_member(m.name)
+                        if ext not in cols:
+                            continue
+                        if key not in rows:
+                            rows[key] = {}
+                            order.append(key)
+                        rows[key][ext] = tf.extractfile(m).read()
+            yield pd.DataFrame(
+                {
+                    "key": order,
+                    **{
+                        cols[e]: [rows[k].get(e) for k in order]
+                        for e in exts
+                    },
+                }
+            )
+
+    return raw.mapInPandas(_untar, schema=schema)
+
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("shard", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    content_cols: dict[str, str],
+    prefix: str = "shard",
+) -> DataFrame:
+    """Pack a DataFrame into WebDataset tar shards, ONE SHARD PER
+    PARTITION, written executor-side through the fs shim. ``content_cols``
+    maps column -> member extension (binary or string columns; strings
+    are utf-8 encoded). Returns the manifest (shard, n_samples, n_bytes)
+    — an ACTION on it performs the write. Repartition the input to pick
+    the shard count/size; keys should be unique corpus-wide (the
+    standard WebDataset contract)."""
+    sel = [key_col] + list(content_cols)
+    src = df.select(*sel)
+    fs_for(df.sparkSession, path).mkdirs(path)  # driver-side, pre-write
+
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from victor_spark.fs import LocalFS
+
+        pid = TaskContext.get().partitionId()
+        buf = io.BytesIO()
+        n = 0
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    key = str(getattr(row, key_col))
+                    for col, ext in content_cols.items():
+                        v = getattr(row, col)
+                        if v is None:
+                            continue
+                        data = (
+                            v.encode("utf-8") if isinstance(v, str)
+                            else bytes(v)
+                        )
+                        info = tarfile.TarInfo(name=f"{key}.{ext}")
+                        info.size = len(data)
+                        info.mtime = 0  # deterministic shards
+                        tf.addfile(info, io.BytesIO(data))
+                    n += 1
+        if n == 0:
+            yield pd.DataFrame({"shard": [], "n_samples": [], "n_bytes": []})
+            return
+        data = buf.getvalue()
+        shard = fsjoin(path, f"{prefix}-{pid:05d}.tar")
+        # workers see local paths only in local mode; URI schemes would
+        # need the JVM-side shim, so stream through LocalFS here and let
+        # callers with remote targets write to a local staging dir and
+        # merge_from/distcp up (documented limitation of executor-side
+        # python writes)
+        LocalFS().write_bytes_atomic(shard, data)
+        yield pd.DataFrame(
+            {"shard": [shard], "n_samples": [n], "n_bytes": [len(data)]}
+        )
+
+    return src.mapInPandas(_pack, schema=MANIFEST_SCHEMA)
