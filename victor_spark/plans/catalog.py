@@ -5066,6 +5066,69 @@ def q_ingest_webdataset_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "ingest_webdataset_media_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         repeat(md5(text), 6) AS s
+  FROM documents
+),
+px AS (
+  SELECT media_id,
+         list_transform(range(0, 192), i -> ord(substr(s, CAST(i AS INT) + 1, 1))) AS b
+  FROM m
+)
+SELECT media_id,
+       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 1])) / 64.0, 6) AS mean_r,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 2])) / 64.0, 6) AS mean_g,
+       round(list_sum(list_transform(range(0, 64), j -> b[CAST(j*3 AS INT) + 3])) / 64.0, 6) AS mean_b,
+       CAST(list_min(b) AS BIGINT) AS min_px, CAST(list_max(b) AS BIGINT) AS max_px
+FROM px
+""",
+    "the full multimodal lake pipeline in one oracle-checked query: "
+    "synthesize real PNGs, PACK them into WebDataset tar shards "
+    "(executor-side, one per partition), read the shards back through "
+    "binaryFile + untar, and run the decoded-pixel stats farm on the "
+    "transported members — a match proves tar transport is byte-"
+    "lossless AND the compressed codec decodes the transported bytes, "
+    "end to end (same oracle as multimodal_png_decode by construction)",
+)
+def q_ingest_webdataset_media_decode(spark, sf_dir):
+    import tempfile
+
+    from victor_spark.operators.multimodal import decode_image_stats, synthesize_png
+    from victor_spark.sources.webdataset import (
+        load_webdataset,
+        write_webdataset,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_png(d, "doc_id", "text", width=8, height=8,
+                           filter_type="cycle")
+    out = tempfile.mkdtemp(prefix="victor_wds_media_")
+    write_webdataset(
+        media.repartition(8), out, "media_id", {"payload": "png"}
+    ).collect()
+    back = load_webdataset(spark, out, ["png"]).selectExpr(
+        "CAST(key AS LONG) AS media_id", "'image' AS kind",
+        "png AS payload", "CAST(8 AS INT) AS meta_width",
+        "CAST(8 AS INT) AS meta_height",
+        "CAST(NULL AS INT) AS meta_sample_rate",
+    )
+    s = decode_image_stats(back)
+    return s.select(
+        "media_id", "width", "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "min_px", "max_px",
+    )
+
+
+@_q(
     "ingest_jsonl_gz_roundtrip",
     """
 SELECT doc_id, lang,
