@@ -366,3 +366,54 @@ def test_listing_lock_over_hadoop_path(spark, tmp_path):
     # and a locked insert works end-to-end over the URI path
     idx.insert([("z", [1.0, 1.0], ["w"])])
     assert idx.scan(["w"]).count() == 1
+
+
+def test_localfs_file_rename_noclobber_is_atomic(tmp_path):
+    """Round-6 self-review: file renames must refuse to clobber
+    ATOMICALLY (hardlink-then-unlink — no check->rename window a
+    concurrent create_exclusive could slip into); directory renames keep
+    the checked form (single-writer contract)."""
+    import os
+
+    import pytest
+
+    from victor_spark.fs import LocalFS
+
+    fs = LocalFS()
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    fs.write_bytes(a, b"payload")
+    fs.rename(a, b)
+    assert not os.path.exists(a) and fs.read_bytes(b) == b"payload"
+    # no-clobber: target exists -> FileExistsError, target untouched
+    fs.write_bytes(a, b"other")
+    with pytest.raises(FileExistsError):
+        fs.rename(a, b)
+    assert fs.read_bytes(b) == b"payload"
+    # missing source still raises
+    with pytest.raises(OSError):
+        fs.rename(str(tmp_path / "nope"), str(tmp_path / "c"))
+    # directory renames keep working (the state/staging swap path)
+    d1 = tmp_path / "d1"
+    d1.mkdir()
+    (d1 / "x").write_text("1")
+    fs.rename(str(d1), str(tmp_path / "d2"))
+    assert (tmp_path / "d2" / "x").read_text() == "1"
+
+
+def test_vacuum_sweeps_aged_stale_lock_victims(spark, tmp_path):
+    """A lock-break claimant that crashed between its victim rename and
+    delete leaves lock__stale_<uuid> debris; vacuum reclaims it under
+    the same age gate (fresh victims survive)."""
+    import os
+
+    from victor_spark.index import VectorIndex
+
+    idx = VectorIndex(spark, str(tmp_path / "v"))
+    idx.insert([("doc", [1.0, 0.0], [])])
+    victim = idx.lock_path + "__stale_deadbeef"
+    idx.fs.write_bytes(victim, b"pid=crashed")
+    assert idx.vacuum() == []  # fresh: survives the default age gate
+    old = os.path.getmtime(victim) - 10_000
+    os.utime(victim, (old, old))
+    assert idx.vacuum(min_age_seconds=3600) == [victim]
+    assert not os.path.exists(victim)

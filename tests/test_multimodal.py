@@ -493,3 +493,59 @@ def test_load_media_dir_sniffs_gif_kinds(spark, tmp_path):
         (r["meta_width"], r["meta_height"]) == (5, 3)
         for r in rows if r["kind"] != "binary"
     )
+
+
+def test_review_fixes_png_ihdr_gif_resize_and_fallbacks():
+    """Round-6 self-review closures: (1) an IHDR chunk with a valid CRC
+    but a non-13 length raises ValueError (not struct.error), keeping
+    the quarantine contract; (2) _resize_image handles GIF for real —
+    index-plane NN resample re-encoded with the original palette, which
+    equals the pixel-space resize exactly and keeps animations
+    animated; (3) a corrupt container with a known magic falls back to
+    the resize stub instead of failing the job."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from victor_spark.operators import multimodal as M
+
+    # (1) crafted PNG: IHDR declares 12 bytes with a CORRECT CRC
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    bad = (M._PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBB", 2, 2, 8, 2, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR length"):
+        M._parse_png(bad)
+    # ...and the tolerant seams stub it rather than crash
+    assert len(M._decode_image(bad)) == 8
+
+    # (2) GIF resize: still and animated
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([i, (2 * i) % 256, (7 * i) % 256], 1).astype(np.uint8)
+    out = M._resize_image(M._encode_gif([idx], 8, 8), 4, 4)
+    assert out[:6] in M._GIF_MAGICS  # GIF in -> GIF out
+    _w, _h, frames = M._parse_gif(out)
+    ys = (np.arange(4) * 8) // 4
+    assert np.array_equal(frames[0], pal[idx[ys][:, ys]])
+    anim = M._resize_image(M._encode_gif([idx, idx.T.copy()], 8, 8), 16, 16)
+    _w, _h, aframes = M._parse_gif(anim)
+    assert len(aframes) == 2  # the animation stayed an animation
+    ys16 = (np.arange(16) * 8) // 16
+    assert np.array_equal(aframes[1], pal[idx.T[ys16][:, ys16]])
+    # dHash invariance survives the GIF resize path too (integer
+    # UPSCALE — the invariance property's precondition)
+    assert M._dhash_bits(aframes[0]) == M._dhash_bits(pal[idx])
+
+    # (3) corrupt-with-known-magic falls back to the stub
+    broken = bytearray(M._encode_png(np.zeros((4, 4, 3), np.uint8)))
+    broken[-5] ^= 0xFF  # IEND CRC
+    stub = M._resize_image(bytes(broken), 8, 8)
+    assert len(stub) == 1 and not stub.startswith(M._PNG_SIG)

@@ -876,3 +876,37 @@ def test_stream_media_dedup_on_ingest_composition(spark, tmp_path):
     assert all(not got[i] for i in range(8))          # wave 1: all new
     assert all(not got[i] for i in range(100, 104))   # wave 2 fresh: new
     assert all(got[i] for i in range(1000, 1004))     # resized copies: seen
+
+
+def test_write_state_owns_success_marker(spark, tmp_path):
+    """Clusters with marksuccessfuljobs=false write no _SUCCESS, which
+    would silently demote every tmp-side crash recovery to the stale
+    old copy — write_state therefore creates the marker itself when the
+    committer didn't."""
+    import os
+
+    from victor_spark.streaming.state import read_state, write_state
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    prev = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        schema = "words array<bigint>"
+        sdir = str(tmp_path / "nostate")
+        write_state(spark.createDataFrame([([1],)], schema), sdir)
+        write_state(spark.createDataFrame([([2],)], schema), sdir)
+        # crash between retire and promote: tmp must still be
+        # recoverable, which requires the marker we now own
+        write_state(spark.createDataFrame([([3],)], schema),
+                    str(tmp_path / "next"))
+        os.rename(sdir, sdir + "__old")
+        os.rename(str(tmp_path / "next"), sdir + "__tmp")
+        assert os.path.exists(os.path.join(sdir + "__tmp", "_SUCCESS"))
+        healed = read_state(spark, sdir, schema)
+        assert healed is not None and healed.collect()[0]["words"] == [3]
+    finally:
+        if prev is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, prev)

@@ -85,9 +85,19 @@ class LocalFS:
         os.makedirs(p, exist_ok=True)
 
     def rename(self, src: str, dst: str) -> None:
-        if os.path.exists(dst):
-            raise FileExistsError(f"rename target exists: {dst}")
-        os.rename(src, dst)
+        """No-clobber rename. For FILES the no-clobber is ATOMIC
+        (hardlink-then-unlink — os.link raises FileExistsError itself,
+        with no check→rename window; the lock-breaking protocol in
+        VectorIndex relies on this). Directories can't be hardlinked, so
+        dir renames keep the checked form — the dir call sites (state /
+        staging swaps) are single-writer by contract."""
+        if os.path.isdir(src):
+            if os.path.exists(dst):
+                raise FileExistsError(f"rename target exists: {dst}")
+            os.rename(src, dst)
+            return
+        os.link(src, dst)  # atomic: fails with FileExistsError on clash
+        os.unlink(src)
 
     def replace(self, src: str, dst: str) -> None:
         if os.path.isdir(dst) or os.path.isdir(src):

@@ -540,19 +540,21 @@ class VectorIndex:
         while True:
             if self.fs.create_exclusive(self.lock_path, payload):
                 return
-            try:
-                if _time.time() - self.fs.mtime(self.lock_path) > stale_s:
-                    self._break_stale_lock(stale_s)
-                    continue
-            except Exception:
-                # holder released / another waiter won the break between
-                # our create-excl and mtime (LocalFS raises OSError,
-                # HadoopFS a py4j wrapper) — just retry
-                continue
+            # the deadline is enforced on EVERY path through the loop
+            # (a persistently-failing mtime probe must still time out,
+            # not hot-spin forever)
             if _time.monotonic() > deadline:
                 raise TimeoutError(
                     f"listing lock held past {timeout_s}s: {self.lock_path}"
                 )
+            try:
+                if _time.time() - self.fs.mtime(self.lock_path) > stale_s:
+                    self._break_stale_lock(stale_s)
+            except Exception:
+                # holder released / another waiter won the break between
+                # our create-excl and mtime (LocalFS raises OSError,
+                # HadoopFS a py4j wrapper) — retry after the backoff
+                pass
             _time.sleep(0.05)
 
     def _break_stale_lock(self, stale_s: float) -> None:
@@ -565,7 +567,12 @@ class VectorIndex:
         untouched (should even THAT restore collide with a brand-new
         lock — a triple interleave inside microseconds of a 10-minute
         expiry — the victim is deleted and the listing's reconciler
-        heals any lost update, as it does for unlocked writers)."""
+        heals any lost update, as it does for unlocked writers).
+        A claimant that CRASHES between its rename and the
+        delete/restore leaves ``__stale_<uuid>`` debris (swept by
+        vacuum's age gate) and, if the claim had caught a fresh lock,
+        strands that holder lock-less — the same reconciler contract
+        bounds the damage to a healable lost update."""
         import time as _time
         import uuid as _uuid
 
@@ -1510,7 +1517,11 @@ class VectorIndex:
             return removed
         now = _time.time()
         for name in self.fs.listdir(self.path):
-            if name.endswith(debris_suffixes):
+            # a lock-break claimant that crashed between its victim
+            # rename and delete leaves lock__stale_<uuid> debris no
+            # acquire path ever looks at — sweep it here (age-gated
+            # like everything else)
+            if name.endswith(debris_suffixes) or "__stale_" in name:
                 p = fsjoin(self.path, name)
                 try:
                     if now - self.fs.mtime(p) < min_age_seconds:

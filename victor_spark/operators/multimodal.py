@@ -163,6 +163,9 @@ def _parse_png(payload: bytes):
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if len(data) != 13:  # ValueError, not struct.error — the
+                # parsers' quarantine contract
+                raise ValueError(f"PNG IHDR length {len(data)} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -447,6 +450,14 @@ def _parse_gif(payload: bytes):
     _encode_gif writes; anything else raises ValueError for the
     quarantine path). Returns (width, height, [frame (h,w,3) uint8
     arrays]) with pixels already palette-resolved."""
+    w, h, frames = _parse_gif_indexed(payload)
+    return w, h, [table[idx] for idx, table in frames]
+
+
+def _parse_gif_indexed(payload: bytes):
+    """_parse_gif without the palette resolution: returns (width,
+    height, [(index (h,w) uint8 array, palette (n,3) uint8 array),
+    ...]) — the form a lossless re-encode (resize) needs."""
     import struct
 
     import numpy as np
@@ -522,7 +533,7 @@ def _parse_gif(payload: bytes):
         indices = np.frombuffer(idx[: w * h], dtype=np.uint8)
         if int(indices.max(initial=0)) >= len(table):
             raise ValueError("GIF index out of palette range")
-        frames.append(table[indices].reshape(h, w, 3))
+        frames.append((indices.reshape(h, w), table))
     if not frames:
         raise ValueError("GIF with no image data")
     return width, height, frames
@@ -813,28 +824,54 @@ _DECODERS = {
 
 
 def _resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Image resize. REAL paths: a P6 PPM or PNG payload is decoded,
-    resized by nearest-neighbor (pure numpy index selection — the same
-    sampling PIL's Image.NEAREST does), and re-encoded in its OWN
-    container (PNG in → PNG out, through the full deflate/filter
-    pipeline). STUB path for other compressed formats (real impl: PIL
-    decode → resize → re-encode) — deterministic fake: budget one byte
-    per 8x8 pixel block and truncate / zero-pad the encoded payload to
-    that size, so the output length is a pure function of
-    (width, height) and the head bytes are a stable prefix of the input
-    (both properties the oracle checks)."""
+    """Image resize. REAL paths: a P6 PPM, PNG or GIF payload is
+    decoded, resized by nearest-neighbor (pure numpy index selection —
+    the same sampling PIL's Image.NEAREST does), and re-encoded in its
+    OWN container (PNG in → PNG out through the full deflate/filter
+    pipeline; GIF in → GIF out by resampling the INDEX plane per frame
+    and re-encoding with the original palette, which commutes with
+    palette lookup so it is exactly the pixel-space NN resize — and
+    keeps an animation an animation). A corrupt container with a known
+    magic falls back to the stub rather than failing the job (same
+    contract as _decode_image/_decode_audio). STUB path for other
+    compressed formats (real impl: PIL decode → resize → re-encode) —
+    deterministic fake: budget one byte per 8x8 pixel block and
+    truncate / zero-pad the encoded payload to that size, so the output
+    length is a pure function of (width, height) and the head bytes are
+    a stable prefix of the input (both properties the oracle checks)."""
     import numpy as np
 
-    if payload.startswith(b"P6"):
-        w0, h0, _maxval, arr = _parse_ppm(payload)
-        ys = (np.arange(height) * h0) // height
-        xs = (np.arange(width) * w0) // width
-        return _encode_ppm(arr[ys][:, xs])
-    if payload.startswith(_PNG_SIG):
-        w0, h0, arr = _parse_png(payload)
-        ys = (np.arange(height) * h0) // height
-        xs = (np.arange(width) * w0) // width
-        return _encode_png(arr[ys][:, xs])
+    def nn(h0: int, w0: int):
+        return ((np.arange(height) * h0) // height,
+                (np.arange(width) * w0) // width)
+
+    try:
+        if payload.startswith(b"P6"):
+            w0, h0, _maxval, arr = _parse_ppm(payload)
+            ys, xs = nn(h0, w0)
+            return _encode_ppm(arr[ys][:, xs])
+        if payload.startswith(_PNG_SIG):
+            w0, h0, arr = _parse_png(payload)
+            ys, xs = nn(h0, w0)
+            return _encode_png(arr[ys][:, xs])
+        if payload[:6] in _GIF_MAGICS:
+            w0, h0, frames = _parse_gif_indexed(payload)
+            ys, xs = nn(h0, w0)
+            # all frames must share one palette for a single-table
+            # re-encode (what _encode_gif writes); mixed local tables
+            # take the ValueError fallback below
+            table = frames[0][1]
+            if any(t is not table and not np.array_equal(t, table)
+                   for _idx, t in frames):
+                raise ValueError("GIF with per-frame palettes")
+            pal = np.zeros((256, 3), dtype=np.uint8)
+            pal[: len(table)] = table
+            return _encode_gif(
+                [idx[ys][:, xs] for idx, _t in frames], width, height,
+                palette=pal,
+            )
+    except ValueError:
+        pass  # corrupt/unsupported variant: stub path below
     target = max((width * height) // 64, 1)
     return payload[:target].ljust(target, b"\x00")
 

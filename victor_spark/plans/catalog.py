@@ -5026,6 +5026,40 @@ def q_multimodal_gif_frames(spark, sf_dir):
     )
 
 
+def _ingest_cache_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
+    """Deterministic staging dir for the ingest-roundtrip queries, keyed
+    on (query tag, dataset path, documents.parquet mtime+size). The
+    roundtrip queries must materialize real shards before their read
+    plan exists; caching the materialization (a) bounds /tmp usage to
+    one dir per (tag, dataset) instead of leaking a fresh mkdtemp per
+    plan BUILD (gate + bench + plan tests each build every query), and
+    (b) makes re-builds after the first write-free. The mtime+size key
+    invalidates automatically when the testdata is regenerated in
+    place. Returns (path, already_built)."""
+    import hashlib
+    import os
+    import tempfile
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "unknown"
+    key = hashlib.md5(
+        f"{tag}:{os.path.abspath(sf_dir)}:{stamp}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join(tempfile.gettempdir(), f"victor_ingest_{tag}_{key}")
+    return path, os.path.exists(os.path.join(path, "_BUILT"))
+
+
+def _mark_ingest_built(path: str) -> None:
+    import os
+
+    with open(os.path.join(path, "_BUILT"), "w"):
+        pass
+
+
 @_q(
     "ingest_webdataset_roundtrip",
     """
@@ -5043,8 +5077,6 @@ FROM documents
     "contract); read parallelism = shard count",
 )
 def q_ingest_webdataset_roundtrip(spark, sf_dir):
-    import tempfile
-
     from victor_spark.sources.webdataset import (
         load_webdataset,
         write_webdataset,
@@ -5053,10 +5085,12 @@ def q_ingest_webdataset_roundtrip(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    out = tempfile.mkdtemp(prefix="victor_wds_")
-    write_webdataset(
-        docs.repartition(8), out, "doc_id", {"text": "txt", "lang": "cls"}
-    ).collect()
+    out, built = _ingest_cache_dir("wds", sf_dir)
+    if not built:
+        write_webdataset(
+            docs.repartition(8), out, "doc_id", {"text": "txt", "lang": "cls"}
+        ).collect()
+        _mark_ingest_built(out)
     back = load_webdataset(spark, out, ["txt", "cls"])
     return back.select(
         F.col("key").cast("long").alias("doc_id"),
@@ -5095,8 +5129,6 @@ FROM px
     "end to end (same oracle as multimodal_png_decode by construction)",
 )
 def q_ingest_webdataset_media_decode(spark, sf_dir):
-    import tempfile
-
     from victor_spark.operators.multimodal import decode_image_stats, synthesize_png
     from victor_spark.sources.webdataset import (
         load_webdataset,
@@ -5108,10 +5140,12 @@ def q_ingest_webdataset_media_decode(spark, sf_dir):
     )
     media = synthesize_png(d, "doc_id", "text", width=8, height=8,
                            filter_type="cycle")
-    out = tempfile.mkdtemp(prefix="victor_wds_media_")
-    write_webdataset(
-        media.repartition(8), out, "media_id", {"payload": "png"}
-    ).collect()
+    out, built = _ingest_cache_dir("wdsmedia", sf_dir)
+    if not built:
+        write_webdataset(
+            media.repartition(8), out, "media_id", {"payload": "png"}
+        ).collect()
+        _mark_ingest_built(out)
     back = load_webdataset(spark, out, ["png"]).selectExpr(
         "CAST(key AS LONG) AS media_id", "'image' AS kind",
         "png AS payload", "CAST(8 AS INT) AS meta_width",
@@ -5147,15 +5181,16 @@ FROM documents
     "not splittable, so parallelism = shard count by construction",
 )
 def q_ingest_jsonl_gz_roundtrip(spark, sf_dir):
-    import tempfile
-
     from victor_spark.sources.formats import read_jsonl, write_jsonl
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    out = tempfile.mkdtemp(prefix="victor_jsonl_gz_")
-    write_jsonl(docs.repartition(8), out, compression="gzip")
+    out, built = _ingest_cache_dir("jsonlgz", sf_dir)
+    if not built:
+        # overwrite clears any _BUILT-less partial from a crashed build
+        write_jsonl(docs.repartition(8), out, compression="gzip")
+        _mark_ingest_built(out)
     back = read_jsonl(spark, out, "doc_id bigint, text string, lang string")
     return back.select(
         "doc_id", "lang",

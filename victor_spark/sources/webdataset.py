@@ -79,9 +79,13 @@ def load_webdataset(
 
     def _untar(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: dict[str, dict[str, bytes]] = {}
-            order: list[str] = []
+            # yield PER SHARD, not per Arrow batch: a batch can carry
+            # many whole shards, and accumulating them all would make
+            # task memory sum-of-shards instead of the documented
+            # one-shard bound
             for content in pdf["content"]:
+                rows: dict[str, dict[str, bytes]] = {}
+                order: list[str] = []
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
                     for m in tf:
                         if not m.isfile():
@@ -93,15 +97,15 @@ def load_webdataset(
                             rows[key] = {}
                             order.append(key)
                         rows[key][ext] = tf.extractfile(m).read()
-            yield pd.DataFrame(
-                {
-                    "key": order,
-                    **{
-                        cols[e]: [rows[k].get(e) for k in order]
-                        for e in exts
-                    },
-                }
-            )
+                yield pd.DataFrame(
+                    {
+                        "key": order,
+                        **{
+                            cols[e]: [rows[k].get(e) for k in order]
+                            for e in exts
+                        },
+                    }
+                )
 
     return raw.mapInPandas(_untar, schema=schema)
 

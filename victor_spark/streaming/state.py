@@ -82,6 +82,13 @@ def write_state(df: DataFrame, state_dir: str) -> None:
     old, tmp = state_dir + "__old", state_dir + "__tmp"
     fs.delete(tmp)
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # read_state's completeness test is the _SUCCESS marker; clusters
+    # with mapreduce.fileoutputcommitter.marksuccessfuljobs=false write
+    # none, which would silently demote every crash recovery to the
+    # stale old copy — so own the marker rather than assume the
+    # committer config
+    if not fs.exists(fsjoin(tmp, "_SUCCESS")):
+        fs.write_bytes(fsjoin(tmp, "_SUCCESS"), b"")
     fs.delete(old)
     if fs.exists(state_dir):
         fs.rename(state_dir, old)
