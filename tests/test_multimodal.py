@@ -549,3 +549,47 @@ def test_review_fixes_png_ihdr_gif_resize_and_fallbacks():
     broken[-5] ^= 0xFF  # IEND CRC
     stub = M._resize_image(bytes(broken), 8, 8)
     assert len(stub) == 1 and not stub.startswith(M._PNG_SIG)
+
+
+def test_synthesize_jpeg_decodes_within_tolerance(spark, tmp_path):
+    """synthesize_jpeg emits genuine baseline JFIF containers; the
+    decode farm, resize (JPEG in -> JPEG out), and binaryFile sniffer
+    (header-only dimension probe) all handle them; and the lossy
+    roundtrip honors the bounded-error contract the catalog query
+    asserts (decoded channel means within 2 of the exact source means)."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+    from victor_spark.sources.media import load_media_dir
+
+    df = spark.createDataFrame(
+        [(1, "3a9f"), (2, "ff00")], "doc_id long, text string"
+    )
+    media = M.synthesize_jpeg(df, "doc_id", "text", width=16, height=16)
+    rows = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert all(p.startswith(b"\xff\xd8\xff") for p in rows.values())
+
+    stats = {r["media_id"]: r for r in M.decode_image_stats(media).collect()}
+    for mid, text in [(1, "3a9f"), (2, "ff00")]:
+        exp = [ord(text[c]) + 15 for c in range(3)]  # mean of +2y, y<16
+        got = stats[mid]
+        assert (got["width"], got["height"]) == (16, 16)
+        for c, name in enumerate(["mean_r", "mean_g", "mean_b"]):
+            assert abs(got[name] - exp[c]) <= 2.0, (mid, name)
+
+    # resize keeps the container: JPEG in -> JPEG out, decodable
+    rz = M.resize_images(media, 8, 8).collect()[0]
+    out = bytes(rz["payload"])
+    assert out.startswith(b"\xff\xd8\xff")
+    w, h, arr = M._parse_image(out)
+    assert (w, h) == (8, 8) and arr.shape == (8, 8, 3)
+
+    # ingest sniffer: dims from the SOF header, corrupt jpeg quarantined
+    d = tmp_path / "lake"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(rows[1])
+    (d / "bad.jpg").write_bytes(rows[2][:40])  # truncated mid-header
+    srows = sorted(load_media_dir(spark, str(d)).collect(),
+                   key=lambda r: r["kind"])
+    assert [r["kind"] for r in srows] == ["binary", "image"]
+    assert (srows[1]["meta_width"], srows[1]["meta_height"]) == (16, 16)

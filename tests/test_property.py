@@ -638,3 +638,75 @@ def test_lzw_roundtrip_arbitrary_bytes(data, min_code):
     if min_code < 8:  # symbols must fit the initial code space
         data = bytes(b % (1 << min_code) for b in data)
     assert M._lzw_decode(M._lzw_encode(data, min_code), min_code) == data
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 20), h=st.integers(1, 20),
+    quality=st.sampled_from([70, 90, 95, 100]),
+    color=st.tuples(st.integers(0, 255), st.integers(0, 255),
+                    st.integers(0, 255)),
+)
+def test_jpeg_solid_blocks_decode_near_exactly(w, h, quality, color):
+    """JPEG is lossy, but a solid image is DC-only: the full
+    DCT→quantize→Huffman→inverse pipeline must reproduce it within the
+    color-transform rounding (≤2 levels) for ANY geometry (including
+    non-multiple-of-8 edges, which exercise the padding/crop path)."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    arr = np.zeros((h, w, 3), np.uint8)
+    arr[:] = color
+    w2, h2, back = decode_jpeg(encode_jpeg(arr, quality))
+    assert (w2, h2) == (w, h)
+    assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 2
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    base=st.integers(30, 150), data=st.data(),
+)
+def test_jpeg_smooth_gradients_bounded_error(w, h, base, data):
+    """Smooth content (the synthesize_jpeg shape: per-channel vertical
+    gradients) stays within a small tolerance at q90, and grayscale
+    input takes the 1-component path."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    bases = [base, data.draw(st.integers(30, 150)),
+             data.draw(st.integers(30, 150))]
+    y = 2 * np.arange(h)[:, None, None]
+    arr = np.clip(np.array(bases)[None, None, :] + y, 0, 255).astype(np.uint8)
+    arr = np.ascontiguousarray(np.broadcast_to(arr, (h, w, 3)))
+    _w, _h, back = decode_jpeg(encode_jpeg(arr, 90))
+    assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 12
+
+    gray = arr[..., 0]
+    _w, _h, gback = decode_jpeg(encode_jpeg(gray, 95))
+    assert gback.shape == (h, w, 3)
+    assert int(np.abs(gback[..., 0].astype(int) - gray.astype(int)).max()) <= 6
+
+
+@CODEC_PROP
+@given(data=st.data())
+def test_jpeg_corruption_never_escapes_valueerror(data):
+    """Any single-byte corruption of a valid JPEG either still decodes
+    (entropy bits are not integrity-checked — that's the format) or
+    raises ValueError; never struct.error/IndexError or a crash."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    arr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    payload = bytearray(encode_jpeg(arr, 90))
+    i = data.draw(st.integers(0, len(payload) - 1))
+    delta = data.draw(st.integers(1, 255))
+    payload[i] = (payload[i] + delta) % 256
+    try:
+        w, h, back = decode_jpeg(bytes(payload))
+    except ValueError:
+        return
+    assert back.shape[2] == 3  # decoded to SOMETHING pixel-shaped

@@ -5,16 +5,18 @@ a typed metadata struct, processed in Arrow batches via mapInPandas so a
 1000-executor cluster streams media bytes through Python workers without
 ever materializing a partition in driver memory.
 
-Decode is REAL for the dependency-free formats — a pure-numpy
-binary-PPM (P6) image codec, a full PNG codec (a genuinely COMPRESSED
-format: stdlib zlib inflate/deflate, chunk CRCs, all five scanline
-filters), and a RIFF/WAVE PCM-16 audio codec, dispatched by magic bytes
-inside the same Arrow-batched seams (_parse_ppm/_encode_ppm,
-_parse_png/_encode_png, _parse_wav/_encode_wav). Remaining compressed
-formats (JPEG/MP3/H.264) stay deterministic-fake stubs behind the same
-`_decode_*` seams, because their codecs (PIL/ffmpeg/torchaudio) are not
-in this container — swap the stub body, keep the schema/partitioning/
-batch shape.
+Decode is REAL for every format with a stdlib-expressible codec —
+binary PPM (uncompressed), PNG (compressed lossless: zlib
+inflate/deflate, chunk CRCs, all five scanline filters), GIF
+(compressed lossless over its palette: real LZW with dictionary growth
+and resets, animated demux), baseline JPEG (compressed LOSSY: the full
+DCT/quantize/Huffman pipeline, operators/jpeg_codec.py), RIFF/WAVE
+audio (PCM16 mono/stereo, PCM8, G.711 mu-law), and YUV4MPEG2 video —
+dispatched by magic bytes inside the same Arrow-batched seams.
+Remaining compressed formats (MP3/H.264/WebP) stay deterministic-fake
+stubs behind the same `_decode_*` seams, because their codecs
+(ffmpeg/torchaudio) are not stdlib-expressible — swap the stub body,
+keep the schema/partitioning/batch shape.
 
 Batch sizing note for 100 TB: media rows are large, so the knobs that
 matter are spark.sql.files.maxPartitionBytes (keep raw-scan partitions
@@ -539,16 +541,25 @@ def _parse_gif_indexed(payload: bytes):
     return width, height, frames
 
 
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
 def _parse_image(payload: bytes):
     """Decode any supported image container to (w, h, (h,w,3) uint8):
-    binary PPM (uncompressed), PNG (compressed), or GIF (compressed,
-    palette-resolved first frame). The single dispatch point for the
-    image decode farm operators."""
+    binary PPM (uncompressed), PNG (compressed, lossless), GIF
+    (compressed, palette-resolved first frame), or baseline JPEG
+    (compressed, LOSSY — the full DCT/Huffman pipeline in
+    operators/jpeg_codec.py). The single dispatch point for the image
+    decode farm operators."""
     if payload.startswith(_PNG_SIG):
         return _parse_png(payload)
     if payload[:6] in _GIF_MAGICS:
         w, h, frames = _parse_gif(payload)
         return w, h, frames[0]
+    if payload.startswith(_JPEG_MAGIC):
+        from victor_spark.operators.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(payload)
     w, h, _maxval, arr = _parse_ppm(payload)
     return w, h, arr
 
@@ -731,15 +742,17 @@ def _encode_y4m(
 
 def _decode_image(payload: bytes) -> list[float]:
     """Image features. REAL paths: a P6 PPM (uncompressed), PNG
-    (compressed — stdlib-zlib codec) or GIF (compressed — LZW codec,
-    first frame) payload is actually decoded and the features are pixel
-    statistics [w, h, mean_r, mean_g, mean_b, min_px, max_px, std_gray].
-    STUB path for other compressed formats (real impl: PIL.Image.open) —
+    (compressed — stdlib-zlib codec), GIF (compressed — LZW codec,
+    first frame) or baseline JPEG (compressed LOSSY — DCT/Huffman)
+    payload is actually decoded and the features are pixel statistics
+    [w, h, mean_r, mean_g, mean_b, min_px, max_px, std_gray]. STUB path
+    for other compressed formats (real impl: PIL.Image.open) —
     deterministic fake: 8 byte-histogram buckets of the payload; a
     corrupt/unsupported container with a known magic also falls back to
     the stub rather than failing the extract job."""
     if (payload.startswith(b"P6") or payload.startswith(_PNG_SIG)
-            or payload[:6] in _GIF_MAGICS):
+            or payload[:6] in _GIF_MAGICS
+            or payload.startswith(_JPEG_MAGIC)):
         import numpy as np
 
         try:
@@ -824,14 +837,15 @@ _DECODERS = {
 
 
 def _resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Image resize. REAL paths: a P6 PPM, PNG or GIF payload is
-    decoded, resized by nearest-neighbor (pure numpy index selection —
-    the same sampling PIL's Image.NEAREST does), and re-encoded in its
-    OWN container (PNG in → PNG out through the full deflate/filter
-    pipeline; GIF in → GIF out by resampling the INDEX plane per frame
-    and re-encoding with the original palette, which commutes with
-    palette lookup so it is exactly the pixel-space NN resize — and
-    keeps an animation an animation). A corrupt container with a known
+    """Image resize. REAL paths: a P6 PPM, PNG, GIF or baseline JPEG
+    payload is decoded, resized by nearest-neighbor (pure numpy index
+    selection — the same sampling PIL's Image.NEAREST does), and
+    re-encoded in its OWN container (PNG in → PNG out through the full
+    deflate/filter pipeline; GIF in → GIF out by resampling the INDEX
+    plane per frame and re-encoding with the original palette, which
+    commutes with palette lookup so it is exactly the pixel-space NN
+    resize — and keeps an animation an animation; JPEG in → JPEG out
+    at quality 90, lossy like every real JPEG pipeline). A corrupt container with a known
     magic falls back to the stub rather than failing the job (same
     contract as _decode_image/_decode_audio). STUB path for other
     compressed formats (real impl: PIL decode → resize → re-encode) —
@@ -854,6 +868,15 @@ def _resize_image(payload: bytes, width: int, height: int) -> bytes:
             w0, h0, arr = _parse_png(payload)
             ys, xs = nn(h0, w0)
             return _encode_png(arr[ys][:, xs])
+        if payload.startswith(_JPEG_MAGIC):
+            from victor_spark.operators.jpeg_codec import (
+                decode_jpeg,
+                encode_jpeg,
+            )
+
+            w0, h0, arr = decode_jpeg(payload)
+            ys, xs = nn(h0, w0)
+            return encode_jpeg(arr[ys][:, xs], quality=90)
         if payload[:6] in _GIF_MAGICS:
             w0, h0, frames = _parse_gif_indexed(payload)
             ys, xs = nn(h0, w0)
@@ -1203,6 +1226,56 @@ def synthesize_gif(
                 {
                     "media_id": pdf["media_id"],
                     "kind": kind,
+                    "payload": payloads,
+                    "meta_width": width,
+                    "meta_height": height,
+                    "meta_sample_rate": None,
+                }
+            )
+
+    return src.mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
+def synthesize_jpeg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 16,
+    height: int = 16,
+    quality: int = 90,
+) -> DataFrame:
+    """A real baseline-JPEG media table from a text table: channel c of
+    every pixel row y is ord(text[c]) + 2y (a smooth vertical gradient —
+    md5-hex ords are 48..102, so 2y stays unclipped for heights ≤ 76),
+    pushed through the full DCT/Huffman encoder. Smooth content keeps
+    the lossy roundtrip inside a small, testable tolerance: the SOURCE
+    channel means are exact integers an oracle can compute
+    (ord(text[c]) + height - 1 for even heights), and the decoded means
+    must land within the DC-quantization + color-transform bound the
+    multimodal_jpeg_roundtrip query asserts. Arrow-batched (entropy
+    coding needs byte-level packing)."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import encode_jpeg
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                t = text or "000"
+                base = np.array(
+                    [ord(t[c % len(t)]) for c in range(3)], dtype=np.float64
+                )
+                y = 2.0 * np.arange(height)[:, None, None]
+                arr = np.clip(base[None, None, :] + y, 0, 255).astype(np.uint8)
+                arr = np.broadcast_to(arr, (height, width, 3))
+                payloads.append(encode_jpeg(np.ascontiguousarray(arr), quality))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
                     "payload": payloads,
                     "meta_width": width,
                     "meta_height": height,

@@ -5026,6 +5026,45 @@ def q_multimodal_gif_frames(spark, sf_dir):
     )
 
 
+@_q(
+    "multimodal_jpeg_roundtrip",
+    """
+SELECT doc_id AS media_id,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       true AS ok_r, true AS ok_g, true AS ok_b
+FROM documents
+""",
+    "REAL LOSSY-codec roundtrip: genuine baseline JFIF/JPEG containers "
+    "(level shift, 8x8 DCT, quality-90 Annex-K quantization, zigzag, "
+    "Huffman DC-prediction/AC-run-size entropy coding with byte "
+    "stuffing) decoded back through the inverse pipeline. JPEG pixels "
+    "are not SQL-replayable (lossy DCT), so the oracle contract is "
+    "BOUNDED ERROR: the synthesized content is a smooth per-channel "
+    "vertical gradient whose exact source means the oracle knows "
+    "(ord(md5 char)+15), and every decoded channel mean must land "
+    "within 2 levels — a broken DCT, quantizer, Huffman table or color "
+    "transform lands far outside. Geometry comes from the real decode",
+)
+def q_multimodal_jpeg_roundtrip(spark, sf_dir):
+    from victor_spark.operators.multimodal import decode_image_stats, synthesize_jpeg
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_jpeg(d, "doc_id", "text", width=16, height=16,
+                            quality=90)
+    s = decode_image_stats(media)
+    joined = s.join(F.broadcast(d), s.media_id == d.doc_id)
+    ok = [
+        (F.abs(F.col(m) - (F.ascii(F.substring("text", c + 1, 1)) + 15))
+         <= 2.0).alias(f"ok_{ch}")
+        for c, (m, ch) in enumerate(
+            [("mean_r", "r"), ("mean_g", "g"), ("mean_b", "b")]
+        )
+    ]
+    return joined.select("media_id", "width", "height", *ok)
+
+
 def _ingest_cache_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
     """Deterministic staging dir for the ingest-roundtrip queries, keyed
     on (query tag, dataset path, documents.parquet mtime+size). The

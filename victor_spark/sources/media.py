@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from victor_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     _GIF_MAGICS,
+    _JPEG_MAGIC,
     _PNG_SIG,
     _is_wave,
     _parse_gif,
@@ -98,6 +99,15 @@ def load_media_dir(
                         # (it feeds the frame sampler); a still is an image
                         w, h, frames = _parse_gif(b)
                         kind = "video" if len(frames) > 1 else "image"
+                    elif b.startswith(_JPEG_MAGIC):
+                        # header-only probe: ingest must not pay a full
+                        # DCT decode per asset just to learn geometry
+                        from victor_spark.operators.jpeg_codec import (
+                            jpeg_dimensions,
+                        )
+
+                        kind = "image"
+                        w, h = jpeg_dimensions(b)
                     elif _is_wave(b):  # both RIFF magics — bare 'RIFF'
                         # also wraps AVI/WebP, which stay kind='binary'
                         kind = "audio"
