@@ -593,3 +593,101 @@ def test_synthesize_jpeg_decodes_within_tolerance(spark, tmp_path):
                    key=lambda r: r["kind"])
     assert [r["kind"] for r in srows] == ["binary", "image"]
     assert (srows[1]["meta_width"], srows[1]["meta_height"]) == (16, 16)
+
+
+def test_jpeg_review_fixes_quant_order_fill_bytes_huge_resize():
+    """Round-6 JPEG-review closures: (1) coefficients are quantized with
+    the NATURAL-order table (the zigzag/natural mixup measured ~2.5x
+    this textured-error bound); (2) T.81 fill bytes (extra 0xFF before a
+    marker) are legal and skipped; (3) a resize whose target exceeds the
+    container's 16-bit header fields degrades to the stub instead of
+    escaping as struct.error."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from victor_spark.operators.multimodal import _resize_image
+
+    rng = np.random.default_rng(42)
+    tex = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    _, _, back = decode_jpeg(encode_jpeg(tex, 90))
+    d = np.abs(back.astype(int) - tex.astype(int))
+    assert d.mean() <= 8.0 and d.max() <= 60  # buggy table: 15.4 / 95
+
+    payload = encode_jpeg(tex, 90)
+    i = payload.index(b"\xff\xdb")
+    stuffed = payload[:i] + b"\xff\xff" + payload[i:]
+    _, _, b2 = decode_jpeg(stuffed)
+    assert np.array_equal(b2, back)
+
+    out = _resize_image(payload, 70000, 1)
+    assert len(out) == max(70000 // 64, 1)  # the documented stub shape
+
+
+def test_localfs_rename_falls_back_when_hardlinks_denied(tmp_path, monkeypatch):
+    """fs.protected_hardlinks (EPERM) or a no-hardlink filesystem must
+    degrade file renames to the checked form, not make them impossible —
+    otherwise a stale lock owned by another user could never be broken."""
+    import errno
+    import os
+
+    from victor_spark.fs import LocalFS
+
+    real_link = os.link
+
+    def deny(*a, **k):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(os, "link", deny)
+    fs = LocalFS()
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    fs.write_bytes(a, b"x")
+    fs.rename(a, b)  # checked fallback path
+    assert fs.read_bytes(b) == b"x" and not os.path.exists(a)
+    fs.write_bytes(a, b"y")
+    import pytest
+
+    with pytest.raises(FileExistsError):
+        fs.rename(a, b)
+    monkeypatch.setattr(os, "link", real_link)
+
+
+def test_ingest_cache_keys_on_code_and_publishes_atomically(tmp_path):
+    """The ingest staging cache must invalidate when builder code
+    changes (source text is part of the key) and publish via one rename
+    so concurrent builders can't clobber a dir under a running read."""
+    import os
+
+    from victor_spark.plans.catalog import (
+        _ingest_build_dir,
+        _ingest_cache_dir,
+        _publish_ingest_dir,
+    )
+
+    def v1():
+        return 1
+
+    def v2():
+        return 2
+
+    p1, _ = _ingest_cache_dir("t", str(tmp_path), code_of=(v1,))
+    p2, _ = _ingest_cache_dir("t", str(tmp_path), code_of=(v2,))
+    assert p1 != p2  # a code edit is a new key
+
+    # build privately, publish atomically
+    b = _ingest_build_dir(p1)
+    os.makedirs(b)
+    with open(os.path.join(b, "data"), "w") as f:
+        f.write("shard")
+    _publish_ingest_dir(b, p1)
+    _, built = _ingest_cache_dir("t", str(tmp_path), code_of=(v1,))
+    assert built and not os.path.exists(b)
+
+    # losing the publish race discards the private build, keeps the winner
+    b2 = _ingest_build_dir(p1)
+    os.makedirs(b2)
+    with open(os.path.join(b2, "data"), "w") as f:
+        f.write("other")
+    _publish_ingest_dir(b2, p1)
+    assert not os.path.exists(b2)
+    with open(os.path.join(p1, "data")) as f:
+        assert f.read() == "shard"  # the first publish survived

@@ -682,7 +682,10 @@ def test_jpeg_smooth_gradients_bounded_error(w, h, base, data):
     arr = np.clip(np.array(bases)[None, None, :] + y, 0, 255).astype(np.uint8)
     arr = np.ascontiguousarray(np.broadcast_to(arr, (h, w, 3)))
     _w, _h, back = decode_jpeg(encode_jpeg(arr, 90))
-    assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 12
+    # the correctly-ordered quantizer gives <=3 on this content; 6 is
+    # margin (the round-6 review caught a zigzag/natural table mixup
+    # that measured ~12 here — keep the bound tight enough to refuse it)
+    assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 6
 
     gray = arr[..., 0]
     _w, _h, gback = decode_jpeg(encode_jpeg(gray, 95))

@@ -85,19 +85,37 @@ class LocalFS:
         os.makedirs(p, exist_ok=True)
 
     def rename(self, src: str, dst: str) -> None:
-        """No-clobber rename. For FILES the no-clobber is ATOMIC
-        (hardlink-then-unlink — os.link raises FileExistsError itself,
-        with no check→rename window; the lock-breaking protocol in
-        VectorIndex relies on this). Directories can't be hardlinked, so
-        dir renames keep the checked form — the dir call sites (state /
-        staging swaps) are single-writer by contract."""
-        if os.path.isdir(src):
-            if os.path.exists(dst):
-                raise FileExistsError(f"rename target exists: {dst}")
-            os.rename(src, dst)
-            return
-        os.link(src, dst)  # atomic: fails with FileExistsError on clash
-        os.unlink(src)
+        """No-clobber rename. For FILES the no-clobber is ATOMIC where
+        the platform allows (hardlink-then-unlink — os.link raises
+        FileExistsError itself, with no check→rename window; the
+        lock-breaking protocol in VectorIndex relies on this). When the
+        filesystem or policy forbids hardlinks (vfat/some NFS/FUSE;
+        fs.protected_hardlinks denying a link to another user's file
+        with EPERM), it degrades to the checked non-atomic form rather
+        than making renames impossible. Directories can't be
+        hardlinked, so dir renames always use the checked form — the
+        dir call sites (state / staging swaps) are single-writer by
+        contract."""
+        if not os.path.isdir(src):
+            try:
+                os.link(src, dst)  # atomic: FileExistsError on clash
+                os.unlink(src)
+                return
+            except FileExistsError:
+                raise
+            except OSError as e:
+                import errno
+
+                if e.errno not in (
+                    errno.EPERM, errno.EOPNOTSUPP, errno.EXDEV,
+                    getattr(errno, "ENOTSUP", errno.EOPNOTSUPP),
+                    errno.EMLINK, errno.EACCES,
+                ):
+                    raise
+                # hardlinks unavailable here: checked fallback below
+        if os.path.exists(dst):
+            raise FileExistsError(f"rename target exists: {dst}")
+        os.rename(src, dst)
 
     def replace(self, src: str, dst: str) -> None:
         if os.path.isdir(dst) or os.path.isdir(src):

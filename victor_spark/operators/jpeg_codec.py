@@ -313,8 +313,12 @@ def _encode_blocks(
     ac_codes,
     pred: int,
 ) -> int:
-    """Encode every 8x8 block of a single padded plane (called per MCU in
-    the interleave loop via single-block slices)."""
+    """Encode one 8x8 block of a single padded plane (called per MCU in
+    the interleave loop via single-block slices). ``qtbl`` is in NATURAL
+    (row-major) order — coefficients are quantized natural-order and
+    only THEN zigzag-scanned (zigzag is not an involution, so dividing
+    natural coefficients by a zigzag-ordered table silently applies the
+    wrong step size to every AC coefficient)."""
     block = _dct2(plane - 128.0)
     coef = np.rint(block.ravel() / qtbl).astype(np.int64)
     zz = coef[_ZIGZAG]
@@ -400,12 +404,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             for c in range(ncomp):
-                qz = qy_z if c == 0 else qc_z
+                # NATURAL-order table here; the zigzag variants above
+                # are only for the DQT segment (which the spec stores
+                # zigzag-scanned)
+                qn = qy if c == 0 else qc
                 dc = dc_y if c == 0 else dc_c
                 ac = ac_y if c == 0 else ac_c
                 preds[c] = _encode_blocks(
                     writer, padded[by : by + 8, bx : bx + 8, c],
-                    qz, dc, ac, preds[c],
+                    qn, dc, ac, preds[c],
                 )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
@@ -428,6 +435,8 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("JPEG marker sync lost")
+            while payload[pos + 1] == 0xFF:  # T.81 B.1.1.2 fill bytes
+                pos += 1
             marker = payload[pos + 1]
             pos += 2
             if marker == 0xD8:
@@ -476,6 +485,8 @@ def _decode_jpeg_inner(payload: bytes):
             raise ValueError("truncated JPEG (no SOS)")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        while payload[pos + 1] == 0xFF and pos + 4 < len(payload):
+            pos += 1  # T.81 B.1.1.2: optional 0xFF fill bytes
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD8:

@@ -853,6 +853,8 @@ def _resize_image(payload: bytes, width: int, height: int) -> bytes:
     truncate / zero-pad the encoded payload to that size, so the output
     length is a pure function of (width, height) and the head bytes are
     a stable prefix of the input (both properties the oracle checks)."""
+    import struct
+
     import numpy as np
 
     def nn(h0: int, w0: int):
@@ -893,8 +895,11 @@ def _resize_image(payload: bytes, width: int, height: int) -> bytes:
                 [idx[ys][:, xs] for idx, _t in frames], width, height,
                 palette=pal,
             )
-    except ValueError:
-        pass  # corrupt/unsupported variant: stub path below
+    except (ValueError, struct.error):
+        # corrupt/unsupported variant, or a re-encode whose geometry
+        # exceeds the container's 16-bit header fields (e.g. resize to
+        # 70000px JPEG/GIF): degrade to the stub, never fail the job
+        pass
     target = max((width * height) // 64, 1)
     return payload[:target].ljust(target, b"\x00")
 

@@ -5065,17 +5065,21 @@ def q_multimodal_jpeg_roundtrip(spark, sf_dir):
     return joined.select("media_id", "width", "height", *ok)
 
 
-def _ingest_cache_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
+def _ingest_cache_dir(tag: str, sf_dir: str, code_of=()) -> tuple[str, bool]:
     """Deterministic staging dir for the ingest-roundtrip queries, keyed
-    on (query tag, dataset path, documents.parquet mtime+size). The
-    roundtrip queries must materialize real shards before their read
-    plan exists; caching the materialization (a) bounds /tmp usage to
-    one dir per (tag, dataset) instead of leaking a fresh mkdtemp per
-    plan BUILD (gate + bench + plan tests each build every query), and
-    (b) makes re-builds after the first write-free. The mtime+size key
-    invalidates automatically when the testdata is regenerated in
-    place. Returns (path, already_built)."""
+    on (query tag, dataset path, documents.parquet mtime+size, and the
+    SOURCE TEXT of the callables in ``code_of``). The roundtrip queries
+    must materialize real shards before their read plan exists; caching
+    the materialization (a) bounds /tmp usage instead of leaking a fresh
+    mkdtemp per plan BUILD (gate + bench + plan tests each build every
+    query), and (b) makes re-builds after the first write-free. The key
+    auto-invalidates when the testdata is regenerated in place OR when
+    the builder / synthesis / writer code changes (pass those functions
+    in ``code_of`` — a parameter edit is a source edit). Returns
+    (path, already_built); ``path`` only ever appears COMPLETE because
+    builders publish it with _publish_ingest_dir's atomic rename."""
     import hashlib
+    import inspect
     import os
     import tempfile
 
@@ -5085,18 +5089,36 @@ def _ingest_cache_dir(tag: str, sf_dir: str) -> tuple[str, bool]:
         stamp = f"{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         stamp = "unknown"
+    src = "".join(inspect.getsource(f) for f in code_of)
     key = hashlib.md5(
-        f"{tag}:{os.path.abspath(sf_dir)}:{stamp}".encode()
+        f"{tag}:{os.path.abspath(sf_dir)}:{stamp}:{src}".encode()
     ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"victor_ingest_{tag}_{key}")
     return path, os.path.exists(os.path.join(path, "_BUILT"))
 
 
-def _mark_ingest_built(path: str) -> None:
-    import os
+def _ingest_build_dir(path: str) -> str:
+    """A private build target next to ``path``: the builder writes the
+    WHOLE materialization (marker last) here, then publishes."""
+    import uuid
 
-    with open(os.path.join(path, "_BUILT"), "w"):
+    return f"{path}.build-{uuid.uuid4().hex}"
+
+
+def _publish_ingest_dir(build_dir: str, path: str) -> None:
+    """Atomically publish a fully-built staging dir: one rename, so
+    readers never observe a partial directory and two concurrent
+    builders can't delete files under each other's running scans (the
+    loser discards its own build and uses the winner's)."""
+    import os
+    import shutil
+
+    with open(os.path.join(build_dir, "_BUILT"), "w"):
         pass
+    try:
+        os.rename(build_dir, path)
+    except OSError:
+        shutil.rmtree(build_dir, ignore_errors=True)  # another builder won
 
 
 @_q(
@@ -5124,12 +5146,17 @@ def q_ingest_webdataset_roundtrip(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    out, built = _ingest_cache_dir("wds", sf_dir)
+    out, built = _ingest_cache_dir(
+        "wds", sf_dir,
+        code_of=(q_ingest_webdataset_roundtrip, write_webdataset),
+    )
     if not built:
+        build = _ingest_build_dir(out)
         write_webdataset(
-            docs.repartition(8), out, "doc_id", {"text": "txt", "lang": "cls"}
+            docs.repartition(8), build, "doc_id",
+            {"text": "txt", "lang": "cls"},
         ).collect()
-        _mark_ingest_built(out)
+        _publish_ingest_dir(build, out)
     back = load_webdataset(spark, out, ["txt", "cls"])
     return back.select(
         F.col("key").cast("long").alias("doc_id"),
@@ -5179,12 +5206,17 @@ def q_ingest_webdataset_media_decode(spark, sf_dir):
     )
     media = synthesize_png(d, "doc_id", "text", width=8, height=8,
                            filter_type="cycle")
-    out, built = _ingest_cache_dir("wdsmedia", sf_dir)
+    out, built = _ingest_cache_dir(
+        "wdsmedia", sf_dir,
+        code_of=(q_ingest_webdataset_media_decode, synthesize_png,
+                 write_webdataset),
+    )
     if not built:
+        build = _ingest_build_dir(out)
         write_webdataset(
-            media.repartition(8), out, "media_id", {"payload": "png"}
+            media.repartition(8), build, "media_id", {"payload": "png"}
         ).collect()
-        _mark_ingest_built(out)
+        _publish_ingest_dir(build, out)
     back = load_webdataset(spark, out, ["png"]).selectExpr(
         "CAST(key AS LONG) AS media_id", "'image' AS kind",
         "png AS payload", "CAST(8 AS INT) AS meta_width",
@@ -5225,11 +5257,14 @@ def q_ingest_jsonl_gz_roundtrip(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    out, built = _ingest_cache_dir("jsonlgz", sf_dir)
+    out, built = _ingest_cache_dir(
+        "jsonlgz", sf_dir,
+        code_of=(q_ingest_jsonl_gz_roundtrip, write_jsonl),
+    )
     if not built:
-        # overwrite clears any _BUILT-less partial from a crashed build
-        write_jsonl(docs.repartition(8), out, compression="gzip")
-        _mark_ingest_built(out)
+        build = _ingest_build_dir(out)
+        write_jsonl(docs.repartition(8), build, compression="gzip")
+        _publish_ingest_dir(build, out)
     back = read_jsonl(spark, out, "doc_id bigint, text string, lang string")
     return back.select(
         "doc_id", "lang",
