@@ -47,8 +47,13 @@ def test_jsonl_gzip_round_trip(spark, tmp_path):
     write_jsonl(docs, str(out), compression="gzip")
     shards = glob.glob(str(out / "*.json.gz"))
     assert shards  # the codec actually produced gzip members
-    with gzip.open(shards[0], "rt") as f:  # genuine gzip, line-oriented
-        json.loads(f.readline())
+    # a 2-row frame over a 32-slot session leaves most shards EMPTY;
+    # prove gzip+line format on a shard that actually carries a row
+    lines = []
+    for s in shards:
+        with gzip.open(s, "rt") as f:  # genuine gzip, line-oriented
+            lines += [json.loads(line) for line in f if line.strip()]
+    assert len(lines) == 2
     back = read_jsonl(spark, str(out), CORPUS_SCHEMA)
     assert sorted(back.collect(), key=lambda r: r["doc_id"]) == sorted(
         docs.collect(), key=lambda r: r["doc_id"]
