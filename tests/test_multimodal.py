@@ -691,3 +691,73 @@ def test_ingest_cache_keys_on_code_and_publishes_atomically(tmp_path):
     assert not os.path.exists(b2)
     with open(os.path.join(p1, "data")) as f:
         assert f.read() == "shard"  # the first publish survived
+
+
+def test_synthesize_flac_decodes_and_composes(spark, tmp_path):
+    """synthesize_flac emits genuine rice-compressed FLAC streams whose
+    DECODED samples equal the md5 derivation bit-exactly; the stats
+    farm, fingerprint dedup, zero-order-hold resample (FLAC in -> FLAC
+    out) and the binaryFile sniffer (STREAMINFO-only probe) all handle
+    them; and the gradient content genuinely compresses."""
+    import numpy as np
+
+    from victor_spark.operators import multimodal as M
+    from victor_spark.operators.flac_codec import decode_flac
+    from victor_spark.sources.media import load_media_dir
+
+    t = "0123456789abcdef0123456789abcdef"
+    df = spark.createDataFrame([(1, t)], "doc_id long, text string")
+    media = M.synthesize_flac(df, "doc_id", "text", n_samples=64,
+                              sample_rate=16000)
+    row = media.collect()[0]
+    payload = bytes(row["payload"])
+    assert payload[:4] == b"fLaC"
+    expect = [(ord(t[j % 32]) - 80) * 128 for j in range(64)]
+    rate, got = decode_flac(payload)
+    assert rate == 16000 and got == expect
+    # the stream header (fLaC + 38-byte STREAMINFO block) dominates a
+    # 64-sample clip; the FRAME portion must still beat raw PCM16 —
+    # i.e., the rice/predictor compression is real
+    assert len(payload) - 46 < 2 * 64
+
+    stats = M.decode_audio_stats(media).collect()[0]
+    assert stats["n_samples"] == 64
+    assert stats["min_amp"] == min(expect) and stats["max_amp"] == max(expect)
+
+    # fingerprint matches the WAV twin of the same samples (container-
+    # independent perceptual dedup, the audio analog of cross-format
+    # image dedup)
+    wav = M.synthesize_wav(df, "doc_id", "text", n_samples=64,
+                           sample_rate=16000)
+    fp_flac = M.audio_fingerprint(media).collect()[0]["dhash"]
+    fp_wav = M.audio_fingerprint(wav).collect()[0]["dhash"]
+    assert fp_flac == fp_wav
+
+    # resample keeps the container and the fingerprint invariance
+    rs = M.resample_audio(media, factor=2).collect()[0]
+    assert bytes(rs["payload"])[:4] == b"fLaC"
+    assert rs["meta_sample_rate"] == 32000
+    r2, up = decode_flac(bytes(rs["payload"]))
+    assert r2 == 32000 and up == list(np.repeat(expect, 2))
+
+    # ingest sniffer: STREAMINFO rate; a HEADER-corrupt flac quarantines
+    # (the sniffer is a header-only probe — frame-body corruption passes
+    # ingest by design and is caught downstream by the CRC-16)
+    d = tmp_path / "lake"
+    d.mkdir()
+    (d / "a.flac").write_bytes(payload)
+    bad = bytearray(payload)
+    bad[7] = 0xFF  # STREAMINFO length byte now claims 255 bytes...
+    (d / "bad.flac").write_bytes(bytes(bad[:40]))  # ...in a 40-byte file
+    rows = sorted(load_media_dir(spark, str(d)).collect(),
+                  key=lambda r: r["kind"])
+    kinds = [r["kind"] for r in rows]
+    assert kinds == ["audio", "binary"]
+    assert rows[0]["meta_sample_rate"] == 16000
+    # ...and the frame-CRC layer catches body corruption in the farm
+    crc_bad = bytearray(payload)
+    crc_bad[-1] ^= 0xFF
+    import pytest
+
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(crc_bad))

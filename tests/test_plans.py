@@ -515,7 +515,8 @@ def test_media_decode_queries_are_shuffle_free(spark):
     for name in ("multimodal_ppm_decode", "multimodal_wav_decode",
                  "multimodal_ppm_resize", "multimodal_png_decode",
                  "multimodal_png_resize", "multimodal_wav_mulaw_decode",
-                 "multimodal_gif_decode", "multimodal_gif_frames"):
+                 "multimodal_gif_decode", "multimodal_gif_frames",
+                 "multimodal_flac_decode"):
         p = plan(name, spark)
         exchanges = re.findall(r"Exchange (\w+)", p)
         assert all(e == "RoundRobinPartitioning" for e in exchanges), (name, exchanges)

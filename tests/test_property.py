@@ -713,3 +713,45 @@ def test_jpeg_corruption_never_escapes_valueerror(data):
     except ValueError:
         return
     assert back.shape[2] == 3  # decoded to SOMETHING pixel-shaped
+
+
+@CODEC_PROP
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+    rate=st.integers(1, 655350),
+    block_size=st.sampled_from([16, 64, 4096]),
+)
+def test_flac_roundtrip_any_samples(samples, rate, block_size):
+    """encode→decode is the IDENTITY for arbitrary int16 clips across
+    block sizes (multi-frame streams included) — the compressed-audio
+    twin of the WAV roundtrip property; rice coding, fixed predictors,
+    CRCs and the subframe chooser all sit on this path."""
+    from victor_spark.operators.flac_codec import decode_flac, encode_flac
+
+    got_rate, got = decode_flac(encode_flac(samples, rate, block_size))
+    assert got_rate == rate and got == list(samples)
+
+
+@CODEC_PROP
+@given(data=st.data())
+def test_flac_corruption_raises_valueerror(data):
+    """Any single-byte corruption of a valid FLAC stream raises
+    ValueError (every FRAME is CRC-8 + CRC-16 protected) or yields
+    sample VALUES that are still correct — never silently wrong audio,
+    never a non-ValueError crash. STREAMINFO itself carries no CRC (the
+    format protects it only via the optional audio-md5 field, which
+    this subset leaves zeroed), so a corrupted total-samples count may
+    legally TRUNCATE the clip; the surviving prefix must still be
+    bit-exact."""
+    from victor_spark.operators.flac_codec import decode_flac, encode_flac
+
+    samples = [((j * 37) % 200 - 100) * 64 for j in range(120)]
+    enc = bytearray(encode_flac(samples, 8000))
+    i = data.draw(st.integers(0, len(enc) - 1))
+    delta = data.draw(st.integers(1, 255))
+    enc[i] = (enc[i] + delta) % 256
+    try:
+        _rate, got = decode_flac(bytes(enc))
+    except ValueError:
+        return
+    assert got == samples[: len(got)]  # values never silently wrong

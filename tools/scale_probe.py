@@ -92,6 +92,7 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "multimodal_gif_frames": {"documents": ["doc_id"]},
     "ingest_webdataset_roundtrip": {"documents": ["doc_id"]},
     "multimodal_jpeg_roundtrip": {"documents": ["doc_id"]},
+    "multimodal_flac_decode": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -11,8 +11,10 @@ inflate/deflate, chunk CRCs, all five scanline filters), GIF
 (compressed lossless over its palette: real LZW with dictionary growth
 and resets, animated demux), baseline JPEG (compressed LOSSY: the full
 DCT/quantize/Huffman pipeline, operators/jpeg_codec.py), RIFF/WAVE
-audio (PCM16 mono/stereo, PCM8, G.711 mu-law), and YUV4MPEG2 video —
-dispatched by magic bytes inside the same Arrow-batched seams.
+audio (PCM16 mono/stereo, PCM8, G.711 mu-law), FLAC (compressed
+lossless audio: rice-coded fixed predictors + frame CRCs,
+operators/flac_codec.py), and YUV4MPEG2 video — dispatched by magic
+bytes inside the same Arrow-batched seams.
 Remaining compressed formats (MP3/H.264/WebP) stay deterministic-fake
 stubs behind the same `_decode_*` seams, because their codecs
 (ffmpeg/torchaudio) are not stdlib-expressible — swap the stub body,
@@ -628,6 +630,26 @@ def _parse_wav(payload: bytes):
     return rate, samples.astype(np.int16)
 
 
+def _parse_audio(payload: bytes):
+    """Decode any supported audio container to (sample_rate, int16
+    ndarray): RIFF/WAVE (PCM16 mono/stereo, PCM8, mu-law) or FLAC
+    (compressed lossless — rice-coded fixed predictors,
+    operators/flac_codec.py). The single dispatch point for the audio
+    decode farm operators."""
+    import numpy as np
+
+    if payload[:4] == b"fLaC":
+        from victor_spark.operators.flac_codec import decode_flac
+
+        rate, samples = decode_flac(payload)
+        return rate, np.asarray(samples, dtype=np.int16)
+    return _parse_wav(payload)
+
+
+def _is_audio_magic(payload: bytes) -> bool:
+    return _is_wave(payload) or payload[:4] == b"fLaC"
+
+
 def _is_wave(payload: bytes) -> bool:
     """True only for a genuine RIFF/WAVE container (both magics). RIFF
     alone also wraps AVI/WebP — dispatching the WAV decoder on the bare
@@ -776,20 +798,20 @@ def _decode_image(payload: bytes) -> list[float]:
 
 
 def _decode_audio(payload: bytes) -> list[float]:
-    """Audio features. REAL path: a RIFF/WAVE payload is actually decoded
-    (chunk walker + int16 PCM) into [sample_rate, n_samples, mean_amp,
-    rms_amp]. STUB path for compressed formats (real impl: soundfile/
-    torchaudio) — deterministic fake: mean/max/min byte value + length.
-    Dispatch requires BOTH RIFF magics (bare 'RIFF' also wraps AVI/WebP),
-    and an unsupported WAV encoding (stereo/8-bit/float/corrupt) falls
-    back to the stub rather than failing the whole extract job."""
-    if _is_wave(payload):
+    """Audio features. REAL paths: a RIFF/WAVE or FLAC (compressed
+    lossless) payload is actually decoded into [sample_rate, n_samples,
+    mean_amp, rms_amp]. STUB path for other compressed formats (real
+    impl: soundfile/torchaudio) — deterministic fake: mean/max/min byte
+    value + length. WAV dispatch requires BOTH RIFF magics (bare 'RIFF'
+    also wraps AVI/WebP), and an unsupported/corrupt encoding falls back
+    to the stub rather than failing the whole extract job."""
+    if _is_audio_magic(payload):
         import numpy as np
 
         try:
-            rate, samples = _parse_wav(payload)
+            rate, samples = _parse_audio(payload)
         except ValueError:
-            pass  # non-PCM16-mono or corrupt: stub path below
+            pass  # unsupported encoding or corrupt: stub path below
         else:
             a = samples.astype(np.float64)
             n = max(len(a), 1)
@@ -1241,6 +1263,46 @@ def synthesize_gif(
     return src.mapInPandas(_synth, schema=MEDIA_SCHEMA)
 
 
+def synthesize_flac(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_samples: int = 64,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """A real FLAC media table from a text table: the SAME sample
+    derivation as synthesize_wav's PCM16 path (sample j =
+    (ord(text[j mod len]) - 80) * 128), but rice/fixed-predictor
+    COMPRESSED into a genuine FLAC stream — lossless, so the decode
+    oracle replays the samples bit-exactly, exactly like the WAV twin.
+    Arrow-batched (bit-level entropy packing)."""
+    from victor_spark.operators.flac_codec import encode_flac
+
+    src = df.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                t = text or " "
+                samples = [
+                    (ord(t[j % len(t)]) - 80) * 128 for j in range(n_samples)
+                ]
+                payloads.append(encode_flac(samples, sample_rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "payload": payloads,
+                    "meta_width": None,
+                    "meta_height": None,
+                    "meta_sample_rate": sample_rate,
+                }
+            )
+
+    return src.mapInPandas(_synth, schema=MEDIA_SCHEMA)
+
+
 def synthesize_jpeg(
     df: DataFrame,
     id_col: str,
@@ -1461,15 +1523,16 @@ def _dhash_bits(arr) -> str:
 
 
 def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
-    """REAL audio resample (zero-order hold): every RIFF/WAVE payload is
-    decoded, each sample repeated ``factor`` times, the sample rate
-    scaled by ``factor``, and the clip re-encoded — the same duration at
-    a higher rate (the crude analog of nearest-neighbor image upscale,
-    and exactly what audio_fingerprint must be invariant to). Non-WAVE
-    rows — and WAVE encodings the PCM16-mono codec doesn't support —
-    pass through untouched, so a mixed table resamples in one
-    shuffle-free mapInPandas pass without a single bad asset failing
-    the job."""
+    """REAL audio resample (zero-order hold): every RIFF/WAVE or FLAC
+    payload is decoded, each sample repeated ``factor`` times, the
+    sample rate scaled by ``factor``, and the clip re-encoded IN ITS OWN
+    CONTAINER (FLAC in → FLAC out, through the full rice/predictor
+    pipeline) — the same duration at a higher rate (the crude analog of
+    nearest-neighbor image upscale, and exactly what audio_fingerprint
+    must be invariant to). Unrecognized rows — and encodings the codecs
+    don't support — pass through untouched, so a mixed table resamples
+    in one shuffle-free mapInPandas pass without a single bad asset
+    failing the job."""
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1479,16 +1542,24 @@ def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
             for payload, rate in zip(pdf["payload"], pdf["meta_sample_rate"]):
                 b = bytes(payload) if payload is not None else b""
                 decoded = None
-                if _is_wave(b):
+                if _is_audio_magic(b):
                     try:
-                        decoded = _parse_wav(b)
+                        decoded = _parse_audio(b)
                     except ValueError:
                         decoded = None  # unsupported encoding: pass through
                 if decoded is not None:
                     r, samples = decoded
-                    payloads.append(
-                        _encode_wav(np.repeat(samples, factor), r * factor)
-                    )
+                    up = np.repeat(samples, factor)
+                    if b[:4] == b"fLaC":
+                        from victor_spark.operators.flac_codec import (
+                            encode_flac,
+                        )
+
+                        payloads.append(
+                            encode_flac([int(s) for s in up], r * factor)
+                        )
+                    else:
+                        payloads.append(_encode_wav(up, r * factor))
                     rates.append(r * factor)
                 else:
                     payloads.append(payload)
@@ -1524,7 +1595,7 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, fps = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _rate, samples = _parse_wav(bytes(payload))
+                _rate, samples = _parse_audio(bytes(payload))
                 ids.append(mid)
                 fps.append(_audio_fp_bits(samples))
             yield pd.DataFrame({"media_id": ids, "dhash": fps})
@@ -1550,12 +1621,13 @@ def _audio_fp_bits(samples) -> str:
 
 def decode_audio_stats(media: DataFrame) -> DataFrame:
     """REAL audio decode → per-clip sample statistics: every payload is
-    parsed as RIFF/WAVE PCM16 (chunk walker) and the statistics are
-    computed from the decoded int16 samples. Same Arrow-batched,
+    parsed by its container's codec (RIFF/WAVE chunk walker, or FLAC
+    through the full rice/fixed-predictor pipeline) and the statistics
+    are computed from the decoded int16 samples. Same Arrow-batched,
     shuffle-free shape as decode_image_stats.
 
-    STRICT contract: every row must be a decodable PCM16-mono WAV —
-    route mixed/unknown assets through load_media_dir's sniffer (which
+    STRICT contract: every row must be a decodable WAV or FLAC — route
+    mixed/unknown assets through load_media_dir's sniffer (which
     quarantines them as kind='binary') before this stage; the tolerant
     mixed-table operators are extract_features / resample_audio."""
 
@@ -1568,7 +1640,7 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
                 "rms_amp", "min_amp", "max_amp",
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, samples = _parse_wav(bytes(payload))
+                rate, samples = _parse_audio(bytes(payload))
                 a = samples.astype(np.float64)
                 n = max(len(a), 1)
                 rows["media_id"].append(mid)

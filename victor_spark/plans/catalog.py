@@ -5027,6 +5027,46 @@ def q_multimodal_gif_frames(spark, sf_dir):
 
 
 @_q(
+    "multimodal_flac_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         list_transform(range(0, 64),
+           j -> (ord(substr(md5(text), CAST(j % 32 AS INT) + 1, 1)) - 80) * 128) AS smp
+  FROM documents
+)
+SELECT media_id, CAST(16000 AS BIGINT) AS sample_rate, CAST(64 AS BIGINT) AS n_samples,
+       round(list_sum(smp) / 64.0, 6) AS mean_amp,
+       round(sqrt(list_sum(list_transform(smp, x -> CAST(x AS DOUBLE) * x)) / 64.0), 6) AS rms_amp,
+       CAST(list_min(smp) AS BIGINT) AS min_amp, CAST(list_max(smp) AS BIGINT) AS max_amp
+FROM m
+""",
+    "REAL COMPRESSED-audio decode: genuine FLAC streams (rice-coded "
+    "fixed-predictor residuals, CRC-8/CRC-16-verified frames, "
+    "STREAMINFO) decoded by the pure-python FLAC codec in the "
+    "Arrow-batched farm. FLAC is LOSSLESS, so — unlike the lossy JPEG "
+    "twin — the oracle replays the decoded samples bit-exactly from "
+    "the same md5 derivation as multimodal_wav_decode: a match proves "
+    "the whole rice/predictor/CRC pipeline sample for sample",
+)
+def q_multimodal_flac_decode(spark, sf_dir):
+    from victor_spark.operators.multimodal import decode_audio_stats, synthesize_flac
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_flac(d, "doc_id", "text", n_samples=64,
+                            sample_rate=16000)
+    s = decode_audio_stats(media)
+    return s.select(
+        "media_id", "sample_rate", "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms_amp", 6).alias("rms_amp"),
+        "min_amp", "max_amp",
+    )
+
+
+@_q(
     "multimodal_jpeg_roundtrip",
     """
 SELECT doc_id AS media_id,

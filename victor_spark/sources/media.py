@@ -112,6 +112,15 @@ def load_media_dir(
                         # also wraps AVI/WebP, which stay kind='binary'
                         kind = "audio"
                         rate, _samples = _parse_wav(b)
+                    elif b[:4] == b"fLaC":
+                        # header-only probe (STREAMINFO), like the JPEG
+                        # SOF probe — no entropy decode at ingest
+                        from victor_spark.operators.flac_codec import (
+                            flac_streaminfo,
+                        )
+
+                        kind = "audio"
+                        rate, _ch, _bps, _n = flac_streaminfo(b)
                     elif b.startswith(b"YUV4MPEG2"):
                         kind = "video"
                         w, h, _chroma, _frames = _parse_y4m(b)
