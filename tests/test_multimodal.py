@@ -761,3 +761,93 @@ def test_synthesize_flac_decodes_and_composes(spark, tmp_path):
 
     with pytest.raises(ValueError, match="CRC"):
         decode_flac(bytes(crc_bad))
+
+
+def test_flac_review_fixes(spark):
+    """Round-6 FLAC-review closures: (1) a CRC-valid stream whose rice
+    residuals reconstruct outside int16 raises ValueError (never wraps
+    silently / never a numpy OverflowError in the farm); (2) encode
+    rejects rates beyond the 20-bit STREAMINFO field, and resample_audio
+    passes such a clip through untouched instead of emitting a corrupt
+    asset; (3) the ingest sniffer quarantines stereo/24-bit FLAC (the
+    strict farm would otherwise fail the job); (4) synthesize_flac
+    wraps unicode-derived samples exactly like synthesize_wav's int16
+    pack."""
+    import struct
+
+    import pytest
+
+    from victor_spark.operators import multimodal as M
+    from victor_spark.operators.flac_codec import (
+        _Bits,
+        _crc8,
+        _crc16,
+        _utf8_number,
+        decode_flac,
+        encode_flac,
+    )
+
+    # (1) crafted FIXED-order-0 frame with a 2e6 residual, CRCs valid
+    out = bytearray(b"fLaC")
+    info = _Bits()
+    for v, n in [(4096, 16), (4096, 16), (0, 24), (0, 24), (8000, 20),
+                 (0, 3), (15, 5), (1, 36)]:
+        info.write(v, n)
+    body = info.getvalue() + b"\x00" * 16
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+    h = _Bits()
+    for v, n in [(0b11111111111110, 14), (0, 1), (0, 1), (0b0111, 4),
+                 (0, 4), (0, 4), (0b100, 3), (0, 1)]:
+        h.write(v, n)
+    h.align()
+    hdr = h.getvalue() + _utf8_number(0) + struct.pack(">H", 0)
+    hdr += bytes([_crc8(hdr)])
+    b = _Bits()
+    for v, n in [(0, 1), (8, 6), (0, 1), (0, 2), (0, 4), (14, 4)]:
+        b.write(v, n)
+    u = 2_000_000
+    b.write_unary(u >> 14)
+    b.write(u & ((1 << 14) - 1), 14)
+    b.align()
+    frame = hdr + b.getvalue()
+    frame += struct.pack(">H", _crc16(frame))
+    with pytest.raises(ValueError, match="16-bit range"):
+        decode_flac(bytes(out) + frame)
+
+    # (2) rate overflow rejected on encode; resample passes through
+    with pytest.raises(ValueError, match="20-bit"):
+        encode_flac([1, 2], 1 << 20)
+    hi = encode_flac([3, 4, 5], 655_350)
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(hi), None, None, 655_350)], M.MEDIA_SCHEMA
+    )
+    rs = M.resample_audio(media, factor=2).collect()[0]
+    assert bytes(rs["payload"]) == hi  # untouched, not corrupt
+    assert rs["meta_sample_rate"] == 655_350
+
+    # (3) stereo FLAC: STREAMINFO parses but the subset doesn't decode
+    # it — the sniffer must quarantine
+    stereo = bytearray(encode_flac([1, 2], 8000))
+    # channels-1 lives in 3 bits after 16+16+24+24+20 = 100 bits =
+    # byte 12.5 of STREAMINFO (block starts at offset 8): flip via
+    # re-synthesis instead of bit surgery
+    info2 = _Bits()
+    for v, n in [(4096, 16), (4096, 16), (0, 24), (0, 24), (8000, 20),
+                 (1, 3), (15, 5), (2, 36)]:  # channels-1 = 1 -> stereo
+        info2.write(v, n)
+    body2 = info2.getvalue() + b"\x00" * 16
+    stereo = (b"fLaC" + bytes([0x80])
+              + struct.pack(">I", len(body2))[1:] + body2)
+    from victor_spark.sources.media import load_media_dir
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "s.flac"), "wb") as f:
+        f.write(stereo)
+    rows = load_media_dir(spark, d).collect()
+    assert [r["kind"] for r in rows] == ["binary"]
+
+    # (4) unicode text doesn't kill synthesize_flac
+    df = spark.createDataFrame([(1, "héllo 世界")], "doc_id long, text string")
+    row = M.synthesize_flac(df, "doc_id", "text", n_samples=8).collect()[0]
+    _rate, got = decode_flac(bytes(row["payload"]))
+    assert len(got) == 8

@@ -48,10 +48,13 @@ def _crc16(data: bytes) -> int:
 
 
 class _Bits:
-    """MSB-first bit writer/reader (FLAC is big-endian bit-packed)."""
+    """MSB-first bit writer/reader (FLAC is big-endian bit-packed).
+    Read mode keeps the caller's bytes WITHOUT copying (a per-frame copy
+    of a multi-MB stream would make decode O(frames × size)); the
+    mutable buffer exists only for write mode."""
 
     def __init__(self, data: bytes = b""):
-        self.data = bytearray(data)
+        self.data = data if data else bytearray()
         self.acc = 0
         self.nacc = 0  # write side
         self.pos = 0
@@ -169,13 +172,23 @@ def _rice_param(residuals: list[int]) -> int:
     return k
 
 
+def _zigzag_u(r: int) -> int:
+    """The folded value the rice coder actually emits for residual r."""
+    return (r << 1) ^ (r >> 63)
+
+
 def encode_flac(samples, sample_rate: int = 16000, block_size: int = 4096) -> bytes:
     """Encode int16 mono samples as a real FLAC stream: STREAMINFO, then
     fixed-blocksize frames whose subframe is the cheapest of CONSTANT /
-    VERBATIM / FIXED order 0-2 with Rice-coded residuals."""
+    VERBATIM / FIXED order 0-2 with Rice-coded residuals. Raises
+    ValueError for samples outside int16 or a sample rate beyond the
+    format's 20-bit STREAMINFO field (silently truncating either would
+    emit a corrupt, self-inconsistent asset)."""
     samples = [int(s) for s in samples]
     if any(not -32768 <= s <= 32767 for s in samples):
         raise ValueError("samples must be int16")
+    if not 0 < sample_rate < (1 << 20):
+        raise ValueError(f"sample rate {sample_rate} exceeds FLAC's 20-bit field")
     n = len(samples)
 
     out = bytearray(b"fLaC")
@@ -224,8 +237,10 @@ def _encode_frame(blk: list[int], frame_idx: int, sample_rate: int) -> bytes:
                 continue
             res = _fixed_residuals(blk, order)
             k = _rice_param(res)
+            # exact cost of what the coder will emit: unary quotient of
+            # the FOLDED value + stop bit + k remainder bits
             cost = sum(
-                (abs(2 * r - (1 if r < 0 else 0)) >> k) + 1 + k for r in res
+                (_zigzag_u(r) >> k) + 1 + k for r in res
             ) + 16 * order
             if best is None or cost < best[1]:
                 best = (order, cost, res, k)
@@ -256,7 +271,7 @@ def _encode_frame(blk: list[int], frame_idx: int, sample_rate: int) -> bytes:
         body.write(0, 4)  # partition order 0
         body.write(k, 4)
         for r in res:
-            u = (r << 1) ^ (r >> 63)  # zigzag fold (python ints)
+            u = _zigzag_u(r)
             body.write_unary(u >> k)
             if k:
                 body.write(u & ((1 << k) - 1), k)
@@ -265,43 +280,10 @@ def _encode_frame(blk: list[int], frame_idx: int, sample_rate: int) -> bytes:
     return frame + struct.pack(">H", _crc16(frame))
 
 
-def flac_streaminfo(payload: bytes):
-    """(sample_rate, channels, bps, total_samples) from the STREAMINFO
-    block alone — the cheap metadata-sniff pass (ingest shouldn't pay a
-    full entropy decode per asset just to learn the rate)."""
-    if payload[:4] != b"fLaC":
-        raise ValueError("not a FLAC payload")
-    pos = 4
-    while True:
-        if pos + 4 > len(payload):
-            raise ValueError("truncated FLAC metadata")
-        hdr = payload[pos]
-        (length,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
-        block = payload[pos + 4 : pos + 4 + length]
-        if len(block) != length:
-            raise ValueError("truncated FLAC metadata block")
-        if hdr & 0x7F == 0:
-            bits = _Bits(block)
-            bits.read(16)
-            bits.read(16)
-            bits.read(24)
-            bits.read(24)
-            rate = bits.read(20)
-            channels = bits.read(3) + 1
-            bps = bits.read(5) + 1
-            total = bits.read(36)
-            return rate, channels, bps, total
-        pos += 4 + length
-        if hdr & 0x80:
-            break
-    raise ValueError("FLAC missing STREAMINFO")
-
-
-def decode_flac(payload: bytes):
-    """Decode a mono 16-bit fixed-blocksize FLAC stream. Returns
-    (sample_rate, list[int] samples). Verifies the frame CRC-8/CRC-16
-    and the sync code; raises ValueError on corruption or on features
-    outside the supported subset (stereo, LPC, wasted bits)."""
+def _walk_metadata(payload: bytes):
+    """Walk the metadata blocks once: returns ((rate, channels, bps,
+    total), first_frame_pos). The single parser both the cheap
+    STREAMINFO probe and the full decoder share."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     pos = 4
@@ -316,9 +298,8 @@ def decode_flac(payload: bytes):
             raise ValueError("truncated FLAC metadata block")
         if hdr & 0x7F == 0:  # STREAMINFO
             bits = _Bits(block)
-            bits.pos = 0
-            _minb = bits.read(16)
-            _maxb = bits.read(16)
+            bits.read(16)
+            bits.read(16)
             bits.read(24)
             bits.read(24)
             rate = bits.read(20)
@@ -331,7 +312,23 @@ def decode_flac(payload: bytes):
             break
     if streaminfo is None:
         raise ValueError("FLAC missing STREAMINFO")
-    rate, channels, bps, total = streaminfo
+    return streaminfo, pos
+
+
+def flac_streaminfo(payload: bytes):
+    """(sample_rate, channels, bps, total_samples) from the STREAMINFO
+    block alone — the cheap metadata-sniff pass (ingest shouldn't pay a
+    full entropy decode per asset just to learn the rate)."""
+    info, _pos = _walk_metadata(payload)
+    return info
+
+
+def decode_flac(payload: bytes):
+    """Decode a mono 16-bit fixed-blocksize FLAC stream. Returns
+    (sample_rate, list[int] samples). Verifies the frame CRC-8/CRC-16
+    and the sync code; raises ValueError on corruption or on features
+    outside the supported subset (stereo, LPC, wasted bits)."""
+    (rate, channels, bps, total), pos = _walk_metadata(payload)
     if channels != 1 or bps != 16:
         raise ValueError(
             f"unsupported FLAC: channels={channels} bps={bps} (mono/16 only)"
@@ -343,6 +340,11 @@ def decode_flac(payload: bytes):
         samples.extend(blk)
     if total and len(samples) > total:
         samples = samples[:total]
+    if any(not -32768 <= s <= 32767 for s in samples):
+        # a valid 16-bps stream cannot reconstruct outside int16; a
+        # crafted rice residual that does must not silently wrap (or
+        # raise numpy OverflowError) downstream
+        raise ValueError("FLAC sample outside 16-bit range")
     return rate, samples
 
 

@@ -1272,7 +1272,9 @@ def synthesize_flac(
 ) -> DataFrame:
     """A real FLAC media table from a text table: the SAME sample
     derivation as synthesize_wav's PCM16 path (sample j =
-    (ord(text[j mod len]) - 80) * 128), but rice/fixed-predictor
+    (ord(text[j mod len]) - 80) * 128, wrapped into int16 exactly the
+    way synthesize_wav's '<i2' pack wraps — so codepoints > 335 in raw
+    text survive instead of failing the job), rice/fixed-predictor
     COMPRESSED into a genuine FLAC stream — lossless, so the decode
     oracle replays the samples bit-exactly, exactly like the WAV twin.
     Arrow-batched (bit-level entropy packing)."""
@@ -1286,7 +1288,8 @@ def synthesize_flac(
             for text in pdf["text"]:
                 t = text or " "
                 samples = [
-                    (ord(t[j % len(t)]) - 80) * 128 for j in range(n_samples)
+                    ((ord(t[j % len(t)]) - 80) * 128 + 32768) % 65536 - 32768
+                    for j in range(n_samples)
                 ]
                 payloads.append(encode_flac(samples, sample_rate))
             yield pd.DataFrame(
@@ -1550,17 +1553,24 @@ def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
                 if decoded is not None:
                     r, samples = decoded
                     up = np.repeat(samples, factor)
-                    if b[:4] == b"fLaC":
-                        from victor_spark.operators.flac_codec import (
-                            encode_flac,
-                        )
+                    try:
+                        if b[:4] == b"fLaC":
+                            from victor_spark.operators.flac_codec import (
+                                encode_flac,
+                            )
 
-                        payloads.append(
-                            encode_flac([int(s) for s in up], r * factor)
-                        )
-                    else:
-                        payloads.append(_encode_wav(up, r * factor))
-                    rates.append(r * factor)
+                            payloads.append(
+                                encode_flac([int(s) for s in up], r * factor)
+                            )
+                        else:
+                            payloads.append(_encode_wav(up, r * factor))
+                        rates.append(r * factor)
+                    except ValueError:
+                        # the scaled rate overflows the container's
+                        # field (FLAC: 20 bits): pass through untouched
+                        # rather than emit a corrupt asset or fail
+                        payloads.append(payload)
+                        rates.append(rate)
                 else:
                     payloads.append(payload)
                     rates.append(rate)

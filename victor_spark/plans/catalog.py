@@ -7870,6 +7870,9 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # sample_frames grew the animated-GIF demux path
     "multimodal_frame_sample",
     "multimodal_y4m_frames",
+    # decode_audio_stats/audio_fingerprint/resample_audio reroute
+    # through _parse_audio (WAV-or-FLAC dispatch)
+    "multimodal_wav_mulaw_decode",
 ]
 
 

@@ -119,8 +119,15 @@ def load_media_dir(
                             flac_streaminfo,
                         )
 
+                        rate, ch, bps, _n = flac_streaminfo(b)
+                        if (ch, bps) != (1, 16):
+                            # outside the codec subset: quarantine NOW —
+                            # the strict decode farm downstream would
+                            # otherwise fail the job on this row
+                            raise ValueError(
+                                f"unsupported FLAC ch={ch} bps={bps}"
+                            )
                         kind = "audio"
-                        rate, _ch, _bps, _n = flac_streaminfo(b)
                     elif b.startswith(b"YUV4MPEG2"):
                         kind = "video"
                         w, h, _chroma, _frames = _parse_y4m(b)
