@@ -491,6 +491,9 @@ def test_image_phash_dedup_single_shuffle_mapside_partial(spark):
         # cross-format: PNG synthesis + clone resize + one dhash over the
         # union (the PPM branch synthesizes JVM-side)
         ("dedup_image_cross_format", "dhash", 3),
+        # audio cross-format: WAV synthesis + FLAC synthesis + one
+        # fingerprint over the union
+        ("dedup_audio_cross_format", "fingerprint", 3),
     ):
         p = plan(name, spark)
         # node-detail headers count each node exactly once in formatted mode

@@ -93,6 +93,7 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "ingest_webdataset_roundtrip": {"documents": ["doc_id"]},
     "multimodal_jpeg_roundtrip": {"documents": ["doc_id"]},
     "multimodal_flac_decode": {"documents": ["doc_id"]},
+    "dedup_audio_cross_format": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -5027,6 +5027,72 @@ def q_multimodal_gif_frames(spark, sf_dir):
 
 
 @_q(
+    "dedup_audio_cross_format",
+    """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents),
+allm AS (
+  SELECT media_id, s FROM m
+  UNION ALL
+  SELECT media_id + 1000000, s FROM m WHERE media_id % 10 = 0
+),
+g AS (
+  SELECT media_id,
+    list_transform(range(0, 65),
+      j -> (ord(substr(s, CAST(j * 64 // 65 % 32 AS INT) + 1, 1)) - 80) * 128) AS sv
+  FROM allm
+),
+fp AS (
+  SELECT media_id,
+    list_aggregate(list_transform(range(0, 64), k ->
+      CASE WHEN sv[CAST(k AS INT) + 1] < sv[CAST(k AS INT) + 2]
+           THEN '1' ELSE '0' END), 'string_agg', '') AS fingerprint
+  FROM g
+)
+SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_media,
+       CAST(min(media_id) AS BIGINT) AS min_media_id
+FROM fp GROUP BY fingerprint HAVING count(*) >= 2
+""",
+    "CROSS-CONTAINER audio dedup: originals are RIFF/WAVE PCM16, every "
+    "10th clip's clone is the SAME audio stored as rice-compressed FLAC "
+    "under a different id — the perceptual fingerprint is computed over "
+    "DECODED samples, so identical audio dedups across container "
+    "formats exactly (byte/container hashing catches nothing here; FLAC "
+    "is lossless so the grouping is deterministic, unlike any lossy "
+    "cross-format pairing). Same exact-groupBy shuffle shape as the "
+    "image cross-format twin; the oracle replays every bit",
+)
+def q_dedup_audio_cross_format(spark, sf_dir):
+    from victor_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthesize_flac,
+        synthesize_wav,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    base = synthesize_wav(d, "doc_id", "text", n_samples=64,
+                          sample_rate=16000)
+    flac_clones = synthesize_flac(
+        d.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        ),
+        "doc_id", "text", n_samples=64, sample_rate=16000,
+    )
+    fps = audio_fingerprint(base.unionByName(flac_clones)).withColumnRenamed(
+        "dhash", "fingerprint"
+    )
+    return (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.min("media_id").alias("min_media_id"),
+        )
+        .filter(F.col("n_media") >= 2)
+    )
+
+
+@_q(
     "multimodal_flac_decode",
     """
 WITH m AS (
