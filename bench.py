@@ -97,6 +97,22 @@ def main() -> None:
     out["per_query_min"] = per_query_min
     out["per_query_min_total"] = round(sum(per_query_min.values()), 3)
     print(json.dumps(out))
+    # The driver's artifact stores only the TAIL of stdout, and the full
+    # line above (two per-query maps) is long enough that truncation can
+    # eat its head, leaving the headline totals unrecoverable (BENCH_r06:
+    # parsed=null, total lost). Repeat the headline scalars as the FINAL
+    # line — compact, always inside any tail window (round-6 verdict
+    # item 7).
+    headline = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "sf", "n_queries", "sec_per_query",
+            "per_query_min_total", "ingest_rows_per_sec",
+            "storage_bytes_per_vector",
+        )
+        if k in out
+    }
+    print(json.dumps(headline))
 
 
 def run_suite() -> None:

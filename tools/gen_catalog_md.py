@@ -26,15 +26,19 @@ def main() -> None:
     print()
     print(
         f"{n} queries; {oracle} oracle-checked ({dynamic} via dynamic "
-        "oracles resolved at gate time), listed in gate order (the "
-        "driver checks the first 50 per round; tiers documented in "
-        "plans/catalog.py::_gate_order). Regenerate with "
+        "oracles resolved at gate time), listed ALPHABETICALLY — a "
+        "stable order independent of the driver's per-round gate "
+        "schedule (plans/catalog.py::_gate_order recomputes that from "
+        "whatever CORRECTNESS_r*.json artifacts exist on disk, so a "
+        "gate-ordered listing goes stale the moment the driver drops a "
+        "new artifact; round-6 verdict item 1). Regenerate with "
         "`python tools/gen_catalog_md.py > CATALOG.md`."
     )
     print()
     print("| # | query | oracle | what it is |")
     print("|---|---|---|---|")
-    for i, (name, spec) in enumerate(QUERIES.items(), 1):
+    for i, name in enumerate(sorted(QUERIES), 1):
+        spec = QUERIES[name]
         kind = (
             "dynamic" if callable(spec.oracle)
             else "sql" if spec.oracle is not None

@@ -7920,25 +7920,10 @@ def q_embedding_outliers(spark, sf_dir):
 # Builders/oracles touched in the CURRENT round — the only hand input.
 # Reset when a new round starts; the artifact-derived tiers handle the rest.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round 6: the image decode farm dispatches through _parse_image
-    # (PPM or the new PNG codec), _decode_audio/_resize_image/
-    # resample_audio grew corrupt-input fallbacks, and _parse_wav grew
-    # the short-fmt-chunk guard — re-check every query whose builder
-    # rides those seams (the three new PNG queries are never-green and
-    # front automatically)
-    "dedup_image_phash",
-    "dedup_audio_fingerprint",
-    "multimodal_ppm_decode",
-    "multimodal_ppm_resize",
-    "multimodal_wav_decode",
-    "multimodal_features",
-    "multimodal_resize",
-    # sample_frames grew the animated-GIF demux path
-    "multimodal_frame_sample",
-    "multimodal_y4m_frames",
-    # decode_audio_stats/audio_fingerprint/resample_audio reroute
-    # through _parse_audio (WAV-or-FLAC dispatch)
-    "multimodal_wav_mulaw_decode",
+    # round 7: reset — the r4-green tail (ann_recall, semdedup,
+    # textrank, bpe, tpch q9-q22, quality/LM family) is now the oldest
+    # tier and rotates into the 50-row gate window per verdict item 2.
+    # Entries are appended below as round-7 work touches their seams.
 ]
 
 
