@@ -42,6 +42,47 @@ import os
 import shutil
 from urllib.parse import urlparse
 
+# renameat2(RENAME_NOREPLACE): the only primitive that makes a
+# no-clobber FILE rename truly atomic as a PAIR on Linux. The
+# hardlink-then-unlink fallback below is atomic per-step but not as a
+# pair: two concurrent lock-break claimants can both os.link the same
+# victim to distinct names before either unlinks, so "exactly one
+# claimant" holds only best-effort there (round-6 advisor). Probed once
+# per process; unavailable → None (non-Linux libc, glibc < 2.28, or a
+# filesystem rejecting flags with EINVAL falls back per-call).
+_RENAME_NOREPLACE = 1
+_AT_FDCWD = -100
+_renameat2 = None
+
+
+def _probe_renameat2():
+    global _renameat2
+    if _renameat2 is not None:
+        return _renameat2
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL(None, use_errno=True)
+        fn = libc.renameat2
+        fn.restype = ctypes.c_int
+
+        def call(src: str, dst: str) -> None:
+            r = fn(
+                _AT_FDCWD, os.fsencode(src),
+                _AT_FDCWD, os.fsencode(dst),
+                _RENAME_NOREPLACE,
+            )
+            if r != 0:
+                e = ctypes.get_errno()
+                # constructing OSError(errno, ...) maps EEXIST to
+                # FileExistsError automatically
+                raise OSError(e, os.strerror(e), src, None, dst)
+
+        _renameat2 = call
+    except (OSError, AttributeError):
+        _renameat2 = False
+    return _renameat2
+
 
 def join(base: str, *parts: str) -> str:
     """Path join that is correct for both plain paths and URIs (always
@@ -85,18 +126,37 @@ class LocalFS:
         os.makedirs(p, exist_ok=True)
 
     def rename(self, src: str, dst: str) -> None:
-        """No-clobber rename. For FILES the no-clobber is ATOMIC where
-        the platform allows (hardlink-then-unlink — os.link raises
-        FileExistsError itself, with no check→rename window; the
-        lock-breaking protocol in VectorIndex relies on this). When the
-        filesystem or policy forbids hardlinks (vfat/some NFS/FUSE;
-        fs.protected_hardlinks denying a link to another user's file
-        with EPERM), it degrades to the checked non-atomic form rather
-        than making renames impossible. Directories can't be
-        hardlinked, so dir renames always use the checked form — the
-        dir call sites (state / staging swaps) are single-writer by
-        contract."""
+        """No-clobber rename. For FILES, prefer renameat2(RENAME_NOREPLACE)
+        — the source disappears and the target appears in ONE atomic
+        step, so two concurrent lock-break claimants racing to move the
+        same lock file cannot both succeed (exactly one claimant; the
+        VectorIndex lock-break protocol relies on this). Where renameat2
+        is unavailable (non-Linux, old glibc, EINVAL from the fs), fall
+        back to hardlink-then-unlink: still atomic no-clobber per step
+        (os.link raises FileExistsError with no check→rename window) but
+        NOT as a pair — both claimants can link before either unlinks;
+        the second unlink then raises and claim-exclusivity degrades to
+        best-effort, bounded by the listing reconciler like the other
+        acknowledged races. When even hardlinks are forbidden (vfat/some
+        NFS/FUSE; fs.protected_hardlinks EPERM), degrade to the checked
+        non-atomic form rather than making renames impossible.
+        Directories can't be hardlinked, so dir renames always use the
+        checked form — the dir call sites (state / staging swaps) are
+        single-writer by contract."""
         if not os.path.isdir(src):
+            r2 = _probe_renameat2()
+            if r2:
+                try:
+                    r2(src, dst)
+                    return
+                except FileExistsError:
+                    raise
+                except OSError as e:
+                    import errno
+
+                    if e.errno not in (errno.EINVAL, errno.ENOSYS):
+                        raise
+                    # this fs rejects RENAME_NOREPLACE: hardlink path
             try:
                 os.link(src, dst)  # atomic: FileExistsError on clash
                 os.unlink(src)

@@ -564,10 +564,16 @@ class VectorIndex:
         the mtime re-check then runs on a path only this claimant knows.
         If the claim caught a lock that was re-created fresh in the
         window after the caller's staleness check, it is renamed back
-        untouched (should even THAT restore collide with a brand-new
+        untouched. Should even THAT restore collide with a brand-new
         lock — a triple interleave inside microseconds of a 10-minute
-        expiry — the victim is deleted and the listing's reconciler
-        heals any lost update, as it does for unlocked writers).
+        expiry — the restore is RETRIED with backoff (the colliding
+        holder's critical section is sub-second, so the lock path frees
+        quickly) before giving up and deleting the victim, which would
+        strand the stolen holder lock-less; the retry loop shrinks that
+        two-holder window from "always on collision" to "collision
+        persisting past every retry", and the listing's reconciler
+        heals any lost update beyond it, as it does for unlocked
+        writers (round-6 advisor).
         A claimant that CRASHES between its rename and the
         delete/restore leaves ``__stale_<uuid>`` debris (swept by
         vacuum's age gate) and, if the claim had caught a fresh lock,
@@ -583,11 +589,12 @@ class VectorIndex:
         except Exception:
             fresh = False
         if fresh:
-            try:
-                self.fs.rename(victim, self.lock_path)
-                return
-            except Exception:
-                pass
+            for attempt in range(4):
+                try:
+                    self.fs.rename(victim, self.lock_path)
+                    return
+                except Exception:
+                    _time.sleep(0.05 * (attempt + 1))
         self.fs.delete(victim)
 
     def _release_listing_lock(self) -> None:

@@ -7924,6 +7924,11 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # textrank, bpe, tpch q9-q22, quality/LM family) is now the oldest
     # tier and rotates into the 50-row gate window per verdict item 2.
     # Entries are appended below as round-7 work touches their seams.
+    #
+    # webdataset advisor fixes: sample keys keep directory prefixes,
+    # pack path rewritten off itertuples (sources/webdataset.py)
+    "ingest_webdataset_roundtrip",
+    "ingest_webdataset_media_decode",
 ]
 
 

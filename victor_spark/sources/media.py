@@ -15,6 +15,15 @@ MEDIA_SCHEMA rows ready for the decode/dedup/frame-sampling operators.
 Unknown formats are kept, not dropped: kind='binary' with null metadata,
 so a pipeline can quarantine or route them; the decode operators'
 compressed-format stubs remain the seam for real codecs.
+
+UPGRADE NOTE (round 6): ``media_id`` derivation changed default. It was
+"numeric filename stem, else hash"; it is now ALWAYS the low 63 bits of
+md5(full path), with the old stem behavior opt-in via
+``numeric_stem_ids=True``. Rationale: stem-derived ids silently collide
+across directories (a/1.ppm vs b/1.ppm). Consequence: tables
+materialized under the old default get DIFFERENT media_ids when
+re-ingested — re-derive downstream joins from a fresh ingest, or pass
+``numeric_stem_ids=True`` to keep the old ids (round-6 advisor).
 """
 
 from __future__ import annotations

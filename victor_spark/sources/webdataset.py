@@ -44,12 +44,16 @@ from victor_spark.fs import fs_for, join as fsjoin
 
 
 def _split_member(name: str) -> tuple[str, str]:
-    """WebDataset key rule: sample key = basename up to the FIRST dot,
-    extension = everything after it ('a/0042.seg.png' -> ('0042',
-    'seg.png'))."""
-    base = name.rsplit("/", 1)[-1]
-    key, _, ext = base.partition(".")
-    return key, ext
+    """WebDataset key rule (upstream ``base_plus_ext``): sample key =
+    the FULL member path up to the first dot of the basename, extension
+    = the rest ('a/0042.seg.png' -> ('a/0042', 'seg.png')). Keeping the
+    directory prefix in the key matters: shards with subdirectories
+    ('a/0001.jpg' + 'b/0001.txt') are DISTINCT samples, and a
+    basename-only key would silently cross-pair them into one row
+    (round-6 advisor, medium)."""
+    dirname, _, base = name.rpartition("/")
+    stem, _, ext = base.partition(".")
+    return (f"{dirname}/{stem}" if dirname else stem), ext
 
 
 def load_webdataset(
@@ -133,8 +137,14 @@ def write_webdataset(
     — an ACTION on it performs the write. Repartition the input to pick
     the shard count/size; keys should be unique corpus-wide (the
     standard WebDataset contract)."""
+    # backtick-quote so dotted names stay column references, not struct
+    # paths, then rename to positional names: pyspark's mapInPandas
+    # itself resolves every column via df[col], which re-parses dots as
+    # struct access (same advisor family as the itertuples fix below)
     sel = [key_col] + list(content_cols)
-    src = df.select(*sel)
+    src = df.select(*(f"`{c.replace('`', '``')}`" for c in sel)).toDF(
+        *(f"_c{i}" for i in range(len(sel)))
+    )
     fs_for(df.sparkSession, path).mkdirs(path)  # driver-side, pre-write
 
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,10 +157,16 @@ def write_webdataset(
         n = 0
         with tarfile.open(fileobj=buf, mode="w") as tf:
             for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    key = str(getattr(row, key_col))
-                    for col, ext in content_cols.items():
-                        v = getattr(row, col)
+                # positional column access (the _cN names assigned
+                # above), NOT itertuples attribute access: pandas
+                # renames columns that aren't valid Python identifiers
+                # (or start with underscore) to positional _N names,
+                # which would raise AttributeError at pack time
+                # (round-6 advisor, low)
+                cols = [pdf[f"_c{i}"] for i in range(1 + len(content_cols))]
+                for vals in zip(*cols):
+                    key = str(vals[0])
+                    for v, ext in zip(vals[1:], content_cols.values()):
                         if v is None:
                             continue
                         data = (
