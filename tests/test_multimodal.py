@@ -825,15 +825,12 @@ def test_flac_review_fixes(spark):
     assert bytes(rs["payload"]) == hi  # untouched, not corrupt
     assert rs["meta_sample_rate"] == 655_350
 
-    # (3) stereo FLAC: STREAMINFO parses but the subset doesn't decode
-    # it — the sniffer must quarantine
-    stereo = bytearray(encode_flac([1, 2], 8000))
-    # channels-1 lives in 3 bits after 16+16+24+24+20 = 100 bits =
-    # byte 12.5 of STREAMINFO (block starts at offset 8): flip via
-    # re-synthesis instead of bit surgery
+    # (3) 3-channel FLAC: STREAMINFO parses but it's outside the
+    # decode subset (mono/stereo since round 7) — the sniffer must
+    # quarantine
     info2 = _Bits()
     for v, n in [(4096, 16), (4096, 16), (0, 24), (0, 24), (8000, 20),
-                 (1, 3), (15, 5), (2, 36)]:  # channels-1 = 1 -> stereo
+                 (2, 3), (15, 5), (2, 36)]:  # channels-1 = 2 -> 3ch
         info2.write(v, n)
     body2 = info2.getvalue() + b"\x00" * 16
     stereo = (b"fLaC" + bytes([0x80])
@@ -851,3 +848,95 @@ def test_flac_review_fixes(spark):
     row = M.synthesize_flac(df, "doc_id", "text", n_samples=8).collect()[0]
     _rate, got = decode_flac(bytes(row["payload"]))
     assert len(got) == 8
+
+
+def test_flac_wasted_bits_and_invalid_lpc_headers():
+    """Round-7 decoder extensions, the paths our encoder never emits:
+    (1) wasted-bits subframes (samples coded at bps-wasted, shifted
+    back on output) decode bit-exactly for VERBATIM and CONSTANT; (2) a
+    crafted LPC subframe with the invalid precision escape (0b1111) or
+    a negative predictor shift raises ValueError, not garbage audio."""
+    import struct
+
+    from victor_spark.operators.flac_codec import (
+        _Bits,
+        _crc8,
+        _crc16,
+        _utf8_number,
+        decode_flac,
+    )
+
+    def stream_with_subframe(n_samples, write_subframe_body):
+        info = _Bits()
+        for v, nb in [(n_samples, 16), (n_samples, 16), (0, 24), (0, 24),
+                      (8000, 20), (0, 3), (15, 5), (n_samples, 36)]:
+            info.write(v, nb)
+        body = info.getvalue() + b"\x00" * 16
+        out = bytearray(b"fLaC")
+        out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+        header = _Bits()
+        header.write(0b11111111111110, 14)
+        header.write(0, 2)
+        header.write(0b0111, 4)  # explicit 16-bit blocksize
+        header.write(0, 4)  # rate from STREAMINFO
+        header.write(0, 4)  # mono
+        header.write(0b100, 3)  # 16 bps
+        header.write(0, 1)
+        header.align()
+        hdr = header.getvalue() + _utf8_number(0)
+        hdr += struct.pack(">H", n_samples - 1)
+        hdr += bytes([_crc8(hdr)])
+        fb = _Bits()
+        write_subframe_body(fb)
+        fb.align()
+        frame = hdr + fb.getvalue()
+        return bytes(out + frame + struct.pack(">H", _crc16(frame)))
+
+    # VERBATIM with 2 wasted bits: samples are multiples of 4, coded
+    # at 14 bits
+    samples = [4 * v for v in (-2000, 1500, 0, 8191, -8192, 77)]
+
+    def verbatim_wasted(fb):
+        fb.write(0, 1)
+        fb.write(1, 6)  # VERBATIM
+        fb.write(1, 1)  # wasted flag
+        fb.write_unary(1)  # wasted = 1 + 1 = 2
+        for s in samples:
+            fb.write((s >> 2) & 0x3FFF, 14)
+
+    rate, got = decode_flac(stream_with_subframe(len(samples), verbatim_wasted))
+    assert rate == 8000 and got == samples
+
+    # CONSTANT with 3 wasted bits
+    def constant_wasted(fb):
+        fb.write(0, 1)
+        fb.write(0, 6)  # CONSTANT
+        fb.write(1, 1)
+        fb.write_unary(2)  # wasted = 3
+        fb.write((-1024 >> 3) & 0x1FFF, 13)
+
+    rate, got = decode_flac(stream_with_subframe(4, constant_wasted))
+    assert got == [-1024] * 4
+
+    # LPC precision escape 0b1111 must raise
+    def lpc_bad_precision(fb):
+        fb.write(0, 1)
+        fb.write(0b100000, 6)  # LPC order 1
+        fb.write(0, 1)
+        fb.write(123 & 0xFFFF, 16)  # warmup
+        fb.write(15, 4)  # precision escape — invalid
+
+    with pytest.raises(ValueError, match="precision"):
+        decode_flac(stream_with_subframe(4, lpc_bad_precision))
+
+    # negative LPC shift must raise
+    def lpc_negative_shift(fb):
+        fb.write(0, 1)
+        fb.write(0b100000, 6)
+        fb.write(0, 1)
+        fb.write(123 & 0xFFFF, 16)
+        fb.write(11, 4)  # precision 12
+        fb.write(0b10000, 5)  # sign bit set — negative shift
+
+    with pytest.raises(ValueError, match="shift"):
+        decode_flac(stream_with_subframe(4, lpc_negative_shift))

@@ -755,3 +755,98 @@ def test_flac_corruption_raises_valueerror(data):
     except ValueError:
         return
     assert got == samples[: len(got)]  # values never silently wrong
+
+
+@CODEC_PROP
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=300),
+    lpc_order=st.integers(1, 16),
+    block_size=st.sampled_from([32, 64, 4096]),
+)
+def test_flac_lpc_roundtrip_any_samples(samples, lpc_order, block_size):
+    """LPC subframes (the type real flac encoders emit almost always)
+    are equally lossless: encode with forced Levinson-Durbin LPC →
+    decode is the identity for arbitrary clips, orders and block sizes
+    (degenerate blocks fall back to FIXED/CONSTANT internally)."""
+    from victor_spark.operators.flac_codec import decode_flac, encode_flac
+
+    enc = encode_flac(samples, 8000, block_size, lpc_order=lpc_order)
+    got_rate, got = decode_flac(enc)
+    assert got_rate == 8000 and got == list(samples)
+
+
+@CODEC_PROP
+@given(
+    half=st.lists(st.integers(-32768, 32767), min_size=0, max_size=150),
+    mode=st.sampled_from(
+        ["independent", "left_side", "right_side", "mid_side"]
+    ),
+    lpc_order=st.sampled_from([None, 4]),
+    data=st.data(),
+)
+def test_flac_stereo_roundtrip_all_assignments(half, mode, lpc_order, data):
+    """Stereo streams under every channel assignment (independent and
+    all three side-coded forms, whose side channel carries bps+1 bits)
+    decode to exactly the (l+r)//2 downmix of the source — the same
+    lake normalization as the WAV parser, so a WAV original and its
+    FLAC stereo clone fingerprint identically."""
+    from victor_spark.operators.flac_codec import decode_flac, encode_flac
+
+    right = [
+        data.draw(st.integers(-32768, 32767)) for _ in range(len(half))
+    ]
+    inter: list[int] = []
+    for l, r in zip(half, right):
+        inter += [l, r]
+    enc = encode_flac(
+        inter, 16000, channels=2, stereo_mode=mode, lpc_order=lpc_order
+    )
+    got_rate, got = decode_flac(enc)
+    assert got_rate == 16000
+    assert got == [(l + r) // 2 for l, r in zip(half, right)]
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    color=st.tuples(st.integers(0, 255), st.integers(0, 255),
+                    st.integers(0, 255)),
+)
+def test_jpeg_420_solid_blocks_decode_near_exactly(w, h, color):
+    """4:2:0 on a solid image is still DC-only in all three (subsampled)
+    planes: the 16x16-MCU encode path and the general-sampling decode
+    path must reproduce it within color-transform rounding for any
+    geometry, including non-multiple-of-16 edges."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    arr = np.zeros((h, w, 3), np.uint8)
+    arr[:] = color
+    w2, h2, back = decode_jpeg(encode_jpeg(arr, 90, subsampling="420"))
+    assert (w2, h2) == (w, h)
+    assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 2
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 32), h=st.integers(1, 32),
+    base=st.integers(30, 150), data=st.data(),
+)
+def test_jpeg_420_smooth_gradients_bounded_error(w, h, base, data):
+    """Smooth gradients survive 4:2:0 within the chroma-subsampling
+    bound: luma is full-resolution (tight), chroma varies by ~2/row so
+    2x2 averaging + nearest upsampling adds a few levels over the 4:4:4
+    bound. A swapped/misordered MCU block layout measures far outside
+    this (whole 8x8 blocks land in the wrong place)."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    bases = [base, data.draw(st.integers(30, 150)),
+             data.draw(st.integers(30, 150))]
+    y = 2 * np.arange(h)[:, None, None]
+    arr = np.clip(np.array(bases)[None, None, :] + y, 0, 255).astype(np.uint8)
+    arr = np.ascontiguousarray(np.broadcast_to(arr, (h, w, 3)))
+    _w, _h, back = decode_jpeg(encode_jpeg(arr, 90, subsampling="420"))
+    assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 14

@@ -141,7 +141,8 @@ def _parse_png(payload: bytes):
     chunk list, parse IHDR, concatenate IDAT, inflate, then reverse the
     per-scanline filters (None/Sub/Up/Average/Paeth — the full filter
     set of the spec). Supports bit depth 8, color types 0 (grayscale,
-    replicated to 3 channels), 2 (RGB) and 6 (RGBA — alpha dropped), no
+    replicated to 3 channels), 2 (RGB), 4 (grayscale+alpha — alpha
+    dropped, gray replicated) and 6 (RGBA — alpha dropped), no
     interlacing. Returns (width, height, uint8 ndarray (h, w, 3)).
 
     Reference parity note: the reference treats media as opaque bytes
@@ -183,7 +184,7 @@ def _parse_png(payload: bytes):
         raise ValueError(
             f"unsupported PNG: depth={depth} interlace={interlace}"
         )
-    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color}")
     if w == 0 or h == 0:
@@ -205,6 +206,8 @@ def _parse_png(payload: bytes):
     px = out.reshape(h, w, channels)
     if channels == 1:
         px = np.repeat(px, 3, axis=2)
+    elif channels == 2:  # gray+alpha: drop alpha, replicate gray
+        px = np.repeat(px[..., :1], 3, axis=2)
     elif channels == 4:
         px = px[..., :3]
     return w, h, np.ascontiguousarray(px)
@@ -581,9 +584,12 @@ def _parse_wav(payload: bytes):
     """Decode a RIFF/WAVE container: walks the chunk list (so extra
     chunks like LIST/fact are tolerated). REAL decode for the common
     encodings — PCM 16-bit, PCM 8-bit (unsigned, rescaled by ×256 after
-    centering), and G.711 μ-law (format 7), each mono or stereo (stereo
-    is downmixed (l+r)//2, floor semantics) — all to a mono int16
-    stream. Returns (sample_rate, int16 ndarray)."""
+    centering), PCM 24/32-bit (truncated to the top 16 bits — the
+    int16-lake normalization), G.711 μ-law (format 7), and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers whose SubFormat GUID names
+    one of those PCM codes — each mono or stereo (stereo is downmixed
+    (l+r)//2, floor semantics) — all to a mono int16 stream. Returns
+    (sample_rate, int16 ndarray)."""
     import struct
 
     import numpy as np
@@ -599,7 +605,14 @@ def _parse_wav(payload: bytes):
             if len(body) < 16:  # truncated/corrupt chunk: ValueError (not
                 # struct.error) so ingest sniffers quarantine, not crash
                 raise ValueError(f"WAV fmt chunk short: {len(body)} < 16")
-            fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt = list(struct.unpack("<HHIIHH", body[:16]))
+            if fmt[0] == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: the actual
+                # format code is the first 2 bytes of the SubFormat GUID
+                # (offset 24 in the chunk: 16 base + cbSize + validBits
+                # + channelMask)
+                if len(body) < 26:
+                    raise ValueError("WAV extensible fmt chunk short")
+                (fmt[0],) = struct.unpack("<H", body[24:26])
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
@@ -616,6 +629,16 @@ def _parse_wav(payload: bytes):
         samples = (
             np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
         ) * 256
+    elif (audio_format, bits) == (1, 24):
+        b = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend 24 -> 32
+        samples = v >> 8  # keep the top 16 bits
+    elif (audio_format, bits) == (1, 32):
+        samples = (
+            np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4") >> 16
+        ).astype(np.int32)
     elif (audio_format, bits) == (7, 8):
         samples = _mulaw_decode(np.frombuffer(data, dtype=np.uint8)).astype(
             np.int32
@@ -1269,15 +1292,23 @@ def synthesize_flac(
     text_col: str,
     n_samples: int = 64,
     sample_rate: int = 16000,
+    stereo_mode: str | None = None,
+    lpc_order: int | None = None,
 ) -> DataFrame:
     """A real FLAC media table from a text table: the SAME sample
     derivation as synthesize_wav's PCM16 path (sample j =
     (ord(text[j mod len]) - 80) * 128, wrapped into int16 exactly the
     way synthesize_wav's '<i2' pack wraps — so codepoints > 335 in raw
-    text survive instead of failing the job), rice/fixed-predictor
-    COMPRESSED into a genuine FLAC stream — lossless, so the decode
-    oracle replays the samples bit-exactly, exactly like the WAV twin.
-    Arrow-batched (bit-level entropy packing)."""
+    text survive instead of failing the job), rice-coded COMPRESSED
+    into a genuine FLAC stream — lossless, so the decode oracle replays
+    the samples bit-exactly, exactly like the WAV twin. With
+    ``stereo_mode`` set, each mono sample s becomes a STEREO pair
+    (s + d, s - d) with a deterministic per-index detune d — the
+    (l+r)//2 downmix is s EXACTLY, so the decoded stream equals the
+    mono rendition while exercising the full stereo (side-channel)
+    decode path; ``lpc_order`` forces Levinson-Durbin LPC subframes
+    (what real flac encoders emit). Arrow-batched (bit-level entropy
+    packing)."""
     from victor_spark.operators.flac_codec import encode_flac
 
     src = df.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
@@ -1291,7 +1322,23 @@ def synthesize_flac(
                     ((ord(t[j % len(t)]) - 80) * 128 + 32768) % 65536 - 32768
                     for j in range(n_samples)
                 ]
-                payloads.append(encode_flac(samples, sample_rate))
+                if stereo_mode is not None:
+                    inter: list[int] = []
+                    for j, s in enumerate(samples):
+                        d = (j % 7 - 3) * 100
+                        if not -32768 <= s - abs(d) <= s + abs(d) <= 32767:
+                            d = 0  # wrapped-codepoint extremes: no detune
+                        inter += [s + d, s - d]
+                    payloads.append(
+                        encode_flac(
+                            inter, sample_rate, channels=2,
+                            stereo_mode=stereo_mode, lpc_order=lpc_order,
+                        )
+                    )
+                    continue
+                payloads.append(
+                    encode_flac(samples, sample_rate, lpc_order=lpc_order)
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -5053,13 +5053,16 @@ SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_media,
 FROM fp GROUP BY fingerprint HAVING count(*) >= 2
 """,
     "CROSS-CONTAINER audio dedup: originals are RIFF/WAVE PCM16, every "
-    "10th clip's clone is the SAME audio stored as rice-compressed FLAC "
-    "under a different id — the perceptual fingerprint is computed over "
-    "DECODED samples, so identical audio dedups across container "
-    "formats exactly (byte/container hashing catches nothing here; FLAC "
-    "is lossless so the grouping is deterministic, unlike any lossy "
-    "cross-format pairing). Same exact-groupBy shuffle shape as the "
-    "image cross-format twin; the oracle replays every bit",
+    "10th clip's clone is the SAME audio stored as STEREO MID/SIDE "
+    "LPC-compressed FLAC under a different id (each mono sample s "
+    "becomes the pair (s+d, s-d), whose (l+r)//2 downmix is s exactly) "
+    "— the perceptual fingerprint is computed over DECODED DOWNMIXED "
+    "samples, so identical audio dedups across container format, "
+    "channel layout AND predictor family (byte/container hashing "
+    "catches nothing here; FLAC is lossless so the grouping is "
+    "deterministic, unlike any lossy cross-format pairing). Same "
+    "exact-groupBy shuffle shape as the image cross-format twin; the "
+    "oracle replays every bit",
 )
 def q_dedup_audio_cross_format(spark, sf_dir):
     from victor_spark.operators.multimodal import (
@@ -5078,6 +5081,7 @@ def q_dedup_audio_cross_format(spark, sf_dir):
             "doc_id", F.col("doc_id") + 1_000_000
         ),
         "doc_id", "text", n_samples=64, sample_rate=16000,
+        stereo_mode="mid_side", lpc_order=4,
     )
     fps = audio_fingerprint(base.unionByName(flac_clones)).withColumnRenamed(
         "dhash", "fingerprint"

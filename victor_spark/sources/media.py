@@ -129,10 +129,11 @@ def load_media_dir(
                         )
 
                         rate, ch, bps, _n = flac_streaminfo(b)
-                        if (ch, bps) != (1, 16):
-                            # outside the codec subset: quarantine NOW —
-                            # the strict decode farm downstream would
-                            # otherwise fail the job on this row
+                        if ch > 2 or bps != 16:
+                            # outside the codec subset (mono/stereo
+                            # 16-bit): quarantine NOW — the strict
+                            # decode farm downstream would otherwise
+                            # fail the job on this row
                             raise ValueError(
                                 f"unsupported FLAC ch={ch} bps={bps}"
                             )
