@@ -940,3 +940,79 @@ def test_flac_wasted_bits_and_invalid_lpc_headers():
 
     with pytest.raises(ValueError, match="shift"):
         decode_flac(stream_with_subframe(4, lpc_negative_shift))
+
+
+def test_avi_mjpeg_mux_demux_and_frame_sampling(spark):
+    """MJPEG-in-AVI (round-7): the RIFF muxer writes a genuine AVI
+    (hdrl avih/strh/strf, movi '00dc' chunks, idx1) that the demuxer
+    and sample_frames reverse; corrupt containers raise ValueError and
+    the ingest sniffer routes AVIs to kind='video' via the header-only
+    probe."""
+    import struct
+
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from victor_spark.operators.multimodal import (
+        _avi_dimensions,
+        _encode_avi_mjpeg,
+        _parse_avi_mjpeg,
+        frame_stats,
+        sample_frames,
+    )
+
+    jpegs = [
+        encode_jpeg(np.full((8, 12, 3), 40 + 25 * f, np.uint8), 90)
+        for f in range(5)
+    ]
+    avi = _encode_avi_mjpeg(jpegs, 12, 8, fps=5)
+    w, h, back = _parse_avi_mjpeg(avi)
+    assert (w, h) == (12, 8) and back == jpegs
+    assert _avi_dimensions(avi) == (12, 8, 5)
+
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(avi), 12, 8, None)], M.MEDIA_SCHEMA
+    )
+    rows = sorted(
+        sample_frames(media, stride=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [(r["frame_idx"], r["n_frames"]) for r in rows] == [
+        (0, 5), (2, 5), (4, 5)
+    ]
+    for r in rows:
+        _, _, arr = decode_jpeg(jpegs[r["frame_idx"]])
+        assert bytes(r["frame"]) == arr.tobytes()
+    stats = {r["frame_idx"]: r for r in frame_stats(
+        sample_frames(media, stride=2)).collect()}
+    assert stats[0]["n_bytes"] == 8 * 12 * 3
+    assert abs(stats[4]["mean_r"] - 140.0) <= 2.0
+
+    # corruption: truncated chunk, non-JPEG frame, oversized dims
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_avi_mjpeg(avi[:-30])
+    bad = bytearray(avi)
+    i = bad.index(b"\xff\xd8", 100)  # first frame SOI inside movi
+    bad[i] = 0x00
+    with pytest.raises(ValueError, match="non-JPEG"):
+        _parse_avi_mjpeg(bytes(bad))
+    huge = bytearray(avi)
+    j = huge.index(b"avih") + 8 + 32  # width field of avih
+    huge[j : j + 4] = struct.pack("<I", 1 << 30)
+    with pytest.raises(ValueError, match="implausible"):
+        _parse_avi_mjpeg(bytes(huge))
+
+    # sniffer: AVI -> kind=video with avih geometry; a WebP-ish RIFF
+    # stays binary
+    import os
+    import tempfile
+
+    from victor_spark.sources.media import load_media_dir
+
+    d = tempfile.mkdtemp()
+    with open(os.path.join(d, "clip.avi"), "wb") as f:
+        f.write(avi)
+    with open(os.path.join(d, "img.webp"), "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 12) + b"WEBPVP8 " + b"\x00" * 8)
+    got = {r["kind"]: r for r in load_media_dir(spark, d).collect()}
+    assert set(got) == {"video", "binary"}
+    assert (got["video"]["meta_width"], got["video"]["meta_height"]) == (12, 8)

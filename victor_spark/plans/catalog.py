@@ -5027,6 +5027,74 @@ def q_multimodal_gif_frames(spark, sf_dir):
 
 
 @_q(
+    "multimodal_avi_frames",
+    """
+SELECT doc_id AS media_id, f.f AS frame_idx, CAST(4 AS BIGINT) AS n_frames,
+       CAST(16 * 16 * 3 AS BIGINT) AS n_bytes,
+       true AS ok_r, true AS ok_g, true AS ok_b
+FROM documents
+CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT), CAST(2 AS BIGINT)]) AS f) f
+""",
+    "COMPRESSED-VIDEO demux + decode: MJPEG-in-AVI containers (RIFF "
+    "hdrl/movi/idx1 with one baseline-JPEG stream per frame — the "
+    "classic camera/OpenCV interchange) demuxed by sample_frames, "
+    "which DCT-decodes only the SAMPLED frames (stride pruning before "
+    "the expensive step). Each sampled frame's decoded channel means "
+    "must land within 2 levels of the exact per-frame source means "
+    "the oracle knows (ord(md5 char at (c+f) mod 32) + 15) — the "
+    "JPEG bounded-error contract lifted to the video modality, making "
+    "AVI the compressed-video story next to palette-animation GIF and "
+    "uncompressed y4m. Composes the RIFF walker + JPEG codec; "
+    "plan-asserted shuffle-free decode farm",
+)
+def q_multimodal_avi_frames(spark, sf_dir):
+    from victor_spark.operators.multimodal import (
+        frame_stats,
+        sample_frames,
+        synthesize_avi_mjpeg,
+    )
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_avi_mjpeg(
+        d, "doc_id", "text", width=16, height=16, n_frames=4, quality=90
+    )
+    stats = frame_stats(sample_frames(media, stride=2))
+    joined = stats.join(F.broadcast(d), stats.media_id == d.doc_id)
+    ok = [
+        (
+            F.abs(
+                F.col(m)
+                - (
+                    F.ascii(
+                        F.substring(
+                            "text",
+                            ((F.lit(c) + F.col("frame_idx")) % 32 + 1).cast(
+                                "int"
+                            ),
+                            1,
+                        )
+                    )
+                    + 15
+                )
+            )
+            <= 2.0
+        ).alias(f"ok_{ch}")
+        for c, (m, ch) in enumerate(
+            [("mean_r", "r"), ("mean_g", "g"), ("mean_b", "b")]
+        )
+    ]
+    return joined.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *ok,
+    )
+
+
+@_q(
     "dedup_audio_cross_format",
     """
 WITH m AS (SELECT doc_id AS media_id, md5(text) AS s FROM documents),

@@ -118,9 +118,23 @@ def load_media_dir(
                         kind = "image"
                         w, h = jpeg_dimensions(b)
                     elif _is_wave(b):  # both RIFF magics — bare 'RIFF'
-                        # also wraps AVI/WebP, which stay kind='binary'
+                        # also wraps AVI (below) / WebP (kind='binary')
                         kind = "audio"
                         rate, _samples = _parse_wav(b)
+                    elif (
+                        len(b) >= 12
+                        and b[:4] == b"RIFF"
+                        and b[8:12] == b"AVI "
+                    ):
+                        # MJPEG-in-AVI: header-only probe (avih), like
+                        # the JPEG SOF probe — no per-frame DCT decode
+                        # at ingest
+                        from victor_spark.operators.multimodal import (
+                            _avi_dimensions,
+                        )
+
+                        kind = "video"
+                        w, h, _n = _avi_dimensions(b)
                     elif b[:4] == b"fLaC":
                         # header-only probe (STREAMINFO), like the JPEG
                         # SOF probe — no entropy decode at ingest
