@@ -5027,6 +5027,54 @@ def q_multimodal_gif_frames(spark, sf_dir):
 
 
 @_q(
+    "ingest_external_fixtures",
+    """
+SELECT * FROM (VALUES
+  (CAST(543   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(405   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(690   AS BIGINT), 'image', CAST(32  AS BIGINT), CAST(32  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(5679  AS BIGINT), 'image', CAST(196 AS BIGINT), CAST(196 AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(6756  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(13370 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(19922 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(19984 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(26598 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT))
+) t(n_bytes, kind, meta_width, meta_height, meta_sample_rate)
+""",
+    "EXTERNAL-ENCODER interop gate over the COMMITTED fixture "
+    "directory (tests/fixtures — real libjpeg 4:2:0 JPEG, real GIF89a, "
+    "real type-4/type-6 PNGs, five real stereo WAV renditions incl. "
+    "24/32-bit and WAVE_FORMAT_EXTENSIBLE): every fixture must ingest "
+    "through the media sniffer with the right kind + container "
+    "metadata, none quarantined to kind='binary'. The oracle is the "
+    "literal expected table (fixtures are committed bytes, so the "
+    "answer is a constant), keyed by payload size — stable across "
+    "machines where path-derived ids are not. Catches any decoder "
+    "regression against REAL third-party encoder conventions at the "
+    "driver gate, not just in pytest",
+)
+def q_ingest_external_fixtures(spark, sf_dir):
+    import os as _os
+
+    from victor_spark.sources.media import load_media_dir
+
+    fixtures = _os.path.join(
+        _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        ),
+        "tests", "fixtures",
+    )
+    m = load_media_dir(spark, fixtures, glob="real_*")
+    return m.select(
+        F.length("payload").cast("long").alias("n_bytes"),
+        "kind",
+        F.col("meta_width").cast("long").alias("meta_width"),
+        F.col("meta_height").cast("long").alias("meta_height"),
+        F.col("meta_sample_rate").cast("long").alias("meta_sample_rate"),
+    )
+
+
+@_q(
     "multimodal_avi_frames",
     """
 SELECT doc_id AS media_id, f.f AS frame_idx, CAST(4 AS BIGINT) AS n_frames,
@@ -8001,6 +8049,16 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # pack path rewritten off itertuples (sources/webdataset.py)
     "ingest_webdataset_roundtrip",
     "ingest_webdataset_media_decode",
+    # round-7 codec seams, most-load-bearing queries only (the full
+    # family is still covered every run by tests/test_oracle_parity.py;
+    # keeping this list short leaves >=40 window slots for the r4-green
+    # tail rotation the round-6 verdict asked for):
+    "multimodal_jpeg_roundtrip",   # decode MCU loop rewritten (4:2:0)
+    "multimodal_flac_decode",      # subframe decode rewritten (LPC/stereo)
+    "dedup_audio_cross_format",    # builder now emits stereo LPC clones
+    "multimodal_wav_decode",       # fmt-chunk parsing extended (24/32/ext)
+    "multimodal_png_decode",       # color-type-4 branch added
+    "multimodal_gif_frames",       # sample_frames grew the AVI dispatch
 ]
 
 
