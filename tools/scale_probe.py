@@ -94,6 +94,10 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "multimodal_jpeg_roundtrip": {"documents": ["doc_id"]},
     "multimodal_flac_decode": {"documents": ["doc_id"]},
     "dedup_audio_cross_format": {"documents": ["doc_id"]},
+    # round-7: MJPEG-in-AVI demux + per-sampled-frame DCT decode (4
+    # JPEG encodes + 2 decodes per row — a heavy per-row farm, stride
+    # pruning keeps decode off half the frames)
+    "multimodal_avi_frames": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000
