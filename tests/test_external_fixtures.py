@@ -35,22 +35,26 @@ def test_real_420_jpeg_decodes():
     assert means == pytest.approx([97.890625, 102.29296875, 76.36328125])
 
 
-def test_real_jpeg_and_gif_agree_cross_codec():
-    """python.jpg and python.gif are two REAL encoders' renditions of
-    the SAME 16x16 source image. Decoding both through two independent
-    decoders must agree within lossy-JPEG + palette-quantization
-    tolerance — a cross-encoder consistency oracle."""
+def test_real_jpeg_gif_png_agree_cross_codec():
+    """python.jpg, python.gif and python.png are THREE real encoders'
+    renditions of the SAME 16x16 source image (lossy 4:2:0 JPEG, GIF
+    palette quantization, PNG color-type-3 palette). Decoding all three
+    through three independent decoders must agree within lossy/palette
+    tolerance — a three-way cross-encoder consistency oracle."""
     from victor_spark.operators.jpeg_codec import decode_jpeg
-    from victor_spark.operators.multimodal import _parse_gif
+    from victor_spark.operators.multimodal import _parse_gif, _parse_png
 
     _, _, jarr = decode_jpeg(_load("real_16x16_420.jpg"))
     gw, gh, frames = _parse_gif(_load("real_16x16.gif"))
     assert (gw, gh) == (16, 16) and len(frames) == 1
     garr = frames[0]
+    pw, ph, parr = _parse_png(_load("real_16x16_palette.png"))
+    assert (pw, ph) == (16, 16)
     for c in range(3):
-        jm = float(jarr[..., c].mean())
-        gm = float(garr[..., c].mean())
-        assert abs(jm - gm) < 12, f"channel {c}: jpeg {jm} vs gif {gm}"
+        means = [
+            float(a[..., c].mean()) for a in (jarr, garr, parr)
+        ]
+        assert max(means) - min(means) < 12, f"channel {c}: {means}"
 
 
 def test_real_gif_pinned():
@@ -109,6 +113,28 @@ def test_real_png_rgba():
     assert int((arr.sum(axis=2) > 0).sum()) == 29220
 
 
+def test_real_png_palette_16bit_and_gray():
+    """The round-7 PNG depth/color-type extensions against real
+    streams: a color-type-3 palette icon (PLTE resolution), a 16-bit
+    RGBA icon (high-byte reduction), and a plain 8-bit grayscale
+    2x2 (means pinned from the first successful decode)."""
+    from victor_spark.operators.multimodal import _parse_png
+
+    w, h, arr = _parse_png(_load("real_16x16_palette.png"))
+    assert (w, h) == (16, 16)
+    means = [float(arr[..., c].mean()) for c in range(3)]
+    assert means == pytest.approx([96.418, 101.8945, 70.1172], abs=1e-3)
+
+    w, h, arr = _parse_png(_load("real_16x16_rgba16.png"))
+    assert (w, h) == (16, 16)
+    means = [float(arr[..., c].mean()) for c in range(3)]
+    assert means == pytest.approx([181.9727, 183.207, 170.1562], abs=1e-3)
+
+    w, h, arr = _parse_png(_load("real_2x2_gray.png"))
+    assert (w, h) == (2, 2)
+    assert float(arr.mean()) == 128.0
+
+
 def test_real_wavs_cross_depth_consistency():
     """Five REAL renditions of the same recording (stereo, at PCM
     8/16/24/32 bits plus an EXTENSIBLE wrapper) all decode to the same
@@ -161,7 +187,7 @@ def test_real_fixtures_route_through_media_ingest(spark, tmp_path):
         if name.endswith((".jpg", ".gif", ".png", ".wav")):
             shutil.copy(os.path.join(FIX, name), lake / name)
     rows = load_media_dir(spark, str(lake)).collect()
-    assert len(rows) == 9
+    assert len(rows) == 12
     assert all(r["kind"] in ("image", "audio") for r in rows)  # none binary
     audio = [r for r in rows if r["kind"] == "audio"]
     assert len(audio) == 5
@@ -169,4 +195,4 @@ def test_real_fixtures_route_through_media_ingest(spark, tmp_path):
     widths = sorted(
         r["meta_width"] for r in rows if r["kind"] == "image"
     )
-    assert widths == [16, 16, 32, 196]
+    assert widths == [2, 16, 16, 16, 16, 32, 196]

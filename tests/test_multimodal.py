@@ -1016,3 +1016,61 @@ def test_avi_mjpeg_mux_demux_and_frame_sampling(spark):
     got = {r["kind"]: r for r in load_media_dir(spark, d).collect()}
     assert set(got) == {"video", "binary"}
     assert (got["video"]["meta_width"], got["video"]["meta_height"]) == (12, 8)
+
+
+def test_png_subbyte_depths_and_palette_crafted():
+    """Round-7 PNG depth extensions on CRAFTED streams (our encoder
+    writes only 8-bit RGB, so these paths need hand-built containers):
+    1/2/4-bit grayscale rescales to 0-255, sub-byte palette indices
+    resolve through PLTE unscaled, out-of-range indices and a missing
+    PLTE raise ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, color, raw_rows, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        body = b"".join(b"\x00" + r for r in raw_rows)  # filter None
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+    from victor_spark.operators.multimodal import _parse_png
+
+    # depth-1 grayscale, 4x2: bits 1011 0... -> 255,0,255,255
+    w, h, arr = _parse_png(png(4, 2, 1, 0, [b"\xb0", b"\x40"]))
+    assert (w, h) == (4, 2)
+    assert arr[0, :, 0].tolist() == [255, 0, 255, 255]
+    assert arr[1, :, 0].tolist() == [0, 255, 0, 0]
+
+    # depth-2 grayscale: values 0..3 -> 0,85,170,255
+    w, h, arr = _parse_png(png(4, 1, 2, 0, [bytes([0b00011011])]))
+    assert arr[0, :, 0].tolist() == [0, 85, 170, 255]
+
+    # depth-4 grayscale: 0xF -> 255, 0x8 -> 136
+    w, h, arr = _parse_png(png(2, 1, 4, 0, [bytes([0xF8])]))
+    assert arr[0, :, 0].tolist() == [255, 136]
+
+    # depth-4 palette: indices 0,1 resolve PLTE rows verbatim
+    plte = bytes([10, 20, 30, 200, 150, 100])
+    w, h, arr = _parse_png(png(2, 1, 4, 3, [bytes([0x01])], plte))
+    assert arr[0, 0].tolist() == [10, 20, 30]
+    assert arr[0, 1].tolist() == [200, 150, 100]
+
+    # out-of-range palette index
+    with pytest.raises(ValueError, match="palette index"):
+        _parse_png(png(2, 1, 4, 3, [bytes([0x0F])], plte))
+    # palette stream without PLTE
+    with pytest.raises(ValueError, match="missing PLTE"):
+        _parse_png(png(2, 1, 4, 3, [bytes([0x01])]))
+    # illegal depth for color type (16-bit palette)
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        _parse_png(png(2, 1, 16, 3, [bytes([0, 0, 0, 0])], plte))

@@ -140,10 +140,13 @@ def _parse_png(payload: bytes):
     stdlib only (zlib inflate + chunk CRCs via zlib.crc32): walk the
     chunk list, parse IHDR, concatenate IDAT, inflate, then reverse the
     per-scanline filters (None/Sub/Up/Average/Paeth — the full filter
-    set of the spec). Supports bit depth 8, color types 0 (grayscale,
-    replicated to 3 channels), 2 (RGB), 4 (grayscale+alpha — alpha
-    dropped, gray replicated) and 6 (RGBA — alpha dropped), no
-    interlacing. Returns (width, height, uint8 ndarray (h, w, 3)).
+    set of the spec). Supports all five color types — 0 (grayscale,
+    replicated to 3 channels), 2 (RGB), 3 (palette via PLTE), 4
+    (grayscale+alpha — alpha dropped, gray replicated), 6 (RGBA —
+    alpha dropped) — at every legal bit depth for each (1/2/4-bit
+    packed samples unpacked MSB-first and rescaled; 16-bit reduced to
+    the high byte, the standard 8-bit reduction); no interlacing.
+    Returns (width, height, uint8 ndarray (h, w, 3)).
 
     Reference parity note: the reference treats media as opaque bytes
     (no decode at all); this codec is part of the training-data-pipeline
@@ -155,7 +158,7 @@ def _parse_png(payload: bytes):
 
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = len(_PNG_SIG), None, []
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
@@ -172,6 +175,10 @@ def _parse_png(payload: bytes):
                 # parsers' quarantine contract
                 raise ValueError(f"PNG IHDR length {len(data)} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length == 0 or length % 3:
+                raise ValueError(f"invalid PNG PLTE length {length}")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -180,20 +187,27 @@ def _parse_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG: depth={depth} interlace={interlace}"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if interlace != 0:
+        raise ValueError(f"unsupported PNG: interlace={interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    legal_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color}")
+    if depth not in legal_depths[color]:
+        raise ValueError(f"illegal PNG depth {depth} for color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if w == 0 or h == 0:
         raise ValueError("zero-dimension PNG")
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:  # corrupt deflate stream → quarantine path
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    stride = w * channels
+    stride = (w * channels * depth + 7) // 8  # filtered bytes per line
+    bpp = max(1, channels * depth // 8)  # filter distance (spec §6)
     if len(raw) != h * (1 + stride):
         raise ValueError(f"PNG scanline data short: {len(raw)}")
     out = np.empty((h, stride), dtype=np.uint8)
@@ -201,14 +215,37 @@ def _parse_png(payload: bytes):
     for y in range(h):
         line = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
         ftype, row = line[0], np.frombuffer(line[1:], dtype=np.uint8)
-        out[y] = _unfilter_scanline(ftype, row, prev, channels)
+        out[y] = _unfilter_scanline(ftype, row, prev, bpp)
         prev = out[y]
-    px = out.reshape(h, w, channels)
-    if channels == 1:
+    if depth == 8:
+        px = out.reshape(h, stride)[:, : w * channels].reshape(
+            h, w, channels
+        )
+    elif depth == 16:
+        # big-endian sample pairs; keep the high byte (the standard
+        # 16 -> 8 reduction)
+        px = out.reshape(h, w * channels, 2)[..., 0].reshape(
+            h, w, channels
+        )
+    else:  # 1/2/4-bit packed samples, MSB-first within each byte
+        bits = np.unpackbits(out, axis=1)[:, : w * channels * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        px = (
+            bits.reshape(h, w * channels, depth) @ weights
+        ).astype(np.uint8).reshape(h, w, channels)
+    if color == 3:
+        if int(px.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        px = plte[px[..., 0]]
+    elif depth in (1, 2, 4):  # grayscale sub-byte: rescale to 0-255
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
+    if px.shape[2] == 1:
         px = np.repeat(px, 3, axis=2)
-    elif channels == 2:  # gray+alpha: drop alpha, replicate gray
+    elif px.shape[2] == 2:  # gray+alpha: drop alpha, replicate gray
         px = np.repeat(px[..., :1], 3, axis=2)
-    elif channels == 4:
+    elif px.shape[2] == 4:
         px = px[..., :3]
     return w, h, np.ascontiguousarray(px)
 

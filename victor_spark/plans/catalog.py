@@ -5030,9 +5030,12 @@ def q_multimodal_gif_frames(spark, sf_dir):
     "ingest_external_fixtures",
     """
 SELECT * FROM (VALUES
-  (CAST(543   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(71    AS BIGINT), 'image', CAST(2   AS BIGINT), CAST(2   AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(405   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(543   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(690   AS BIGINT), 'image', CAST(32  AS BIGINT), CAST(32  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(1020  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(1264  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(5679  AS BIGINT), 'image', CAST(196 AS BIGINT), CAST(196 AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(6756  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(13370 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
@@ -5043,7 +5046,8 @@ SELECT * FROM (VALUES
 """,
     "EXTERNAL-ENCODER interop gate over the COMMITTED fixture "
     "directory (tests/fixtures — real libjpeg 4:2:0 JPEG, real GIF89a, "
-    "real type-4/type-6 PNGs, five real stereo WAV renditions incl. "
+    "real PNGs across color types 0/3/4/6 incl. a PALETTE and a "
+    "16-BIT-depth stream, five real stereo WAV renditions incl. "
     "24/32-bit and WAVE_FORMAT_EXTENSIBLE): every fixture must ingest "
     "through the media sniffer with the right kind + container "
     "metadata, none quarantined to kind='binary'. The oracle is the "
