@@ -1074,3 +1074,65 @@ def test_png_subbyte_depths_and_palette_crafted():
     # illegal depth for color type (16-bit palette)
     with pytest.raises(ValueError, match="illegal PNG depth"):
         _parse_png(png(2, 1, 16, 3, [bytes([0, 0, 0, 0])], plte))
+
+
+def test_png_adam7_interlace_decodes_bit_exact():
+    """Adam7-interlaced PNGs (round-7): seven independently filtered
+    passes scatter onto the pixel grid; the decode must be bit-exact
+    against the source for any geometry, including sizes where late
+    passes are EMPTY and must contribute no bytes (1x1 has only pass
+    1; 8x2 skips passes 3/5/7's rows). Filters are per-pass: a
+    Sub/Up-filtered pass must unfilter against the PASS's own
+    neighbors, not the full image's."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from victor_spark.operators.multimodal import (
+        _filter_scanline,
+        _parse_png,
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def adam7_png(arr, ftype=0):
+        h, w, _ = arr.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        body = b""
+        for x0, y0, dx, dy in [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            prev = np.zeros(sub.shape[1] * 3, np.uint8)
+            for row in sub:
+                flat = row.reshape(-1)
+                body += bytes([ftype]) + _filter_scanline(
+                    ftype, flat, prev, 3
+                ).tobytes()
+                prev = flat
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(9)
+    for (h, w) in [(16, 16), (7, 13), (1, 1), (3, 9), (8, 2)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ftype in (0, 1, 2, 4):  # None / Sub / Up / Paeth per pass
+            w2, h2, back = _parse_png(adam7_png(arr, ftype))
+            assert (w2, h2) == (w, h) and np.array_equal(back, arr), (
+                h, w, ftype,
+            )
+    # truncated interlaced stream quarantines
+    full = adam7_png(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _parse_png(full[:-20])

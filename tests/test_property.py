@@ -850,3 +850,30 @@ def test_jpeg_420_smooth_gradients_bounded_error(w, h, base, data):
     arr = np.ascontiguousarray(np.broadcast_to(arr, (h, w, 3)))
     _w, _h, back = decode_jpeg(encode_jpeg(arr, 90, subsampling="420"))
     assert int(np.abs(back.astype(int) - arr.astype(int)).max()) <= 14
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 40), h=st.integers(1, 40),
+    ri=st.sampled_from([1, 2, 5]),
+    sub=st.sampled_from(["444", "420"]),
+    base=st.integers(30, 150),
+)
+def test_jpeg_restart_markers_roundtrip(w, h, ri, sub, base):
+    """DRI/RSTn restart markers (what real encoders emit for error
+    resilience): byte-aligned markers every ri MCUs with DC-prediction
+    reset must decode identically to the marker-free stream under both
+    sampling layouts — a misplaced reset or unaligned marker corrupts
+    every MCU after the first restart."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    y = 2 * np.arange(h)[:, None, None]
+    arr = np.clip(base + y, 0, 255).astype(np.uint8)
+    arr = np.ascontiguousarray(np.broadcast_to(arr, (h, w, 3)))
+    enc = encode_jpeg(arr, 90, subsampling=sub, restart_interval=ri)
+    assert b"\xff\xdd" in enc
+    _w, _h, back = decode_jpeg(enc)
+    plain = decode_jpeg(encode_jpeg(arr, 90, subsampling=sub))[2]
+    assert np.array_equal(back, plain)  # markers are transparent

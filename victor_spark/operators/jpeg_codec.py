@@ -181,6 +181,14 @@ class _BitWriter:
             self.write(0x7F, 8 - self.n)  # pad with 1-bits per spec
         return bytes(self.out)
 
+    def restart(self, idx: int) -> None:
+        """Byte-align (1-fill) and emit restart marker RSTn (n = idx
+        mod 8) — markers sit OUTSIDE the entropy stream, so no byte
+        stuffing applies to the marker itself."""
+        if self.n:
+            self.write(0x7F, 8 - self.n)
+        self.out += bytes([0xFF, 0xD0 + (idx % 8)])
+
 
 class _BitReader:
     """Entropy-segment reader: unstuffs 0xFF00, stops at markers, and
@@ -353,7 +361,10 @@ def _encode_blocks(
 
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as baseline JFIF:
     4:4:4 (default, no chroma subsampling), 4:2:0 (``subsampling="420"``
@@ -361,7 +372,11 @@ def encode_jpeg(
     the dominant real-world layout; lets property tests synthesize
     subsampled streams at arbitrary sizes) or single-component; edges
     padded by replication to MCU multiples; Annex-K tables scaled by
-    ``quality`` and embedded in the stream."""
+    ``quality`` and embedded in the stream. ``restart_interval`` > 0
+    emits a DRI segment and byte-aligned RSTn markers every that many
+    MCUs with DC-prediction reset — what real encoders write for
+    error resilience, and the decoder's restart path's only exercise
+    besides crafted streams."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if subsampling not in ("444", "420"):
@@ -406,6 +421,8 @@ def encode_jpeg(
     for tc, (bits, vals) in tables:
         out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -416,9 +433,19 @@ def encode_jpeg(
     dc_c, ac_c = _build_codes(*_DC_CHROMA), _build_codes(*_AC_CHROMA)
     writer = _BitWriter()
     preds = [0] * ncomp
+    mcu_i = 0
+
+    def _maybe_restart() -> None:
+        nonlocal mcu_i
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            writer.restart(mcu_i // restart_interval - 1)
+            preds[:] = [0] * ncomp
+        mcu_i += 1
+
     if sub420:
         for by in range(0, ph, 16):
             for bx in range(0, pw, 16):
+                _maybe_restart()
                 # 4 luma blocks, v-then-h order (T.81 A.2.3), then Cb, Cr
                 for bv in range(2):
                     for bh in range(2):
@@ -439,6 +466,7 @@ def encode_jpeg(
     else:
         for by in range(0, ph, 8):
             for bx in range(0, pw, 8):
+                _maybe_restart()
                 for c in range(ncomp):
                     # NATURAL-order table here; the zigzag variants above
                     # are only for the DQT segment (which the spec stores

@@ -145,7 +145,9 @@ def _parse_png(payload: bytes):
     (grayscale+alpha — alpha dropped, gray replicated), 6 (RGBA —
     alpha dropped) — at every legal bit depth for each (1/2/4-bit
     packed samples unpacked MSB-first and rescaled; 16-bit reduced to
-    the high byte, the standard 8-bit reduction); no interlacing.
+    the high byte, the standard 8-bit reduction), both non-interlaced
+    and Adam7-interlaced (seven independently filtered passes
+    scattered onto the pixel grid).
     Returns (width, height, uint8 ndarray (h, w, 3)).
 
     Reference parity note: the reference treats media as opaque bytes
@@ -187,7 +189,7 @@ def _parse_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise ValueError(f"unsupported PNG: interlace={interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     legal_depths = {
@@ -206,33 +208,59 @@ def _parse_png(payload: bytes):
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:  # corrupt deflate stream → quarantine path
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    stride = (w * channels * depth + 7) // 8  # filtered bytes per line
     bpp = max(1, channels * depth // 8)  # filter distance (spec §6)
-    if len(raw) != h * (1 + stride):
-        raise ValueError(f"PNG scanline data short: {len(raw)}")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        line = raw[y * (1 + stride) : (y + 1) * (1 + stride)]
-        ftype, row = line[0], np.frombuffer(line[1:], dtype=np.uint8)
-        out[y] = _unfilter_scanline(ftype, row, prev, bpp)
-        prev = out[y]
-    if depth == 8:
-        px = out.reshape(h, stride)[:, : w * channels].reshape(
-            h, w, channels
-        )
-    elif depth == 16:
-        # big-endian sample pairs; keep the high byte (the standard
-        # 16 -> 8 reduction)
-        px = out.reshape(h, w * channels, 2)[..., 0].reshape(
-            h, w, channels
-        )
-    else:  # 1/2/4-bit packed samples, MSB-first within each byte
-        bits = np.unpackbits(out, axis=1)[:, : w * channels * depth]
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        px = (
-            bits.reshape(h, w * channels, depth) @ weights
-        ).astype(np.uint8).reshape(h, w, channels)
+
+    def _read_sub(pos: int, w_: int, h_: int):
+        """Unfilter one (sub-)image of w_ x h_ pixels starting at byte
+        ``pos`` of the inflated stream; returns ((h_, w_, channels)
+        uint8 samples, next pos). Interlace passes are independently
+        filtered sub-images, so the non-interlaced case is just the
+        single full-size call."""
+        stride = (w_ * channels * depth + 7) // 8
+        need = h_ * (1 + stride)
+        if pos + need > len(raw):
+            raise ValueError(f"PNG scanline data short: {len(raw)}")
+        out = np.empty((h_, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h_):
+            line = raw[pos + y * (1 + stride) : pos + (y + 1) * (1 + stride)]
+            ftype, row = line[0], np.frombuffer(line[1:], dtype=np.uint8)
+            out[y] = _unfilter_scanline(ftype, row, prev, bpp)
+            prev = out[y]
+        if depth == 8:
+            sub = out[:, : w_ * channels].reshape(h_, w_, channels)
+        elif depth == 16:
+            # big-endian sample pairs; keep the high byte (the
+            # standard 16 -> 8 reduction)
+            sub = out.reshape(h_, w_ * channels, 2)[..., 0].reshape(
+                h_, w_, channels
+            )
+        else:  # 1/2/4-bit packed samples, MSB-first within each byte
+            bits = np.unpackbits(out, axis=1)[:, : w_ * channels * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            sub = (
+                bits.reshape(h_, w_ * channels, depth) @ weights
+            ).astype(np.uint8).reshape(h_, w_, channels)
+        return sub, pos + need
+
+    if interlace == 0:
+        px, end = _read_sub(0, w, h)
+    else:  # Adam7: seven passes, each an independently filtered
+        # sub-image scattered onto the (x0 + i*dx, y0 + j*dy) grid
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        end = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw_ = -(-(w - x0) // dx) if w > x0 else 0
+            ph_ = -(-(h - y0) // dy) if h > y0 else 0
+            if pw_ == 0 or ph_ == 0:
+                continue  # empty pass contributes no bytes (spec §8.2)
+            sub, end = _read_sub(end, pw_, ph_)
+            px[y0::dy, x0::dx] = sub
+    if end != len(raw):
+        raise ValueError(f"PNG scanline data length mismatch: {len(raw)}")
     if color == 3:
         if int(px.max()) >= len(plte):
             raise ValueError("PNG palette index out of range")
