@@ -135,6 +135,64 @@ def test_real_png_palette_16bit_and_gray():
     assert float(arr.mean()) == 128.0
 
 
+def test_real_progressive_jpegs_decode():
+    """Two REAL progressive (SOF2) JPEGs — the dominant web delivery
+    layout — decode end-to-end. thin-white-stripe (nodejs docs) is a
+    spectral-selection-only script with per-component non-interleaved
+    DC scans and genuine multi-block EOB runs; Spark's grayscale.jpg
+    uses FULL successive approximation (DC Al=1 + refinement, AC first
+    at Al=2, refinement passes Ah=2→1 and 1→0), so together they
+    exercise every Annex-G decode path against real encoder output.
+    Channel means pinned from the first successful decode (the decoder
+    is deterministic; drift = regression). A stream truncated before
+    the final scan still decodes (progressive's defining property) and
+    approximates the full image."""
+    from victor_spark.operators.jpeg_codec import decode_jpeg, jpeg_dimensions
+
+    payload = _load("real_493x58_progressive.jpg")
+    assert jpeg_dimensions(payload) == (493, 58)
+    w, h, arr = decode_jpeg(payload)
+    assert (w, h, arr.shape) == (493, 58, (58, 493, 3))
+    means = [float(arr[..., c].mean()) for c in range(3)]
+    assert means == pytest.approx([231.664, 238.489, 230.139], abs=1e-2)
+
+    payload = _load("real_300x215_progressive_gray.jpg")
+    assert jpeg_dimensions(payload) == (300, 215)
+    w, h, arr = decode_jpeg(payload)
+    assert (w, h, arr.shape) == (300, 215, (215, 300, 3))
+    assert np.array_equal(arr[..., 0], arr[..., 1])  # gray replicated
+    assert float(arr.mean()) == pytest.approx(142.136, abs=1e-2)
+
+    # truncate after the 4th of 6 scans, re-terminate with EOI: the
+    # partial stream must decode to an approximation of the full image.
+    # Proper marker walk (a raw FF-DA byte scan false-positives inside
+    # DHT/DQT table content); after each SOS, skip the entropy segment
+    # to the next non-stuffed, non-restart marker.
+    sos_offsets, i = [], 2
+    while i + 4 < len(payload):
+        assert payload[i] == 0xFF
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if marker == 0xDA:
+            sos_offsets.append(i)
+            i += 2 + seglen
+            while i + 1 < len(payload) and not (
+                payload[i] == 0xFF
+                and payload[i + 1] != 0x00
+                and not (0xD0 <= payload[i + 1] <= 0xD7)
+            ):
+                i += 1
+            continue
+        i += 2 + seglen
+    assert len(sos_offsets) == 6
+    partial = payload[: sos_offsets[4]] + b"\xff\xd9"
+    _w, _h, approx = decode_jpeg(partial)
+    mad = float(np.abs(approx.astype(int) - arr.astype(int)).mean())
+    assert 0 < mad < 8  # close but not equal: refinement scans missing
+
+
 def test_real_wavs_cross_depth_consistency():
     """Five REAL renditions of the same recording (stereo, at PCM
     8/16/24/32 bits plus an EXTENSIBLE wrapper) all decode to the same
@@ -187,7 +245,7 @@ def test_real_fixtures_route_through_media_ingest(spark, tmp_path):
         if name.endswith((".jpg", ".gif", ".png", ".wav")):
             shutil.copy(os.path.join(FIX, name), lake / name)
     rows = load_media_dir(spark, str(lake)).collect()
-    assert len(rows) == 12
+    assert len(rows) == 14
     assert all(r["kind"] in ("image", "audio") for r in rows)  # none binary
     audio = [r for r in rows if r["kind"] == "audio"]
     assert len(audio) == 5
@@ -195,4 +253,4 @@ def test_real_fixtures_route_through_media_ingest(spark, tmp_path):
     widths = sorted(
         r["meta_width"] for r in rows if r["kind"] == "image"
     )
-    assert widths == [2, 16, 16, 16, 16, 32, 196]
+    assert widths == [2, 16, 16, 16, 16, 32, 196, 300, 493]

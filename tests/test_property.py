@@ -877,3 +877,83 @@ def test_jpeg_restart_markers_roundtrip(w, h, ri, sub, base):
     _w, _h, back = decode_jpeg(enc)
     plain = decode_jpeg(encode_jpeg(arr, 90, subsampling=sub))[2]
     assert np.array_equal(back, plain)  # markers are transparent
+
+
+# scan scripts the progressive property sweeps: None = the libjpeg-style
+# default (successive approximation), sep-dc = spectral-selection-only
+# with per-component NON-INTERLEAVED DC scans (the component-grid-vs-
+# MCU-grid distinction at 4:2:0), deep = refinement from Al=3 down
+_PROG_SEP_DC = [
+    ((0,), 0, 0, 0, 0), ((1,), 0, 0, 0, 0), ((2,), 0, 0, 0, 0),
+    ((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0),
+]
+_PROG_DEEP = [
+    ((0, 1, 2), 0, 0, 0, 3),
+    ((0,), 1, 63, 0, 3), ((1,), 1, 63, 0, 3), ((2,), 1, 63, 0, 3),
+    ((0,), 1, 63, 3, 2), ((1,), 1, 63, 3, 2), ((2,), 1, 63, 3, 2),
+    ((0, 1, 2), 0, 0, 3, 2),
+    ((0,), 1, 63, 2, 1), ((1,), 1, 63, 2, 1), ((2,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 2, 1),
+    ((0,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+    ((0, 1, 2), 0, 0, 1, 0),
+]
+
+
+@CODEC_PROP
+@given(
+    w=st.integers(1, 40), h=st.integers(1, 40),
+    sub=st.sampled_from(["444", "420"]),
+    quality=st.integers(30, 95),
+    script=st.sampled_from([None, "sep_dc", "deep"]),
+    ri=st.sampled_from([0, 0, 3]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_progressive_decodes_equal_to_baseline(
+    w, h, sub, quality, script, ri, seed
+):
+    """Progressive transmission is a lossless REORDERING of the same
+    quantized coefficients, so decode(progressive) must equal
+    decode(baseline) BIT-EXACTLY for any content, geometry,
+    subsampling, quality, scan script (spectral-selection-only,
+    successive approximation from Al=3, non-interleaved DC) and
+    restart interval — the strongest possible oracle for every
+    Annex-G code path on both sides of the codec."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    arr = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    scans = {"sep_dc": _PROG_SEP_DC, "deep": _PROG_DEEP, None: None}[script]
+    base = decode_jpeg(encode_jpeg(arr, quality, subsampling=sub))[2]
+    prog = decode_jpeg(
+        encode_jpeg(
+            arr, quality, subsampling=sub, progressive=True,
+            scan_script=scans, restart_interval=ri,
+        )
+    )[2]
+    assert np.array_equal(base, prog)
+
+
+@CODEC_PROP
+@given(data=st.data())
+def test_jpeg_progressive_corruption_never_escapes_valueerror(data):
+    """Single-byte corruption of a progressive stream either still
+    decodes (entropy bits carry no integrity check) or raises
+    ValueError — the multi-scan walk, EOB-run bookkeeping and
+    refinement bit reads must never crash or loop."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    arr = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    payload = bytearray(encode_jpeg(arr, 90, progressive=True))
+    i = data.draw(st.integers(0, len(payload) - 1))
+    delta = data.draw(st.integers(1, 255))
+    payload[i] = (payload[i] + delta) % 256
+    try:
+        w, h, back = decode_jpeg(bytes(payload))
+    except ValueError:
+        return
+    assert back.shape[2] == 3  # decoded to SOMETHING pixel-shaped

@@ -1,15 +1,22 @@
-"""Baseline JFIF/JPEG codec, pure numpy + stdlib — the real DCT pipeline:
+"""JFIF/JPEG codec, pure numpy + stdlib — the real DCT pipeline:
 level shift → 8x8 2-D DCT → quality-scaled quantization → zigzag →
 Huffman entropy coding (DC prediction, AC run/size with ZRL/EOB, byte
-stuffing), and the exact inverse. Encoder writes 4:4:4 baseline SOF0
-(or single-component grayscale) with the quant/Huffman tables embedded
-in DQT/DHT, so ANY baseline decoder opens the output; the decoder reads
-whatever tables the stream carries (it does not assume ours), supports
-1- or 3-component interleaved scans with ARBITRARY sampling factors
-1-4 (4:4:4, 4:2:0 — the dominant camera/web layout — 4:2:2, ...;
-nearest-neighbor chroma upsampling) and restart markers, and raises
-ValueError on everything else (progressive, 12-bit) — the quarantine
-path.
+stuffing), and the exact inverse. Encoder writes baseline SOF0 (4:4:4,
+4:2:0 or single-component grayscale) or progressive SOF2 (spectral
+selection + successive approximation over a scan script, T.81 Annex G)
+with the quant/Huffman tables embedded in DQT/DHT, so ANY decoder opens
+the output; the decoder reads whatever tables the stream carries (it
+does not assume ours), supports 1- or 3-component interleaved baseline
+scans with ARBITRARY sampling factors 1-4 (4:4:4, 4:2:0 — the dominant
+camera/web layout — 4:2:2, ...; nearest-neighbor chroma upsampling),
+multi-scan PROGRESSIVE streams (DC/AC first + refinement scans, EOB
+runs — the dominant WEB delivery layout) and restart markers in both
+modes, and raises ValueError on everything else (hierarchical,
+arithmetic-coded, 12-bit) — the quarantine path.
+
+Progressive transmission is a lossless REORDERING of the same quantized
+coefficients, so a progressive encode decodes bit-exactly equal to the
+baseline encode at the same quality — the property the tests pin.
 
 JPEG is LOSSY, so unlike the PPM/PNG/GIF codecs the decoded pixels are
 not SQL-replayable; its oracle contract is a bounded-error roundtrip
@@ -365,6 +372,8 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
+    scan_script=None,
 ) -> bytes:
     """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as baseline JFIF:
     4:4:4 (default, no chroma subsampling), 4:2:0 (``subsampling="420"``
@@ -376,7 +385,11 @@ def encode_jpeg(
     emits a DRI segment and byte-aligned RSTn markers every that many
     MCUs with DC-prediction reset — what real encoders write for
     error resilience, and the decoder's restart path's only exercise
-    besides crafted streams."""
+    besides crafted streams. ``progressive=True`` writes SOF2 with a
+    libjpeg-style scan script (or a custom ``scan_script``: a list of
+    ``(component_tuple, Ss, Se, Ah, Al)``) — the same quantized
+    coefficients as the baseline stream, reordered, so both decode
+    bit-exactly equal."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     if subsampling not in ("444", "420"):
@@ -401,6 +414,79 @@ def encode_jpeg(
     if sub420:  # chroma: 2x2 box-average to half resolution
         cb = padded[..., 1].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
         cr = padded[..., 2].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    if progressive:
+        ncomp = 1 if gray else 3
+        if sub420:
+            grids = [
+                _dct_coef_grid(padded[..., 0], qy),
+                _dct_coef_grid(cb, qc),
+                _dct_coef_grid(cr, qc),
+            ]
+            samp = {0: (2, 2), 1: (1, 1), 2: (1, 1)}
+            hmax = vmax = 2
+        else:
+            grids = [
+                _dct_coef_grid(padded[..., c], qy if c == 0 else qc)
+                for c in range(ncomp)
+            ]
+            samp = {c: (1, 1) for c in range(ncomp)}
+            hmax = vmax = 1
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        scans = scan_script
+        if scans is None:
+            scans = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+        out = bytearray()
+        out += b"\xff\xd8"
+        out += (
+            b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HHBB", 1, 1, 0, 0)
+        )
+        out += (
+            b"\xff\xdb" + struct.pack(">HB", 67, 0)
+            + bytes(int(x) for x in qy_z)
+        )
+        if not gray:
+            out += (
+                b"\xff\xdb" + struct.pack(">HB", 67, 1)
+                + bytes(int(x) for x in qc_z)
+            )
+        sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+        for c in range(ncomp):
+            s = 0x22 if (sub420 and c == 0) else 0x11
+            sof += bytes([c + 1, s, 0 if c == 0 else 1])
+        out += b"\xff\xc2" + sof  # SOF2: progressive DCT
+        tables = [(0x00, _DC_LUMA), (0x10, _AC_GENERIC)]
+        if not gray:
+            tables.append((0x01, _DC_CHROMA))
+        for tc, (bits, vals) in tables:
+            out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc)
+            out += bytes(bits) + bytes(vals)
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        dc_codes_by_comp = {
+            c: _build_codes(*(_DC_LUMA if c == 0 else _DC_CHROMA))
+            for c in range(ncomp)
+        }
+        ac_codes = _build_codes(*_AC_GENERIC)
+        for comp_list, ss, se, ahi, alo in scans:
+            if any(c >= ncomp for c in comp_list):
+                raise ValueError("scan script references missing component")
+            sos = struct.pack(
+                ">HB", 6 + 2 * len(comp_list), len(comp_list)
+            )
+            for c in comp_list:
+                sos += bytes([c + 1, ((0 if c == 0 else 1) << 4) | 0])
+            sos += bytes([ss, se, (ahi << 4) | alo])
+            out += b"\xff\xda" + sos
+            out += _encode_prog_scan(
+                grids, comp_list, ss, se, ahi, alo, samp, mcux, mcuy,
+                w, h, hmax, vmax, restart_interval, dc_codes_by_comp,
+                ac_codes,
+            )
+        out += b"\xff\xd9"
+        return bytes(out)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -484,6 +570,216 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G) — transmits the SAME quantized
+# coefficients as the baseline path, reordered by a scan script of
+# spectral bands and successive-approximation bit planes, so the decode
+# is bit-exactly the baseline decode.
+# ---------------------------------------------------------------------------
+
+# Generic AC Huffman table covering ALL 256 run/size symbols at 8 or 9
+# bits (canonical: codes 0..127 at length 8, 256..383 at length 9) —
+# progressive AC-first scans emit EOBn symbols (r<<4, r<15) that the
+# Annex-K baseline tables lack. Inefficient but valid; table content is
+# carried in DHT, so any decoder reads it back.
+_AC_GENERIC = (
+    [0, 0, 0, 0, 0, 0, 0, 128, 128, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+# libjpeg-style standard scripts: DC first at Al=1, luma low band early,
+# chroma full-band, then the AC/DC refinement passes down to Al=0.
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _dct_coef_grid(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """Quantized ZIGZAG coefficients for every 8x8 block of a padded
+    plane — (bh, bw, 64) int64, the SAME math as the baseline path
+    (DCT of the level-shifted block, rint divide by the NATURAL-order
+    table, zigzag scan), so progressive transmission is a pure
+    reordering of identical data."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ux,ijxy,vy->ijuv", _DCT_C, blocks, _DCT_C)
+    q = np.rint(coef.reshape(bh, bw, 64) / qtbl).astype(np.int64)
+    return q[..., _ZIGZAG]
+
+
+class _ProgScanState:
+    """Deferred EOB run + the correction bits that ride with it."""
+
+    __slots__ = ("eobrun", "bits")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+
+def _flush_eob(writer, ac_codes, st) -> None:
+    if st.eobrun:
+        r = st.eobrun.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        writer.write(code, ln)
+        if r:
+            writer.write(st.eobrun - (1 << r), r)
+        st.eobrun = 0
+    for b in st.bits:
+        writer.write(b, 1)
+    st.bits = []
+
+
+def _enc_ac_first(writer, ac_codes, blk, ss, se, al, st) -> None:
+    """AC FIRST scan, one block (G.1.2.2): run/size over the band with
+    the point transform (magnitude shifted right by al, truncation
+    toward zero) and cross-block EOB-run accumulation."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _flush_eob(writer, ac_codes, st)
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+        s = t.bit_length()
+        code, ln = ac_codes[(r << 4) | s]
+        writer.write(code, ln)
+        writer.write(t if v > 0 else (~t) & ((1 << s) - 1), s)
+        r = 0
+    if r:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:  # EOB14's ceiling
+            _flush_eob(writer, ac_codes, st)
+
+
+def _enc_ac_refine(writer, ac_codes, blk, ss, se, al, st) -> None:
+    """AC REFINEMENT scan, one block (G.1.2.3): ±1 bit-plane additions
+    for newly-nonzero coefficients positioned by zero-history runs;
+    already-nonzero coefficients contribute buffered correction bits
+    that trail the next emitted symbol (or ride with the EOB run)."""
+    p1 = 1 << al
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1  # last NEWLY-nonzero index; runs beyond it fold
+    for i, t in enumerate(absv):  # into the EOB run
+        if t == 1:
+            eob = ss + i
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eob(writer, ac_codes, st)
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if t > 1:  # nonzero history: correction bit only, no run entry
+            br.append(t & 1)
+            continue
+        _flush_eob(writer, ac_codes, st)
+        code, ln = ac_codes[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if int(blk[k]) > 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r or br:
+        st.eobrun += 1
+        st.bits.extend(br)
+        if st.eobrun == 0x7FFF:
+            _flush_eob(writer, ac_codes, st)
+
+
+def _encode_prog_scan(
+    grids, comp_list, ss, se, ah, al, samp, mcux, mcuy, w, h, hmax,
+    vmax, restart_interval, dc_codes_by_comp, ac_codes,
+):
+    """Entropy segment for one progressive scan — the mirror of
+    ``_progressive_scan``'s traversal (interleaved MCU grid for
+    multi-component DC scans, the component's own block grid
+    otherwise)."""
+    writer = _BitWriter()
+    st = _ProgScanState()
+    interleaved = len(comp_list) > 1
+    is_dc = ss == 0
+    if interleaved:
+        nmcu = mcux * mcuy
+    else:
+        hi0, vi0 = samp[comp_list[0]]
+        bw_n, bh_n = _noninterleaved_blocks(w, h, hi0, vi0, hmax, vmax)
+        nmcu = bw_n * bh_n
+    preds = {c: 0 for c in comp_list}
+    rst = 0
+    for m in range(nmcu):
+        if restart_interval and m and m % restart_interval == 0:
+            _flush_eob(writer, ac_codes, st)
+            writer.restart(rst)
+            rst += 1
+            preds = {c: 0 for c in comp_list}
+        for c in comp_list:
+            hi, vi = samp[c]
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                blocks = [
+                    (my * vi + bv, mx * hi + bh)
+                    for bv in range(vi)
+                    for bh in range(hi)
+                ]
+            else:
+                blocks = [divmod(m, bw_n)]
+            for by, bx in blocks:
+                blk = grids[c][by, bx]
+                if is_dc:
+                    if ah == 0:
+                        v = int(blk[0]) >> al  # G.1.2.1: arithmetic shift
+                        diff = v - preds[c]
+                        preds[c] = v
+                        s = _category(diff)
+                        code, ln = dc_codes_by_comp[c][s]
+                        writer.write(code, ln)
+                        if s:
+                            writer.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1,
+                                s,
+                            )
+                    else:  # DC refinement: one raw magnitude bit
+                        writer.write((int(blk[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first(writer, ac_codes, blk, ss, se, al, st)
+                else:
+                    _enc_ac_refine(writer, ac_codes, blk, ss, se, al, st)
+    _flush_eob(writer, ac_codes, st)
+    return writer.flush()
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -509,9 +805,9 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
                 break
             (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                if marker not in (0xC0, 0xC1):
+                if marker not in (0xC0, 0xC1, 0xC2):
                     raise ValueError(
-                        f"non-baseline JPEG (SOF 0x{marker:02x})"
+                        f"unsupported JPEG (SOF 0x{marker:02x})"
                     )
                 h, w = struct.unpack(">HH", payload[pos + 3 : pos + 7])
                 return w, h
@@ -523,18 +819,199 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline JPEG: marker walk, DQT/DHT/SOF0/SOS/DRI parsed
-    from the stream, interleaved MCUs (any 1-4 sampling factors, incl.
-    4:2:0) entropy-decoded with restart handling, dequantized,
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG: marker
+    walk, DQT/DHT/SOF/SOS/DRI parsed from the stream; baseline
+    interleaved MCUs (any 1-4 sampling factors, incl. 4:2:0) or
+    progressive multi-scan coefficient accumulation (spectral
+    selection, successive approximation, EOB runs — T.81 Annex G)
+    entropy-decoded with restart handling, dequantized,
     inverse-zigzagged, IDCT'd, chroma-upsampled (nearest) and color-
     converted. Returns (width, height, (h, w, 3) uint8) — grayscale
-    replicated. Raises ValueError on non-baseline streams and on any
-    truncated/corrupt input (never struct.error/IndexError — the
-    quarantine contract)."""
+    replicated. Raises ValueError on hierarchical/arithmetic/12-bit
+    streams and on any truncated/corrupt input (never
+    struct.error/IndexError — the quarantine contract)."""
     try:
         return _decode_jpeg_inner(payload)
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt JPEG stream: {e}") from e
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Offset of the next marker at/after ``pos`` (the 0xFF byte),
+    skipping entropy pad bytes, stuffed 0xFF00 pairs and stray restart
+    markers — how the walk re-syncs after a progressive scan's entropy
+    segment (B.1.1.2 permits fill bytes before any marker)."""
+    while pos + 1 < len(payload):
+        if (
+            payload[pos] == 0xFF
+            and payload[pos + 1] != 0x00
+            and not (0xD0 <= payload[pos + 1] <= 0xD7)
+        ):
+            return pos
+        pos += 1
+    raise ValueError("JPEG truncated after scan")
+
+
+def _ac_first_block(reader, ac, blk, ss, se, al, eobrun):
+    """One block of a progressive AC FIRST scan (T.81 G.2.2): band
+    [ss..se] run/size decoding with the point transform applied
+    (values arrive shifted left by ``al``) and EOB-run skips. Returns
+    the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, ac)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: this block ends the band and
+            if r:  # starts a run of (1<<r)+ext blocks (itself included)
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflow")
+        blk[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, ac, blk, ss, se, al, eobrun):
+    """One block of a progressive AC REFINEMENT scan (T.81 G.2.3): a
+    correction bit per already-nonzero coefficient, interleaved with
+    runs that position newly-nonzero ±1<<al values; zero-history runs
+    count only zero coefficients. Returns the remaining EOB run (whose
+    blocks still carry correction bits, read in the tail)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, ac)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                # r == 15: ZRL — pass 16 zero-history coefficients
+            elif s == 1:
+                newval = p1 if reader.read_bit() else -p1
+            else:
+                raise ValueError("invalid JPEG AC refinement magnitude")
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bit() and (abs(v) & p1) == 0:
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of the band
+            v = int(blk[k])
+            if v != 0:
+                if reader.read_bit() and (abs(v) & p1) == 0:
+                    blk[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _noninterleaved_blocks(w, h, hi, vi, hmax, vmax):
+    """(block_cols, block_rows) of a component's OWN grid — what a
+    single-component (non-interleaved) scan traverses (T.81 A.2.2:
+    ceil of the effective component dimensions, NOT the MCU-padded
+    grid the interleaved layout uses)."""
+    cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _progressive_scan(
+    payload, pos, scan, ss, se, ah, al, comps, comp_by_id, coefs,
+    htables, restart_interval, mcux, mcuy, hmax, vmax, w, h,
+):
+    """Decode one SOF2 scan's entropy segment into the per-component
+    zigzag coefficient planes; returns the payload offset where the
+    entropy data ended. DC scans (ss==se==0) may be interleaved over
+    the frame MCU grid or single-component; AC scans are always
+    single-component over the component's own block grid."""
+    ns = len(scan)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive DC scan needs Se=0")
+    if not is_dc and (ns != 1 or se < ss or se > 63):
+        raise ValueError("JPEG bad progressive AC scan header")
+    members = []
+    for cs, td, ta in scan:
+        ci = comp_by_id.get(cs)
+        if ci is None:
+            raise ValueError("scan references unknown component")
+        _cid, _tq, hi, vi = comps[ci]
+        tbl = None
+        if is_dc and ah == 0:
+            tbl = htables.get((0, td))
+        elif not is_dc:
+            tbl = htables.get((1, ta))
+        if tbl is None and not (is_dc and ah != 0):
+            raise ValueError("JPEG scan before its tables")
+        members.append((ci, hi, vi, tbl))
+    interleaved = ns > 1
+    if interleaved:
+        nmcu = mcux * mcuy
+    else:
+        ci0, hi0, vi0, _t = members[0]
+        bw_n, bh_n = _noninterleaved_blocks(w, h, hi0, vi0, hmax, vmax)
+        nmcu = bw_n * bh_n
+    reader = _BitReader(payload, pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    for m in range(nmcu):
+        if restart_interval and m and m % restart_interval == 0:
+            if not reader.at_restart():
+                raise ValueError("expected JPEG restart marker")
+            reader.skip_restart()
+            preds = [0] * len(comps)
+            eobrun = 0
+        for ci, hi, vi, tbl in members:
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                blocks = [
+                    (my * vi + bv, mx * hi + bh)
+                    for bv in range(vi)
+                    for bh in range(hi)
+                ]
+            else:
+                blocks = [divmod(m, bw_n)]
+            for by, bx in blocks:
+                blk = coefs[ci][by, bx]
+                if is_dc:
+                    if ah == 0:
+                        s = _huff_decode(reader, tbl)
+                        preds[ci] += _extend(reader.receive(s), s)
+                        blk[0] = preds[ci] << al
+                    elif reader.read_bit():
+                        # appending one magnitude bit commutes with the
+                        # sign in two's complement: OR into bit ``al``
+                        blk[0] = int(blk[0]) | (1 << al)
+                elif ah == 0:
+                    eobrun = _ac_first_block(
+                        reader, tbl, blk, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _ac_refine_block(
+                        reader, tbl, blk, ss, se, al, eobrun
+                    )
+    return reader.pos
 
 
 def _decode_jpeg_inner(payload: bytes):
@@ -544,9 +1021,12 @@ def _decode_jpeg_inner(payload: bytes):
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
     restart_interval = 0
+    coefs = None  # progressive: per-component zigzag coefficient grids
+    geom = None  # (hmax, vmax, mcux, mcuy), fixed at the first scan
     while True:
-        if pos + 4 > len(payload):
+        if pos + 2 > len(payload):
             raise ValueError("truncated JPEG (no SOS)")
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -556,6 +1036,10 @@ def _decode_jpeg_inner(payload: bytes):
         pos += 2
         if marker == 0xD8:
             continue
+        if marker == 0xD9:  # EOI terminates a progressive scan sequence
+            if coefs is not None:
+                break
+            raise ValueError("JPEG EOI before scan data")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
         if len(seg) != seglen - 2:
@@ -584,7 +1068,8 @@ def _decode_jpeg_inner(payload: bytes):
                     raise ValueError("truncated Huffman table")
                 htables[(tc, th)] = _build_decoder(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / progressive SOF
+            progressive = marker == 0xC2
             prec, h, w, ncomp = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -598,8 +1083,8 @@ def _decode_jpeg_inner(payload: bytes):
                     )
                 comps.append((cid, tq, hi, vi))
             sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
-            raise ValueError(f"non-baseline JPEG (SOF 0x{marker:02x})")
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise ValueError(f"unsupported JPEG (SOF 0x{marker:02x})")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -610,32 +1095,77 @@ def _decode_jpeg_inner(payload: bytes):
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             pos += seglen
-            break
+            if geom is None:
+                h, w, comps = sof
+                if h * w > 100_000_000:  # 100 MP sanity cap: a
+                    # corrupted SOF must not trigger a multi-GB
+                    # allocation before entropy decode fails
+                    raise ValueError(
+                        f"JPEG dimensions implausible: {w}x{h}"
+                    )
+                # General sampling factors (T.81 A.2): the MCU is
+                # 8*Hmax x 8*Vmax pixels; component ci contributes
+                # Hi x Vi blocks per MCU into its OWN (subsampled)
+                # plane. 1x1-everything degenerates to the one-block-
+                # per-MCU layout; 4:2:0 (luma 2x2) is the dominant
+                # real-world camera/web layout.
+                hmax = max(hi for _cid, _tq, hi, _vi in comps)
+                vmax = max(vi for _cid, _tq, _hi, vi in comps)
+                mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                geom = (hmax, vmax, mcux, mcuy)
+                comp_by_id = {
+                    cid: i for i, (cid, _tq, _hi, _vi) in enumerate(comps)
+                }
+            if not progressive:
+                break  # baseline: ONE interleaved scan, decoded below
+            if coefs is None:
+                coefs = [
+                    np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                    for _cid, _tq, hi, vi in comps
+                ]
+            pos = _progressive_scan(
+                payload, pos, scan, ss, se, ah, al, comps, comp_by_id,
+                coefs, htables, restart_interval, mcux, mcuy, hmax,
+                vmax, w, h,
+            )
+            pos = _next_marker(payload, pos)
+            continue
         pos += seglen
 
-    h, w, comps = sof
-    if h * w > 100_000_000:  # 100 MP sanity cap: a corrupted SOF must
-        # not trigger a multi-GB allocation before entropy decode fails
-        raise ValueError(f"JPEG dimensions implausible: {w}x{h}")
+    ncomp = len(comps)
+    if progressive:
+        # Dequantize + IDCT every accumulated block in one vectorized
+        # einsum per component (the scans already did the per-
+        # coefficient work).
+        cplanes = []
+        for ci, (_cid, tq, hi, vi) in enumerate(comps):
+            qt = qtables.get(tq)
+            if qt is None:
+                raise ValueError("JPEG scan before its tables")
+            grid = coefs[ci]
+            gh, gw = grid.shape[:2]
+            nat = np.zeros((gh, gw, 64))
+            nat[..., _ZIGZAG] = grid * qt[_ZIGZAG]
+            blocks = nat.reshape(gh, gw, 8, 8)
+            spatial = np.einsum(
+                "ux,ijuv,vy->ijxy", _DCT_C, blocks, _DCT_C
+            ) + 128.0
+            cplanes.append(
+                spatial.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+            )
+        return _assemble_jpeg(w, h, comps, cplanes, hmax, vmax)
+
     if len(scan) != len(comps):
         raise ValueError("JPEG scan/frame component mismatch")
-    ncomp = len(comps)
-    # General sampling factors (T.81 A.2): the MCU is 8*Hmax x 8*Vmax
-    # pixels; component ci contributes Hi x Vi blocks per MCU into its
-    # OWN (subsampled) plane. 1x1-everything degenerates to the one-
-    # block-per-MCU layout; 4:2:0 (luma 2x2) is the dominant real-world
-    # camera/web layout (round-6 verdict item 4).
-    hmax = max(hi for _cid, _tq, hi, _vi in comps)
-    vmax = max(vi for _cid, _tq, _hi, vi in comps)
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     cplanes = [
         np.zeros((mcuy * vi * 8, mcux * hi * 8))
         for _cid, _tq, hi, vi in comps
     ]
     reader = _BitReader(payload, pos)
     preds = [0] * ncomp
-    comp_by_id = {cid: i for i, (cid, _tq, _hi, _vi) in enumerate(comps)}
     mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -685,8 +1215,14 @@ def _decode_jpeg_inner(payload: bytes):
                         ) + 128.0
             mcu += 1
 
-    # assemble at full resolution: nearest-neighbor chroma upsampling
-    # (index map handles any Hi/Vi vs Hmax/Vmax ratio, integral or not)
+    return _assemble_jpeg(w, h, comps, cplanes, hmax, vmax)
+
+
+def _assemble_jpeg(w, h, comps, cplanes, hmax, vmax):
+    """Assemble decoded component planes at full resolution: nearest-
+    neighbor chroma upsampling (index map handles any Hi/Vi vs
+    Hmax/Vmax ratio, integral or not) + color conversion."""
+    ncomp = len(comps)
     planes = np.empty((h, w, ncomp))
     for ci, (_cid, _tq, hi, vi) in enumerate(comps):
         yy = (np.arange(h) * vi) // vmax

@@ -5037,6 +5037,8 @@ SELECT * FROM (VALUES
   (CAST(1020  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(1264  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(5679  AS BIGINT), 'image', CAST(196 AS BIGINT), CAST(196 AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(6525  AS BIGINT), 'image', CAST(493 AS BIGINT), CAST(58  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(36728 AS BIGINT), 'image', CAST(300 AS BIGINT), CAST(215 AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(6756  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(13370 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(19922 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
@@ -5045,7 +5047,9 @@ SELECT * FROM (VALUES
 ) t(n_bytes, kind, meta_width, meta_height, meta_sample_rate)
 """,
     "EXTERNAL-ENCODER interop gate over the COMMITTED fixture "
-    "directory (tests/fixtures — real libjpeg 4:2:0 JPEG, real GIF89a, "
+    "directory (tests/fixtures — real libjpeg 4:2:0 JPEG, TWO real "
+    "PROGRESSIVE SOF2 JPEGs (one spectral-selection-only color, one "
+    "successive-approximation grayscale), real GIF89a, "
     "real PNGs across color types 0/3/4/6 incl. a PALETTE and a "
     "16-BIT-depth stream, five real stereo WAV renditions incl. "
     "24/32-bit and WAVE_FORMAT_EXTENSIBLE): every fixture must ingest "
