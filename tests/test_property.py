@@ -936,6 +936,31 @@ def test_jpeg_progressive_decodes_equal_to_baseline(
     assert np.array_equal(base, prog)
 
 
+def test_jpeg_progressive_rejects_illegal_scan_scripts():
+    """Spec-illegal scan scripts must fail AT ENCODE TIME (T.81 G.1) —
+    silent acceptance would persist undecodable payloads into a media
+    lake with no error at write time (review finding)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from victor_spark.operators.jpeg_codec import encode_jpeg
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    bad = [
+        [((0, 1, 2), 1, 63, 0, 0)],  # multi-component AC scan
+        [((0,), 0, 5, 0, 0)],  # DC scan with Se != 0
+        [((0,), 9, 5, 0, 0)],  # inverted band
+        [((0,), 1, 64, 0, 0)],  # band past 63
+        [((0, 1, 2, 3), 0, 0, 0, 0)],  # missing component
+        [((0, 0), 0, 0, 0, 0)],  # duplicate component
+        [((0,), 1, 63, 2, 0)],  # Ah must be Al+1 on refinement
+        [((0,), 1, 63, 0, 14)],  # Al out of range
+    ]
+    for script in bad:
+        with _pytest.raises(ValueError, match="scan script"):
+            encode_jpeg(arr, 90, progressive=True, scan_script=script)
+
+
 @CODEC_PROP
 @given(data=st.data())
 def test_jpeg_progressive_corruption_never_escapes_valueerror(data):

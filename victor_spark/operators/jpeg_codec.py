@@ -367,6 +367,57 @@ def _encode_blocks(
     return pred
 
 
+def _write_jpeg_headers(
+    sof_marker, h, w, gray, sub420, qy_z, qc_z, tables, restart_interval
+) -> bytearray:
+    """SOI/APP0/DQT/SOF/DHT/DRI prelude shared by the baseline and
+    progressive encoders — only the SOF marker and the DHT table set
+    differ between the two."""
+    ncomp = 1 if gray else 3
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(x) for x in qy_z)
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + bytes(int(x) for x in qc_z)
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for c in range(ncomp):
+        samp = 0x22 if (sub420 and c == 0) else 0x11
+        sof += bytes([c + 1, samp, 0 if c == 0 else 1])
+    out += sof_marker + sof
+    for tc, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def _validate_scan_script(scans, ncomp) -> None:
+    """Reject spec-illegal scan scripts at ENCODE time (T.81 G.1):
+    silent acceptance would persist undecodable payloads into a media
+    lake with no error at write time."""
+    for comp_list, ss, se, ahi, alo in scans:
+        if not comp_list or any(
+            not 0 <= c < ncomp for c in comp_list
+        ) or len(set(comp_list)) != len(comp_list):
+            raise ValueError(f"scan script: bad component list {comp_list}")
+        if ss == 0:
+            if se != 0:
+                raise ValueError("scan script: DC scan needs Se=0")
+        elif len(comp_list) != 1:
+            raise ValueError("scan script: AC scan must be single-component")
+        elif not ss <= se <= 63:
+            raise ValueError(f"scan script: bad band {ss}..{se}")
+        if not (0 <= alo <= 13 and (ahi == 0 or ahi == alo + 1)):
+            raise ValueError(
+                f"scan script: bad successive approximation {ahi}/{alo}"
+            )
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
@@ -437,42 +488,20 @@ def encode_jpeg(
         scans = scan_script
         if scans is None:
             scans = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
-        out = bytearray()
-        out += b"\xff\xd8"
-        out += (
-            b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-            + struct.pack(">HHBB", 1, 1, 0, 0)
-        )
-        out += (
-            b"\xff\xdb" + struct.pack(">HB", 67, 0)
-            + bytes(int(x) for x in qy_z)
-        )
-        if not gray:
-            out += (
-                b"\xff\xdb" + struct.pack(">HB", 67, 1)
-                + bytes(int(x) for x in qc_z)
-            )
-        sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-        for c in range(ncomp):
-            s = 0x22 if (sub420 and c == 0) else 0x11
-            sof += bytes([c + 1, s, 0 if c == 0 else 1])
-        out += b"\xff\xc2" + sof  # SOF2: progressive DCT
+        _validate_scan_script(scans, ncomp)
         tables = [(0x00, _DC_LUMA), (0x10, _AC_GENERIC)]
         if not gray:
             tables.append((0x01, _DC_CHROMA))
-        for tc, (bits, vals) in tables:
-            out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc)
-            out += bytes(bits) + bytes(vals)
-        if restart_interval:
-            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        out = _write_jpeg_headers(
+            b"\xff\xc2", h, w, gray, sub420, qy_z, qc_z, tables,
+            restart_interval,
+        )  # SOF2: progressive DCT
         dc_codes_by_comp = {
             c: _build_codes(*(_DC_LUMA if c == 0 else _DC_CHROMA))
             for c in range(ncomp)
         }
         ac_codes = _build_codes(*_AC_GENERIC)
         for comp_list, ss, se, ahi, alo in scans:
-            if any(c >= ncomp for c in comp_list):
-                raise ValueError("scan script references missing component")
             sos = struct.pack(
                 ">HB", 6 + 2 * len(comp_list), len(comp_list)
             )
@@ -488,27 +517,14 @@ def encode_jpeg(
         out += b"\xff\xd9"
         return bytes(out)
 
-    out = bytearray()
-    out += b"\xff\xd8"  # SOI
-    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-            + struct.pack(">HHBB", 1, 1, 0, 0))
-    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(x) for x in qy_z)
-    if not gray:
-        out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + bytes(int(x) for x in qc_z)
     ncomp = 1 if gray else 3
-    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for c in range(ncomp):
-        samp = 0x22 if (sub420 and c == 0) else 0x11
-        sof += bytes([c + 1, samp, 0 if c == 0 else 1])
-    out += b"\xff\xc0" + sof
     tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
     if not gray:
         tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
-    for tc, (bits, vals) in tables:
-        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tc)
-        out += bytes(bits) + bytes(vals)
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out = _write_jpeg_headers(
+        b"\xff\xc0", h, w, gray, sub420, qy_z, qc_z, tables,
+        restart_interval,
+    )  # SOF0: baseline DCT
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -678,7 +694,6 @@ def _enc_ac_refine(writer, ac_codes, blk, ss, se, al, st) -> None:
     for newly-nonzero coefficients positioned by zero-history runs;
     already-nonzero coefficients contribute buffered correction bits
     that trail the next emitted symbol (or ride with the EOB run)."""
-    p1 = 1 << al
     absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
     eob = ss - 1  # last NEWLY-nonzero index; runs beyond it fold
     for i, t in enumerate(absv):  # into the EOB run
@@ -1024,7 +1039,7 @@ def _decode_jpeg_inner(payload: bytes):
     progressive = False
     restart_interval = 0
     coefs = None  # progressive: per-component zigzag coefficient grids
-    geom = None  # (hmax, vmax, mcux, mcuy), fixed at the first scan
+    geom_done = False  # frame geometry locals fixed at the first scan
     while True:
         if pos + 2 > len(payload):
             raise ValueError("truncated JPEG (no SOS)")
@@ -1098,7 +1113,7 @@ def _decode_jpeg_inner(payload: bytes):
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             pos += seglen
-            if geom is None:
+            if not geom_done:
                 h, w, comps = sof
                 if h * w > 100_000_000:  # 100 MP sanity cap: a
                     # corrupted SOF must not trigger a multi-GB
@@ -1115,7 +1130,7 @@ def _decode_jpeg_inner(payload: bytes):
                 hmax = max(hi for _cid, _tq, hi, _vi in comps)
                 vmax = max(vi for _cid, _tq, _hi, vi in comps)
                 mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-                geom = (hmax, vmax, mcux, mcuy)
+                geom_done = True
                 comp_by_id = {
                     cid: i for i, (cid, _tq, _hi, _vi) in enumerate(comps)
                 }

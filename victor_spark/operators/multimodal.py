@@ -9,8 +9,9 @@ Decode is REAL for every format with a stdlib-expressible codec —
 binary PPM (uncompressed), PNG (compressed lossless: zlib
 inflate/deflate, chunk CRCs, all five scanline filters), GIF
 (compressed lossless over its palette: real LZW with dictionary growth
-and resets, animated demux), baseline JPEG (compressed LOSSY: the full
-DCT/quantize/Huffman pipeline, operators/jpeg_codec.py), RIFF/WAVE
+and resets, animated demux), JPEG — baseline AND progressive SOF2
+(compressed LOSSY: the full DCT/quantize/Huffman pipeline incl.
+Annex-G multi-scan decode, operators/jpeg_codec.py), RIFF/WAVE
 audio (PCM16 mono/stereo, PCM8, G.711 mu-law), FLAC (compressed
 lossless audio: rice-coded fixed predictors + frame CRCs,
 operators/flac_codec.py), and YUV4MPEG2 video — dispatched by magic
@@ -617,9 +618,9 @@ _JPEG_MAGIC = b"\xff\xd8\xff"
 def _parse_image(payload: bytes):
     """Decode any supported image container to (w, h, (h,w,3) uint8):
     binary PPM (uncompressed), PNG (compressed, lossless), GIF
-    (compressed, palette-resolved first frame), or baseline JPEG
-    (compressed, LOSSY — the full DCT/Huffman pipeline in
-    operators/jpeg_codec.py). The single dispatch point for the image
+    (compressed, palette-resolved first frame), or JPEG — baseline and
+    progressive SOF2 (compressed, LOSSY — the full DCT/Huffman
+    pipeline in operators/jpeg_codec.py). The single dispatch point for the image
     decode farm operators."""
     if payload.startswith(_PNG_SIG):
         return _parse_png(payload)
@@ -996,8 +997,8 @@ def _encode_y4m(
 def _decode_image(payload: bytes) -> list[float]:
     """Image features. REAL paths: a P6 PPM (uncompressed), PNG
     (compressed — stdlib-zlib codec), GIF (compressed — LZW codec,
-    first frame) or baseline JPEG (compressed LOSSY — DCT/Huffman)
-    payload is actually decoded and the features are pixel statistics
+    first frame) or JPEG incl. progressive (compressed LOSSY —
+    DCT/Huffman) payload is actually decoded and the features are pixel statistics
     [w, h, mean_r, mean_g, mean_b, min_px, max_px, std_gray]. STUB path
     for other compressed formats (real impl: PIL.Image.open) —
     deterministic fake: 8 byte-histogram buckets of the payload; a
@@ -1090,8 +1091,8 @@ _DECODERS = {
 
 
 def _resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Image resize. REAL paths: a P6 PPM, PNG, GIF or baseline JPEG
-    payload is decoded, resized by nearest-neighbor (pure numpy index
+    """Image resize. REAL paths: a P6 PPM, PNG, GIF or JPEG (incl.
+    progressive) payload is decoded, resized by nearest-neighbor (pure numpy index
     selection — the same sampling PIL's Image.NEAREST does), and
     re-encoded in its OWN container (PNG in → PNG out through the full
     deflate/filter pipeline; GIF in → GIF out by resampling the INDEX
