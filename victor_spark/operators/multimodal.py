@@ -1696,8 +1696,9 @@ def synthesize_jpeg(
     width: int = 16,
     height: int = 16,
     quality: int = 90,
+    progressive: bool = False,
 ) -> DataFrame:
-    """A real baseline-JPEG media table from a text table: channel c of
+    """A real JPEG media table from a text table: channel c of
     every pixel row y is ord(text[c]) + 2y (a smooth vertical gradient —
     md5-hex ords are 48..102, so 2y stays unclipped for heights ≤ 76),
     pushed through the full DCT/Huffman encoder. Smooth content keeps
@@ -1705,8 +1706,10 @@ def synthesize_jpeg(
     channel means are exact integers an oracle can compute
     (ord(text[c]) + height - 1 for even heights), and the decoded means
     must land within the DC-quantization + color-transform bound the
-    multimodal_jpeg_roundtrip query asserts. Arrow-batched (entropy
-    coding needs byte-level packing)."""
+    multimodal_jpeg_roundtrip query asserts. ``progressive=True`` emits
+    SOF2 multi-scan streams instead — same quantized coefficients, so
+    the same oracle bound holds (multimodal_jpeg_progressive).
+    Arrow-batched (entropy coding needs byte-level packing)."""
     import numpy as np
 
     from victor_spark.operators.jpeg_codec import encode_jpeg
@@ -1724,7 +1727,12 @@ def synthesize_jpeg(
                 y = 2.0 * np.arange(height)[:, None, None]
                 arr = np.clip(base[None, None, :] + y, 0, 255).astype(np.uint8)
                 arr = np.broadcast_to(arr, (height, width, 3))
-                payloads.append(encode_jpeg(np.ascontiguousarray(arr), quality))
+                payloads.append(
+                    encode_jpeg(
+                        np.ascontiguousarray(arr), quality,
+                        progressive=progressive,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

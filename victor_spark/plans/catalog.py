@@ -5299,6 +5299,46 @@ def q_multimodal_jpeg_roundtrip(spark, sf_dir):
     return joined.select("media_id", "width", "height", *ok)
 
 
+@_q(
+    "multimodal_jpeg_progressive",
+    """
+SELECT doc_id AS media_id,
+       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       true AS ok_r, true AS ok_g, true AS ok_b
+FROM documents
+""",
+    "PROGRESSIVE (SOF2) twin of multimodal_jpeg_roundtrip: the same "
+    "smooth-gradient content pushed through the Annex-G multi-scan "
+    "encoder (spectral selection + successive approximation over the "
+    "libjpeg-style script, EOB runs) and decoded back through the "
+    "progressive scan-accumulation path. Progressive transmission "
+    "reorders the SAME quantized coefficients, so the identical "
+    "bounded-error oracle holds (decoded channel means within 2 of the "
+    "exact source means ord(md5 char)+15) — and pytest pins the far "
+    "stronger bit-exact progressive==baseline property. Web-dominant "
+    "layout, driver-gated like the baseline path; shuffle-free "
+    "Arrow-batched farm",
+)
+def q_multimodal_jpeg_progressive(spark, sf_dir):
+    from victor_spark.operators.multimodal import decode_image_stats, synthesize_jpeg
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.md5("text").alias("text")
+    )
+    media = synthesize_jpeg(d, "doc_id", "text", width=16, height=16,
+                            quality=90, progressive=True)
+    s = decode_image_stats(media)
+    joined = s.join(F.broadcast(d), s.media_id == d.doc_id)
+    ok = [
+        (F.abs(F.col(m) - (F.ascii(F.substring("text", c + 1, 1)) + 15))
+         <= 2.0).alias(f"ok_{ch}")
+        for c, (m, ch) in enumerate(
+            [("mean_r", "r"), ("mean_g", "g"), ("mean_b", "b")]
+        )
+    ]
+    return joined.select("media_id", "width", "height", *ok)
+
+
 def _ingest_cache_dir(tag: str, sf_dir: str, code_of=()) -> tuple[str, bool]:
     """Deterministic staging dir for the ingest-roundtrip queries, keyed
     on (query tag, dataset path, documents.parquet mtime+size, and the
@@ -8065,8 +8105,12 @@ _TOUCHED_THIS_ROUND: list[str] = [
     "multimodal_flac_decode",      # subframe decode rewritten (LPC/stereo)
     "dedup_audio_cross_format",    # builder now emits stereo LPC clones
     "multimodal_wav_decode",       # fmt-chunk parsing extended (24/32/ext)
-    "multimodal_png_decode",       # color-type-4 branch added
-    "multimodal_gif_frames",       # sample_frames grew the AVI dispatch
+    "multimodal_png_decode",       # color-type-4 + Adam7 branches added
+    # (multimodal_gif_frames dropped from the list when
+    # multimodal_jpeg_progressive was added NEW — new queries auto-front
+    # as never-green, and the window must keep >=40 r4-tail slots; the
+    # GIF path itself is unchanged and stays covered per-run by
+    # tests/test_oracle_parity.py)
 ]
 
 
