@@ -526,18 +526,23 @@ def test_media_decode_queries_are_shuffle_free(spark):
         assert "Join" not in p and "Cartesian" not in p, name
 
 
-def test_avi_frames_query_plan_is_map_plus_broadcast(spark):
-    """multimodal_avi_frames: demux + per-frame JPEG decode are per-row
-    maps (only the fan_out round-robin may move rows), and the
-    source-mean check joins the tiny doc table by BROADCAST — the media
-    bytes are never hash/range-shuffled and never sort-merge-joined."""
+def test_lossy_farm_query_plans_are_map_plus_broadcast(spark):
+    """The lossy-codec farm queries (baseline JPEG roundtrip, its
+    progressive SOF2 twin, MJPEG-in-AVI demux): encode + decode are
+    per-row maps (only the fan_out round-robin may move rows), and the
+    bounded-error source-mean check joins the tiny doc table by
+    BROADCAST — the media bytes are never hash/range-shuffled and never
+    sort-merge-joined."""
     import re
 
-    p = plan("multimodal_avi_frames", spark)
-    exchanges = re.findall(r"Exchange (\w+)", p)
-    assert all(
-        e in ("RoundRobinPartitioning", "SinglePartition") or "Broadcast" in e
-        for e in exchanges
-    ), exchanges
-    assert "BroadcastExchange" in p  # the doc-side mean lookup
-    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    for name in ("multimodal_avi_frames", "multimodal_jpeg_roundtrip",
+                 "multimodal_jpeg_progressive"):
+        p = plan(name, spark)
+        exchanges = re.findall(r"Exchange (\w+)", p)
+        assert all(
+            e in ("RoundRobinPartitioning", "SinglePartition")
+            or "Broadcast" in e
+            for e in exchanges
+        ), (name, exchanges)
+        assert "BroadcastExchange" in p, name  # the doc-side mean lookup
+        assert "SortMergeJoin" not in p and "Cartesian" not in p, name

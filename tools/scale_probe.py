@@ -98,6 +98,11 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # JPEG encodes + 2 decodes per row — a heavy per-row farm, stride
     # pruning keeps decode off half the frames)
     "multimodal_avi_frames": {"documents": ["doc_id"]},
+    # round-7: progressive SOF2 multi-scan encode + scan-accumulation
+    # decode per row — heavier per-row Python than baseline (one
+    # entropy pass per scan, 10-scan script) but the same shuffle-free
+    # farm shape
+    "multimodal_jpeg_progressive": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000
