@@ -856,7 +856,7 @@ def test_jpeg_420_smooth_gradients_bounded_error(w, h, base, data):
 @given(
     w=st.integers(1, 40), h=st.integers(1, 40),
     ri=st.sampled_from([1, 2, 5]),
-    sub=st.sampled_from(["444", "420"]),
+    sub=st.sampled_from(["444", "420", "422"]),
     base=st.integers(30, 150),
 )
 def test_jpeg_restart_markers_roundtrip(w, h, ri, sub, base):
@@ -902,7 +902,7 @@ _PROG_DEEP = [
 @CODEC_PROP
 @given(
     w=st.integers(1, 40), h=st.integers(1, 40),
-    sub=st.sampled_from(["444", "420"]),
+    sub=st.sampled_from(["444", "420", "422"]),
     quality=st.integers(30, 95),
     script=st.sampled_from([None, "sep_dc", "deep"]),
     ri=st.sampled_from([0, 0, 3]),

@@ -2,7 +2,7 @@
 level shift → 8x8 2-D DCT → quality-scaled quantization → zigzag →
 Huffman entropy coding (DC prediction, AC run/size with ZRL/EOB, byte
 stuffing), and the exact inverse. Encoder writes baseline SOF0 (4:4:4,
-4:2:0 or single-component grayscale) or progressive SOF2 (spectral
+4:2:0, 4:2:2 or single-component grayscale) or progressive SOF2 (spectral
 selection + successive approximation over a scan script, T.81 Annex G)
 with the quant/Huffman tables embedded in DQT/DHT, so ANY decoder opens
 the output; the decoder reads whatever tables the stream carries (it
@@ -368,7 +368,7 @@ def _encode_blocks(
 
 
 def _write_jpeg_headers(
-    sof_marker, h, w, gray, sub420, qy_z, qc_z, tables, restart_interval
+    sof_marker, h, w, gray, fh, fv, qy_z, qc_z, tables, restart_interval
 ) -> bytearray:
     """SOI/APP0/DQT/SOF/DHT/DRI prelude shared by the baseline and
     progressive encoders — only the SOF marker and the DHT table set
@@ -385,7 +385,7 @@ def _write_jpeg_headers(
         out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + bytes(int(x) for x in qc_z)
     sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for c in range(ncomp):
-        samp = 0x22 if (sub420 and c == 0) else 0x11
+        samp = ((fh << 4) | fv) if c == 0 else 0x11
         sof += bytes([c + 1, samp, 0 if c == 0 else 1])
     out += sof_marker + sof
     for tc, (bits, vals) in tables:
@@ -427,10 +427,12 @@ def encode_jpeg(
     scan_script=None,
 ) -> bytes:
     """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as baseline JFIF:
-    4:4:4 (default, no chroma subsampling), 4:2:0 (``subsampling="420"``
-    — 2x2-averaged chroma, 16x16 MCUs of 4 luma + 1 Cb + 1 Cr blocks,
-    the dominant real-world layout; lets property tests synthesize
-    subsampled streams at arbitrary sizes) or single-component; edges
+    4:4:4 (default, no chroma subsampling), 4:2:0 (``"420"`` —
+    2x2-averaged chroma, 16x16 MCUs of 4 luma + 1 Cb + 1 Cr blocks, the
+    dominant real-world layout), 4:2:2 (``"422"`` — horizontally-halved
+    chroma, 16x8 MCUs, the broadcast/intermediate layout; together they
+    let property tests synthesize NON-SQUARE sampling-factor streams at
+    arbitrary sizes) or single-component; edges
     padded by replication to MCU multiples; Annex-K tables scaled by
     ``quality`` and embedded in the stream. ``restart_interval`` > 0
     emits a DRI segment and byte-aligned RSTn markers every that many
@@ -443,17 +445,19 @@ def encode_jpeg(
     bit-exactly equal."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
-    if subsampling not in ("444", "420"):
+    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}.get(subsampling)
+    if factors is None:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    sub420 = subsampling == "420" and not gray
+    fh, fv = (1, 1) if gray else factors  # luma sampling factors
+    subsampled = (fh, fv) != (1, 1)
     h, w = a.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
     qy, qc = _quality_tables(quality)
     qy_z, qc_z = qy[_ZIGZAG], qc[_ZIGZAG]
 
-    mcu = 16 if sub420 else 8
-    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    mcuw, mcuh = 8 * fh, 8 * fv
+    ph, pw = -(-h // mcuh) * mcuh, -(-w // mcuw) * mcuw
     if gray:
         planes = a[..., None].astype(np.float64)
     else:
@@ -462,20 +466,20 @@ def encode_jpeg(
     padded[:h, :w] = planes
     padded[h:, :w] = planes[h - 1 : h, :]  # replicate edges
     padded[:, w:] = padded[:, w - 1 : w]
-    if sub420:  # chroma: 2x2 box-average to half resolution
-        cb = padded[..., 1].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr = padded[..., 2].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if subsampled:  # chroma: fv x fh box-average to subsampled resolution
+        cb = padded[..., 1].reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+        cr = padded[..., 2].reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
 
     if progressive:
         ncomp = 1 if gray else 3
-        if sub420:
+        if subsampled:
             grids = [
                 _dct_coef_grid(padded[..., 0], qy),
                 _dct_coef_grid(cb, qc),
                 _dct_coef_grid(cr, qc),
             ]
-            samp = {0: (2, 2), 1: (1, 1), 2: (1, 1)}
-            hmax = vmax = 2
+            samp = {0: (fh, fv), 1: (1, 1), 2: (1, 1)}
+            hmax, vmax = fh, fv
         else:
             grids = [
                 _dct_coef_grid(padded[..., c], qy if c == 0 else qc)
@@ -493,7 +497,7 @@ def encode_jpeg(
         if not gray:
             tables.append((0x01, _DC_CHROMA))
         out = _write_jpeg_headers(
-            b"\xff\xc2", h, w, gray, sub420, qy_z, qc_z, tables,
+            b"\xff\xc2", h, w, gray, fh, fv, qy_z, qc_z, tables,
             restart_interval,
         )  # SOF2: progressive DCT
         dc_codes_by_comp = {
@@ -522,7 +526,7 @@ def encode_jpeg(
     if not gray:
         tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
     out = _write_jpeg_headers(
-        b"\xff\xc0", h, w, gray, sub420, qy_z, qc_z, tables,
+        b"\xff\xc0", h, w, gray, fh, fv, qy_z, qc_z, tables,
         restart_interval,
     )  # SOF0: baseline DCT
     sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
@@ -544,13 +548,14 @@ def encode_jpeg(
             preds[:] = [0] * ncomp
         mcu_i += 1
 
-    if sub420:
-        for by in range(0, ph, 16):
-            for bx in range(0, pw, 16):
+    if subsampled:
+        for by in range(0, ph, mcuh):
+            for bx in range(0, pw, mcuw):
                 _maybe_restart()
-                # 4 luma blocks, v-then-h order (T.81 A.2.3), then Cb, Cr
-                for bv in range(2):
-                    for bh in range(2):
+                # fh*fv luma blocks, v-then-h order (T.81 A.2.3), then
+                # one Cb and one Cr block
+                for bv in range(fv):
+                    for bh in range(fh):
                         preds[0] = _encode_blocks(
                             writer,
                             padded[
@@ -559,7 +564,7 @@ def encode_jpeg(
                             ],
                             qy, dc_y, ac_y, preds[0],
                         )
-                cy, cx = by // 2, bx // 2
+                cy, cx = by // fv, bx // fh
                 for c, plane in ((1, cb), (2, cr)):
                     preds[c] = _encode_blocks(
                         writer, plane[cy : cy + 8, cx : cx + 8],
