@@ -955,6 +955,19 @@ def test_jpeg_progressive_rejects_illegal_scan_scripts():
         [((0, 0), 0, 0, 0, 0)],  # duplicate component
         [((0,), 1, 63, 2, 0)],  # Ah must be Al+1 on refinement
         [((0,), 1, 63, 0, 14)],  # Al out of range
+        [((0,), -1, 5, 0, 0)],  # negative Ss must fail HERE, not at
+        # SOS byte packing (review finding)
+        # cross-scan progression rules (T.81 G.1.1.1.1, review finding):
+        [((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0),
+         ((2,), 1, 63, 0, 0)],  # AC-only script, no DC scan ever
+        [((0, 1, 2), 0, 0, 1, 0)],  # refinement as the first scan
+        [((0, 1, 2), 0, 0, 0, 0),
+         ((0,), 1, 63, 0, 1),
+         ((0,), 1, 20, 0, 0)],  # band 1..20 first-transmitted twice
+        [((0, 1, 2), 0, 0, 0, 2),
+         ((0, 1, 2), 0, 0, 1, 0)],  # DC refinement skips a bit plane
+        [((0, 1), 0, 0, 0, 0),
+         ((0,), 1, 63, 0, 0), ((1,), 1, 63, 0, 0)],  # comp 2 never coded
     ]
     for script in bad:
         with _pytest.raises(ValueError, match="scan script"):

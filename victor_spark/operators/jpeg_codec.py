@@ -398,8 +398,16 @@ def _write_jpeg_headers(
 
 def _validate_scan_script(scans, ncomp) -> None:
     """Reject spec-illegal scan scripts at ENCODE time (T.81 G.1):
-    silent acceptance would persist undecodable payloads into a media
-    lake with no error at write time."""
+    silent acceptance would persist payloads strict external decoders
+    flag (libjpeg's JWRN_BOGUS_PROGRESSION) into a media lake with no
+    error at write time. Checks each scan's shape AND the cross-scan
+    progression rules (G.1.1.1.1): a component's DC scan precedes its
+    AC scans, every coefficient's first scan has Ah=0, refinements
+    descend one bit plane at a time from the prior Al, and no band is
+    first-transmitted twice."""
+    # cur_al[c][k]: None until coefficient k of component c is first
+    # coded, then the Al its approximation currently sits at
+    cur_al: list[list] = [[None] * 64 for _ in range(ncomp)]
     for comp_list, ss, se, ahi, alo in scans:
         if not comp_list or any(
             not 0 <= c < ncomp for c in comp_list
@@ -410,12 +418,34 @@ def _validate_scan_script(scans, ncomp) -> None:
                 raise ValueError("scan script: DC scan needs Se=0")
         elif len(comp_list) != 1:
             raise ValueError("scan script: AC scan must be single-component")
-        elif not ss <= se <= 63:
+        elif not 1 <= ss <= se <= 63:
             raise ValueError(f"scan script: bad band {ss}..{se}")
         if not (0 <= alo <= 13 and (ahi == 0 or ahi == alo + 1)):
             raise ValueError(
                 f"scan script: bad successive approximation {ahi}/{alo}"
             )
+        for c in comp_list:
+            if ss > 0 and cur_al[c][0] is None:
+                raise ValueError(
+                    f"scan script: AC scan before DC scan for component {c}"
+                )
+            for k in range(ss, se + 1):
+                if ahi == 0:
+                    if cur_al[c][k] is not None:
+                        raise ValueError(
+                            f"scan script: coefficient {k} of component "
+                            f"{c} first-transmitted twice"
+                        )
+                elif cur_al[c][k] != ahi:
+                    raise ValueError(
+                        f"scan script: refinement Ah={ahi} of coefficient "
+                        f"{k} of component {c} does not continue from "
+                        f"{cur_al[c][k]}"
+                    )
+                cur_al[c][k] = alo
+    for c in range(ncomp):
+        if cur_al[c][0] is None:
+            raise ValueError(f"scan script: component {c} has no DC scan")
 
 
 def encode_jpeg(

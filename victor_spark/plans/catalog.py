@@ -5280,13 +5280,20 @@ FROM documents
     "transform lands far outside. Geometry comes from the real decode",
 )
 def q_multimodal_jpeg_roundtrip(spark, sf_dir):
+    return _jpeg_roundtrip_query(spark, sf_dir, progressive=False)
+
+
+def _jpeg_roundtrip_query(spark, sf_dir, progressive):
+    """Shared body of the baseline/progressive JPEG roundtrip twins —
+    the bounded-error oracle expression and the synthesis geometry must
+    stay ONE source of truth (they share the same SQL oracle)."""
     from victor_spark.operators.multimodal import decode_image_stats, synthesize_jpeg
 
     d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.md5("text").alias("text")
     )
     media = synthesize_jpeg(d, "doc_id", "text", width=16, height=16,
-                            quality=90)
+                            quality=90, progressive=progressive)
     s = decode_image_stats(media)
     joined = s.join(F.broadcast(d), s.media_id == d.doc_id)
     ok = [
@@ -5320,23 +5327,7 @@ FROM documents
     "Arrow-batched farm",
 )
 def q_multimodal_jpeg_progressive(spark, sf_dir):
-    from victor_spark.operators.multimodal import decode_image_stats, synthesize_jpeg
-
-    d = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", F.md5("text").alias("text")
-    )
-    media = synthesize_jpeg(d, "doc_id", "text", width=16, height=16,
-                            quality=90, progressive=True)
-    s = decode_image_stats(media)
-    joined = s.join(F.broadcast(d), s.media_id == d.doc_id)
-    ok = [
-        (F.abs(F.col(m) - (F.ascii(F.substring("text", c + 1, 1)) + 15))
-         <= 2.0).alias(f"ok_{ch}")
-        for c, (m, ch) in enumerate(
-            [("mean_r", "r"), ("mean_g", "g"), ("mean_b", "b")]
-        )
-    ]
-    return joined.select("media_id", "width", "height", *ok)
+    return _jpeg_roundtrip_query(spark, sf_dir, progressive=True)
 
 
 def _ingest_cache_dir(tag: str, sf_dir: str, code_of=()) -> tuple[str, bool]:
