@@ -936,6 +936,61 @@ def test_jpeg_progressive_decodes_equal_to_baseline(
     assert np.array_equal(base, prog)
 
 
+@CODEC_PROP
+@given(
+    w=st.integers(1, 40), h=st.integers(1, 40),
+    sub=st.sampled_from(["444", "420", "422"]),
+    prog=st.booleans(),
+    quality=st.integers(30, 100),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_jpeg_optimized_huffman_is_transparent_and_smaller(
+    w, h, sub, prog, quality, seed
+):
+    """2-pass optimized Huffman tables (T.81 K.2) are a pure
+    entropy-layer change: the decode must be BIT-IDENTICAL to the
+    default-table stream for any content/geometry/subsampling in both
+    baseline and progressive modes, and the payload must not grow
+    beyond the few bytes of DHT-layout difference (frequency-optimal
+    codes can't lose to fixed tables on the entropy segment itself)."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    arr = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    plain = encode_jpeg(arr, quality, subsampling=sub, progressive=prog)
+    opt = encode_jpeg(
+        arr, quality, subsampling=sub, progressive=prog,
+        optimize_huffman=True,
+    )
+    assert np.array_equal(decode_jpeg(plain)[2], decode_jpeg(opt)[2])
+    # DHT for optimal tables can be marginally larger on tiny images
+    # (it lists only used symbols, but 4 tables' 16-byte bits arrays
+    # are fixed); the entropy segment itself never loses
+    assert len(opt) <= len(plain) + 64
+
+
+def test_jpeg_optimized_huffman_length_limit_folds():
+    """High-entropy content at quality 100 drives the widest symbol
+    alphabets (the fold-down of >16-bit code lengths, Figure K.10);
+    the emitted tables must stay legal (every DHT length <= 16, the
+    all-1s codeword unused — our decoder rejects over-long codes) and
+    the decode bit-identical."""
+    import numpy as np
+
+    from victor_spark.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(123)
+    arr = rng.integers(0, 256, (96, 96, 3), dtype=np.uint8)
+    for prog in (False, True):
+        plain = encode_jpeg(arr, 100, progressive=prog)
+        opt = encode_jpeg(arr, 100, progressive=prog, optimize_huffman=True)
+        assert np.array_equal(decode_jpeg(plain)[2], decode_jpeg(opt)[2])
+        assert len(opt) < len(plain)
+
+
 def test_jpeg_progressive_rejects_illegal_scan_scripts():
     """Spec-illegal scan scripts must fail AT ENCODE TIME (T.81 G.1) —
     silent acceptance would persist undecodable payloads into a media

@@ -367,6 +367,94 @@ def _encode_blocks(
     return pred
 
 
+class _CountingCodes(dict):
+    """Stand-in Huffman code table for the statistics pass of 2-pass
+    (``optimize_huffman``) encoding: every lookup counts the symbol and
+    returns a dummy 1-bit code into a throwaway writer. The extra-bit
+    writes that follow each symbol don't consult the table, so the same
+    scan loop serves both passes."""
+
+    def __init__(self):
+        super().__init__()
+        self.counts: dict[int, int] = {}
+
+    def __getitem__(self, sym):
+        self.counts[sym] = self.counts.get(sym, 0) + 1
+        return (0, 1)
+
+
+def _optimal_table(counts: dict[int, int], alphabet: int):
+    """Optimal length-limited Huffman table from symbol frequencies —
+    T.81 Annex K.2's procedure (libjpeg's jpeg_gen_optimal_table): a
+    reserved pseudo-symbol of frequency 1 claims the all-1s codeword
+    the spec forbids, pairwise merges accumulate code sizes, sizes past
+    16 are folded down (Figure K.10's adjustment), and the reserved
+    symbol's code is dropped at the end. Returns (bits[16], huffval) in
+    the DHT wire layout. Any canonical ≤16-bit prefix code is a LEGAL
+    table (DHT carries it), so decodability does not depend on
+    reproducing libjpeg's tie-breaks — only optimality does."""
+    nsym = alphabet + 1  # + reserved
+    freq = [0] * nsym
+    for s, c in counts.items():
+        freq[s] = c
+    freq[alphabet] = 1
+    codesize = [0] * nsym
+    others = [-1] * nsym
+    while True:
+        # two least-frequent live symbols; ties → larger symbol value
+        # (the spec's rule — keeps long codes on rare symbols)
+        v1 = v2 = -1
+        f1 = f2 = None
+        for i, f in enumerate(freq):
+            if f <= 0:
+                continue
+            if f1 is None or f <= f1:
+                v2, f2 = v1, f1
+                v1, f1 = i, f
+            elif f2 is None or f <= f2:
+                v2, f2 = i, f
+        if v2 < 0:
+            break  # one tree left
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] >= 0:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] >= 0:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for cs in codesize:
+        if cs:
+            if cs > 32:
+                raise ValueError("JPEG Huffman code size overflow")
+            bits[cs] += 1
+    for i in range(32, 16, -1):  # fold sizes 17..32 down to <=16
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0 and i > 0:
+        i -= 1
+    if i:
+        bits[i] -= 1  # drop the reserved symbol's (longest) code
+    vals = [
+        s for s in sorted(
+            (s for s in range(alphabet) if codesize[s]),
+            key=lambda s: (codesize[s], s),
+        )
+    ]
+    return bits[1:17], vals
+
+
 def _write_jpeg_headers(
     sof_marker, h, w, gray, fh, fv, qy_z, qc_z, tables, restart_interval
 ) -> bytearray:
@@ -455,6 +543,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     scan_script=None,
+    optimize_huffman: bool = False,
 ) -> bytes:
     """Encode (h, w, 3) RGB or (h, w) grayscale uint8 as baseline JFIF:
     4:4:4 (default, no chroma subsampling), 4:2:0 (``"420"`` —
@@ -472,7 +561,11 @@ def encode_jpeg(
     libjpeg-style scan script (or a custom ``scan_script``: a list of
     ``(component_tuple, Ss, Se, Ah, Al)``) — the same quantized
     coefficients as the baseline stream, reordered, so both decode
-    bit-exactly equal."""
+    bit-exactly equal. ``optimize_huffman=True`` runs the 2-pass
+    statistics encode (T.81 K.2): frequency-optimal length-limited
+    tables replace the Annex-K defaults (baseline) or the generic
+    256-symbol AC table (progressive) — what real encoders emit, and
+    a pure entropy-layer change, so the decode stays bit-identical."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}.get(subsampling)
@@ -523,18 +616,33 @@ def encode_jpeg(
         if scans is None:
             scans = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
         _validate_scan_script(scans, ncomp)
-        tables = [(0x00, _DC_LUMA), (0x10, _AC_GENERIC)]
+        if optimize_huffman:  # statistics pass over ALL scans
+            cdy, cdc, cac = (_CountingCodes() for _ in range(3))
+            cnt_dc_by_comp = {c: (cdy if c == 0 else cdc)
+                              for c in range(ncomp)}
+            for comp_list, ss, se, ahi, alo in scans:
+                _encode_prog_scan(
+                    grids, comp_list, ss, se, ahi, alo, samp, mcux,
+                    mcuy, w, h, hmax, vmax, restart_interval,
+                    cnt_dc_by_comp, cac,
+                )
+            t_dc_y = _optimal_table(cdy.counts, 12)
+            t_dc_c = _optimal_table(cdc.counts, 12)
+            t_ac = _optimal_table(cac.counts, 256)
+        else:
+            t_dc_y, t_dc_c, t_ac = _DC_LUMA, _DC_CHROMA, _AC_GENERIC
+        tables = [(0x00, t_dc_y), (0x10, t_ac)]
         if not gray:
-            tables.append((0x01, _DC_CHROMA))
+            tables.append((0x01, t_dc_c))
         out = _write_jpeg_headers(
             b"\xff\xc2", h, w, gray, fh, fv, qy_z, qc_z, tables,
             restart_interval,
         )  # SOF2: progressive DCT
         dc_codes_by_comp = {
-            c: _build_codes(*(_DC_LUMA if c == 0 else _DC_CHROMA))
+            c: _build_codes(*(t_dc_y if c == 0 else t_dc_c))
             for c in range(ncomp)
         }
-        ac_codes = _build_codes(*_AC_GENERIC)
+        ac_codes = _build_codes(*t_ac)
         for comp_list, ss, se, ahi, alo in scans:
             sos = struct.pack(
                 ">HB", 6 + 2 * len(comp_list), len(comp_list)
@@ -552,9 +660,72 @@ def encode_jpeg(
         return bytes(out)
 
     ncomp = 1 if gray else 3
-    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+
+    def scan_pass(writer, dc_y, ac_y, dc_c, ac_c):
+        """One interleaved-scan emission: identical loop for the
+        statistics pass (counting tables + throwaway writer) and the
+        real pass."""
+        preds = [0] * ncomp
+        mcu_i = 0
+
+        def _maybe_restart() -> None:
+            nonlocal mcu_i
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                writer.restart(mcu_i // restart_interval - 1)
+                preds[:] = [0] * ncomp
+            mcu_i += 1
+
+        if subsampled:
+            for by in range(0, ph, mcuh):
+                for bx in range(0, pw, mcuw):
+                    _maybe_restart()
+                    # fh*fv luma blocks, v-then-h order (T.81 A.2.3),
+                    # then one Cb and one Cr block
+                    for bv in range(fv):
+                        for bh in range(fh):
+                            preds[0] = _encode_blocks(
+                                writer,
+                                padded[
+                                    by + bv * 8 : by + bv * 8 + 8,
+                                    bx + bh * 8 : bx + bh * 8 + 8, 0,
+                                ],
+                                qy, dc_y, ac_y, preds[0],
+                            )
+                    cy, cx = by // fv, bx // fh
+                    for c, plane in ((1, cb), (2, cr)):
+                        preds[c] = _encode_blocks(
+                            writer, plane[cy : cy + 8, cx : cx + 8],
+                            qc, dc_c, ac_c, preds[c],
+                        )
+        else:
+            for by in range(0, ph, 8):
+                for bx in range(0, pw, 8):
+                    _maybe_restart()
+                    for c in range(ncomp):
+                        # NATURAL-order table here; the zigzag variants
+                        # above are only for the DQT segment (which the
+                        # spec stores zigzag-scanned)
+                        qn = qy if c == 0 else qc
+                        dc = dc_y if c == 0 else dc_c
+                        ac = ac_y if c == 0 else ac_c
+                        preds[c] = _encode_blocks(
+                            writer, padded[by : by + 8, bx : bx + 8, c],
+                            qn, dc, ac, preds[c],
+                        )
+
+    if optimize_huffman:  # statistics pass → frequency-optimal tables
+        cdy, cay, cdc, cac = (_CountingCodes() for _ in range(4))
+        scan_pass(_BitWriter(), cdy, cay, cdc, cac)
+        t_dc_y = _optimal_table(cdy.counts, 12)
+        t_ac_y = _optimal_table(cay.counts, 256)
+        t_dc_c = _optimal_table(cdc.counts, 12)
+        t_ac_c = _optimal_table(cac.counts, 256)
+    else:
+        t_dc_y, t_ac_y = _DC_LUMA, _AC_LUMA
+        t_dc_c, t_ac_c = _DC_CHROMA, _AC_CHROMA
+    tables = [(0x00, t_dc_y), (0x10, t_ac_y)]
     if not gray:
-        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+        tables += [(0x01, t_dc_c), (0x11, t_ac_c)]
     out = _write_jpeg_headers(
         b"\xff\xc0", h, w, gray, fh, fv, qy_z, qc_z, tables,
         restart_interval,
@@ -565,56 +736,12 @@ def encode_jpeg(
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + sos
 
-    dc_y, ac_y = _build_codes(*_DC_LUMA), _build_codes(*_AC_LUMA)
-    dc_c, ac_c = _build_codes(*_DC_CHROMA), _build_codes(*_AC_CHROMA)
     writer = _BitWriter()
-    preds = [0] * ncomp
-    mcu_i = 0
-
-    def _maybe_restart() -> None:
-        nonlocal mcu_i
-        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-            writer.restart(mcu_i // restart_interval - 1)
-            preds[:] = [0] * ncomp
-        mcu_i += 1
-
-    if subsampled:
-        for by in range(0, ph, mcuh):
-            for bx in range(0, pw, mcuw):
-                _maybe_restart()
-                # fh*fv luma blocks, v-then-h order (T.81 A.2.3), then
-                # one Cb and one Cr block
-                for bv in range(fv):
-                    for bh in range(fh):
-                        preds[0] = _encode_blocks(
-                            writer,
-                            padded[
-                                by + bv * 8 : by + bv * 8 + 8,
-                                bx + bh * 8 : bx + bh * 8 + 8, 0,
-                            ],
-                            qy, dc_y, ac_y, preds[0],
-                        )
-                cy, cx = by // fv, bx // fh
-                for c, plane in ((1, cb), (2, cr)):
-                    preds[c] = _encode_blocks(
-                        writer, plane[cy : cy + 8, cx : cx + 8],
-                        qc, dc_c, ac_c, preds[c],
-                    )
-    else:
-        for by in range(0, ph, 8):
-            for bx in range(0, pw, 8):
-                _maybe_restart()
-                for c in range(ncomp):
-                    # NATURAL-order table here; the zigzag variants above
-                    # are only for the DQT segment (which the spec stores
-                    # zigzag-scanned)
-                    qn = qy if c == 0 else qc
-                    dc = dc_y if c == 0 else dc_c
-                    ac = ac_y if c == 0 else ac_c
-                    preds[c] = _encode_blocks(
-                        writer, padded[by : by + 8, bx : bx + 8, c],
-                        qn, dc, ac, preds[c],
-                    )
+    scan_pass(
+        writer,
+        _build_codes(*t_dc_y), _build_codes(*t_ac_y),
+        _build_codes(*t_dc_c), _build_codes(*t_ac_c),
+    )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -663,15 +790,21 @@ _PROG_SCRIPT_GRAY = [
 
 def _dct_coef_grid(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
     """Quantized ZIGZAG coefficients for every 8x8 block of a padded
-    plane — (bh, bw, 64) int64, the SAME math as the baseline path
-    (DCT of the level-shifted block, rint divide by the NATURAL-order
-    table, zigzag scan), so progressive transmission is a pure
-    reordering of identical data."""
+    plane — (bh, bw, 64) int64, BIT-IDENTICAL math to the baseline
+    path (the same per-block ``_dct2`` matmul expression, rint divide
+    by the NATURAL-order table, zigzag scan), so progressive
+    transmission is a pure reordering of identical data. A batched
+    einsum is NOT equivalent: it sums in a different float order, and
+    a last-ulp difference flips ``rint`` at a coefficient landing on a
+    .5 boundary — one quant step of divergence (caught by the
+    hypothesis sweep at 26x38 q=94)."""
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
-    coef = np.einsum("ux,ijxy,vy->ijuv", _DCT_C, blocks, _DCT_C)
-    q = np.rint(coef.reshape(bh, bw, 64) / qtbl).astype(np.int64)
-    return q[..., _ZIGZAG]
+    out = np.empty((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = _dct2(plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0)
+            out[by, bx] = np.rint(block.ravel() / qtbl).astype(np.int64)
+    return out[..., _ZIGZAG]
 
 
 class _ProgScanState:
@@ -1187,9 +1320,12 @@ def _decode_jpeg_inner(payload: bytes):
 
     ncomp = len(comps)
     if progressive:
-        # Dequantize + IDCT every accumulated block in one vectorized
-        # einsum per component (the scans already did the per-
-        # coefficient work).
+        # Dequantize + IDCT every accumulated block with EXACTLY the
+        # baseline path's per-block expressions — an einsum/batched-
+        # matmul sums in a different float order, and a last-ulp
+        # difference can flip an rint at a .5 boundary, breaking the
+        # bit-exact progressive==baseline contract (found by the
+        # hypothesis sweep at 26x38 q=94).
         cplanes = []
         for ci, (_cid, tq, hi, vi) in enumerate(comps):
             qt = qtables.get(tq)
@@ -1197,15 +1333,15 @@ def _decode_jpeg_inner(payload: bytes):
                 raise ValueError("JPEG scan before its tables")
             grid = coefs[ci]
             gh, gw = grid.shape[:2]
-            nat = np.zeros((gh, gw, 64))
-            nat[..., _ZIGZAG] = grid * qt[_ZIGZAG]
-            blocks = nat.reshape(gh, gw, 8, 8)
-            spatial = np.einsum(
-                "ux,ijuv,vy->ijxy", _DCT_C, blocks, _DCT_C
-            ) + 128.0
-            cplanes.append(
-                spatial.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
-            )
+            plane = np.empty((gh * 8, gw * 8))
+            for by in range(gh):
+                for bx in range(gw):
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_ZIGZAG] = grid[by, bx] * qt[_ZIGZAG]
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _idct2(coef.reshape(8, 8)) + 128.0
+                    )
+            cplanes.append(plane)
         return _assemble_jpeg(w, h, comps, cplanes, hmax, vmax)
 
     if len(scan) != len(comps):
