@@ -1697,6 +1697,7 @@ def synthesize_jpeg(
     height: int = 16,
     quality: int = 90,
     progressive: bool = False,
+    optimize_huffman: bool = False,
 ) -> DataFrame:
     """A real JPEG media table from a text table: channel c of
     every pixel row y is ord(text[c]) + 2y (a smooth vertical gradient —
@@ -1708,7 +1709,9 @@ def synthesize_jpeg(
     must land within the DC-quantization + color-transform bound the
     multimodal_jpeg_roundtrip query asserts. ``progressive=True`` emits
     SOF2 multi-scan streams instead — same quantized coefficients, so
-    the same oracle bound holds (multimodal_jpeg_progressive).
+    the same oracle bound holds (multimodal_jpeg_progressive);
+    ``optimize_huffman=True`` adds the 2-pass frequency-optimal
+    entropy tables (smaller payloads, decode unchanged).
     Arrow-batched (entropy coding needs byte-level packing)."""
     import numpy as np
 
@@ -1731,6 +1734,7 @@ def synthesize_jpeg(
                     encode_jpeg(
                         np.ascontiguousarray(arr), quality,
                         progressive=progressive,
+                        optimize_huffman=optimize_huffman,
                     )
                 )
             yield pd.DataFrame(
