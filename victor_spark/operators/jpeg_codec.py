@@ -322,23 +322,20 @@ def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def _encode_blocks(
+def _encode_block_zz(
     writer: _BitWriter,
-    plane: np.ndarray,
-    qtbl: np.ndarray,
+    zz: np.ndarray,
     dc_codes,
     ac_codes,
     pred: int,
 ) -> int:
-    """Encode one 8x8 block of a single padded plane (called per MCU in
-    the interleave loop via single-block slices). ``qtbl`` is in NATURAL
-    (row-major) order — coefficients are quantized natural-order and
-    only THEN zigzag-scanned (zigzag is not an involution, so dividing
-    natural coefficients by a zigzag-ordered table silently applies the
-    wrong step size to every AC coefficient)."""
-    block = _dct2(plane - 128.0)
-    coef = np.rint(block.ravel() / qtbl).astype(np.int64)
-    zz = coef[_ZIGZAG]
+    """Entropy-code one block's precomputed quantized ZIGZAG
+    coefficients (from ``_dct_coef_grid`` — which quantizes in NATURAL
+    order and only THEN zigzag-scans; zigzag is not an involution, so
+    dividing natural coefficients by a zigzag-ordered table silently
+    applies the wrong step size to every AC coefficient). Both encode
+    passes of ``optimize_huffman`` and the plain single pass all pull
+    from the same grid, so the DCT runs exactly once per block."""
     diff = int(zz[0]) - pred
     pred = int(zz[0])
     s = _category(diff)
@@ -446,12 +443,10 @@ def _optimal_table(counts: dict[int, int], alphabet: int):
         i -= 1
     if i:
         bits[i] -= 1  # drop the reserved symbol's (longest) code
-    vals = [
-        s for s in sorted(
-            (s for s in range(alphabet) if codesize[s]),
-            key=lambda s: (codesize[s], s),
-        )
-    ]
+    vals = sorted(
+        (s for s in range(alphabet) if codesize[s]),
+        key=lambda s: (codesize[s], s),
+    )
     return bits[1:17], vals
 
 
@@ -628,7 +623,13 @@ def encode_jpeg(
                 )
             t_dc_y = _optimal_table(cdy.counts, 12)
             t_dc_c = _optimal_table(cdc.counts, 12)
-            t_ac = _optimal_table(cac.counts, 256)
+            # a DC-only script counts no AC symbols; keep the generic
+            # table rather than emitting a zero-symbol DHT some strict
+            # validators reject
+            t_ac = (
+                _optimal_table(cac.counts, 256)
+                if cac.counts else _AC_GENERIC
+            )
         else:
             t_dc_y, t_dc_c, t_ac = _DC_LUMA, _DC_CHROMA, _AC_GENERIC
         tables = [(0x00, t_dc_y), (0x10, t_ac)]
@@ -660,6 +661,23 @@ def encode_jpeg(
         return bytes(out)
 
     ncomp = 1 if gray else 3
+    # Quantized coefficient grids, computed ONCE (shared by both passes
+    # of optimize_huffman, and the same derivation the progressive
+    # branch uses). NATURAL-order tables here; the zigzag variants are
+    # only for the DQT segment (which the spec stores zigzag-scanned).
+    if gray:
+        base_grids = [_dct_coef_grid(padded[..., 0], qy)]
+    elif subsampled:
+        base_grids = [
+            _dct_coef_grid(padded[..., 0], qy),
+            _dct_coef_grid(cb, qc),
+            _dct_coef_grid(cr, qc),
+        ]
+    else:
+        base_grids = [
+            _dct_coef_grid(padded[..., c], qy if c == 0 else qc)
+            for c in range(3)
+        ]
 
     def scan_pass(writer, dc_y, ac_y, dc_c, ac_c):
         """One interleaved-scan emission: identical loop for the
@@ -676,41 +694,33 @@ def encode_jpeg(
             mcu_i += 1
 
         if subsampled:
-            for by in range(0, ph, mcuh):
-                for bx in range(0, pw, mcuw):
+            for my in range(ph // mcuh):
+                for mx in range(pw // mcuw):
                     _maybe_restart()
                     # fh*fv luma blocks, v-then-h order (T.81 A.2.3),
                     # then one Cb and one Cr block
                     for bv in range(fv):
                         for bh in range(fh):
-                            preds[0] = _encode_blocks(
+                            preds[0] = _encode_block_zz(
                                 writer,
-                                padded[
-                                    by + bv * 8 : by + bv * 8 + 8,
-                                    bx + bh * 8 : bx + bh * 8 + 8, 0,
-                                ],
-                                qy, dc_y, ac_y, preds[0],
+                                base_grids[0][my * fv + bv, mx * fh + bh],
+                                dc_y, ac_y, preds[0],
                             )
-                    cy, cx = by // fv, bx // fh
-                    for c, plane in ((1, cb), (2, cr)):
-                        preds[c] = _encode_blocks(
-                            writer, plane[cy : cy + 8, cx : cx + 8],
-                            qc, dc_c, ac_c, preds[c],
+                    for c in (1, 2):
+                        preds[c] = _encode_block_zz(
+                            writer, base_grids[c][my, mx],
+                            dc_c, ac_c, preds[c],
                         )
         else:
-            for by in range(0, ph, 8):
-                for bx in range(0, pw, 8):
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
                     _maybe_restart()
                     for c in range(ncomp):
-                        # NATURAL-order table here; the zigzag variants
-                        # above are only for the DQT segment (which the
-                        # spec stores zigzag-scanned)
-                        qn = qy if c == 0 else qc
-                        dc = dc_y if c == 0 else dc_c
-                        ac = ac_y if c == 0 else ac_c
-                        preds[c] = _encode_blocks(
-                            writer, padded[by : by + 8, bx : bx + 8, c],
-                            qn, dc, ac, preds[c],
+                        preds[c] = _encode_block_zz(
+                            writer, base_grids[c][by, bx],
+                            dc_y if c == 0 else dc_c,
+                            ac_y if c == 0 else ac_c,
+                            preds[c],
                         )
 
     if optimize_huffman:  # statistics pass → frequency-optimal tables
