@@ -856,7 +856,7 @@ def test_jpeg_420_smooth_gradients_bounded_error(w, h, base, data):
 @given(
     w=st.integers(1, 40), h=st.integers(1, 40),
     ri=st.sampled_from([1, 2, 5]),
-    sub=st.sampled_from(["444", "420", "422"]),
+    sub=st.sampled_from(["444", "420", "422", "440", "411"]),
     base=st.integers(30, 150),
 )
 def test_jpeg_restart_markers_roundtrip(w, h, ri, sub, base):
@@ -902,7 +902,7 @@ _PROG_DEEP = [
 @CODEC_PROP
 @given(
     w=st.integers(1, 40), h=st.integers(1, 40),
-    sub=st.sampled_from(["444", "420", "422"]),
+    sub=st.sampled_from(["444", "420", "422", "440", "411"]),
     quality=st.integers(30, 95),
     script=st.sampled_from([None, "sep_dc", "deep"]),
     ri=st.sampled_from([0, 0, 3]),
@@ -939,7 +939,7 @@ def test_jpeg_progressive_decodes_equal_to_baseline(
 @CODEC_PROP
 @given(
     w=st.integers(1, 40), h=st.integers(1, 40),
-    sub=st.sampled_from(["444", "420", "422"]),
+    sub=st.sampled_from(["444", "420", "422", "440", "411"]),
     prog=st.booleans(),
     quality=st.integers(30, 100),
     seed=st.integers(0, 2**32 - 1),
@@ -970,6 +970,42 @@ def test_jpeg_optimized_huffman_is_transparent_and_smaller(
     # (it lists only used symbols, but 4 tables' 16-byte bits arrays
     # are fixed); the entropy segment itself never loses
     assert len(opt) <= len(plain) + 64
+
+
+@CODEC_PROP
+@given(
+    counts=st.dictionaries(
+        st.integers(0, 255),
+        st.integers(1, 1 << 30),
+        min_size=0, max_size=200,
+    ),
+)
+def test_jpeg_optimal_table_invariants(counts):
+    """_optimal_table must emit a LEGAL DHT for any frequency profile:
+    canonical structure (sum(bits) == len(vals)), every length <= 16,
+    the Kraft sum strictly below 1 (the spec's reserved all-1s codeword
+    stays unused), every counted symbol present exactly once, and the
+    resulting canonical code prefix-free — adversarial skews
+    (2^30-range frequencies force the >16-bit fold-down)."""
+    from victor_spark.operators.jpeg_codec import _build_codes, _optimal_table
+
+    bits, vals = _optimal_table(counts, 256)
+    assert len(bits) == 16 and sum(bits) == len(vals)
+    assert sorted(vals) == sorted(counts)  # exactly the used symbols
+    kraft = sum(n * 2.0 ** -(i + 1) for i, n in enumerate(bits))
+    assert kraft < 1.0 or (len(vals) == 1 and kraft == 0.5)
+    codes = _build_codes(bits, vals)
+    assert len(codes) == len(vals)
+    as_bits = {
+        format(code, f"0{ln}b") for code, ln in codes.values()
+    }
+    assert len(as_bits) == len(vals)
+    for a in as_bits:  # prefix-freedom
+        for b in as_bits:
+            assert a == b or not b.startswith(a)
+    assert "1" * 16 not in as_bits  # and no all-1s code at any length
+    for a in as_bits:
+        assert a != "1" * len(a)
 
 
 def test_jpeg_optimized_huffman_length_limit_folds():

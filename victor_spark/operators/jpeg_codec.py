@@ -2,7 +2,8 @@
 level shift → 8x8 2-D DCT → quality-scaled quantization → zigzag →
 Huffman entropy coding (DC prediction, AC run/size with ZRL/EOB, byte
 stuffing), and the exact inverse. Encoder writes baseline SOF0 (4:4:4,
-4:2:0, 4:2:2 or single-component grayscale) or progressive SOF2 (spectral
+4:2:0, 4:2:2, 4:4:0, 4:1:1 or single-component grayscale) or
+progressive SOF2 (spectral
 selection + successive approximation over a scan script, T.81 Annex G)
 with the quant/Huffman tables embedded in DQT/DHT, so ANY decoder opens
 the output; the decoder reads whatever tables the stream carries (it
@@ -544,9 +545,12 @@ def encode_jpeg(
     4:4:4 (default, no chroma subsampling), 4:2:0 (``"420"`` —
     2x2-averaged chroma, 16x16 MCUs of 4 luma + 1 Cb + 1 Cr blocks, the
     dominant real-world layout), 4:2:2 (``"422"`` — horizontally-halved
-    chroma, 16x8 MCUs, the broadcast/intermediate layout; together they
-    let property tests synthesize NON-SQUARE sampling-factor streams at
-    arbitrary sizes) or single-component; edges
+    chroma, 16x8 MCUs, the broadcast/intermediate layout), 4:4:0
+    (``"440"`` — vertically-halved chroma) and 4:1:1 (``"411"`` —
+    quarter-width chroma, 32x8 MCUs, the DV-camera layout; together
+    they sweep the decoder's general Hi x Vi path over non-square and
+    non-power-of-two-ratio grids at arbitrary sizes) or
+    single-component; edges
     padded by replication to MCU multiples; Annex-K tables scaled by
     ``quality`` and embedded in the stream. ``restart_interval`` > 0
     emits a DRI segment and byte-aligned RSTn markers every that many
@@ -563,7 +567,10 @@ def encode_jpeg(
     a pure entropy-layer change, so the decode stays bit-identical."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
-    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}.get(subsampling)
+    factors = {
+        "444": (1, 1), "420": (2, 2), "422": (2, 1),
+        "440": (1, 2), "411": (4, 1),
+    }.get(subsampling)
     if factors is None:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     fh, fv = (1, 1) if gray else factors  # luma sampling factors
