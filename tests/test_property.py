@@ -879,6 +879,39 @@ def test_jpeg_restart_markers_roundtrip(w, h, ri, sub, base):
     assert np.array_equal(back, plain)  # markers are transparent
 
 
+@CODEC_PROP
+@given(
+    w=st.integers(1, 48), h=st.integers(1, 48),
+    seed=st.integers(0, 2**32 - 1),
+    smooth=st.booleans(),
+)
+def test_png_adaptive_filtering_is_lossless_and_helps(w, h, seed, smooth):
+    """'adaptive' filter selection (the libpng minimum-sum-of-absolute-
+    residuals heuristic) must stay a LOSSLESS bit-exact roundtrip for
+    any content, and on smooth gradients must never produce a larger
+    stream than unfiltered encoding (it may pick filter 0 everywhere,
+    so <= is the contract; in practice gradients shrink 60-80%)."""
+    import numpy as np
+
+    from victor_spark.operators.multimodal import _encode_png, _parse_png
+
+    rng = np.random.default_rng(seed)
+    if smooth:
+        yy = np.arange(h)[:, None, None] * 2
+        xx = np.arange(w)[None, :, None]
+        arr = np.clip(int(rng.integers(0, 100)) + yy + xx, 0, 255)
+        arr = np.ascontiguousarray(
+            np.broadcast_to(arr, (h, w, 3)).astype(np.uint8)
+        )
+    else:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    enc = _encode_png(arr, filter_type="adaptive")
+    w2, h2, back = _parse_png(enc)
+    assert (w2, h2) == (w, h) and np.array_equal(back, arr)
+    if smooth:
+        assert len(enc) <= len(_encode_png(arr, 0))
+
+
 # scan scripts the progressive property sweeps: None = the libjpeg-style
 # default (successive approximation), sep-dc = spectral-selection-only
 # with per-component NON-INTERLEAVED DC scans (the component-grid-vs-

@@ -347,10 +347,13 @@ def _filter_scanline(ftype: int, row, prev, bpp: int):
 def _encode_png(arr, filter_type: int | str = 0) -> bytes:
     """Encode an (h, w, 3) uint8 array as a REAL PNG (color type 2,
     bit depth 8): filtered scanlines → zlib deflate → signed chunks.
-    ``filter_type`` picks the per-scanline filter — an int 0-4, or
-    'cycle' to use filter (y mod 5) on scanline y, which makes a single
-    image exercise every unfilter path of the decoder. Any PNG reader
-    opens the output; the bytes are deterministic for a fixed zlib."""
+    ``filter_type`` picks the per-scanline filter — an int 0-4,
+    'cycle' to use filter (y mod 5) on scanline y (makes a single
+    image exercise every unfilter path of the decoder), or 'adaptive'
+    for the standard libpng heuristic (per scanline, the filter
+    minimizing the sum of absolute signed residuals — smaller deflate
+    input, same lossless pixels). Any PNG reader opens the output; the
+    bytes are deterministic for a fixed zlib."""
     import struct
     import zlib
 
@@ -362,6 +365,18 @@ def _encode_png(arr, filter_type: int | str = 0) -> bytes:
     lines = []
     prev = np.zeros(w * 3, dtype=np.uint8)
     for y in range(h):
+        if filter_type == "adaptive":
+            best = best_cost = None
+            for cand in range(5):
+                fl = _filter_scanline(cand, flat[y], prev, 3)
+                signed = fl.astype(np.int32)
+                cost = int(np.where(signed < 128, signed, 256 - signed).sum())
+                if best_cost is None or cost < best_cost:
+                    best, best_cost, ft = fl, cost, cand
+            lines.append(bytes([ft]))
+            lines.append(best.tobytes())
+            prev = flat[y]
+            continue
         ft = (y % 5) if filter_type == "cycle" else int(filter_type)
         lines.append(bytes([ft]))
         lines.append(_filter_scanline(ft, flat[y], prev, 3).tobytes())
