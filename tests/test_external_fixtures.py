@@ -193,6 +193,53 @@ def test_real_progressive_jpegs_decode():
     assert 0 < mad < 8  # close but not equal: refinement scans missing
 
 
+def test_real_raster_family_decodes_bit_exact_cross_codec():
+    """EIGHT more real renditions of the SAME 16x16 source image, one
+    per simple-raster container: P6 PPM (pins the package's ORIGINAL
+    codec against an external encoder for the first time), P5 PGM,
+    P4 PBM, 32-bit BI_BITFIELDS BMP (V5 header), byte-RLE Sun raster,
+    scanline-RLE SGI, uncompressed-RGBA little-endian TIFF and XBM.
+    The five RGB containers are LOSSLESS, so they must decode to
+    BIT-IDENTICAL pixels — a five-way cross-encoder, cross-compression
+    equality oracle — and the monochrome pair (PBM/XBM) must agree
+    with each other bit-exactly and with the thresholded luminance of
+    the RGB rendition on most pixels."""
+    import numpy as np
+
+    from victor_spark.operators.multimodal import _parse_image
+
+    rgb = {}
+    for name in (
+        "real_16x16.ppm",
+        "real_16x16_bitfields.bmp",
+        "real_16x16_rle.ras",
+        "real_16x16_rle.sgi",
+        "real_16x16_rgba.tiff",
+    ):
+        w, h, arr = _parse_image(_load(name))
+        assert (w, h, arr.shape) == (16, 16, (16, 16, 3)), name
+        rgb[name] = arr
+    ref = rgb["real_16x16.ppm"]
+    for name, arr in rgb.items():
+        assert np.array_equal(arr, ref), name  # five-way bit-exact
+    means = [float(ref[..., c].mean()) for c in range(3)]
+    assert means == pytest.approx([96.4180, 101.8945, 70.1172], abs=1e-3)
+
+    w, h, gray = _parse_image(_load("real_16x16.pgm"))
+    assert (w, h) == (16, 16)
+    assert np.array_equal(gray[..., 0], gray[..., 1])
+    assert float(gray.mean()) == pytest.approx(98.41015625, abs=1e-3)
+
+    w, h, pbm = _parse_image(_load("real_16x16.pbm"))
+    w, h, xbm = _parse_image(_load("real_16x16.xbm"))
+    assert np.array_equal(pbm, xbm)  # same bitmap, two containers
+    assert set(np.unique(pbm)) <= {0, 255}
+    # the bitmap is a threshold of the color art: agree on >=75% of px
+    lum = ref.mean(axis=2)
+    agree = ((pbm[..., 0] == 0) == (lum < 128)).mean()
+    assert agree >= 0.75, agree
+
+
 def test_real_wavs_cross_depth_consistency():
     """Five REAL renditions of the same recording (stereo, at PCM
     8/16/24/32 bits plus an EXTENSIBLE wrapper) all decode to the same
@@ -242,10 +289,11 @@ def test_real_fixtures_route_through_media_ingest(spark, tmp_path):
     lake = tmp_path / "lake"
     lake.mkdir()
     for name in os.listdir(FIX):
-        if name.endswith((".jpg", ".gif", ".png", ".wav")):
+        if name.endswith((".jpg", ".gif", ".png", ".wav", ".ppm", ".pgm",
+                          ".pbm", ".bmp", ".ras", ".sgi", ".tiff", ".xbm")):
             shutil.copy(os.path.join(FIX, name), lake / name)
     rows = load_media_dir(spark, str(lake)).collect()
-    assert len(rows) == 14
+    assert len(rows) == 22
     assert all(r["kind"] in ("image", "audio") for r in rows)  # none binary
     audio = [r for r in rows if r["kind"] == "audio"]
     assert len(audio) == 5
@@ -253,4 +301,4 @@ def test_real_fixtures_route_through_media_ingest(spark, tmp_path):
     widths = sorted(
         r["meta_width"] for r in rows if r["kind"] == "image"
     )
-    assert widths == [2, 16, 16, 16, 16, 32, 196, 300, 493]
+    assert widths == [2] + [16] * 12 + [32, 196, 300, 493]

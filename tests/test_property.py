@@ -912,6 +912,95 @@ def test_png_adaptive_filtering_is_lossless_and_helps(w, h, seed, smooth):
         assert len(enc) <= len(_encode_png(arr, 0))
 
 
+@CODEC_PROP
+@given(
+    w=st.integers(1, 40), h=st.integers(1, 40),
+    seed=st.integers(0, 2**32 - 1),
+    fmt=st.sampled_from([
+        "P1", "P2", "P3", "P4", "P5", "P6",
+        "bmp", "ras", "ras_rle", "sgi", "sgi_rle", "tiff",
+        "tiff_packbits", "xbm",
+    ]),
+)
+def test_raster_codecs_roundtrip_bit_exact(w, h, seed, fmt):
+    """Every simple-raster container is LOSSLESS: encode→decode
+    through the shared _parse_image dispatch is the identity for
+    arbitrary content (RGB formats bit-exact; gray formats on the gray
+    plane; bitmap formats on the thresholded plane), including both
+    RLE paths and PackBits."""
+    import numpy as np
+
+    from victor_spark.operators import raster_codecs as rc
+    from victor_spark.operators.multimodal import _parse_image
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    if fmt in ("P1", "P2", "P3", "P4", "P5", "P6"):
+        src = rgb if fmt in ("P3", "P6") else gray
+        enc = rc.encode_pnm(src, fmt)
+    elif fmt == "bmp":
+        enc = rc.encode_bmp(rgb)
+    elif fmt.startswith("ras"):
+        enc = rc.encode_ras(rgb, rle=fmt.endswith("rle"))
+    elif fmt.startswith("sgi"):
+        enc = rc.encode_sgi(rgb, rle=fmt.endswith("rle"))
+    elif fmt.startswith("tiff"):
+        enc = rc.encode_tiff(rgb, packbits=fmt.endswith("packbits"))
+    else:
+        enc = rc.encode_xbm(gray)
+    w2, h2, back = _parse_image(enc)
+    assert (w2, h2) == (w, h)
+    if fmt in ("P1", "P4", "xbm"):
+        assert np.array_equal(back[..., 0] == 0, gray < 128)
+    elif fmt in ("P2", "P5"):
+        assert np.array_equal(back[..., 0], gray)
+        assert np.array_equal(back[..., 0], back[..., 2])
+    else:
+        assert np.array_equal(back, rgb)
+
+
+@CODEC_PROP
+@given(data=st.data())
+def test_raster_codec_corruption_never_escapes_valueerror(data):
+    """Single-byte corruption of any simple-raster stream either still
+    decodes (verbatim rasters carry no integrity check — a flipped
+    pixel byte is a legal image) or raises ValueError; never
+    struct.error/IndexError or a crash. RLE/PackBits length
+    bookkeeping and the TIFF tag walk must never loop or overrun."""
+    import numpy as np
+
+    from victor_spark.operators import raster_codecs as rc
+    from victor_spark.operators.multimodal import _parse_image
+
+    rgb = (np.arange(9 * 11 * 3, dtype=np.uint32) % 256).astype(
+        np.uint8
+    ).reshape(9, 11, 3)
+    fmt = data.draw(st.sampled_from(
+        ["P4", "P5", "P6", "bmp", "ras_rle", "sgi_rle", "tiff_packbits"]
+    ))
+    if fmt in ("P4", "P5"):
+        enc = rc.encode_pnm(rgb[..., 0], fmt)
+    elif fmt == "P6":
+        enc = rc.encode_pnm(rgb, fmt)
+    elif fmt == "bmp":
+        enc = rc.encode_bmp(rgb)
+    elif fmt == "ras_rle":
+        enc = rc.encode_ras(rgb, rle=True)
+    elif fmt == "sgi_rle":
+        enc = rc.encode_sgi(rgb, rle=True)
+    else:
+        enc = rc.encode_tiff(rgb, packbits=True)
+    payload = bytearray(enc)
+    i = data.draw(st.integers(0, len(payload) - 1))
+    payload[i] = (payload[i] + data.draw(st.integers(1, 255))) % 256
+    try:
+        w, h, back = _parse_image(bytes(payload))
+    except ValueError:
+        return
+    assert back.shape[2] == 3
+
+
 # scan scripts the progressive property sweeps: None = the libjpeg-style
 # default (successive approximation), sep-dc = spectral-selection-only
 # with per-component NON-INTERLEAVED DC scans (the component-grid-vs-

@@ -630,13 +630,30 @@ def _parse_gif_indexed(payload: bytes):
 _JPEG_MAGIC = b"\xff\xd8\xff"
 
 
+def _is_simple_raster(payload: bytes) -> bool:
+    """Magic check for the uncompressed/RLE raster family handled by
+    operators/raster_codecs.py: PNM P1-P5 (P6 is the original PPM
+    path), BMP, Sun raster, SGI, baseline TIFF, XBM."""
+    return (
+        payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5")
+        or payload[:2] == b"BM"
+        or payload[:4] == b"\x59\xa6\x6a\x95"
+        or payload[:2] == b"\x01\xda"
+        or payload[:4] in (b"II*\x00", b"MM\x00*")
+        or (payload[:7] == b"#define" and b"_bits[]" in payload[:4096])
+    )
+
+
 def _parse_image(payload: bytes):
     """Decode any supported image container to (w, h, (h,w,3) uint8):
-    binary PPM (uncompressed), PNG (compressed, lossless), GIF
-    (compressed, palette-resolved first frame), or JPEG — baseline and
-    progressive SOF2 (compressed, LOSSY — the full DCT/Huffman
-    pipeline in operators/jpeg_codec.py). The single dispatch point for the image
-    decode farm operators."""
+    the PNM family (PPM/PGM/PBM, binary and ASCII), PNG (compressed,
+    lossless), GIF (compressed, palette-resolved first frame), JPEG —
+    baseline and progressive SOF2 (compressed, LOSSY — the full
+    DCT/Huffman pipeline in operators/jpeg_codec.py) — plus the
+    simple-raster tier in operators/raster_codecs.py: BMP, Sun raster
+    (incl. byte-RLE), SGI (incl. scanline-RLE), baseline TIFF (incl.
+    PackBits) and XBM. The single dispatch point for the image decode
+    farm operators."""
     if payload.startswith(_PNG_SIG):
         return _parse_png(payload)
     if payload[:6] in _GIF_MAGICS:
@@ -646,6 +663,20 @@ def _parse_image(payload: bytes):
         from victor_spark.operators.jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:2] != b"P6" and _is_simple_raster(payload):
+        from victor_spark.operators import raster_codecs as rc
+
+        if payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5"):
+            return rc.parse_pnm(payload)
+        if payload[:2] == b"BM":
+            return rc.parse_bmp(payload)
+        if payload[:4] == b"\x59\xa6\x6a\x95":
+            return rc.parse_ras(payload)
+        if payload[:2] == b"\x01\xda":
+            return rc.parse_sgi(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return rc.parse_tiff(payload)
+        return rc.parse_xbm(payload)
     w, h, _maxval, arr = _parse_ppm(payload)
     return w, h, arr
 
@@ -1021,7 +1052,8 @@ def _decode_image(payload: bytes) -> list[float]:
     the stub rather than failing the extract job."""
     if (payload.startswith(b"P6") or payload.startswith(_PNG_SIG)
             or payload[:6] in _GIF_MAGICS
-            or payload.startswith(_JPEG_MAGIC)):
+            or payload.startswith(_JPEG_MAGIC)
+            or _is_simple_raster(payload)):
         import numpy as np
 
         try:

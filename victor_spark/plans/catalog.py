@@ -5030,8 +5030,16 @@ def q_multimodal_gif_frames(spark, sf_dir):
     "ingest_external_fixtures",
     """
 SELECT * FROM (VALUES
+  (CAST(41    AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(71    AS BIGINT), 'image', CAST(2   AS BIGINT), CAST(2   AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(269   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(282   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(405   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(781   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(1056  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(1162  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(1326  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(1967  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(543   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(690   AS BIGINT), 'image', CAST(32  AS BIGINT), CAST(32  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(1020  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
@@ -5051,8 +5059,13 @@ SELECT * FROM (VALUES
     "PROGRESSIVE SOF2 JPEGs (one spectral-selection-only color, one "
     "successive-approximation grayscale), real GIF89a, "
     "real PNGs across color types 0/3/4/6 incl. a PALETTE and a "
-    "16-BIT-depth stream, five real stereo WAV renditions incl. "
-    "24/32-bit and WAVE_FORMAT_EXTENSIBLE): every fixture must ingest "
+    "16-BIT-depth stream, the full simple-raster family as real "
+    "renditions of ONE source image (P6 PPM, P5 PGM, P4 PBM, 32-bit "
+    "BI_BITFIELDS BMP, byte-RLE Sun raster, scanline-RLE SGI, "
+    "uncompressed-RGBA TIFF, XBM — the five RGB containers decode "
+    "bit-identically, pinned in pytest), five real stereo WAV "
+    "renditions incl. 24/32-bit and WAVE_FORMAT_EXTENSIBLE): every "
+    "fixture must ingest "
     "through the media sniffer with the right kind + container "
     "metadata, none quarantined to kind='binary'. The oracle is the "
     "literal expected table (fixtures are committed bytes, so the "

@@ -41,6 +41,7 @@ from victor_spark.operators.multimodal import (
     _GIF_MAGICS,
     _JPEG_MAGIC,
     _PNG_SIG,
+    _is_simple_raster,
     _is_wave,
     _parse_gif,
     _parse_png,
@@ -117,6 +118,17 @@ def load_media_dir(
 
                         kind = "image"
                         w, h = jpeg_dimensions(b)
+                    elif _is_simple_raster(b):
+                        # the uncompressed/RLE raster family (PNM,
+                        # BMP, Sun raster, SGI, baseline TIFF, XBM) —
+                        # decode IS the header-cheap path for these
+                        # (verbatim memcpy or byte-RLE)
+                        from victor_spark.operators.multimodal import (
+                            _parse_image,
+                        )
+
+                        kind = "image"
+                        w, h, _arr = _parse_image(b)
                     elif _is_wave(b):  # both RIFF magics — bare 'RIFF'
                         # also wraps AVI (below) / WebP (kind='binary')
                         kind = "audio"
