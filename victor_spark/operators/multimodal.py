@@ -663,7 +663,7 @@ def _parse_image(payload: bytes):
         from victor_spark.operators.jpeg_codec import decode_jpeg
 
         return decode_jpeg(payload)
-    if payload[:2] != b"P6" and _is_simple_raster(payload):
+    if _is_simple_raster(payload):
         from victor_spark.operators import raster_codecs as rc
 
         if payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5"):

@@ -90,8 +90,11 @@ def _parse_pnm_inner(payload: bytes):
     if kind in (b"1", b"2", b"3"):  # ASCII rasters
         n = w * h * (3 if kind == b"3" else 1)
         if kind == b"1":
-            # P1 digits may be unseparated; split on every 0/1 char
-            bits = [c - 48 for c in payload[pos:] if c in (48, 49)]
+            # P1 digits may be unseparated; split on every 0/1 char —
+            # AFTER stripping '#' comment lines, whose digits are NOT
+            # raster bits (comments are legal anywhere in PNM)
+            raster_txt = re.sub(rb"#[^\n]*", b"", payload[pos:])
+            bits = [c - 48 for c in raster_txt if c in (48, 49)]
             if len(bits) < n:
                 raise ValueError("PBM ASCII raster short")
             samples = np.array(bits[:n], dtype=np.uint8)
@@ -128,8 +131,11 @@ def _parse_pnm_inner(payload: bytes):
 
 def encode_pnm(arr: np.ndarray, kind: str = "P6") -> bytes:
     """Encode (h, w) grayscale/bool or (h, w, 3) RGB as PNM. P4 packs
-    (gray < 128) as black bits; P1/P2/P3 write the ASCII variants."""
+    (gray < 128) as black bits (bool True = white); P1/P2/P3 write the
+    ASCII variants."""
     a = np.asarray(arr)
+    if a.dtype == bool:
+        a = a.astype(np.uint8) * 255
     if kind in ("P3", "P6"):
         if a.ndim != 3:
             raise ValueError("pixmap encode needs (h, w, 3)")
@@ -167,9 +173,9 @@ def encode_pnm(arr: np.ndarray, kind: str = "P6") -> bytes:
 
 def parse_bmp(payload: bytes):
     """Decode a Windows BMP: BITMAPINFOHEADER and the V4/V5 extensions,
-    uncompressed BI_RGB at 1/4/8 (palette) and 24/32 bpp, plus
-    BI_BITFIELDS at 16/32 bpp with byte-aligned 8-bit masks (what
-    every real encoder writes for 32-bit). Bottom-up rows (negative
+    uncompressed BI_RGB at 1/4/8 (palette), 16 (RGB555 default),
+    24 and 32 bpp, plus BI_BITFIELDS at 16/32 bpp with any contiguous
+    channel masks (scaled to 8 bits). Bottom-up rows (negative
     height = top-down), 4-byte row padding, BGR channel order."""
     try:
         return _parse_bmp_inner(payload)
@@ -204,7 +210,7 @@ def _parse_bmp_inner(payload: bytes):
     palette = None
     if bpp in (1, 4, 8):
         count = n_colors or (1 << bpp)
-        pal_off = 14 + hdr_size + (12 if compression == 3 else 0)
+        pal_off = 14 + hdr_size  # palette bpps are BI_RGB-only here
         raw = payload[pal_off : pal_off + 4 * count]
         if len(raw) != 4 * count:
             raise ValueError("BMP palette short")
@@ -220,11 +226,15 @@ def _parse_bmp_inner(payload: bytes):
     if bpp == 24:
         px = rows[:, : w * 3].reshape(h, w, 3)[..., [2, 1, 0]]  # BGR
     elif bpp in (16, 32):
-        word = np.uint16 if bpp == 16 else np.uint32
+        word = np.dtype("<u2" if bpp == 16 else "<u4")  # BMP is LE
         vals = rows[:, : w * bpp // 8].copy().view(word).reshape(h, w)
         vals = vals.astype(np.uint32)
-        if masks is None:  # BI_RGB 32: fixed BGRx layout
-            masks = (0x00FF0000, 0x0000FF00, 0x000000FF)
+        if masks is None:  # BI_RGB defaults: RGB555 (16) / BGRx (32)
+            masks = (
+                (0x7C00, 0x03E0, 0x001F)
+                if bpp == 16
+                else (0x00FF0000, 0x0000FF00, 0x000000FF)
+            )
         chans = []
         for m in masks:
             if m == 0:
@@ -507,6 +517,8 @@ def encode_sgi(arr: np.ndarray, rle: bool = False) -> bytes:
     scanline-RLE (storage 1) with per-(row, channel) offset tables."""
     a = np.asarray(arr, dtype=np.uint8)
     h, w = a.shape[:2]
+    if w > 65535 or h > 65535:
+        raise ValueError("SGI dimensions exceed the format's 16-bit fields")
     head = struct.pack(
         ">HBBHHHHII4x80x4x", 474, 1 if rle else 0, 1, 3, w, h, 3,
         0, 255,
@@ -591,13 +603,11 @@ def _parse_tiff_inner(payload: bytes):
         if size is None:
             continue  # unknown type: skip tag (TIFF6 rule)
         total = size * cnt
-        raw = (
-            e[8 : 8 + total]
-            if total <= 4
-            else payload[
-                struct.unpack(bo + "I", e[8:12])[0] :
-            ][:total]
-        )
+        if total <= 4:
+            raw = e[8 : 8 + total]
+        else:
+            voff = struct.unpack(bo + "I", e[8:12])[0]
+            raw = payload[voff : voff + total]
         if len(raw) != total:
             raise ValueError(f"TIFF tag {tag} data short")
         if typ == 3:
@@ -696,6 +706,10 @@ def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
     one strip, photometric RGB, compression none or PackBits."""
     a = np.asarray(arr, dtype=np.uint8)
     h, w = a.shape[:2]
+    if w > 65535 or h > 65535:
+        raise ValueError(
+            "encode_tiff writes SHORT dimension tags; image too large"
+        )
     raster = a.tobytes()
     if packbits:
         out = bytearray()
