@@ -276,6 +276,39 @@ def test_real_wavs_cross_depth_consistency():
     assert int(np.abs(s8 - ref).max()) <= 256  # one 8-bit step
 
 
+def test_real_aiff_au_cross_container_consistency():
+    """EIGHT real renditions of the pluck recording in THREE more
+    audio containers — AIFF PCM 8 (SIGNED, unlike WAV)/16/24 with the
+    format's 80-bit extended-float sample rate, AIFF-C G.711 µ-law AND
+    A-law (the A-law expansion's only real-encoder pin), Sun AU PCM
+    16/24 and µ-law — all decode to the same mono-int16 stream as the
+    WAV reference: PCM within the cross-master dither (≤3 at 16-bit+,
+    one step at 8-bit), companded within the G.711 quantization
+    interval. A wrong A-law segment formula or AU/AIFF byte order
+    lands hundreds of times outside these bounds."""
+    import numpy as np
+
+    from victor_spark.operators.multimodal import _parse_audio, _parse_wav
+
+    ref_rate, ref = _parse_wav(_load("real_pluck_pcm16_stereo.wav"))
+    ref = ref.astype(np.int32)
+    bounds = {
+        "real_pluck_pcm8.aiff": 256,
+        "real_pluck_pcm16.aiff": 3,
+        "real_pluck_pcm24.aiff": 3,
+        "real_pluck_ulaw.aifc": 400,
+        "real_pluck_alaw.aifc": 400,
+        "real_pluck_pcm16.au": 3,
+        "real_pluck_pcm24.au": 3,
+        "real_pluck_ulaw.au": 400,
+    }
+    for name, bound in bounds.items():
+        rate, s = _parse_audio(_load(name))
+        assert rate == ref_rate == 11025, name
+        assert len(s) == len(ref) == 3307, name
+        assert int(np.abs(s.astype(np.int32) - ref).max()) <= bound, name
+
+
 def test_real_fixtures_route_through_media_ingest(spark, tmp_path):
     """End-to-end: a directory holding every external fixture ingests
     through load_media_dir with the right kind + metadata per file —
@@ -290,13 +323,14 @@ def test_real_fixtures_route_through_media_ingest(spark, tmp_path):
     lake.mkdir()
     for name in os.listdir(FIX):
         if name.endswith((".jpg", ".gif", ".png", ".wav", ".ppm", ".pgm",
-                          ".pbm", ".bmp", ".ras", ".sgi", ".tiff", ".xbm")):
+                          ".pbm", ".bmp", ".ras", ".sgi", ".tiff", ".xbm",
+                          ".aiff", ".aifc", ".au")):
             shutil.copy(os.path.join(FIX, name), lake / name)
     rows = load_media_dir(spark, str(lake)).collect()
-    assert len(rows) == 22
+    assert len(rows) == 30
     assert all(r["kind"] in ("image", "audio") for r in rows)  # none binary
     audio = [r for r in rows if r["kind"] == "audio"]
-    assert len(audio) == 5
+    assert len(audio) == 13
     assert all(r["meta_sample_rate"] == 11025 for r in audio)
     widths = sorted(
         r["meta_width"] for r in rows if r["kind"] == "image"

@@ -961,6 +961,71 @@ def test_raster_codecs_roundtrip_bit_exact(w, h, seed, fmt):
 
 
 @CODEC_PROP
+@given(
+    n=st.integers(0, 400),
+    rate=st.sampled_from([8000, 11025, 44100, 48000]),
+    stereo=st.booleans(),
+    container=st.sampled_from(["aiff", "au"]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_aiff_au_roundtrip(n, rate, stereo, container, seed):
+    """PCM16 encode→decode through AIFF (big-endian SSND + 80-bit
+    float rate) and Sun AU is the identity for mono, and the WAV-
+    matching (l+r)//2 floor downmix for stereo — the cross-container
+    normalization every audio fingerprint depends on."""
+    import numpy as np
+
+    from victor_spark.operators.multimodal import (
+        _encode_aiff,
+        _encode_au,
+        _parse_audio,
+    )
+
+    rng = np.random.default_rng(seed)
+    ch = 2 if stereo else 1
+    s = rng.integers(-32768, 32768, n * ch).astype(np.int16)
+    enc = (_encode_aiff if container == "aiff" else _encode_au)(
+        rate, s, channels=ch
+    )
+    got_rate, got = _parse_audio(enc)
+    assert got_rate == rate
+    if stereo:
+        exp = (s[0::2].astype(np.int32) + s[1::2].astype(np.int32)) // 2
+        assert np.array_equal(got.astype(np.int32), exp)
+    else:
+        assert np.array_equal(got, s)
+
+
+@CODEC_PROP
+@given(data=st.data())
+def test_aiff_au_corruption_never_escapes_valueerror(data):
+    """Single-byte corruption of an AIFF or AU stream either still
+    decodes (raw PCM carries no integrity check) or raises ValueError;
+    the IFF chunk walk, 80-bit float parse and AU header validation
+    must never crash or loop."""
+    import numpy as np
+
+    from victor_spark.operators.multimodal import (
+        _encode_aiff,
+        _encode_au,
+        _parse_audio,
+    )
+
+    s = (np.arange(300) * 37 % 65536 - 32768).astype(np.int16)
+    enc = bytearray(
+        _encode_aiff(11025, s) if data.draw(st.booleans())
+        else _encode_au(11025, s)
+    )
+    i = data.draw(st.integers(0, len(enc) - 1))
+    enc[i] = (enc[i] + data.draw(st.integers(1, 255))) % 256
+    try:
+        rate, got = _parse_audio(bytes(enc))
+    except ValueError:
+        return
+    assert got.dtype == np.int16
+
+
+@CODEC_PROP
 @given(data=st.data())
 def test_raster_codec_corruption_never_escapes_valueerror(data):
     """Single-byte corruption of any simple-raster stream either still

@@ -765,10 +765,253 @@ def _parse_wav(payload: bytes):
     return rate, samples.astype(np.int16)
 
 
+def _alaw_decode(a):
+    """G.711 A-law byte → linear int16, the standard expansion (ITU-T
+    G.711; the µ-law twin lives in _mulaw_decode): undo the even-bit
+    toggle (XOR 0x55), split sign/segment/mantissa, reconstruct with
+    the +8 rounding offset (+0x108 and a shift for segments ≥ 1). Sign
+    bit SET means positive in A-law."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.uint8).astype(np.int32) ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = np.where(seg > 0, (t + 0x108) << np.maximum(seg - 1, 0), t + 8)
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _float80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (big-endian) — how AIFF's COMM
+    chunk stores the sample rate (the format's classic quirk)."""
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    e = exp - 16383 - 63
+    if e > 64:  # corrupt/NaN-range exponent: would overflow float64;
+        # return inf so the caller's rate sanity check raises ValueError
+        return float("inf")
+    v = mant * 2.0 ** e
+    return -v if b[0] & 0x80 else v
+
+
+def _parse_aiff(payload: bytes):
+    """Decode an AIFF / AIFF-C container: IFF chunk walk, COMM (incl.
+    the 80-bit extended-float sample rate and the AIFC compression
+    id), SSND with its offset field. PCM 8 (SIGNED — unlike WAV's
+    unsigned PCM8) / 16 / 24 / 32-bit BIG-endian, plus AIFC G.711
+    'ulaw'/'alaw' (both case conventions). Stereo downmixed (l+r)//2
+    and 24/32-bit truncated to the top 16 bits — the same int16-lake
+    normalization as _parse_wav, so cross-container fingerprints
+    match. Returns (sample_rate, int16 ndarray)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if (
+            len(payload) < 12
+            or payload[:4] != b"FORM"
+            or payload[8:12] not in (b"AIFF", b"AIFC")
+        ):
+            raise ValueError("not an AIFF payload")
+        is_aifc = payload[8:12] == b"AIFC"
+        pos, comm, sound, comp = 12, None, None, b"NONE"
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + size]
+            if len(body) != size:
+                raise ValueError("AIFF chunk short")
+            if cid == b"COMM":
+                if len(body) < 18:
+                    raise ValueError("AIFF COMM chunk short")
+                ch, _nframes, bits = struct.unpack(">hIh", body[:8])
+                rate = _float80(body[8:18])
+                if is_aifc:
+                    if len(body) < 22:
+                        raise ValueError("AIFC COMM missing compression")
+                    comp = body[18:22]
+                comm = (ch, bits, rate)
+            elif cid == b"SSND":
+                if len(body) < 8:
+                    raise ValueError("AIFF SSND chunk short")
+                off, _blk = struct.unpack(">II", body[:8])
+                sound = body[8 + off :]
+            pos += 8 + size + (size & 1)  # IFF chunks are word-aligned
+        if comm is None or sound is None:
+            raise ValueError("AIFF missing COMM/SSND chunk")
+        ch, bits, rate = comm
+        if ch not in (1, 2):
+            raise ValueError(f"unsupported AIFF channel count {ch}")
+        if not 0 < rate <= 1e7:
+            raise ValueError(f"AIFF sample rate implausible: {rate}")
+        if comp in (b"ulaw", b"ULAW"):
+            samples = _mulaw_decode(
+                np.frombuffer(sound, dtype=np.uint8)
+            ).astype(np.int32)
+        elif comp in (b"alaw", b"ALAW"):
+            samples = _alaw_decode(
+                np.frombuffer(sound, dtype=np.uint8)
+            ).astype(np.int32)
+        elif comp in (b"NONE", b"sowt"):
+            # 'sowt' is AIFC's little-endian PCM variant
+            lil = comp == b"sowt"
+            if bits == 16:
+                samples = np.frombuffer(
+                    sound[: len(sound) // 2 * 2],
+                    dtype="<i2" if lil else ">i2",
+                ).astype(np.int32)
+            elif bits == 8:  # AIFF PCM8 is SIGNED (WAV's is unsigned)
+                samples = (
+                    np.frombuffer(sound, dtype=np.int8).astype(np.int32)
+                    * 256
+                )
+            elif bits == 24:
+                b3 = np.frombuffer(
+                    sound[: len(sound) // 3 * 3], dtype=np.uint8
+                ).reshape(-1, 3).astype(np.int32)
+                if lil:
+                    v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+                else:
+                    v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
+                v -= (v & 0x800000) << 1
+                samples = v >> 8
+            elif bits == 32:
+                samples = (
+                    np.frombuffer(
+                        sound[: len(sound) // 4 * 4],
+                        dtype="<i4" if lil else ">i4",
+                    )
+                    >> 16
+                ).astype(np.int32)
+            else:
+                raise ValueError(f"unsupported AIFF bit depth {bits}")
+        else:
+            raise ValueError(f"unsupported AIFC compression {comp!r}")
+        if ch == 2:
+            samples = samples[: len(samples) // 2 * 2]
+            samples = (samples[0::2] + samples[1::2]) // 2
+        return int(round(rate)), samples.astype(np.int16)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt AIFF stream: {e}") from e
+
+
+_AU_MAGIC = b".snd"
+
+
+def _parse_au(payload: bytes):
+    """Decode a Sun/NeXT AU container: big-endian 24-byte header
+    (magic, data offset, data size, encoding, rate, channels);
+    encodings 1 (µ-law), 2 (SIGNED PCM8), 3/4/5 (PCM 16/24/32
+    big-endian) and 27 (A-law). Same downmix/truncation normalization
+    as _parse_wav. Returns (sample_rate, int16 ndarray)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if len(payload) < 24 or payload[:4] != _AU_MAGIC:
+            raise ValueError("not an AU payload")
+        off, size, enc, rate, ch = struct.unpack(">5I", payload[4:24])
+        if off < 24 or off > len(payload):
+            raise ValueError(f"AU data offset implausible: {off}")
+        if ch not in (1, 2):
+            raise ValueError(f"unsupported AU channel count {ch}")
+        if not 0 < rate <= 10_000_000:
+            raise ValueError(f"AU sample rate implausible: {rate}")
+        data = payload[off:]
+        if size != 0xFFFFFFFF:  # all-ones means "unknown/rest of file"
+            if size > len(data):
+                raise ValueError("AU data short")
+            data = data[:size]
+        if enc == 1:
+            samples = _mulaw_decode(
+                np.frombuffer(data, dtype=np.uint8)
+            ).astype(np.int32)
+        elif enc == 27:
+            samples = _alaw_decode(
+                np.frombuffer(data, dtype=np.uint8)
+            ).astype(np.int32)
+        elif enc == 2:  # AU PCM8 is SIGNED
+            samples = (
+                np.frombuffer(data, dtype=np.int8).astype(np.int32) * 256
+            )
+        elif enc == 3:
+            samples = np.frombuffer(
+                data[: len(data) // 2 * 2], dtype=">i2"
+            ).astype(np.int32)
+        elif enc == 4:
+            b3 = np.frombuffer(
+                data[: len(data) // 3 * 3], dtype=np.uint8
+            ).reshape(-1, 3).astype(np.int32)
+            v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
+            v -= (v & 0x800000) << 1
+            samples = v >> 8
+        elif enc == 5:
+            samples = (
+                np.frombuffer(data[: len(data) // 4 * 4], dtype=">i4")
+                >> 16
+            ).astype(np.int32)
+        else:
+            raise ValueError(f"unsupported AU encoding {enc}")
+        if ch == 2:
+            samples = samples[: len(samples) // 2 * 2]
+            samples = (samples[0::2] + samples[1::2]) // 2
+        return int(rate), samples.astype(np.int16)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt AU stream: {e}") from e
+
+
+def _encode_aiff(rate: int, samples, channels: int = 1) -> bytes:
+    """Encode int16 samples (interleaved if stereo) as PCM16 AIFF —
+    big-endian SSND, 80-bit extended-float rate in COMM."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    nframes = len(s) // channels
+    # 80-bit float for an integer rate: normalize to 1.m * 2^e
+    r = int(rate)
+    e = r.bit_length() - 1
+    mant = r << (63 - e)
+    f80 = struct.pack(">HQ", 16383 + e, mant)
+    comm = struct.pack(">hIh", channels, nframes, 16) + f80
+    ssnd = struct.pack(">II", 0, 0) + s.astype(">i2").tobytes()
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def _encode_au(rate: int, samples, channels: int = 1,
+               encoding: int = 3) -> bytes:
+    """Encode samples as Sun AU: encoding 3 (PCM16 big-endian, int16
+    input) or 1 (µ-law, raw codepoint bytes input)."""
+    import struct
+
+    import numpy as np
+
+    if encoding == 3:
+        data = np.asarray(samples, dtype=np.int16).astype(">i2").tobytes()
+    elif encoding == 1:
+        data = np.asarray(samples, dtype=np.uint8).tobytes()
+    else:
+        raise ValueError(f"unsupported AU encode {encoding}")
+    head = _AU_MAGIC + struct.pack(
+        ">5I", 24, len(data), encoding, int(rate), channels
+    )
+    return head + data
+
+
 def _parse_audio(payload: bytes):
     """Decode any supported audio container to (sample_rate, int16
-    ndarray): RIFF/WAVE (PCM16 mono/stereo, PCM8, mu-law) or FLAC
-    (compressed lossless — rice-coded fixed predictors,
+    ndarray): RIFF/WAVE (PCM 8/16/24/32, µ-law, extensible), AIFF /
+    AIFF-C (big-endian PCM, µ-law/A-law), Sun AU (PCM, µ-law/A-law)
+    or FLAC (compressed lossless — rice-coded fixed + LPC predictors,
     operators/flac_codec.py). The single dispatch point for the audio
     decode farm operators."""
     import numpy as np
@@ -778,11 +1021,26 @@ def _parse_audio(payload: bytes):
 
         rate, samples = decode_flac(payload)
         return rate, np.asarray(samples, dtype=np.int16)
+    if len(payload) >= 12 and payload[:4] == b"FORM" and payload[
+        8:12
+    ] in (b"AIFF", b"AIFC"):
+        return _parse_aiff(payload)
+    if payload[:4] == _AU_MAGIC:
+        return _parse_au(payload)
     return _parse_wav(payload)
 
 
 def _is_audio_magic(payload: bytes) -> bool:
-    return _is_wave(payload) or payload[:4] == b"fLaC"
+    return (
+        _is_wave(payload)
+        or payload[:4] == b"fLaC"
+        or (
+            len(payload) >= 12
+            and payload[:4] == b"FORM"
+            and payload[8:12] in (b"AIFF", b"AIFC")
+        )
+        or payload[:4] == _AU_MAGIC
+    )
 
 
 def _is_wave(payload: bytes) -> bool:

@@ -5047,7 +5047,15 @@ SELECT * FROM (VALUES
   (CAST(5679  AS BIGINT), 'image', CAST(196 AS BIGINT), CAST(196 AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(6525  AS BIGINT), 'image', CAST(493 AS BIGINT), CAST(58  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(36728 AS BIGINT), 'image', CAST(300 AS BIGINT), CAST(215 AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(6638  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(6756  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(6892  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(6910  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(6910  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(13252 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(13506 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(19866 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(20120 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(13370 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(19922 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(19984 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
@@ -5064,7 +5072,11 @@ SELECT * FROM (VALUES
     "BI_BITFIELDS BMP, byte-RLE Sun raster, scanline-RLE SGI, "
     "uncompressed-RGBA TIFF, XBM — the five RGB containers decode "
     "bit-identically, pinned in pytest), five real stereo WAV "
-    "renditions incl. 24/32-bit and WAVE_FORMAT_EXTENSIBLE): every "
+    "renditions incl. 24/32-bit and WAVE_FORMAT_EXTENSIBLE, plus the "
+    "SAME recording in THREE more audio containers — AIFF PCM "
+    "8(signed)/16/24 big-endian with 80-bit-float rates, AIFF-C "
+    "G.711 ulaw AND alaw, Sun AU PCM16/24 + ulaw — all decoding "
+    "consistently with the WAV reference, pinned in pytest): every "
     "fixture must ingest "
     "through the media sniffer with the right kind + container "
     "metadata, none quarantined to kind='binary'. The oracle is the "

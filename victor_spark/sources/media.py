@@ -43,6 +43,8 @@ from victor_spark.operators.multimodal import (
     _PNG_SIG,
     _is_simple_raster,
     _is_wave,
+    _parse_aiff,
+    _parse_au,
     _parse_gif,
     _parse_png,
     _parse_ppm,
@@ -133,6 +135,16 @@ def load_media_dir(
                         # also wraps AVI (below) / WebP (kind='binary')
                         kind = "audio"
                         rate, _samples = _parse_wav(b)
+                    elif (
+                        len(b) >= 12
+                        and b[:4] == b"FORM"
+                        and b[8:12] in (b"AIFF", b"AIFC")
+                    ):
+                        kind = "audio"
+                        rate, _samples = _parse_aiff(b)
+                    elif b[:4] == b".snd":
+                        kind = "audio"
+                        rate, _samples = _parse_au(b)
                     elif (
                         len(b) >= 12
                         and b[:4] == b"RIFF"
