@@ -996,6 +996,45 @@ def test_aiff_au_roundtrip(n, rate, stereo, container, seed):
         assert np.array_equal(got, s)
 
 
+def test_aifc_twos_and_ssnd_padding():
+    """Review pins: AIFC's explicit big-endian PCM id 'twos' must
+    decode like NONE (QuickTime writes it), and SSND blockSize-
+    alignment padding must NOT become bogus samples — COMM's
+    numSampleFrames bounds the data (the cross-container fingerprint
+    consistency depends on it)."""
+    import struct
+
+    import numpy as np
+
+    from victor_spark.operators.multimodal import _encode_aiff, _parse_aiff
+
+    s16 = (np.arange(100) * 131 % 65536 - 32768).astype(np.int16)
+    enc = bytearray(_encode_aiff(8000, s16))
+    i = bytes(enc).index(b"COMM")
+    comm_len = struct.unpack(">I", enc[i + 4 : i + 8])[0]
+    new_comm = enc[i + 8 : i + 8 + comm_len] + b"twos" + b"\x00"
+    pad = b"\x00" if len(new_comm) % 2 else b""
+    twos = (
+        enc[:8] + b"AIFC" + enc[12 : i + 4]
+        + struct.pack(">I", len(new_comm)) + new_comm + pad
+        + enc[i + 8 + comm_len :]
+    )
+    twos = twos[:4] + struct.pack(">I", len(twos) - 8) + twos[8:]
+    rate, back = _parse_aiff(bytes(twos))
+    assert rate == 8000 and np.array_equal(back, s16)
+
+    j = bytes(enc).index(b"SSND")
+    ss_len = struct.unpack(">I", enc[j + 4 : j + 8])[0]
+    padded = (
+        enc[: j + 4] + struct.pack(">I", ss_len + 56)
+        + enc[j + 8 : j + 8 + ss_len] + b"\x00" * 56
+        + enc[j + 8 + ss_len :]
+    )
+    padded = padded[:4] + struct.pack(">I", len(padded) - 8) + padded[8:]
+    rate, back = _parse_aiff(bytes(padded))
+    assert len(back) == 100 and np.array_equal(back, s16)
+
+
 @CODEC_PROP
 @given(data=st.data())
 def test_aiff_au_corruption_never_escapes_valueerror(data):

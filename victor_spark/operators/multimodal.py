@@ -692,6 +692,64 @@ def _mulaw_decode(u):
     return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
 
 
+def _pcm_to_int32(data: bytes, bits: int, little: bool):
+    """Raw PCM bytes → int32 samples at the lake's 16-bit scale: 16-bit
+    as-is, SIGNED 8-bit ×256, 24/32-bit truncated to the top 16 bits —
+    the shared normalization behind the WAV/AIFF/AU parsers (one
+    implementation, or cross-container fingerprints silently diverge).
+    WAV's UNSIGNED PCM8 is handled by its own parser before calling
+    this."""
+    import numpy as np
+
+    if bits == 16:
+        return np.frombuffer(
+            data[: len(data) // 2 * 2], dtype="<i2" if little else ">i2"
+        ).astype(np.int32)
+    if bits == 8:
+        return np.frombuffer(data, dtype=np.int8).astype(np.int32) * 256
+    if bits == 24:
+        b3 = np.frombuffer(
+            data[: len(data) // 3 * 3], dtype=np.uint8
+        ).reshape(-1, 3).astype(np.int32)
+        if little:
+            v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        else:
+            v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
+        v -= (v & 0x800000) << 1  # sign-extend 24 -> 32
+        return v >> 8
+    if bits == 32:
+        return (
+            np.frombuffer(
+                data[: len(data) // 4 * 4], dtype="<i4" if little else ">i4"
+            )
+            >> 16
+        ).astype(np.int32)
+    raise ValueError(f"unsupported PCM bit depth {bits}")
+
+
+def _downmix_int16(samples, channels: int):
+    """Stereo → mono (l+r)//2 floor downmix (the cross-container
+    fingerprint normalization), then int16."""
+    import numpy as np
+
+    if channels == 2:
+        samples = samples[: len(samples) // 2 * 2]
+        samples = (samples[0::2] + samples[1::2]) // 2
+    return samples.astype(np.int16)
+
+
+def _is_aiff(payload: bytes) -> bool:
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"FORM"
+        and payload[8:12] in (b"AIFF", b"AIFC")
+    )
+
+
+def _is_au(payload: bytes) -> bool:
+    return payload[:4] == _AU_MAGIC
+
+
 def _parse_wav(payload: bytes):
     """Decode a RIFF/WAVE container: walks the chunk list (so extra
     chunks like LIST/fact are tolerated). REAL decode for the common
@@ -733,24 +791,13 @@ def _parse_wav(payload: bytes):
     audio_format, channels, rate, _byte_rate, _block_align, bits = fmt
     if channels not in (1, 2):
         raise ValueError(f"unsupported WAV channel count {channels}")
-    if (audio_format, bits) == (1, 16):
-        samples = np.frombuffer(
-            data[: len(data) // 2 * 2], dtype="<i2"
-        ).astype(np.int32)
-    elif (audio_format, bits) == (1, 8):  # PCM8 is unsigned per the spec
+    if (audio_format, bits) == (1, 8):  # WAV PCM8 is UNSIGNED per
+        # the spec (AIFF/AU PCM8 are signed — _pcm_to_int32's path)
         samples = (
             np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
         ) * 256
-    elif (audio_format, bits) == (1, 24):
-        b = np.frombuffer(data[: len(data) // 3 * 3], dtype=np.uint8)
-        b = b.reshape(-1, 3).astype(np.int32)
-        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
-        v -= (v & 0x800000) << 1  # sign-extend 24 -> 32
-        samples = v >> 8  # keep the top 16 bits
-    elif (audio_format, bits) == (1, 32):
-        samples = (
-            np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4") >> 16
-        ).astype(np.int32)
+    elif audio_format == 1 and bits in (16, 24, 32):
+        samples = _pcm_to_int32(data, bits, little=True)
     elif (audio_format, bits) == (7, 8):
         samples = _mulaw_decode(np.frombuffer(data, dtype=np.uint8)).astype(
             np.int32
@@ -759,10 +806,7 @@ def _parse_wav(payload: bytes):
         raise ValueError(
             f"unsupported WAV encoding: fmt={audio_format} bits={bits}"
         )
-    if channels == 2:
-        samples = samples[: len(samples) // 2 * 2]
-        samples = (samples[0::2] + samples[1::2]) // 2
-    return rate, samples.astype(np.int16)
+    return rate, _downmix_int16(samples, channels)
 
 
 def _alaw_decode(a):
@@ -826,13 +870,13 @@ def _parse_aiff(payload: bytes):
             if cid == b"COMM":
                 if len(body) < 18:
                     raise ValueError("AIFF COMM chunk short")
-                ch, _nframes, bits = struct.unpack(">hIh", body[:8])
+                ch, nframes, bits = struct.unpack(">hIh", body[:8])
                 rate = _float80(body[8:18])
                 if is_aifc:
                     if len(body) < 22:
                         raise ValueError("AIFC COMM missing compression")
                     comp = body[18:22]
-                comm = (ch, bits, rate)
+                comm = (ch, nframes, bits, rate)
             elif cid == b"SSND":
                 if len(body) < 8:
                     raise ValueError("AIFF SSND chunk short")
@@ -841,58 +885,30 @@ def _parse_aiff(payload: bytes):
             pos += 8 + size + (size & 1)  # IFF chunks are word-aligned
         if comm is None or sound is None:
             raise ValueError("AIFF missing COMM/SSND chunk")
-        ch, bits, rate = comm
+        ch, nframes, bits, rate = comm
         if ch not in (1, 2):
             raise ValueError(f"unsupported AIFF channel count {ch}")
         if not 0 < rate <= 1e7:
             raise ValueError(f"AIFF sample rate implausible: {rate}")
-        if comp in (b"ulaw", b"ULAW"):
-            samples = _mulaw_decode(
-                np.frombuffer(sound, dtype=np.uint8)
-            ).astype(np.int32)
-        elif comp in (b"alaw", b"ALAW"):
-            samples = _alaw_decode(
-                np.frombuffer(sound, dtype=np.uint8)
-            ).astype(np.int32)
-        elif comp in (b"NONE", b"sowt"):
-            # 'sowt' is AIFC's little-endian PCM variant
-            lil = comp == b"sowt"
-            if bits == 16:
-                samples = np.frombuffer(
-                    sound[: len(sound) // 2 * 2],
-                    dtype="<i2" if lil else ">i2",
-                ).astype(np.int32)
-            elif bits == 8:  # AIFF PCM8 is SIGNED (WAV's is unsigned)
-                samples = (
-                    np.frombuffer(sound, dtype=np.int8).astype(np.int32)
-                    * 256
-                )
-            elif bits == 24:
-                b3 = np.frombuffer(
-                    sound[: len(sound) // 3 * 3], dtype=np.uint8
-                ).reshape(-1, 3).astype(np.int32)
-                if lil:
-                    v = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
-                else:
-                    v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
-                v -= (v & 0x800000) << 1
-                samples = v >> 8
-            elif bits == 32:
-                samples = (
-                    np.frombuffer(
-                        sound[: len(sound) // 4 * 4],
-                        dtype="<i4" if lil else ">i4",
-                    )
-                    >> 16
-                ).astype(np.int32)
-            else:
+        if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+            # SSND may carry blockSize-alignment padding: COMM's
+            # numSampleFrames bounds the real data (spec rule — extra
+            # pad bytes are NOT samples)
+            sound = sound[: nframes * ch]
+            dec = _mulaw_decode if comp in (b"ulaw", b"ULAW") else _alaw_decode
+            samples = dec(np.frombuffer(sound, dtype=np.uint8)).astype(
+                np.int32
+            )
+        elif comp in (b"NONE", b"twos", b"sowt"):
+            # 'twos' = AIFC's explicit big-endian PCM id (same as
+            # NONE); 'sowt' is the little-endian variant
+            if bits not in (8, 16, 24, 32):
                 raise ValueError(f"unsupported AIFF bit depth {bits}")
+            sound = sound[: nframes * ch * (bits // 8)]
+            samples = _pcm_to_int32(sound, bits, little=comp == b"sowt")
         else:
             raise ValueError(f"unsupported AIFC compression {comp!r}")
-        if ch == 2:
-            samples = samples[: len(samples) // 2 * 2]
-            samples = (samples[0::2] + samples[1::2]) // 2
-        return int(round(rate)), samples.astype(np.int16)
+        return int(round(rate)), _downmix_int16(samples, ch)
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt AIFF stream: {e}") from e
 
@@ -933,32 +949,11 @@ def _parse_au(payload: bytes):
             samples = _alaw_decode(
                 np.frombuffer(data, dtype=np.uint8)
             ).astype(np.int32)
-        elif enc == 2:  # AU PCM8 is SIGNED
-            samples = (
-                np.frombuffer(data, dtype=np.int8).astype(np.int32) * 256
-            )
-        elif enc == 3:
-            samples = np.frombuffer(
-                data[: len(data) // 2 * 2], dtype=">i2"
-            ).astype(np.int32)
-        elif enc == 4:
-            b3 = np.frombuffer(
-                data[: len(data) // 3 * 3], dtype=np.uint8
-            ).reshape(-1, 3).astype(np.int32)
-            v = b3[:, 2] | (b3[:, 1] << 8) | (b3[:, 0] << 16)
-            v -= (v & 0x800000) << 1
-            samples = v >> 8
-        elif enc == 5:
-            samples = (
-                np.frombuffer(data[: len(data) // 4 * 4], dtype=">i4")
-                >> 16
-            ).astype(np.int32)
+        elif enc in (2, 3, 4, 5):  # SIGNED PCM 8/16/24/32 big-endian
+            samples = _pcm_to_int32(data, 8 * (enc - 1), little=False)
         else:
             raise ValueError(f"unsupported AU encoding {enc}")
-        if ch == 2:
-            samples = samples[: len(samples) // 2 * 2]
-            samples = (samples[0::2] + samples[1::2]) // 2
-        return int(rate), samples.astype(np.int16)
+        return int(rate), _downmix_int16(samples, ch)
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt AU stream: {e}") from e
 
@@ -1021,11 +1016,9 @@ def _parse_audio(payload: bytes):
 
         rate, samples = decode_flac(payload)
         return rate, np.asarray(samples, dtype=np.int16)
-    if len(payload) >= 12 and payload[:4] == b"FORM" and payload[
-        8:12
-    ] in (b"AIFF", b"AIFC"):
+    if _is_aiff(payload):
         return _parse_aiff(payload)
-    if payload[:4] == _AU_MAGIC:
+    if _is_au(payload):
         return _parse_au(payload)
     return _parse_wav(payload)
 
@@ -1034,12 +1027,8 @@ def _is_audio_magic(payload: bytes) -> bool:
     return (
         _is_wave(payload)
         or payload[:4] == b"fLaC"
-        or (
-            len(payload) >= 12
-            and payload[:4] == b"FORM"
-            and payload[8:12] in (b"AIFF", b"AIFC")
-        )
-        or payload[:4] == _AU_MAGIC
+        or _is_aiff(payload)
+        or _is_au(payload)
     )
 
 

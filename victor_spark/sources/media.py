@@ -41,6 +41,8 @@ from victor_spark.operators.multimodal import (
     _GIF_MAGICS,
     _JPEG_MAGIC,
     _PNG_SIG,
+    _is_aiff,
+    _is_au,
     _is_simple_raster,
     _is_wave,
     _parse_aiff,
@@ -135,14 +137,10 @@ def load_media_dir(
                         # also wraps AVI (below) / WebP (kind='binary')
                         kind = "audio"
                         rate, _samples = _parse_wav(b)
-                    elif (
-                        len(b) >= 12
-                        and b[:4] == b"FORM"
-                        and b[8:12] in (b"AIFF", b"AIFC")
-                    ):
+                    elif _is_aiff(b):
                         kind = "audio"
                         rate, _samples = _parse_aiff(b)
-                    elif b[:4] == b".snd":
+                    elif _is_au(b):
                         kind = "audio"
                         rate, _samples = _parse_au(b)
                     elif (
