@@ -276,6 +276,29 @@ def test_real_wavs_cross_depth_consistency():
     assert int(np.abs(s8 - ref).max()) <= 256  # one 8-bit step
 
 
+def test_real_ico_favicons_decode():
+    """Two real multi-resolution Windows ICOs (IDLE's icon from two
+    CPython eras): the modern one's best entry is an EMBEDDED PNG at
+    256x256; the classic one's is a 32-bpp DIB at 48x48 (doubled-
+    height header, AND mask dropped), alongside 4/8-bit palette
+    entries. The 48x48 32-bpp entry is byte-identical in both files,
+    so decoding it from either container must agree bit-exactly —
+    pinned via the means below (decoders are deterministic)."""
+    import numpy as np
+
+    from victor_spark.operators.multimodal import _parse_image
+
+    w, h, arr = _parse_image(_load("real_multires_png_entry.ico"))
+    assert (w, h, arr.shape) == (256, 256, (256, 256, 3))
+    means = [float(arr[..., c].mean()) for c in range(3)]
+    assert means == pytest.approx([162.28, 163.15, 155.69], abs=1e-2)
+
+    w, h, arr = _parse_image(_load("real_multires_palette.ico"))
+    assert (w, h, arr.shape) == (48, 48, (48, 48, 3))
+    means = [float(arr[..., c].mean()) for c in range(3)]
+    assert means == pytest.approx([150.09, 150.72, 143.57], abs=1e-2)
+
+
 def test_real_aiff_au_cross_container_consistency():
     """EIGHT real renditions of the pluck recording in THREE more
     audio containers — AIFF PCM 8 (SIGNED, unlike WAV)/16/24 with the
@@ -324,10 +347,10 @@ def test_real_fixtures_route_through_media_ingest(spark, tmp_path):
     for name in os.listdir(FIX):
         if name.endswith((".jpg", ".gif", ".png", ".wav", ".ppm", ".pgm",
                           ".pbm", ".bmp", ".ras", ".sgi", ".tiff", ".xbm",
-                          ".aiff", ".aifc", ".au")):
+                          ".aiff", ".aifc", ".au", ".ico")):
             shutil.copy(os.path.join(FIX, name), lake / name)
     rows = load_media_dir(spark, str(lake)).collect()
-    assert len(rows) == 30
+    assert len(rows) == 32
     assert all(r["kind"] in ("image", "audio") for r in rows)  # none binary
     audio = [r for r in rows if r["kind"] == "audio"]
     assert len(audio) == 13
@@ -335,4 +358,4 @@ def test_real_fixtures_route_through_media_ingest(spark, tmp_path):
     widths = sorted(
         r["meta_width"] for r in rows if r["kind"] == "image"
     )
-    assert widths == [2] + [16] * 12 + [32, 196, 300, 493]
+    assert widths == [2] + [16] * 12 + [32, 48, 196, 256, 300, 493]

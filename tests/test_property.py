@@ -919,7 +919,7 @@ def test_png_adaptive_filtering_is_lossless_and_helps(w, h, seed, smooth):
     fmt=st.sampled_from([
         "P1", "P2", "P3", "P4", "P5", "P6",
         "bmp", "ras", "ras_rle", "sgi", "sgi_rle", "tiff",
-        "tiff_packbits", "xbm",
+        "tiff_packbits", "xbm", "ico",
     ]),
 )
 def test_raster_codecs_roundtrip_bit_exact(w, h, seed, fmt):
@@ -947,6 +947,8 @@ def test_raster_codecs_roundtrip_bit_exact(w, h, seed, fmt):
         enc = rc.encode_sgi(rgb, rle=fmt.endswith("rle"))
     elif fmt.startswith("tiff"):
         enc = rc.encode_tiff(rgb, packbits=fmt.endswith("packbits"))
+    elif fmt == "ico":
+        enc = rc.encode_ico(rgb)
     else:
         enc = rc.encode_xbm(gray)
     w2, h2, back = _parse_image(enc)
@@ -1081,7 +1083,8 @@ def test_raster_codec_corruption_never_escapes_valueerror(data):
         np.uint8
     ).reshape(9, 11, 3)
     fmt = data.draw(st.sampled_from(
-        ["P4", "P5", "P6", "bmp", "ras_rle", "sgi_rle", "tiff_packbits"]
+        ["P4", "P5", "P6", "bmp", "ras_rle", "sgi_rle", "tiff_packbits",
+         "ico"]
     ))
     if fmt in ("P4", "P5"):
         enc = rc.encode_pnm(rgb[..., 0], fmt)
@@ -1093,6 +1096,8 @@ def test_raster_codec_corruption_never_escapes_valueerror(data):
         enc = rc.encode_ras(rgb, rle=True)
     elif fmt == "sgi_rle":
         enc = rc.encode_sgi(rgb, rle=True)
+    elif fmt == "ico":
+        enc = rc.encode_ico(rgb)
     else:
         enc = rc.encode_tiff(rgb, packbits=True)
     payload = bytearray(enc)

@@ -631,15 +631,20 @@ _JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def _is_simple_raster(payload: bytes) -> bool:
-    """Magic check for the uncompressed/RLE raster family handled by
+    """Magic check for the raster family handled by
     operators/raster_codecs.py: PNM P1-P5 (P6 is the original PPM
-    path), BMP, Sun raster, SGI, baseline TIFF, XBM."""
+    path), BMP, Sun raster, SGI, baseline TIFF, XBM, and the ICO
+    favicon container (whose entries re-enter via parse_bmp or
+    _parse_png)."""
+    from victor_spark.operators.raster_codecs import is_ico
+
     return (
         payload[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5")
         or payload[:2] == b"BM"
         or payload[:4] == b"\x59\xa6\x6a\x95"
         or payload[:2] == b"\x01\xda"
         or payload[:4] in (b"II*\x00", b"MM\x00*")
+        or is_ico(payload)
         or (payload[:7] == b"#define" and b"_bits[]" in payload[:4096])
     )
 
@@ -676,6 +681,8 @@ def _parse_image(payload: bytes):
             return rc.parse_sgi(payload)
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return rc.parse_tiff(payload)
+        if rc.is_ico(payload):
+            return rc.parse_ico(payload)
         return rc.parse_xbm(payload)
     w, h, _maxval, arr = _parse_ppm(payload)
     return w, h, arr

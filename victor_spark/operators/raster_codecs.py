@@ -285,6 +285,108 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + dib + raster
 
 
+def is_ico(payload: bytes) -> bool:
+    """Conservative ICO magic: the format's 00 00 01 00 prefix is weak,
+    so also require a sane entry count and the first entry's data to
+    lie inside the payload."""
+    if len(payload) < 22 or payload[:4] != b"\x00\x00\x01\x00":
+        return False
+    n = struct.unpack("<H", payload[4:6])[0]
+    if not 1 <= n <= 64:
+        return False
+    size, off = struct.unpack("<II", payload[14:22])
+    return 0 < size and 6 + 16 * n <= off and off + size <= len(payload)
+
+
+def parse_ico(payload: bytes):
+    """Decode a Windows ICO (favicon) container: picks the BEST entry
+    (largest area, then deepest bpp) and decodes it — either an
+    embedded PNG (the modern 256x256 convention) or a BITMAPINFOHEADER
+    DIB with the format's DOUBLED height (XOR pixels + AND mask; the
+    mask is dropped, like every alpha in this package). DIB entries
+    are re-wrapped as a BMP and decoded by parse_bmp, so palette,
+    16/24/32-bpp and bottom-up handling are one implementation."""
+    try:
+        return _parse_ico_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt ICO stream: {e}") from e
+
+
+def _parse_ico_inner(payload: bytes):
+    if not is_ico(payload):
+        raise ValueError("not an ICO payload")
+    n = struct.unpack("<H", payload[4:6])[0]
+    best = None
+    for i in range(n):
+        e = payload[6 + 16 * i : 22 + 16 * i]
+        if len(e) != 16:
+            raise ValueError("ICO directory short")
+        w, h, _ncol, _res, _planes, bpp, size, off = struct.unpack(
+            "<BBBBHHII", e
+        )
+        w, h = w or 256, h or 256
+        key = (w * h, bpp)
+        if best is None or key > best[0]:
+            best = (key, off, size)
+    _key, off, size = best
+    data = payload[off : off + size]
+    if len(data) != size:
+        raise ValueError("ICO entry data short")
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from victor_spark.operators.multimodal import _parse_png
+
+        return _parse_png(data)
+    if len(data) < 40:
+        raise ValueError("ICO DIB header short")
+    hdr_size = struct.unpack("<I", data[:4])[0]
+    if hdr_size != 40:
+        raise ValueError(f"unsupported ICO DIB header size {hdr_size}")
+    w, h2 = struct.unpack("<ii", data[4:12])
+    if h2 % 2:
+        raise ValueError("ICO DIB height not doubled")
+    bpp = struct.unpack("<H", data[14:16])[0]
+    n_colors = struct.unpack("<I", data[32:36])[0]
+    pal_count = (n_colors or (1 << bpp)) if bpp <= 8 else 0
+    # re-wrap as a BMP: halve the doubled height (drops the AND mask —
+    # parse_bmp reads exactly stride*h rows) and point the data offset
+    # past the palette
+    dib = bytearray(data[:40])
+    dib[8:12] = struct.pack("<i", h2 // 2)
+    dib[20:24] = b"\x00\x00\x00\x00"  # biSizeImage: recomputed by reader
+    data_off = 14 + 40 + 4 * pal_count
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + len(data), 0, 0, data_off)
+        + bytes(dib)
+        + data[40:]
+    )
+    return parse_bmp(bmp)
+
+
+def encode_ico(arr: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB (max 256x256) as a one-entry ICO
+    with a 24-bpp DIB: doubled-height BITMAPINFOHEADER, bottom-up BGR
+    XOR rows, all-opaque AND mask."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    if w > 256 or h > 256:
+        raise ValueError("ICO entries are at most 256x256")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, [2, 1, 0]].reshape(h, w * 3)
+    mask_stride = (w + 31) // 32 * 4
+    mask = b"\x00" * (mask_stride * h)  # 0 = opaque
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0,
+        len(rows.tobytes()) + len(mask), 0, 0, 0, 0,
+    )
+    data = dib + rows.tobytes() + mask
+    entry = struct.pack(
+        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24, len(data), 22
+    )
+    return b"\x00\x00\x01\x00\x01\x00" + entry + data
+
+
 # ---------------------------------------------------------------------------
 # Sun Raster (.ras)
 # ---------------------------------------------------------------------------

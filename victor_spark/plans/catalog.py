@@ -5040,6 +5040,8 @@ SELECT * FROM (VALUES
   (CAST(1162  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(1326  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(1967  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(19790 AS BIGINT), 'image', CAST(48  AS BIGINT), CAST(48  AS BIGINT), CAST(NULL  AS BIGINT)),
+  (CAST(57746 AS BIGINT), 'image', CAST(256 AS BIGINT), CAST(256 AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(543   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(690   AS BIGINT), 'image', CAST(32  AS BIGINT), CAST(32  AS BIGINT), CAST(NULL  AS BIGINT)),
   (CAST(1020  AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT)),
