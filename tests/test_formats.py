@@ -465,3 +465,42 @@ def test_webdataset_subdir_keys_and_nonidentifier_columns(spark, tmp_path):
     assert back["key"] == "k0"
     assert bytes(back["bin"]) == b"payload"
     assert bytes(back["txt"]).decode() == "cap"
+
+
+def test_webdataset_ships_to_uri_scheme_targets(spark, tmp_path):
+    """Round-8: a URI-scheme target (file: — the full Hadoop code path,
+    exactly how test_fs.py exercises the shim) makes write_webdataset
+    EAGER: shards pack to local staging and ship driver-side through
+    fs.py, so tar export works on hdfs://s3a:// roots like every other
+    maintenance path. Read-back goes through binaryFile on the same URI."""
+    import tarfile
+
+    from victor_spark.fs import HadoopFS
+    from victor_spark.sources.webdataset import (
+        load_webdataset,
+        write_webdataset,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), f"sample {i}") for i in range(6)], "key string, txt string"
+    )
+    dest = f"file:{tmp_path}/wds_remote"
+    manifest = write_webdataset(
+        df.repartition(2), dest, "key", {"txt": "txt"}
+    ).collect()
+    assert manifest and all(m["shard"].startswith("file:") for m in manifest)
+    assert sum(m["n_samples"] for m in manifest) == 6
+    # the shards really live at the Hadoop-served root (and nothing else
+    # does — no staging debris shipped along)
+    hfs = HadoopFS(spark, dest)
+    names = sorted(hfs.listdir(dest))
+    assert names == sorted(m["shard"].rsplit("/", 1)[1] for m in manifest)
+    assert all(n.endswith(".tar") for n in names)
+    # bytes shipped intact: still a genuine POSIX tar
+    local_path = manifest[0]["shard"][len("file:"):]
+    with tarfile.open(local_path) as tf:
+        assert all("." in n for n in tf.getnames())
+
+    back = load_webdataset(spark, dest, ["txt"])
+    got = {r["key"]: bytes(r["txt"]).decode() for r in back.collect()}
+    assert got == {str(i): f"sample {i}" for i in range(6)}

@@ -546,3 +546,15 @@ def test_lossy_farm_query_plans_are_map_plus_broadcast(spark):
         ), (name, exchanges)
         assert "BroadcastExchange" in p, name  # the doc-side mean lookup
         assert "SortMergeJoin" not in p and "Cartesian" not in p, name
+
+
+def test_warc_extract_is_shuffle_free_scan_plus_map(spark):
+    """The first-mile pipeline (WARC shards -> records -> HTML -> text)
+    is scan -> Arrow-batched record walk -> JVM regexp projection: NO
+    exchange of any kind — at 100 TB the extraction parallelizes with
+    the shard scan (parallelism = shard count, the format's contract)
+    and the crawl bytes are never shuffled."""
+    p = plan("warc_extract", spark)
+    assert "Exchange" not in p
+    assert "Join" not in p and "Cartesian" not in p
+    assert "MapInPandas" in p  # the record walk (one Arrow hop, bounded per shard)

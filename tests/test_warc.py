@@ -1,0 +1,195 @@
+"""WARC ingestion + HTML->text extraction: the text pipeline's first mile.
+
+Covers the record framing walk (Content-Length-declared, CRLF-delimited),
+the Common Crawl gzip-member-per-record layout, the HTTP envelope split,
+corrupt-input quarantine (ValueError-only — the shared parser contract),
+the deterministic JVM-side extractor, and the escape -> extract identity
+that makes the warc_extract oracle total.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from victor_spark.functions.html import escape_html, html_to_text, normalize_ws
+from victor_spark.sources.warc import (
+    _gunzip_members,
+    _iter_records,
+    _parse_http_response,
+    _response_record,
+    load_warc,
+    write_warc,
+)
+
+
+def _pages(spark):
+    return spark.createDataFrame(
+        [
+            ("http://x.test/doc/1", "<html><body><p>hello</p></body></html>"),
+            ("http://x.test/doc/2", "<p>unicode \u00e9\u4e16\u754c</p>"),
+            ("http://x.test/doc/3", "<p></p>"),
+        ],
+        "uri string, html string",
+    )
+
+
+def test_warc_roundtrip_gzip_member_per_record(spark, tmp_path):
+    out = tmp_path / "w"
+    man = write_warc(_pages(spark).repartition(1), str(out), "uri", "html")
+    rows = man.collect()
+    assert len(rows) == 1 and rows[0]["n_records"] == 4  # warcinfo + 3
+    shard = rows[0]["shard"]
+    assert shard.endswith(".warc.gz")
+
+    # Common Crawl layout: EVERY record its own gzip member — the member
+    # count equals the record count (this is what makes per-record random
+    # access possible with an offset index at 100 TB)
+    data = open(shard, "rb").read()
+    members = 0
+    while data:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        d.decompress(data)
+        assert d.eof
+        members += 1
+        data = d.unused_data
+    assert members == 4
+
+    back = load_warc(spark, str(out)).collect()
+    assert len(back) == 4
+    resp = {r["target_uri"]: r for r in back if r["warc_type"] == "response"}
+    assert set(resp) == {f"http://x.test/doc/{i}" for i in (1, 2, 3)}
+    r = resp["http://x.test/doc/2"]
+    assert r["http_status"] == 200
+    assert r["http_content_type"] == "text/html; charset=utf-8"
+    assert bytes(r["payload"]).decode("utf-8") == "<p>unicode \u00e9\u4e16\u754c</p>"
+    info = [r for r in back if r["warc_type"] == "warcinfo"]
+    assert len(info) == 1 and info[0]["http_status"] is None
+    assert b"victor_spark" in bytes(info[0]["payload"])
+
+
+def test_warc_plain_and_whole_file_gzip_both_parse(spark, tmp_path):
+    # plain .warc
+    out = tmp_path / "plain"
+    write_warc(
+        _pages(spark).repartition(1), str(out), "uri", "html",
+        gzip_records=False,
+    ).collect()
+    assert load_warc(spark, str(out)).count() == 4
+
+    # whole-file gzip (one member over many records): the degenerate case
+    # of the same member walk
+    plain = next((out).glob("*.warc")).read_bytes()
+    out2 = tmp_path / "whole"
+    out2.mkdir()
+    (out2 / "crawl-00000.warc.gz").write_bytes(gzip.compress(plain, mtime=0))
+    assert load_warc(spark, str(out2)).count() == 4
+
+
+def test_warc_writer_ships_to_uri_scheme_targets(spark, tmp_path):
+    """A file: URI target exercises the full Hadoop code path: pack to
+    local staging, post-pack driver-side ship through the fs shim, read
+    back scheme-agnostically (the write_webdataset caveat closed in r8)."""
+    dest = f"file:{tmp_path}/shipped"
+    man = write_warc(_pages(spark).repartition(2), dest, "uri", "html")
+    rows = man.collect()  # already eager, but collect() must be idempotent
+    assert all(r["shard"].startswith("file:") for r in rows)
+    assert sum(r["n_records"] for r in rows) == 3 + len(rows)  # + warcinfo each
+    back = load_warc(spark, dest)
+    assert back.filter(F.col("warc_type") == "response").count() == 3
+
+
+def test_warc_corrupt_inputs_raise_valueerror_only():
+    good = _response_record("http://x.test/a", b"<p>x</p>")
+    # truncated payload
+    with pytest.raises(ValueError):
+        list(_iter_records(good[:-10]))
+    # garbage where a version line should be
+    with pytest.raises(ValueError):
+        list(_iter_records(b"NOTWARC/1.0\r\n\r\n"))
+    # missing Content-Length
+    bad = b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\npayload"
+    with pytest.raises(ValueError):
+        list(_iter_records(bad))
+    # corrupt gzip member
+    z = gzip.compress(good, mtime=0)
+    with pytest.raises(ValueError):
+        _gunzip_members(z[:-4])
+    with pytest.raises(ValueError):
+        _gunzip_members(z + b"\x1f\x8btrailing-garbage")
+    # malformed http status line
+    with pytest.raises(ValueError):
+        _parse_http_response(b"HTTP/1.1 abc OK\r\n\r\nbody")
+    with pytest.raises(ValueError):
+        _parse_http_response(b"no header terminator")
+
+
+def test_http_envelope_split():
+    status, ctype, body = _parse_http_response(
+        b"HTTP/1.1 404 Not Found\r\nServer: t\r\n"
+        b"Content-Type: text/plain\r\n\r\nnope"
+    )
+    assert (status, ctype, body) == (404, "text/plain", b"nope")
+
+
+HTML_CASES = [
+    # (html, expected text) — each exercises one contract clause
+    ("<p>a</p><p>b</p>", "a\nb"),  # block tags break lines
+    ("<span>a</span>b <b>c</b>", "ab c"),  # inline tags strip without break
+    ("<script>var x = '<p>no</p>';</script>ok", "ok"),
+    ("<style>p { color: red; }</style>ok", "ok"),
+    ("<STYLE media='all'>x</STYLE>ok", "ok"),  # case-insensitive
+    ("<head><title>drop me</title></head><body>keep</body>", "keep"),
+    ("<header>kept: header is not head</header>", "kept: header is not head"),
+    ("<!-- <div>commented markup</div> -->ok", "ok"),
+    ("a<br>b<br/>c", "a\nb\nc"),
+    ("&lt;p&gt; &amp; &quot;q&quot; &#39;s&#39; x&nbsp;y", "<p> & \"q\" 's' x y"),
+    ("&amp;lt;", "&lt;"),  # double-escape survives (amp decoded LAST)
+    ("  a  \t b \r\n\n\n c  ", "a b\nc"),  # whitespace normalization
+    ("<div>\n\n<p>  padded  </p>\n</div>", "padded"),
+    ("", ""),
+    ("<p></p>", ""),
+]
+
+
+def test_html_to_text_contract(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(HTML_CASES)], "i long, html string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", html_to_text(F.col("html")).alias("t")).collect()
+    }
+    for i, (html, want) in enumerate(HTML_CASES):
+        assert got[i] == want, (html, got[i], want)
+
+
+def test_escape_then_extract_is_identity_mod_whitespace(spark):
+    """The warc_extract oracle's load-bearing property: for ANY text,
+    embedding it escaped in element content and extracting returns the
+    whitespace-normalized text — markup-looking content, entity-looking
+    content, and double escapes all survive as literal text."""
+    texts = [
+        "plain words",
+        "<script>alert('xss')</script>",
+        "a & b < c > d",
+        "&amp; &lt; &nbsp; already-escaped-looking",
+        "tabs\tand\r\nnewlines\n\n\nblank runs",
+        "unicode \u00e9\u4e16\u754c \U0001f600",
+        "back\\slash c:\\path 'quotes' \"double\"",
+        "",
+        "   ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    out = df.select(
+        "i",
+        html_to_text(
+            F.concat(F.lit("<p>"), escape_html(F.col("t")), F.lit("</p>"))
+        ).alias("got"),
+        normalize_ws(F.col("t")).alias("want"),
+    )
+    for r in out.collect():
+        assert r["got"] == r["want"], (texts[r["i"]], r["got"], r["want"])

@@ -1,0 +1,347 @@
+"""WARC (Web ARChive, ISO 28500) ingestion — the crawl interchange format
+and the FIRST MILE of every large-scale text pipeline: Common Crawl ships
+~100 TB/month as ``.warc.gz`` shards, and C4/CCNet-style corpora begin by
+turning those records into a ``documents`` table. This module feeds the
+repo's existing downstream (``html_to_text`` → ``c4_line_filter`` →
+``line_dedup_global`` → quality/LM scoring) from crawl bytes.
+
+Spark-first shape, both directions partition-local (the same contract as
+``webdataset.py``):
+
+- read: ``binaryFile`` lists and reads whole shards executor-side, then an
+  Arrow-batched pass parses the record stream in memory — WARC headers are
+  ``Content-Length``-framed (one header block per record, CRLF-delimited,
+  then exactly N payload bytes), the same walk-by-declared-length family as
+  the tar/RIFF/AVI container parsers in this repo. Gzip shards decompress
+  member-by-member: the Common Crawl convention gzips EACH RECORD as its
+  own gzip member and concatenates them, which ``zlib``'s ``unused_data``
+  loop walks directly (a whole-file-gzipped shard is the one-member
+  degenerate case of the same loop). Shards are whole-file tasks by design
+  — gzip is not splittable, which is exactly why the ecosystem standardizes
+  ~1 GB shard sizes; read parallelism = shard count.
+- write: one ``.warc.gz`` shard per partition (records individually
+  gzipped, CC-style), packed executor-side and returned as a manifest row
+  per shard. Used by tests and the oracle-checked ``warc_extract`` catalog
+  query to synthesize realistic crawl shards from the documents table;
+  also the export path for re-sharding a corpus back to WARC.
+
+Reference parity note: the reference engine has no crawl ingestion; this
+is the training-data-pipeline extension surface (SURVEY §2 "text
+pipeline first mile"). Format facts are the public ISO 28500 / WARC 1.0
+spec and the Common Crawl layout convention.
+
+Record framing (WARC 1.0):
+
+    WARC/1.0<CRLF>
+    <Name>: <value><CRLF>      (one per header field)
+    <CRLF>
+    <Content-Length bytes of payload>
+    <CRLF><CRLF>               (record boundary)
+
+``response`` records carry an HTTP/1.1 message as payload (status line +
+headers + CRLFCRLF + body); the reader splits that envelope off and
+surfaces status / Content-Type / body as columns so downstream text
+extraction starts from the HTML bytes.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("record_id", StringType()),
+        StructField("warc_type", StringType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("content_type", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("shard", StringType()),
+        StructField("n_records", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+# Fixed, deterministic timestamp for synthesized records (writers must be
+# reproducible so the ingest-roundtrip oracle can cache shards by content).
+_WARC_DATE = "2026-01-01T00:00:00Z"
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a gzip stream of one OR many concatenated members (the
+    Common Crawl record-per-member layout and plain whole-file gzip are
+    both just member sequences). Raises ValueError on corrupt streams —
+    the contract every container parser in this repo shares (sniffer /
+    quarantine paths depend on ValueError-only)."""
+    out = []
+    while data:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error as e:
+            raise ValueError(f"warc: corrupt gzip member: {e}") from None
+        if not d.eof:
+            raise ValueError("warc: truncated gzip member")
+        data = d.unused_data
+    return b"".join(out)
+
+
+def _iter_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Walk a (decompressed) WARC byte stream: yield (header-fields,
+    payload) per record. Header names are lower-cased; framing is
+    Content-Length-declared, never payload-sniffed."""
+    pos, n = 0, len(data)
+    while pos < n:
+        # tolerate extra CRLFs between records (some writers pad)
+        while pos < n and data[pos] in (0x0D, 0x0A):
+            pos += 1
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"warc: expected version line at offset {pos}")
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("warc: unterminated record header")
+        try:
+            header = data[pos:hdr_end].decode("utf-8")
+        except UnicodeDecodeError:
+            raise ValueError("warc: non-utf8 record header") from None
+        fields: dict[str, str] = {}
+        for line in header.split("\r\n")[1:]:
+            k, sep, v = line.partition(":")
+            if not sep:
+                raise ValueError(f"warc: malformed header line {line!r}")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("warc: missing/invalid Content-Length") from None
+        if clen < 0:
+            raise ValueError("warc: negative Content-Length")
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError("warc: payload truncated")
+        yield fields, data[body_start : body_start + clen]
+        pos = body_start + clen
+
+
+def _parse_http_response(body: bytes) -> tuple[int, str | None, bytes]:
+    """Split an HTTP/1.1 response envelope into (status, Content-Type,
+    body bytes). Header bytes are ISO-8859-1 per RFC 9112; the body is
+    returned raw (charset decode is the caller's concern)."""
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("warc: http payload missing header terminator")
+    head = body[:sep].decode("iso-8859-1")
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError(f"warc: malformed http status line {lines[0]!r}")
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError(f"warc: non-numeric http status {parts[1]!r}") from None
+    ctype = None
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    return status, ctype, body[sep + 4 :]
+
+
+def load_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """Read a directory of WARC shards (plain ``.warc`` or gzipped
+    ``.warc.gz``, member-per-record or whole-file) into one row per
+    record. ``response`` records get their HTTP envelope split off
+    (``http_status``, ``http_content_type``, ``payload`` = body bytes);
+    other record types (warcinfo, request, metadata) surface their raw
+    payload with NULL http columns — filter on ``warc_type`` downstream.
+
+    The parse runs inside ``mapInPandas`` on whole-shard payloads, so
+    task memory is bounded by one shard (the format's ~1 GB sizing
+    convention); nothing is collected to the driver, and the plan is
+    scan → narrow map — shuffle-free by construction."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("content")
+    )
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # yield PER SHARD, not per Arrow batch — one shard bounds
+            # task memory (same rationale as webdataset._untar)
+            for content in pdf["content"]:
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = _gunzip_members(data)
+                rows = {f.name: [] for f in WARC_SCHEMA.fields}
+                for fields, payload in _iter_records(data):
+                    wtype = fields.get("warc-type", "")
+                    status = ctype = body = None
+                    if wtype == "response" and "msgtype=response" in fields.get(
+                        "content-type", ""
+                    ):
+                        status, ctype, body = _parse_http_response(payload)
+                    rows["record_id"].append(fields.get("warc-record-id"))
+                    rows["warc_type"].append(wtype)
+                    rows["target_uri"].append(fields.get("warc-target-uri"))
+                    rows["warc_date"].append(fields.get("warc-date"))
+                    rows["content_type"].append(fields.get("content-type"))
+                    rows["http_status"].append(status)
+                    rows["http_content_type"].append(ctype)
+                    rows["payload"].append(body if body is not None else payload)
+                pdf_out = pd.DataFrame(rows)
+                pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")
+                yield pdf_out
+
+    return raw.mapInPandas(_parse, schema=WARC_SCHEMA)
+
+
+def _record_bytes(fields: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = "".join(f"{k}: {v}\r\n" for k, v in fields)
+    return (
+        b"WARC/1.0\r\n"
+        + head.encode("utf-8")
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        + payload
+        + b"\r\n\r\n"
+    )
+
+
+def _response_record(uri: str, html: bytes) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        + f"Content-Length: {len(html)}\r\n\r\n".encode()
+        + html
+    )
+    rid = hashlib.md5(uri.encode("utf-8")).hexdigest()
+    urn = f"<urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}>"
+    return _record_bytes(
+        [
+            ("WARC-Type", "response"),
+            ("WARC-Record-ID", urn),
+            ("WARC-Date", _WARC_DATE),
+            ("WARC-Target-URI", uri),
+            ("Content-Type", "application/http;msgtype=response"),
+        ],
+        http,
+    )
+
+
+def _warcinfo_record(shard: str) -> bytes:
+    body = (
+        "software: victor_spark\r\nformat: WARC File Format 1.0\r\n"
+        f"description: synthesized shard {shard}\r\n"
+    ).encode("utf-8")
+    rid = hashlib.md5(shard.encode("utf-8")).hexdigest()
+    urn = f"<urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}>"
+    return _record_bytes(
+        [
+            ("WARC-Type", "warcinfo"),
+            ("WARC-Record-ID", urn),
+            ("WARC-Date", _WARC_DATE),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        body,
+    )
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    uri_col: str,
+    html_col: str,
+    prefix: str = "crawl",
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Pack (uri, html) rows into WARC shards, ONE SHARD PER PARTITION,
+    written executor-side: each shard opens with a ``warcinfo`` record
+    and carries one ``response`` record per row (HTTP/1.1 envelope,
+    ``text/html`` body). ``gzip_records=True`` (default) writes the
+    Common Crawl ``.warc.gz`` layout — every record its own gzip member,
+    ``mtime=0`` for deterministic bytes. ``html_col`` may be string
+    (utf-8 encoded) or binary.
+
+    For a plain local ``path`` the returned manifest (shard, n_records,
+    n_bytes) is LAZY — an action on it performs the write, exactly like
+    ``write_webdataset``. For a URI-scheme ``path`` the call is EAGER:
+    shards pack to local staging and ship driver-side through the fs
+    shim (:func:`victor_spark.sources.shipping.ship_shards`)."""
+    from urllib.parse import urlparse
+
+    from victor_spark.fs import fs_for
+    from victor_spark.fs import join as fsjoin
+
+    if urlparse(path).scheme:
+        import tempfile
+
+        from victor_spark.sources.shipping import ship_shards
+
+        staging = tempfile.mkdtemp(prefix="warc_ship_")
+        local = write_warc(df, staging, uri_col, html_col, prefix, gzip_records)
+        return ship_shards(df.sparkSession, local, path, cleanup_dir=staging)
+
+    sel = [uri_col, html_col]
+    src = df.select(*(f"`{c.replace('`', '``')}`" for c in sel)).toDF("_c0", "_c1")
+    fs_for(df.sparkSession, path).mkdirs(path)  # driver-side, pre-write
+    ext = ".warc.gz" if gzip_records else ".warc"
+
+    def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        from victor_spark.fs import LocalFS
+
+        pid = TaskContext.get().partitionId()
+        name = f"{prefix}-{pid:05d}{ext}"
+
+        def _z(rec: bytes) -> bytes:
+            return gzip.compress(rec, 6, mtime=0) if gzip_records else rec
+
+        buf = io.BytesIO()
+        buf.write(_z(_warcinfo_record(name)))
+        n = 0
+        for pdf in batches:
+            for uri, html in zip(pdf["_c0"], pdf["_c1"]):
+                data = (
+                    html.encode("utf-8") if isinstance(html, str) else bytes(html)
+                )
+                buf.write(_z(_response_record(str(uri), data)))
+                n += 1
+        if n == 0:
+            yield pd.DataFrame({"shard": [], "n_records": [], "n_bytes": []})
+            return
+        data = buf.getvalue()
+        shard = fsjoin(path, name)
+        LocalFS().write_bytes_atomic(shard, data)
+        yield pd.DataFrame(
+            {"shard": [shard], "n_records": [n + 1], "n_bytes": [len(data)]}
+        )
+
+    return src.mapInPandas(_pack, schema=MANIFEST_SCHEMA)

@@ -10,12 +10,14 @@ Spark-first shape, both directions partition-local:
   IS the read parallelism, which is why the format standardizes ~shard
   sizes), then one Arrow-batched pass untars in memory and pivots the
   members into one row per sample with a binary column per extension.
-- write: one tar per partition, packed and written executor-side (local
-  filesystem — Python workers have no JVM gateway, so object-store
-  targets stage locally and ship via merge_from/distcp; the read side
-  goes through binaryFile and is scheme-agnostic), with a manifest row
-  per shard back in the returned DataFrame. No collect, no driver I/O —
-  writes scale with partitions.
+- write: one tar per partition, packed executor-side, with a manifest
+  row per shard back in the returned DataFrame. Local targets write
+  in-place (lazy manifest, no driver I/O); URI-scheme targets
+  (``hdfs://``/``s3a://``/``file:``) stage locally and a post-pack
+  driver-side pass ships the manifest-listed shards through the fs shim
+  (``sources/shipping.py`` — Python workers have no JVM gateway, so the
+  driver moves the whole-file shard payloads, one bounded pass). Writes
+  scale with partitions either way.
 
 Reference parity note: the reference engine has no archive ingestion;
 this is part of the training-data-pipeline extension surface (SURVEY
@@ -131,12 +133,28 @@ def write_webdataset(
     prefix: str = "shard",
 ) -> DataFrame:
     """Pack a DataFrame into WebDataset tar shards, ONE SHARD PER
-    PARTITION, written executor-side through the fs shim. ``content_cols``
-    maps column -> member extension (binary or string columns; strings
-    are utf-8 encoded). Returns the manifest (shard, n_samples, n_bytes)
-    — an ACTION on it performs the write. Repartition the input to pick
-    the shard count/size; keys should be unique corpus-wide (the
-    standard WebDataset contract)."""
+    PARTITION, written executor-side. ``content_cols`` maps column ->
+    member extension (binary or string columns; strings are utf-8
+    encoded). For a plain local ``path`` the returned manifest
+    (shard, n_samples, n_bytes) is LAZY — an action on it performs the
+    write. For a ``path`` with a URI scheme (``hdfs://``, ``s3a://``,
+    ``file:``) the call is EAGER: shards pack to a local staging dir and
+    a post-pack driver-side pass ships each one through the fs shim
+    (:func:`victor_spark.sources.shipping.ship_shards` — the
+    ``merge_from`` pattern), so tar export works on every target the
+    other maintenance paths do. Repartition the input to pick the shard
+    count/size; keys should be unique corpus-wide (the standard
+    WebDataset contract)."""
+    from urllib.parse import urlparse
+
+    if urlparse(path).scheme:
+        import tempfile
+
+        from victor_spark.sources.shipping import ship_shards
+
+        staging = tempfile.mkdtemp(prefix="wds_ship_")
+        local = write_webdataset(df, staging, key_col, content_cols, prefix)
+        return ship_shards(df.sparkSession, local, path, cleanup_dir=staging)
     # backtick-quote so dotted names stay column references, not struct
     # paths, then rename to positional names: pyspark's mapInPandas
     # itself resolves every column via df[col], which re-parses dots as
@@ -183,11 +201,9 @@ def write_webdataset(
             return
         data = buf.getvalue()
         shard = fsjoin(path, f"{prefix}-{pid:05d}.tar")
-        # workers see local paths only in local mode; URI schemes would
-        # need the JVM-side shim, so stream through LocalFS here and let
-        # callers with remote targets write to a local staging dir and
-        # merge_from/distcp up (documented limitation of executor-side
-        # python writes)
+        # workers see local paths only (no JVM gateway executor-side);
+        # URI-scheme targets never reach this branch — they pack to a
+        # local staging dir and ship driver-side (see docstring)
         LocalFS().write_bytes_atomic(shard, data)
         yield pd.DataFrame(
             {"shard": [shard], "n_samples": [n], "n_bytes": [len(data)]}
