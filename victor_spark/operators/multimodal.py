@@ -1023,6 +1023,22 @@ def _parse_audio(payload: bytes):
 
         rate, samples = decode_flac(payload)
         return rate, np.asarray(samples, dtype=np.int16)
+    from victor_spark.operators.mp3_probe import looks_like_mp3
+
+    if looks_like_mp3(payload):
+        # LOUD stub, deliberately: the Layer-III spectral Huffman tables
+        # are not available in-sandbox and a from-memory decoder would be
+        # self-consistent-but-wrong (mp3_probe module docstring). The
+        # sniffer still classifies MP3 honestly (kind='audio' + real
+        # sample rate via the frame-header walk); only sample DECODE is
+        # refused. NotImplementedError, not ValueError: the tolerant
+        # operators' stub fallback catches ValueError, and faking
+        # samples for a KNOWN format would poison fingerprint dedup.
+        raise NotImplementedError(
+            "MP3 Layer-III entropy decode is deliberately not implemented "
+            "(no trusted spec tables in-sandbox); use "
+            "operators.mp3_probe.mp3_probe for container metadata"
+        )
     if _is_aiff(payload):
         return _parse_aiff(payload)
     if _is_au(payload):

@@ -5062,7 +5062,8 @@ SELECT * FROM (VALUES
   (CAST(13370 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(19922 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(19984 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
-  (CAST(26598 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT))
+  (CAST(26598 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
+  (CAST(9436  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(22050 AS BIGINT))
 ) t(n_bytes, kind, meta_width, meta_height, meta_sample_rate)
 """,
     "EXTERNAL-ENCODER interop gate over the COMMITTED fixture "
@@ -5079,7 +5080,10 @@ SELECT * FROM (VALUES
     "SAME recording in THREE more audio containers — AIFF PCM "
     "8(signed)/16/24 big-endian with 80-bit-float rates, AIFF-C "
     "G.711 ulaw AND alaw, Sun AU PCM16/24 + ulaw — all decoding "
-    "consistently with the WAV reference, pinned in pytest): every "
+    "consistently with the WAV reference, pinned in pytest — plus a "
+    "real MPEG-2 Layer-III MP3 (ID3v2-tagged, 22050 Hz mono) that the "
+    "frame-header metadata probe must classify as audio with its true "
+    "rate, no entropy decode): every "
     "fixture must ingest "
     "through the media sniffer with the right kind + container "
     "metadata, none quarantined to kind='binary'. The oracle is the "

@@ -36,6 +36,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from victor_spark.operators.mp3_probe import looks_like_mp3
 from victor_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     _GIF_MAGICS,
@@ -177,6 +178,20 @@ def load_media_dir(
                     elif b.startswith(b"YUV4MPEG2"):
                         kind = "video"
                         w, h, _chroma, _frames = _parse_y4m(b)
+                    elif looks_like_mp3(b):
+                        # metadata-only probe: the FULL frame walk must
+                        # succeed (lands exactly on end-of-stream), so a
+                        # random 0xFF-leading binary desyncs and
+                        # quarantines. Honest audio metadata without a
+                        # Layer-III entropy decode — which stays a LOUD
+                        # NotImplementedError in the decode farms
+                        # (mp3_probe module docstring)
+                        from victor_spark.operators.mp3_probe import (
+                            mp3_probe,
+                        )
+
+                        rate = mp3_probe(b)["sample_rate"]
+                        kind = "audio"
                 except (ValueError, struct.error):
                     # right magic, corrupt container — quarantined, never
                     # fails the ingest job (struct.error caught as a
