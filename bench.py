@@ -238,5 +238,80 @@ def _bench_ingest(spark, sf_dir: str) -> tuple[float, float]:
     return best_rate, bytes_per_vec
 
 
+def run_ingest_large(n_target: int = 200_000) -> None:
+    """One-off LARGE-batch ingest measurement (round-7 verdict item 3):
+    the per-round bench ingests the sf0.1 embeddings table as-is (2k
+    rows), which measures fixed job overhead, not what the write path
+    sustains. This mode replicates the table to ``n_target`` rows with
+    distinct ids (explode over a literal sequence — JVM-side, no Python)
+    and ingests ONCE into a fresh index, reporting rows/s, wall time,
+    bytes/vector and the written file/partition layout. Run manually:
+    ``python bench.py --ingest-large [n_rows]``; the result is recorded
+    as a BASELINE.md row, not in the per-round BENCH artifact."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from victor_spark.index import VectorIndex
+    from victor_spark.sources import load_table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark("victor_spark_ingest_large")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = load_table(spark, sf_dir, "embeddings")
+    reps = max(1, n_target // src.count())
+    big = (
+        src.select(
+            F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("rep"),
+            "vec_id", "embedding", "label",
+        )
+        .select(
+            (F.col("vec_id") * reps + F.col("rep"))
+            .cast("string")
+            .alias("content"),
+            F.col("embedding"),
+            F.array(
+                F.concat(F.lit("lbl_"), F.col("label").cast("string"))
+            ).alias("tags"),
+        )
+        .repartition(32)
+    )
+    n = big.count()
+    tmp = tempfile.mkdtemp(prefix="victor_ingest_large_")
+    try:
+        idx = VectorIndex(spark, tmp)
+        t0 = time.perf_counter()
+        idx.insert_df(big)
+        dt = time.perf_counter() - t0
+        data_dir = os.path.join(tmp, "data")
+        n_files = n_parts = 0
+        for root, dirs, files in os.walk(data_dir):
+            n_parts += sum(1 for d in dirs if d.startswith("tag_set_id="))
+            n_files += sum(1 for f in files if f.endswith(".parquet"))
+        print(
+            json.dumps(
+                {
+                    "metric": "ingest_large_rows_per_sec",
+                    "value": round(n / dt, 1),
+                    "unit": "rows/s",
+                    "n_rows": n,
+                    "wall_sec": round(dt, 3),
+                    "bytes_per_vector": round(idx.storage_bytes() / n, 1),
+                    "n_parquet_files": n_files,
+                    "n_tag_partitions": n_parts,
+                    "sf_dir": sf_dir,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ingest-large":
+        run_ingest_large(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    else:
+        main()
