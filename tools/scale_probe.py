@@ -91,6 +91,8 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "multimodal_gif_decode": {"documents": ["doc_id"]},
     "multimodal_gif_frames": {"documents": ["doc_id"]},
     "ingest_webdataset_roundtrip": {"documents": ["doc_id"]},
+    # round-8: WARC shards -> record walk -> HTML extraction (first mile)
+    "warc_extract": {"documents": ["doc_id"]},
     "multimodal_jpeg_roundtrip": {"documents": ["doc_id"]},
     "multimodal_flac_decode": {"documents": ["doc_id"]},
     "dedup_audio_cross_format": {"documents": ["doc_id"]},
@@ -172,6 +174,15 @@ def main() -> int:
         times: dict[int, float] = {}
         for scale in SCALES:
             tmp = tempfile.mkdtemp(prefix=f"scale_{name}_{scale}_")
+            # the ingest-roundtrip queries materialize shards into
+            # content-keyed /tmp/victor_ingest_* cache dirs; every scaled
+            # replica dir is brand-new, so each probe run mints fresh
+            # cache keys that NOTHING else ever reuses or cleans — the
+            # warc/webdataset probes would otherwise accumulate a
+            # multiple of the corpus in /tmp per run. Snapshot-and-delete
+            # exactly the cache dirs this scale creates.
+            tdir = tempfile.gettempdir()
+            pre = {d for d in os.listdir(tdir) if d.startswith("victor_ingest_")}
             try:
                 build_scaled(spark, sf_dir, tmp, scale, tables)
                 # the probe's input dir only carries the scaled tables;
@@ -189,6 +200,9 @@ def main() -> int:
                 times[scale] = round(best, 3)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
+                for d in os.listdir(tdir):
+                    if d.startswith("victor_ingest_") and d not in pre:
+                        shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
         exponent = round(
             math.log(times[SCALES[-1]] / times[SCALES[0]])
             / math.log(SCALES[-1] / SCALES[0]),

@@ -681,7 +681,14 @@ def parse_tiff(payload: bytes):
     """Decode a baseline TIFF (first IFD): II/MM byte order, 8-bit
     samples, photometric 0/1 (grayscale), 2 (RGB/RGBA) or 3 (palette),
     compression 1 (none) or 32773 (PackBits), chunky planar layout,
-    any strip structure. Alpha/extra samples dropped."""
+    any strip structure. Alpha/extra samples dropped.
+
+    OUTSIDE the subset — TILED TIFFs (TileOffsets 324 instead of
+    StripOffsets 273), planar layout 2, LZW/deflate/JPEG-in-TIFF
+    compression, 16-bit samples — the decode raises ValueError and the
+    media sniffer quarantines the asset to kind='binary' (round-7
+    verdict note: deliberate; baseline Part-1 TIFF is the
+    interchange-safe tier, the extensions have no external pin here)."""
     try:
         return _parse_tiff_inner(payload)
     except (struct.error, IndexError) as e:
