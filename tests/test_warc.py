@@ -193,3 +193,121 @@ def test_escape_then_extract_is_identity_mod_whitespace(spark):
     )
     for r in out.collect():
         assert r["got"] == r["want"], (texts[r["i"]], r["got"], r["want"])
+
+
+def _http(
+    body: bytes,
+    status: str = "200 OK",
+    ctype: str = "text/html; charset=utf-8",
+    extra: list[str] = (),
+) -> bytes:
+    head = [f"HTTP/1.1 {status}", f"Content-Type: {ctype}", *extra]
+    return "\r\n".join(head).encode("iso-8859-1") + b"\r\n\r\n" + body
+
+
+def _chunked(data: bytes, sizes: list[int]) -> bytes:
+    out, pos = [], 0
+    for s in sizes:
+        out.append(f"{s:x}".encode() + b"\r\n" + data[pos : pos + s] + b"\r\n")
+        pos += s
+    assert pos == len(data)
+    return b"".join(out) + b"0\r\n\r\n"
+
+
+def test_http_chunked_and_content_encodings():
+    """Crawlers store responses AS SENT, so real WARC payloads routinely
+    carry Transfer-Encoding: chunked and Content-Encoding: gzip/deflate.
+    The reader undoes transfer coding then content coding."""
+    html = b"<p>hello chunked world</p>" * 20
+
+    st, ct, body = _parse_http_response(
+        _http(_chunked(html, [7, 0x1A0, len(html) - 7 - 0x1A0]),
+              extra=["Transfer-Encoding: chunked"])
+    )
+    assert (st, body) == (200, html)
+
+    st, _, body = _parse_http_response(
+        _http(gzip.compress(html, mtime=0),
+              extra=["Content-Encoding: gzip"])
+    )
+    assert body == html
+
+    # zlib-wrapped AND raw deflate (both occur in the wild)
+    co = zlib.compressobj(wbits=-15)
+    raw_deflate = co.compress(html) + co.flush()
+    for blob in (zlib.compress(html), raw_deflate):
+        st, _, body = _parse_http_response(
+            _http(blob, extra=["Content-Encoding: deflate"])
+        )
+        assert body == html
+
+    # chunked THEN gzip: transfer coding is undone before content coding
+    st, _, body = _parse_http_response(
+        _http(_chunked(gzip.compress(html, mtime=0), [50, len(gzip.compress(html, mtime=0)) - 50]),
+              extra=["Transfer-Encoding: chunked", "Content-Encoding: gzip"])
+    )
+    assert body == html
+
+    # malformed variants: ValueError only
+    for bad in (
+        _http(b"zz\r\nxx\r\n0\r\n\r\n", extra=["Transfer-Encoding: chunked"]),
+        _http(b"5\r\nab", extra=["Transfer-Encoding: chunked"]),
+        _http(b"\x1f\x8bgarbage", extra=["Content-Encoding: gzip"]),
+        _http(html, extra=["Content-Encoding: br"]),  # unsupported coding
+    ):
+        with pytest.raises(ValueError):
+            _parse_http_response(bad)
+
+
+def test_warc_documents_first_mile(spark, tmp_path):
+    """warc_documents: crawl shards -> the documents-shaped table the
+    whole downstream pipeline consumes, in one call — HTML-typed 200s
+    only, extracted text, heuristic lang id, stable ids."""
+    from victor_spark.sources.warc import _record_bytes, warc_documents
+
+    en = "<html><body><p>the quick brown fox and the lazy dog</p></body></html>"
+    de = "<html><body><p>der schnelle braune fuchs und der faule hund</p></body></html>"
+    recs = [
+        _response_record("http://x.test/en", en.encode()),
+        _response_record("http://x.test/de", de.encode()),
+        # a 404 and a non-HTML response: both excluded
+        _record_bytes(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", "http://x.test/gone"),
+             ("Content-Type", "application/http;msgtype=response")],
+            _http(b"nope", status="404 Not Found", ctype="text/plain"),
+        ),
+        _record_bytes(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", "http://x.test/api"),
+             ("Content-Type", "application/http;msgtype=response")],
+            _http(b"{}", ctype="application/json"),
+        ),
+        # a chunked+gzipped HTML page: decoded transparently
+        _record_bytes(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", "http://x.test/zipped"),
+             ("Content-Type", "application/http;msgtype=response")],
+            _http(_chunked(gzip.compress(en.encode(), mtime=0), [30, len(gzip.compress(en.encode(), mtime=0)) - 30]),
+                  extra=["Transfer-Encoding: chunked", "Content-Encoding: gzip"]),
+        ),
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "crawl-00000.warc").write_bytes(b"".join(recs))
+
+    docs = warc_documents(spark, str(d))
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars", "url"]
+    got = {r["url"]: r for r in docs.collect()}
+    assert set(got) == {"http://x.test/en", "http://x.test/de", "http://x.test/zipped"}
+    assert got["http://x.test/en"]["text"] == "the quick brown fox and the lazy dog"
+    assert got["http://x.test/zipped"]["text"] == "the quick brown fox and the lazy dog"
+    assert got["http://x.test/de"]["text"] == "der schnelle braune fuchs und der faule hund"
+    assert got["http://x.test/en"]["lang"] == "en"
+    assert got["http://x.test/de"]["lang"] == "de"
+    for r in got.values():
+        assert r["doc_id"] >= 0 and r["n_chars"] == len(r["text"])
+        assert r["source"] == "warc"
+    # ids are stable across reads
+    again = {r["url"]: r["doc_id"] for r in warc_documents(spark, str(d)).collect()}
+    assert again == {u: r["doc_id"] for u, r in got.items()}

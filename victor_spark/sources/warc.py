@@ -54,6 +54,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -148,10 +149,62 @@ def _iter_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         pos = body_start + clen
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 ``Transfer-Encoding: chunked`` body (hex size
+    line + CRLF + chunk + CRLF, zero-size terminator; chunk extensions
+    and trailers ignored). Crawlers store the response bytes AS SENT, so
+    real WARC response payloads are very often chunked."""
+    out, pos = [], 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("warc: chunked body missing size line")
+        size_token = body[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            raise ValueError(
+                f"warc: bad chunk size {size_token!r}"
+            ) from None
+        pos = nl + 2
+        if size == 0:
+            return b"".join(out)  # trailers (if any) are ignored
+        if pos + size + 2 > len(body):
+            raise ValueError("warc: truncated chunk")
+        out.append(body[pos : pos + size])
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("warc: chunk missing CRLF terminator")
+        pos += size + 2
+
+
+def _decode_content(body: bytes, encoding: str) -> bytes:
+    """Undo an HTTP ``Content-Encoding``: gzip/x-gzip (member loop),
+    deflate (zlib-wrapped per RFC 9110, raw fallback for the many
+    servers that send it bare), identity. Unknown codings raise —
+    surfacing them beats silently treating compressed bytes as HTML."""
+    enc = encoding.strip().lower()
+    if enc in ("", "identity"):
+        return body
+    if enc in ("gzip", "x-gzip"):
+        return _gunzip_members(body)
+    if enc == "deflate":
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            try:
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error as e:
+                raise ValueError(f"warc: bad deflate body: {e}") from None
+    raise ValueError(f"warc: unsupported content-encoding {encoding!r}")
+
+
 def _parse_http_response(body: bytes) -> tuple[int, str | None, bytes]:
     """Split an HTTP/1.1 response envelope into (status, Content-Type,
-    body bytes). Header bytes are ISO-8859-1 per RFC 9112; the body is
-    returned raw (charset decode is the caller's concern)."""
+    body bytes), undoing ``Transfer-Encoding: chunked`` and
+    ``Content-Encoding: gzip/deflate`` — crawl records store the wire
+    bytes, so both are routine in real WARC payloads. Header bytes are
+    ISO-8859-1 per RFC 9112; the returned body is the entity bytes
+    (charset decode is the caller's concern)."""
     sep = body.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("warc: http payload missing header terminator")
@@ -164,12 +217,17 @@ def _parse_http_response(body: bytes) -> tuple[int, str | None, bytes]:
         status = int(parts[1])
     except ValueError:
         raise ValueError(f"warc: non-numeric http status {parts[1]!r}") from None
-    ctype = None
+    headers: dict[str, str] = {}
     for line in lines[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
-            ctype = v.strip()
-    return status, ctype, body[sep + 4 :]
+        headers[k.strip().lower()] = v.strip()
+    payload = body[sep + 4 :]
+    # transfer coding first (how the bytes moved), then content coding
+    # (how the entity is stored) — the wire applies them in that order
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        payload = _dechunk(payload)
+    payload = _decode_content(payload, headers.get("content-encoding", ""))
+    return status, headers.get("content-type"), payload
 
 
 def load_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
@@ -221,6 +279,55 @@ def load_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
                 yield pdf_out
 
     return raw.mapInPandas(_parse, schema=WARC_SCHEMA)
+
+
+def warc_documents(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    source: str = "warc",
+) -> DataFrame:
+    """Crawl shards -> a ``documents``-shaped table in one call: the
+    complete first mile. Keeps 200-status ``response`` records with an
+    HTML content type, extracts text with the deterministic JVM-side
+    extractor (``functions/html.py``), tags a heuristic language id, and
+    emits the exact column layout the rest of the pipeline consumes
+    (``doc_id, text, lang, source, n_chars`` + the originating ``url``)
+    — so C4 line filtering, line/substring dedup, quality scoring and
+    LM-filter stages run on crawl bytes unchanged.
+
+    doc_id is the low 63 bits of xxhash64(target_uri): deterministic
+    across runs/executors, collision-resistant across shards. Payload
+    bytes decode as UTF-8 (the modern-web default; other charsets come
+    through with U+FFFD replacement — transcode upstream if the corpus
+    needs them). Plan shape: scan -> record walk -> filter -> JVM
+    projection; shuffle-free, parallelism = shard count."""
+    from victor_spark.functions.html import html_to_text
+    from victor_spark.functions.text import lang_id
+
+    recs = load_warc(spark, path, glob)
+    pages = recs.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.lower(F.coalesce("http_content_type", F.lit(""))).contains(
+            "text/html"
+        )
+    )
+    text = html_to_text(F.decode("payload", "UTF-8"))
+    return pages.select(
+        F.xxhash64("target_uri")
+        .bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("doc_id"),
+        text.alias("text"),
+        F.col("target_uri").alias("url"),
+    ).select(
+        "doc_id",
+        "text",
+        lang_id("text").alias("lang"),
+        F.lit(source).alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+        "url",
+    )
 
 
 def _record_bytes(fields: list[tuple[str, str]], payload: bytes) -> bytes:
