@@ -910,3 +910,65 @@ def test_write_state_owns_success_marker(spark, tmp_path):
             hconf.unset(key)
         else:
             hconf.set(key, prev)
+
+
+def test_stream_warc_first_mile_matches_batch(spark, tmp_path):
+    """Topology 16 — streaming first mile: crawl shards arrive
+    continuously, readStream(binaryFile) + the SAME record-walk and
+    HTML-extraction transforms as the batch path, append sink. Two
+    shard files -> two micro-batches under maxFilesPerTrigger=1;
+    stateless map => stream == batch exactly, for both the WARC
+    (response/HTML) and WET (conversion/plain-text) payload contracts."""
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions.html import escape_html
+    from victor_spark.sources.warc import (
+        warc_documents,
+        wet_documents,
+        write_warc,
+    )
+    from victor_spark.streaming.warc_stream import stream_warc_documents
+
+    rows = spark.createDataFrame(
+        [(f"http://c.test/{i}", f"document number {i} with words") for i in range(12)],
+        "uri string, txt string",
+    )
+    html = rows.select(
+        "uri",
+        F.concat(F.lit("<html><head><title>t</title></head><body><h1>h</h1><p>"),
+                 escape_html(F.col("txt")),
+                 F.lit("</p></body></html>")).alias("html"),
+    )
+    src_warc = str(tmp_path / "src_warc")
+    src_wet = str(tmp_path / "src_wet")
+    # two writes with distinct prefixes -> two files -> two micro-batches
+    write_warc(html.filter("uri < 'http://c.test/5'").repartition(1),
+               src_warc, "uri", "html", prefix="a").collect()
+    write_warc(html.filter("uri >= 'http://c.test/5'").repartition(1),
+               src_warc, "uri", "html", prefix="b").collect()
+    write_warc(rows.filter("uri < 'http://c.test/5'").repartition(1),
+               src_wet, "uri", "txt", prefix="a",
+               record_type="conversion").collect()
+    write_warc(rows.filter("uri >= 'http://c.test/5'").repartition(1),
+               src_wet, "uri", "txt", prefix="b",
+               record_type="conversion").collect()
+
+    for kind, src, batch_df in (
+        ("warc", src_warc, warc_documents(spark, src_warc)),
+        ("wet", src_wet, wet_documents(spark, src_wet)),
+    ):
+        sink = str(tmp_path / f"sink_{kind}")
+        ckpt = str(tmp_path / f"ckpt_{kind}")
+        q = stream_warc_documents(
+            spark, src, sink, ckpt, kind=kind, max_files_per_trigger=1
+        )
+        q.awaitTermination()
+        got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+        want = {tuple(r) for r in batch_df.collect()}
+        assert got == want and len(got) == 12, kind
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown kind"):
+        stream_warc_documents(spark, src_warc, str(tmp_path / "x"),
+                              str(tmp_path / "y"), kind="nope")

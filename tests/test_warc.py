@@ -311,3 +311,66 @@ def test_warc_documents_first_mile(spark, tmp_path):
     # ids are stable across reads
     again = {r["url"]: r["doc_id"] for r in warc_documents(spark, str(d)).collect()}
     assert again == {u: r["doc_id"] for u, r in got.items()}
+
+
+def test_wet_documents_and_writer(spark, tmp_path):
+    """WET = Common Crawl's pre-extracted-text distribution: the same
+    WARC container carrying plain-text 'conversion' records. The writer
+    packs them (record_type='conversion'), the reader surfaces them with
+    NULL http columns, and wet_documents normalizes with the SAME
+    whitespace contract the HTML extractor ends with — so WARC- and
+    WET-derived corpora agree."""
+    from victor_spark.sources.warc import wet_documents
+
+    rows = spark.createDataFrame(
+        [
+            ("http://x.test/a", "extracted  text   with\n\n\nblank runs"),
+            ("http://x.test/b", "plain"),
+        ],
+        "uri string, txt string",
+    )
+    out = tmp_path / "wet"
+    man = write_warc(
+        rows.repartition(1), str(out), "uri", "txt",
+        record_type="conversion",
+    ).collect()
+    assert man[0]["shard"].endswith(".warc.wet.gz")
+    assert man[0]["n_records"] == 3  # warcinfo + 2 conversions
+
+    recs = load_warc(spark, str(out), glob="*.wet*")
+    conv = recs.filter(F.col("warc_type") == "conversion").collect()
+    assert len(conv) == 2 and all(r["http_status"] is None for r in conv)
+
+    docs = {r["url"]: r for r in wet_documents(spark, str(out)).collect()}
+    assert docs["http://x.test/a"]["text"] == "extracted text with\nblank runs"
+    assert docs["http://x.test/b"]["text"] == "plain"
+    assert all(r["source"] == "wet" for r in docs.values())
+
+    with pytest.raises(ValueError, match="unknown record_type"):
+        write_warc(rows, str(tmp_path / "z"), "uri", "txt",
+                   record_type="nope")
+
+
+def test_warc_and_wet_documents_agree_on_the_same_corpus(spark, tmp_path):
+    """The cross-distribution invariant: rendering a text as HTML and
+    extracting it (WARC path) yields the SAME documents row as shipping
+    the text pre-extracted (WET path) — modulo the shared whitespace
+    normalization and the source tag."""
+    from victor_spark.sources.warc import warc_documents, wet_documents
+
+    texts = [("http://x.test/1", "the quick brown fox"),
+             ("http://x.test/2", "a  b\t c \n\n d")]
+    rows = spark.createDataFrame(texts, "uri string, txt string")
+    html = rows.select(
+        "uri",
+        F.concat(F.lit("<html><body><p>"), escape_html(F.col("txt")),
+                 F.lit("</p></body></html>")).alias("html"),
+    )
+    write_warc(html.repartition(1), str(tmp_path / "w"), "uri", "html").collect()
+    write_warc(rows.repartition(1), str(tmp_path / "t"), "uri", "txt",
+               record_type="conversion").collect()
+    a = {r["doc_id"]: r["text"]
+         for r in warc_documents(spark, str(tmp_path / "w")).collect()}
+    b = {r["doc_id"]: r["text"]
+         for r in wet_documents(spark, str(tmp_path / "t")).collect()}
+    assert a == b and len(a) == 2

@@ -230,25 +230,22 @@ def _parse_http_response(body: bytes) -> tuple[int, str | None, bytes]:
     return status, headers.get("content-type"), payload
 
 
-def load_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
-    """Read a directory of WARC shards (plain ``.warc`` or gzipped
-    ``.warc.gz``, member-per-record or whole-file) into one row per
-    record. ``response`` records get their HTTP envelope split off
-    (``http_status``, ``http_content_type``, ``payload`` = body bytes);
-    other record types (warcinfo, request, metadata) surface their raw
-    payload with NULL http columns — filter on ``warc_type`` downstream.
+def parse_warc_records(raw: DataFrame) -> DataFrame:
+    """The shard-bytes -> record-rows transform: ``raw`` carries one
+    whole WARC shard per row in a ``content`` binary column (what
+    ``binaryFile`` produces, batch OR streaming — the streaming first
+    mile in ``streaming/warc_stream.py`` applies this exact function, so
+    stream == batch holds by construction). ``response`` records get
+    their HTTP envelope split off (``http_status``,
+    ``http_content_type``, ``payload`` = entity bytes after
+    chunked/content-coding removal); other record types (warcinfo,
+    request, metadata, conversion) surface their raw payload with NULL
+    http columns — filter on ``warc_type`` downstream.
 
     The parse runs inside ``mapInPandas`` on whole-shard payloads, so
     task memory is bounded by one shard (the format's ~1 GB sizing
     convention); nothing is collected to the driver, and the plan is
     scan → narrow map — shuffle-free by construction."""
-    raw = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .option("recursiveFileLookup", "true")
-        .load(path)
-        .select("content")
-    )
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -281,39 +278,28 @@ def load_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
     return raw.mapInPandas(_parse, schema=WARC_SCHEMA)
 
 
-def warc_documents(
-    spark: SparkSession,
-    path: str,
-    glob: str = "*.warc*",
-    source: str = "warc",
-) -> DataFrame:
-    """Crawl shards -> a ``documents``-shaped table in one call: the
-    complete first mile. Keeps 200-status ``response`` records with an
-    HTML content type, extracts text with the deterministic JVM-side
-    extractor (``functions/html.py``), tags a heuristic language id, and
-    emits the exact column layout the rest of the pipeline consumes
-    (``doc_id, text, lang, source, n_chars`` + the originating ``url``)
-    — so C4 line filtering, line/substring dedup, quality scoring and
-    LM-filter stages run on crawl bytes unchanged.
+def load_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+    """Read a directory of WARC shards (plain ``.warc`` or gzipped
+    ``.warc.gz``, member-per-record or whole-file) into one row per
+    record — ``binaryFile`` whole-shard scan + :func:`parse_warc_records`
+    (see its docstring for the per-record columns and memory contract)."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("content")
+    )
+    return parse_warc_records(raw)
 
-    doc_id is the low 63 bits of xxhash64(target_uri): deterministic
-    across runs/executors, collision-resistant across shards. Payload
-    bytes decode as UTF-8 (the modern-web default; other charsets come
-    through with U+FFFD replacement — transcode upstream if the corpus
-    needs them). Plan shape: scan -> record walk -> filter -> JVM
-    projection; shuffle-free, parallelism = shard count."""
-    from victor_spark.functions.html import html_to_text
+
+def _documents_shape(pages: DataFrame, text, source: str) -> DataFrame:
+    """Project filtered records into the ``documents`` layout the whole
+    downstream pipeline consumes (+ the originating ``url``). doc_id is
+    the low 63 bits of xxhash64(target_uri): deterministic across
+    runs/executors, collision-resistant across shards."""
     from victor_spark.functions.text import lang_id
 
-    recs = load_warc(spark, path, glob)
-    pages = recs.filter(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.lower(F.coalesce("http_content_type", F.lit(""))).contains(
-            "text/html"
-        )
-    )
-    text = html_to_text(F.decode("payload", "UTF-8"))
     return pages.select(
         F.xxhash64("target_uri")
         .bitwiseAND(F.lit((1 << 63) - 1))
@@ -328,6 +314,72 @@ def warc_documents(
         F.length("text").cast("long").alias("n_chars"),
         "url",
     )
+
+
+def documents_from_warc(recs: DataFrame, source: str = "warc") -> DataFrame:
+    """WARC record rows (:func:`parse_warc_records`) -> a ``documents``-
+    shaped table: keeps 200-status ``response`` records with an HTML
+    content type, extracts text with the deterministic JVM-side
+    extractor (``functions/html.py``), tags a heuristic language id.
+    Works identically on batch and streaming inputs (pure narrow
+    transformation — the streaming first mile composes it verbatim).
+
+    Payload bytes decode as UTF-8 (the modern-web default; other
+    charsets come through with U+FFFD replacement — transcode upstream
+    if the corpus needs them)."""
+    from victor_spark.functions.html import html_to_text
+
+    pages = recs.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.lower(F.coalesce("http_content_type", F.lit(""))).contains(
+            "text/html"
+        )
+    )
+    return _documents_shape(
+        pages, html_to_text(F.decode("payload", "UTF-8")), source
+    )
+
+
+def documents_from_wet(recs: DataFrame, source: str = "wet") -> DataFrame:
+    """WET record rows -> a ``documents``-shaped table. WET is Common
+    Crawl's pre-extracted-text distribution: the SAME WARC container,
+    but ``conversion`` records whose payload is already plain text — so
+    this path skips HTML extraction and only whitespace-normalizes
+    (``functions/html.normalize_ws``, the same contract the extractor
+    ends with, so WARC- and WET-derived corpora normalize identically)."""
+    from victor_spark.functions.html import normalize_ws
+
+    conv = recs.filter(F.col("warc_type") == "conversion")
+    return _documents_shape(
+        conv, normalize_ws(F.decode("payload", "UTF-8")), source
+    )
+
+
+def warc_documents(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    source: str = "warc",
+) -> DataFrame:
+    """Crawl shards -> a ``documents``-shaped table in one call: the
+    complete first mile (``binaryFile`` scan -> record walk ->
+    HTML-typed 200s -> JVM-side extraction + lang id). Plan shape:
+    scan -> narrow map -> filter -> projection; shuffle-free,
+    parallelism = shard count. See :func:`documents_from_warc`."""
+    return documents_from_warc(load_warc(spark, path, glob), source)
+
+
+def wet_documents(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.wet*",
+    source: str = "wet",
+) -> DataFrame:
+    """Common Crawl WET shards (pre-extracted text as ``conversion``
+    records) -> a ``documents``-shaped table. See
+    :func:`documents_from_wet`."""
+    return documents_from_wet(load_warc(spark, path, glob), source)
 
 
 def _record_bytes(fields: list[tuple[str, str]], payload: bytes) -> bytes:
@@ -362,6 +414,23 @@ def _response_record(uri: str, html: bytes) -> bytes:
     )
 
 
+def _conversion_record(uri: str, text: bytes) -> bytes:
+    """A WET-style ``conversion`` record: plain-text payload, no HTTP
+    envelope (how Common Crawl distributes pre-extracted text)."""
+    rid = hashlib.md5(("conv:" + uri).encode("utf-8")).hexdigest()
+    urn = f"<urn:uuid:{rid[:8]}-{rid[8:12]}-{rid[12:16]}-{rid[16:20]}-{rid[20:32]}>"
+    return _record_bytes(
+        [
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", urn),
+            ("WARC-Date", _WARC_DATE),
+            ("WARC-Target-URI", uri),
+            ("Content-Type", "text/plain"),
+        ],
+        text,
+    )
+
+
 def _warcinfo_record(shard: str) -> bytes:
     body = (
         "software: victor_spark\r\nformat: WARC File Format 1.0\r\n"
@@ -387,14 +456,17 @@ def write_warc(
     html_col: str,
     prefix: str = "crawl",
     gzip_records: bool = True,
+    record_type: str = "response",
 ) -> DataFrame:
     """Pack (uri, html) rows into WARC shards, ONE SHARD PER PARTITION,
     written executor-side: each shard opens with a ``warcinfo`` record
-    and carries one ``response`` record per row (HTTP/1.1 envelope,
-    ``text/html`` body). ``gzip_records=True`` (default) writes the
-    Common Crawl ``.warc.gz`` layout — every record its own gzip member,
-    ``mtime=0`` for deterministic bytes. ``html_col`` may be string
-    (utf-8 encoded) or binary.
+    and carries one record per row — ``record_type='response'`` (the
+    default: HTTP/1.1 envelope, ``text/html`` body) or ``'conversion'``
+    (WET-style plain-text payload, how Common Crawl ships pre-extracted
+    text). ``gzip_records=True`` (default) writes the Common Crawl
+    ``.warc.gz`` layout — every record its own gzip member, ``mtime=0``
+    for deterministic bytes. ``html_col`` may be string (utf-8 encoded)
+    or binary.
 
     For a plain local ``path`` the returned manifest (shard, n_records,
     n_bytes) is LAZY — an action on it performs the write, exactly like
@@ -412,13 +484,24 @@ def write_warc(
         from victor_spark.sources.shipping import ship_shards
 
         staging = tempfile.mkdtemp(prefix="warc_ship_")
-        local = write_warc(df, staging, uri_col, html_col, prefix, gzip_records)
+        local = write_warc(
+            df, staging, uri_col, html_col, prefix, gzip_records, record_type
+        )
         return ship_shards(df.sparkSession, local, path, cleanup_dir=staging)
 
+    try:
+        rec_fn = {"response": _response_record,
+                  "conversion": _conversion_record}[record_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown record_type {record_type!r}; 'response' or 'conversion'"
+        ) from None
     sel = [uri_col, html_col]
     src = df.select(*(f"`{c.replace('`', '``')}`" for c in sel)).toDF("_c0", "_c1")
     fs_for(df.sparkSession, path).mkdirs(path)  # driver-side, pre-write
-    ext = ".warc.gz" if gzip_records else ".warc"
+    ext = (".warc.wet.gz" if gzip_records else ".warc.wet") \
+        if record_type == "conversion" \
+        else (".warc.gz" if gzip_records else ".warc")
 
     def _pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -439,7 +522,7 @@ def write_warc(
                 data = (
                     html.encode("utf-8") if isinstance(html, str) else bytes(html)
                 )
-                buf.write(_z(_response_record(str(uri), data)))
+                buf.write(_z(rec_fn(str(uri), data)))
                 n += 1
         if n == 0:
             yield pd.DataFrame({"shard": [], "n_records": [], "n_bytes": []})
