@@ -280,7 +280,10 @@ def run_ingest_large(n_target: int = 200_000) -> None:
         .repartition(32)
     )
     n = big.count()
-    tmp = tempfile.mkdtemp(prefix="victor_ingest_large_")
+    # prefix deliberately NOT victor_ingest_* — tools/scale_probe.py
+    # sweeps that namespace when cleaning its per-scale cache dirs, and
+    # a concurrent probe would delete this live index mid-ingest
+    tmp = tempfile.mkdtemp(prefix="victor_bench_large_")
     try:
         idx = VectorIndex(spark, tmp)
         t0 = time.perf_counter()

@@ -421,3 +421,36 @@ def test_real_mp3_sniffs_as_audio_with_metadata(spark, tmp_path):
     assert rows["ok.mp3"]["meta_sample_rate"] == 22050
     assert rows["bad.mp3"]["kind"] == "binary"
     assert rows["bad.mp3"]["meta_sample_rate"] is None
+
+
+def test_decodable_audio_prefilter_guards_strict_farms(spark, tmp_path):
+    """The strict audio farms refuse MP3 loudly (no entropy decode), and
+    since the sniffer now classifies MP3 as kind='audio', mixed lakes
+    pre-filter with the JVM-side decodable_audio predicate: filtered,
+    the farm decodes every remaining row; unfiltered, the job fails with
+    the loud stub rather than faking samples."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from victor_spark.operators.multimodal import (
+        decodable_audio,
+        decode_audio_stats,
+    )
+    from victor_spark.sources.media import load_media_dir
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    shutil.copy(os.path.join(FIX, "real_mpeg2l3_mono.mp3"), d / "song.mp3")
+    shutil.copy(os.path.join(FIX, "real_pluck_pcm16_stereo.wav"), d / "a.wav")
+    shutil.copy(os.path.join(FIX, "real_pluck_pcm16.aiff"), d / "b.aiff")
+    shutil.copy(os.path.join(FIX, "real_pluck_ulaw.au"), d / "c.au")
+    media = load_media_dir(spark, str(d)).filter("kind = 'audio'")
+    assert media.count() == 4  # MP3 included, honestly
+
+    ok = media.filter(decodable_audio("payload"))
+    stats = decode_audio_stats(ok).collect()
+    assert len(stats) == 3 and all(r["n_samples"] > 0 for r in stats)
+
+    with pytest.raises(Exception, match="MP3"):
+        decode_audio_stats(media).collect()  # loud, not faked

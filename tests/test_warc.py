@@ -374,3 +374,89 @@ def test_warc_and_wet_documents_agree_on_the_same_corpus(spark, tmp_path):
     b = {r["doc_id"]: r["text"]
          for r in wet_documents(spark, str(tmp_path / "t")).collect()}
     assert a == b and len(a) == 2
+
+
+def test_dirty_records_quarantine_per_record_not_per_shard(spark, tmp_path):
+    """The dirty-crawl contract: a record whose HTTP payload can't be
+    unwrapped (brotli coding, truncated chunked body) quarantines — the
+    row survives with raw payload + error message, the SHARD keeps
+    parsing, and warc_documents simply excludes it. Framing damage still
+    fails loudly (past a framing error every boundary is a guess)."""
+    from victor_spark.sources.warc import _record_bytes, warc_documents
+
+    good = _response_record("http://x.test/ok", b"<p>fine</p>")
+    br = _record_bytes(
+        [("WARC-Type", "response"),
+         ("WARC-Target-URI", "http://x.test/br"),
+         ("Content-Type", "application/http;msgtype=response")],
+        _http(b"\x00\x01compressed", extra=["Content-Encoding: br"]),
+    )
+    trunc = _record_bytes(
+        [("WARC-Type", "response"),
+         ("WARC-Target-URI", "http://x.test/trunc"),
+         ("Content-Type", "application/http;msgtype=response")],
+        _http(b"5\r\nab", extra=["Transfer-Encoding: chunked"]),
+    )
+    d = tmp_path / "dirty"
+    d.mkdir()
+    (d / "c-00000.warc").write_bytes(good + br + trunc)
+
+    rows = {r["target_uri"]: r for r in load_warc(spark, str(d)).collect()}
+    assert rows["http://x.test/ok"]["error"] is None
+    assert rows["http://x.test/ok"]["http_status"] == 200
+    assert "content-encoding" in rows["http://x.test/br"]["error"]
+    assert rows["http://x.test/br"]["http_status"] is None
+    # quarantined rows keep the RAW record payload for forensics/retry
+    assert bytes(rows["http://x.test/br"]["payload"]).startswith(b"HTTP/1.1")
+    assert "chunk" in rows["http://x.test/trunc"]["error"]
+    docs = warc_documents(spark, str(d))
+    assert [r["url"] for r in docs.collect()] == ["http://x.test/ok"]
+
+
+def test_folded_headers_unfold_and_writer_refuses_crlf(spark):
+    from victor_spark.sources.warc import _record_bytes
+
+    # spec-legal folded header: continuation extends the previous value
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: metadata\r\n"
+        b"WARC-Target-URI: http://x.test/very\r\n"
+        b"  long/path\r\n"
+        b"Content-Length: 2\r\n\r\n"
+        b"ok\r\n\r\n"
+    )
+    fields, payload = next(_iter_records(rec))
+    assert fields["warc-target-uri"] == "http://x.test/very long/path"
+    assert payload == b"ok"
+    # a continuation with no preceding header is framing damage
+    bad = b"WARC/1.0\r\n  orphan\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    with pytest.raises(ValueError):
+        next(_iter_records(bad))
+    # writer side: CR/LF in a header value would inject header lines
+    with pytest.raises(ValueError, match="CR/LF"):
+        _record_bytes([("WARC-Target-URI", "http://x/\r\nInjected: yes")], b"")
+
+
+def test_warc_documents_glob_skips_wet_shards(spark, tmp_path):
+    """A Common-Crawl-layout root holds .warc.gz AND .warc.wet.gz side
+    by side; warc_documents' brace glob reads only the former (WET
+    shards would gunzip + record-walk to zero rows), and wet_documents
+    only the latter."""
+    from victor_spark.sources.warc import warc_documents, wet_documents
+
+    rows = spark.createDataFrame(
+        [("http://x.test/1", "<p>page text</p>")], "uri string, html string"
+    )
+    root = tmp_path / "cc"
+    write_warc(rows.repartition(1), str(root), "uri", "html").collect()
+    write_warc(
+        rows.selectExpr("uri", "'pre-extracted' AS txt").repartition(1),
+        str(root), "uri", "txt", record_type="conversion",
+    ).collect()
+    assert {f.name for f in root.iterdir()} == {
+        "crawl-00000.warc.gz", "crawl-00000.warc.wet.gz"
+    }
+    w = warc_documents(spark, str(root)).collect()
+    t = wet_documents(spark, str(root)).collect()
+    assert [r["text"] for r in w] == ["page text"]
+    assert [r["text"] for r in t] == ["pre-extracted"]

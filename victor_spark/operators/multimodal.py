@@ -1055,6 +1055,35 @@ def _is_audio_magic(payload: bytes) -> bool:
     )
 
 
+def decodable_audio(payload_col) -> "Column":
+    """JVM-side predicate: the payload is a container the STRICT audio
+    farms (decode_audio_stats, audio_fingerprint) can fully decode —
+    RIFF/WAVE, FLAC, AIFF/AIFF-C or Sun AU. The sniffer classifies MP3
+    as kind='audio' too (honest metadata via the frame-header probe),
+    but its sample decode is a deliberate loud stub, so mixed lakes
+    pre-filter with this before the strict farms:
+
+        audio = media.filter((F.col("kind") == "audio")
+                             & decodable_audio("payload"))
+
+    Pure substring comparisons — stays in whole-stage codegen, prunes
+    before any Arrow hop."""
+    from pyspark.sql import functions as F
+
+    c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    p4 = F.substring(c, 1, 4)
+    at8 = F.substring(c, 9, 4)
+    return (
+        ((p4 == F.lit(b"RIFF")) & (at8 == F.lit(b"WAVE")))
+        | (p4 == F.lit(b"fLaC"))
+        | (
+            (p4 == F.lit(b"FORM"))
+            & ((at8 == F.lit(b"AIFF")) | (at8 == F.lit(b"AIFC")))
+        )
+        | (p4 == F.lit(b".snd"))
+    )
+
+
 def _is_wave(payload: bytes) -> bool:
     """True only for a genuine RIFF/WAVE container (both magics). RIFF
     alone also wraps AVI/WebP — dispatching the WAV decoder on the bare
@@ -2302,7 +2331,11 @@ def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
 
 def audio_fingerprint(media: DataFrame) -> DataFrame:
     """Perceptual audio fingerprint over DECODED samples — the audio-dedup
-    primitive. Per clip: decode (WAV codec), nearest-neighbor resample
+    primitive. STRICT like decode_audio_stats: every row must be a
+    fully-decodable container (WAV/FLAC/AIFF/AU) — pre-filter mixed
+    lakes with ``decodable_audio("payload")``, since MP3 rows are
+    kind='audio' but refuse sample decode loudly (faked samples would
+    poison the dedup). Per clip: decode (WAV codec), nearest-neighbor resample
     the int16 samples to a 65-point grid, one bit per consecutive grid
     pair (bit = s[j] < s[j+1]) → a 64-char '0'/'1' string.
 
@@ -2348,10 +2381,13 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
     are computed from the decoded int16 samples. Same Arrow-batched,
     shuffle-free shape as decode_image_stats.
 
-    STRICT contract: every row must be a decodable WAV or FLAC — route
-    mixed/unknown assets through load_media_dir's sniffer (which
-    quarantines them as kind='binary') before this stage; the tolerant
-    mixed-table operators are extract_features / resample_audio."""
+    STRICT contract: every row must be a fully-decodable container
+    (WAV/FLAC/AIFF/AU). The sniffer quarantines unknown formats to
+    kind='binary', but since round 8 it classifies MP3 as kind='audio'
+    WITH metadata while sample decode stays a loud NotImplementedError —
+    so mixed lakes pre-filter with ``decodable_audio("payload")`` before
+    this stage; the tolerant mixed-table operators are extract_features
+    / resample_audio."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -5643,8 +5643,16 @@ def q_warc_extract(spark, sf_dir):
         ).alias("uri"),
         html.alias("html"),
     )
+    # cache key covers EVERY function that shapes the shard bytes — the
+    # record/envelope builders included (round-6 lesson: cache dirs keyed
+    # without the full code hash serve stale shards after builder edits)
+    from victor_spark.sources import warc as _warc_mod
+
     out, built = _ingest_cache_dir(
-        "warc", sf_dir, code_of=(q_warc_extract, write_warc, escape_html)
+        "warc", sf_dir,
+        code_of=(q_warc_extract, write_warc, escape_html,
+                 _warc_mod._record_bytes, _warc_mod._response_record,
+                 _warc_mod._warcinfo_record),
     )
     if not built:
         build = _ingest_build_dir(out)

@@ -3,14 +3,21 @@ filesystem the fs shim serves.
 
 The tar/WARC packers write shards executor-side with plain ``LocalFS``
 (Python workers have no JVM gateway, so they cannot reach ``hdfs://`` /
-``s3a://`` directly). In local mode that IS the target; on a cluster with
-an object-store destination the pattern is the same one
-``VectorIndex.merge_from`` uses for shard indexes: pack locally, then one
-driver-side pass moves the manifest-listed artifacts through
-:func:`victor_spark.fs.fs_for` — whole-file payloads sized by the formats'
-own ~shard conventions, exactly what the shim's byte API is for. The
-manifest is one row per shard (bounded by partition count), so collecting
-it is a model-sized collect, not a data collect.
+``s3a://`` directly). The ship step is then one DRIVER-side pass moving
+the manifest-listed artifacts through :func:`victor_spark.fs.fs_for` —
+whole-file payloads sized by the formats' own ~shard conventions,
+exactly what the shim's byte API is for. The manifest is one row per
+shard (bounded by partition count), so collecting it is a model-sized
+collect, not a data collect.
+
+VISIBILITY CONTRACT: the driver must be able to READ the staging paths
+the executors wrote. That holds automatically in local mode (driver ==
+executors — this sandbox and the common single-node export case); on a
+multi-node cluster it requires the packers' ``staging_dir`` to be a
+shared mount (NFS/Lustre/fuse). Without shared staging, executor-local
+shards are unreachable from the driver — pack to a plain local path per
+node and merge with distcp instead. This is stated, not hidden: the
+writers' docstrings point here.
 """
 
 from __future__ import annotations

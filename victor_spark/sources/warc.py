@@ -74,6 +74,10 @@ WARC_SCHEMA = StructType(
         StructField("http_status", IntegerType()),
         StructField("http_content_type", StringType()),
         StructField("payload", BinaryType()),
+        # per-record quarantine (see parse_warc_records): NULL for clean
+        # records; the ValueError message when the record's HTTP payload
+        # could not be unwrapped (payload then carries the RAW bytes)
+        StructField("error", StringType()),
     ]
 )
 
@@ -131,11 +135,24 @@ def _iter_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
         except UnicodeDecodeError:
             raise ValueError("warc: non-utf8 record header") from None
         fields: dict[str, str] = {}
+        last_key = None
         for line in header.split("\r\n")[1:]:
+            if line[:1] in (" ", "\t"):
+                # spec-legal folded header: a continuation line extends
+                # the PREVIOUS field's value (unfold as a single space —
+                # without this, a folded WARC-Target-URI either aborts
+                # the shard or masquerades as a new header field)
+                if last_key is None:
+                    raise ValueError(
+                        f"warc: continuation line before any header {line!r}"
+                    )
+                fields[last_key] += " " + line.strip()
+                continue
             k, sep, v = line.partition(":")
             if not sep:
                 raise ValueError(f"warc: malformed header line {line!r}")
-            fields[k.strip().lower()] = v.strip()
+            last_key = k.strip().lower()
+            fields[last_key] = v.strip()
         try:
             clen = int(fields["content-length"])
         except (KeyError, ValueError):
@@ -242,6 +259,17 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
     request, metadata, conversion) surface their raw payload with NULL
     http columns — filter on ``warc_type`` downstream.
 
+    Error scoping, the dirty-crawl contract: real Common Crawl shards
+    routinely contain records whose HTTP payload cannot be unwrapped —
+    bodies truncated at the fetcher's cap (WARC-Truncated), exotic
+    content codings (br/zstd), junk header bytes. Those quarantine PER
+    RECORD: the row survives with its WARC fields, the RAW payload
+    bytes, NULL http columns and the ValueError message in ``error``
+    (same per-asset policy as the media sniffer). FRAMING damage —
+    a corrupt gzip member, a record whose Content-Length walks off the
+    end — still fails the shard task loudly, because past a framing
+    error every later byte boundary is a guess.
+
     The parse runs inside ``mapInPandas`` on whole-shard payloads, so
     task memory is bounded by one shard (the format's ~1 GB sizing
     convention); nothing is collected to the driver, and the plan is
@@ -258,11 +286,15 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
                 rows = {f.name: [] for f in WARC_SCHEMA.fields}
                 for fields, payload in _iter_records(data):
                     wtype = fields.get("warc-type", "")
-                    status = ctype = body = None
+                    status = ctype = body = err = None
                     if wtype == "response" and "msgtype=response" in fields.get(
                         "content-type", ""
                     ):
-                        status, ctype, body = _parse_http_response(payload)
+                        try:
+                            status, ctype, body = _parse_http_response(payload)
+                        except ValueError as e:
+                            status = ctype = body = None
+                            err = str(e)
                     rows["record_id"].append(fields.get("warc-record-id"))
                     rows["warc_type"].append(wtype)
                     rows["target_uri"].append(fields.get("warc-target-uri"))
@@ -271,6 +303,7 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
                     rows["http_status"].append(status)
                     rows["http_content_type"].append(ctype)
                     rows["payload"].append(body if body is not None else payload)
+                    rows["error"].append(err)
                 pdf_out = pd.DataFrame(rows)
                 pdf_out["http_status"] = pdf_out["http_status"].astype("Int32")
                 yield pdf_out
@@ -359,14 +392,19 @@ def documents_from_wet(recs: DataFrame, source: str = "wet") -> DataFrame:
 def warc_documents(
     spark: SparkSession,
     path: str,
-    glob: str = "*.warc*",
+    glob: str = "*.{warc,warc.gz}",
     source: str = "warc",
 ) -> DataFrame:
     """Crawl shards -> a ``documents``-shaped table in one call: the
     complete first mile (``binaryFile`` scan -> record walk ->
     HTML-typed 200s -> JVM-side extraction + lang id). Plan shape:
     scan -> narrow map -> filter -> projection; shuffle-free,
-    parallelism = shard count. See :func:`documents_from_warc`."""
+    parallelism = shard count. See :func:`documents_from_warc`.
+
+    The default glob uses Hadoop brace alternation to match ``.warc`` /
+    ``.warc.gz`` but NOT ``.warc.wet.gz`` — a Common-Crawl-layout root
+    holds both, and a ``*.warc*`` glob would gunzip and record-walk
+    every WET shard only to filter out all its conversion records."""
     return documents_from_warc(load_warc(spark, path, glob), source)
 
 
@@ -383,6 +421,12 @@ def wet_documents(
 
 
 def _record_bytes(fields: list[tuple[str, str]], payload: bytes) -> bytes:
+    for k, v in fields:
+        if "\r" in v or "\n" in v or "\r" in k or "\n" in k:
+            # a CR/LF inside a header value (an unvalidated crawl URL,
+            # say) would inject header lines and reframe the record —
+            # the writer refuses rather than emitting a corrupt shard
+            raise ValueError(f"warc: CR/LF in header field {k!r}: {v!r}")
     head = "".join(f"{k}: {v}\r\n" for k, v in fields)
     return (
         b"WARC/1.0\r\n"
@@ -457,6 +501,7 @@ def write_warc(
     prefix: str = "crawl",
     gzip_records: bool = True,
     record_type: str = "response",
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Pack (uri, html) rows into WARC shards, ONE SHARD PER PARTITION,
     written executor-side: each shard opens with a ``warcinfo`` record
@@ -471,8 +516,12 @@ def write_warc(
     For a plain local ``path`` the returned manifest (shard, n_records,
     n_bytes) is LAZY — an action on it performs the write, exactly like
     ``write_webdataset``. For a URI-scheme ``path`` the call is EAGER:
-    shards pack to local staging and ship driver-side through the fs
-    shim (:func:`victor_spark.sources.shipping.ship_shards`)."""
+    shards pack to ``staging_dir`` and a post-pack DRIVER-SIDE pass
+    ships them through the fs shim
+    (:func:`victor_spark.sources.shipping.ship_shards` — see its
+    docstring for the visibility contract: the staging dir must be
+    readable from the driver, which is automatic in local mode; on a
+    multi-node cluster pass a shared mount)."""
     from urllib.parse import urlparse
 
     from victor_spark.fs import fs_for
@@ -483,7 +532,7 @@ def write_warc(
 
         from victor_spark.sources.shipping import ship_shards
 
-        staging = tempfile.mkdtemp(prefix="warc_ship_")
+        staging = staging_dir or tempfile.mkdtemp(prefix="warc_ship_")
         local = write_warc(
             df, staging, uri_col, html_col, prefix, gzip_records, record_type
         )

@@ -131,6 +131,7 @@ def write_webdataset(
     key_col: str,
     content_cols: dict[str, str],
     prefix: str = "shard",
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Pack a DataFrame into WebDataset tar shards, ONE SHARD PER
     PARTITION, written executor-side. ``content_cols`` maps column ->
@@ -138,11 +139,13 @@ def write_webdataset(
     encoded). For a plain local ``path`` the returned manifest
     (shard, n_samples, n_bytes) is LAZY — an action on it performs the
     write. For a ``path`` with a URI scheme (``hdfs://``, ``s3a://``,
-    ``file:``) the call is EAGER: shards pack to a local staging dir and
-    a post-pack driver-side pass ships each one through the fs shim
-    (:func:`victor_spark.sources.shipping.ship_shards` — the
-    ``merge_from`` pattern), so tar export works on every target the
-    other maintenance paths do. Repartition the input to pick the shard
+    ``file:``) the call is EAGER: shards pack to ``staging_dir`` and a
+    post-pack DRIVER-SIDE pass ships each one through the fs shim
+    (:func:`victor_spark.sources.shipping.ship_shards` — see its
+    docstring for the visibility contract: staging must be readable from
+    the driver, automatic in local mode; on a multi-node cluster pass a
+    shared mount), so tar export works on every target the other
+    maintenance paths do. Repartition the input to pick the shard
     count/size; keys should be unique corpus-wide (the standard
     WebDataset contract)."""
     from urllib.parse import urlparse
@@ -152,7 +155,7 @@ def write_webdataset(
 
         from victor_spark.sources.shipping import ship_shards
 
-        staging = tempfile.mkdtemp(prefix="wds_ship_")
+        staging = staging_dir or tempfile.mkdtemp(prefix="wds_ship_")
         local = write_webdataset(df, staging, key_col, content_cols, prefix)
         return ship_shards(df.sparkSession, local, path, cleanup_dir=staging)
     # backtick-quote so dotted names stay column references, not struct
