@@ -454,3 +454,55 @@ def test_decodable_audio_prefilter_guards_strict_farms(spark, tmp_path):
 
     with pytest.raises(Exception, match="MP3"):
         decode_audio_stats(media).collect()  # loud, not faked
+
+
+def test_mp3_frame_walk_full_header_grid():
+    """Sweep the ENTIRE legal header space — every (version, layer,
+    bitrate index, sample-rate index, padding) combination: synthesize a
+    3-frame stream whose frame lengths follow the spec formula and
+    assert the walk traverses it exactly (counts, rate, samples per
+    frame), plus ID3v2(+footer) and ID3v1 tag skipping on top. A single
+    wrong table entry or formula branch desyncs the walk immediately."""
+    from victor_spark.operators.mp3_probe import (
+        _BITRATES,
+        _RATES,
+        _frame_header,
+        mp3_probe,
+    )
+
+    def synth(vbits, lbits, bridx, sridx, pad, n_frames=3):
+        h = (
+            (0x7FF << 21) | (vbits << 19) | (lbits << 17) | (0 << 16)
+            | (bridx << 12) | (sridx << 10) | (pad << 9) | (3 << 6)
+        )
+        hdr = h.to_bytes(4, "big")
+        frame_len, spf, rate, ch, kbps = _frame_header(hdr, 0)
+        return (hdr + b"\x00" * (frame_len - 4)) * n_frames, spf, rate
+
+    checked = 0
+    for vbits in (0, 2, 3):  # 2.5, 2, 1
+        for lbits in (1, 2, 3):  # III, II, I
+            layer = 4 - lbits
+            vkey = 1 if vbits == 3 else 2
+            for bridx in range(1, 15):
+                for sridx in range(3):
+                    for pad in (0, 1):
+                        stream, spf, rate = synth(vbits, lbits, bridx, sridx, pad)
+                        info = mp3_probe(stream)
+                        assert info["n_frames"] == 3
+                        assert info["n_samples"] == 3 * spf
+                        assert info["sample_rate"] == rate == _RATES[vbits][sridx]
+                        assert info["mean_kbps"] == _BITRATES[(vkey, layer)][bridx - 1]
+                        checked += 1
+    assert checked == 3 * 3 * 14 * 3 * 2  # 756 legal headers
+
+    # tags wrap transparently: ID3v2 with footer flag + ID3v1 trailer
+    stream, spf, rate = synth(3, 1, 9, 0, 0)
+    size = 100
+    id3v2 = (b"ID3\x04\x00\x10" + bytes([0, 0, size >> 7, size & 0x7F])
+             + b"\x00" * (size + 10))
+    wrapped = id3v2 + stream + b"TAG" + b"\x00" * 125
+    assert mp3_probe(wrapped)["n_frames"] == 3
+    # a desynced stream (frame truncated by one byte) still quarantines
+    with pytest.raises(ValueError):
+        mp3_probe(stream[:-1])

@@ -460,3 +460,65 @@ def test_warc_documents_glob_skips_wet_shards(spark, tmp_path):
     t = wet_documents(spark, str(root)).collect()
     assert [r["text"] for r in w] == ["page text"]
     assert [r["text"] for r in t] == ["pre-extracted"]
+
+
+def test_gzip_bomb_and_deflate_caps():
+    """Expansion caps (the JPEG 100-MP-guard lesson lifted to crawl
+    ingestion): a crafted shard must raise BEFORE allocating its
+    decompressed self, not OOM the executor."""
+    bomb = gzip.compress(b"\x00" * (10 << 20), mtime=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        _gunzip_members(bomb, max_out=1 << 20)
+    # under the cap the same stream is fine
+    assert _gunzip_members(bomb, max_out=11 << 20) == b"\x00" * (10 << 20)
+    # multi-member accumulation also trips the cap
+    two = gzip.compress(b"\x00" * 800_000, mtime=0) * 2
+    with pytest.raises(ValueError, match="exceeds"):
+        _gunzip_members(two, max_out=1_000_000)
+
+
+def test_property_chunked_roundtrip_and_escape_extract(spark):
+    """Hypothesis sweeps: (1) any byte payload survives any chunking;
+    (2) escape -> embed -> extract == normalize_ws for arbitrary text —
+    the warc_extract oracle's identity, beyond the hand-picked cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from victor_spark.sources.warc import _dechunk
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400), st.data())
+    def chunk_roundtrip(payload, data):
+        sizes, rest = [], len(payload)
+        while rest:
+            s = data.draw(st.integers(min_value=1, max_value=rest))
+            sizes.append(s)
+            rest -= s
+        body = b"".join(
+            f"{s:x}".encode() + b"\r\n" + payload[sum(sizes[:i]):sum(sizes[:i]) + s] + b"\r\n"
+            for i, s in enumerate(sizes)
+        ) + b"0\r\n\r\n"
+        assert _dechunk(body) == payload
+
+    chunk_roundtrip()
+
+    # batched spark property: one job over many hypothesis-style texts
+    # (running spark per-example would take minutes; the property is
+    # per-row, so one DataFrame of adversarial samples is the same check)
+    import random
+
+    rng = random.Random(8)
+    alphabet = list("ab &<>\"'\t\r\n\x0b\x0c;#&amp;&lt;&nbsp;é世") + ["&#39;", "</p>", "<script>"]
+    texts = ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+             for _ in range(300)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, t string")
+    bad = df.select(
+        "i",
+        html_to_text(
+            F.concat(F.lit("<p>"), escape_html(F.col("t")), F.lit("</p>"))
+        ).alias("got"),
+        normalize_ws(F.col("t")).alias("want"),
+    ).filter("got IS DISTINCT FROM want")
+    rows = bad.collect()
+    assert not rows, [(texts[r["i"]], r["got"], r["want"]) for r in rows[:3]]

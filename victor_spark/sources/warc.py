@@ -93,23 +93,42 @@ MANIFEST_SCHEMA = StructType(
 # reproducible so the ingest-roundtrip oracle can cache shards by content).
 _WARC_DATE = "2026-01-01T00:00:00Z"
 
+# Decompression expansion cap (gzip-bomb guard, same family as the JPEG
+# 100-megapixel allocation guard): a crafted shard or response body must
+# not OOM an executor before the parse can reject it. 4 GiB comfortably
+# clears a real ~1 GB Common Crawl shard's ~3-5x expansion; raise it via
+# the parameter if a corpus legitimately packs denser.
+MAX_DECOMPRESSED = 4 << 30
 
-def _gunzip_members(data: bytes) -> bytes:
+
+def _gunzip_members(data: bytes, max_out: int = MAX_DECOMPRESSED) -> bytes:
     """Decompress a gzip stream of one OR many concatenated members (the
     Common Crawl record-per-member layout and plain whole-file gzip are
     both just member sequences). Raises ValueError on corrupt streams —
     the contract every container parser in this repo shares (sniffer /
-    quarantine paths depend on ValueError-only)."""
-    out = []
+    quarantine paths depend on ValueError-only) — and on expansion past
+    ``max_out`` (gzip-bomb guard: reject BEFORE allocating, not after
+    the executor is already swapping)."""
+    out, total = [], 0
     while data:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         try:
-            out.append(d.decompress(data))
+            chunk = d.decompress(data, max_out - total + 1)
+            if d.unconsumed_tail:
+                raise ValueError(
+                    f"warc: decompressed size exceeds {max_out} bytes"
+                )
+            out.append(chunk)
             out.append(d.flush())
         except zlib.error as e:
             raise ValueError(f"warc: corrupt gzip member: {e}") from None
         if not d.eof:
             raise ValueError("warc: truncated gzip member")
+        total += len(out[-2]) + len(out[-1])
+        if total > max_out:
+            raise ValueError(
+                f"warc: decompressed size exceeds {max_out} bytes"
+            )
         data = d.unused_data
     return b"".join(out)
 
@@ -205,13 +224,19 @@ def _decode_content(body: bytes, encoding: str) -> bytes:
     if enc in ("gzip", "x-gzip"):
         return _gunzip_members(body)
     if enc == "deflate":
-        try:
-            return zlib.decompress(body)
-        except zlib.error:
+        for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
+            d = zlib.decompressobj(wbits)
             try:
-                return zlib.decompress(body, -zlib.MAX_WBITS)
-            except zlib.error as e:
-                raise ValueError(f"warc: bad deflate body: {e}") from None
+                chunk = d.decompress(body, MAX_DECOMPRESSED + 1)
+            except zlib.error:
+                continue
+            if len(chunk) > MAX_DECOMPRESSED:
+                raise ValueError(
+                    f"warc: decompressed size exceeds {MAX_DECOMPRESSED} bytes"
+                )
+            if d.eof:
+                return chunk
+        raise ValueError("warc: bad deflate body")
     raise ValueError(f"warc: unsupported content-encoding {encoding!r}")
 
 
