@@ -522,3 +522,84 @@ def test_property_chunked_roundtrip_and_escape_extract(spark):
     ).filter("got IS DISTINCT FROM want")
     rows = bad.collect()
     assert not rows, [(texts[r["i"]], r["got"], r["want"]) for r in rows[:3]]
+
+
+def test_charset_aware_decode(spark, tmp_path):
+    """charset_aware=True honors each page's declared encoding (BOM >
+    Content-Type charset > early <meta>), so latin-1/windows-1252
+    corpora extract real characters instead of U+FFFD; the default
+    UTF-8 JVM path is unchanged."""
+    from victor_spark.sources.warc import (
+        _decode_html_bytes,
+        _detect_charset,
+        _record_bytes,
+        warc_documents,
+    )
+
+    # unit level: detection precedence + never-raise fallback
+    assert _detect_charset(b"\xef\xbb\xbfplain", None) == "utf-8-sig"
+    assert _detect_charset(b"<p>x</p>", "text/html; charset=ISO-8859-1") == "ISO-8859-1"
+    assert _detect_charset(
+        b'<html><head><meta charset="windows-1252"></head>', "text/html"
+    ) == "windows-1252"
+    assert _detect_charset(
+        b"<meta http-equiv='Content-Type' content='text/html; charset=shift_jis'>",
+        None,
+    ) == "shift_jis"
+    assert _detect_charset(b"<p>x</p>", "text/html") == "utf-8"
+    assert _decode_html_bytes(b"caf\xe9", "text/html; charset=latin-1") == "café"
+    assert _decode_html_bytes(b"x", "text/html; charset=not-a-codec") == "x"
+
+    # end to end: a latin-1 page whose charset rides the HTTP header
+    latin = "<html><body><p>café crème</p></body></html>".encode("latin-1")
+    rec = _record_bytes(
+        [("WARC-Type", "response"),
+         ("WARC-Target-URI", "http://x.test/latin"),
+         ("Content-Type", "application/http;msgtype=response")],
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n"
+        + f"Content-Length: {len(latin)}\r\n\r\n".encode() + latin,
+    )
+    d = tmp_path / "cs"
+    d.mkdir()
+    (d / "c-00000.warc").write_bytes(rec)
+    aware = warc_documents(spark, str(d), charset_aware=True).collect()
+    assert aware[0]["text"] == "café crème"
+    # the UTF-8 fast path degrades the same page to replacement chars
+    default = warc_documents(spark, str(d)).collect()
+    assert "�" in default[0]["text"]
+
+
+def test_canonical_url_collapses_aliases_only(spark):
+    """URL canonicalization — the crawl pipeline's first dedup key:
+    scheme/host case, default ports, fragments and empty-vs-/ paths
+    collapse; path case, query order and tracking params deliberately
+    do NOT (over-canonicalization merges distinct resources)."""
+    from victor_spark.functions.url import canonical_url
+
+    cases = [
+        ("HTTP://Example.COM:80/a#frag", "http://example.com/a"),
+        ("https://example.com:443/x?b=2&a=1", "https://example.com/x?b=2&a=1"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default kept
+        ("http://example.com", "http://example.com/"),
+        ("http://EXAMPLE.com/CaseKept?q=Q#f", "http://example.com/CaseKept?q=Q"),
+        ("ftp://Host:21/f", "ftp://host/f"),
+        ("not a url", None),
+        ("/relative/only", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {r["i"]: r["c"]
+           for r in df.select("i", canonical_url("u").alias("c")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+    # the dedup composition: alias spellings group to one key
+    aliases = spark.createDataFrame(
+        [("HTTP://A.com:80/p#x",), ("http://a.com/p",), ("http://a.com/q",)],
+        "u string",
+    )
+    n = (aliases.select(canonical_url("u").alias("k"))
+         .groupBy("k").count().collect())
+    assert sorted((r["k"], r["count"]) for r in n) == [
+        ("http://a.com/p", 2), ("http://a.com/q", 1)
+    ]

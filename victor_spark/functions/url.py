@@ -1,0 +1,58 @@
+"""URL canonicalization — the crawl pipeline's FIRST dedup key.
+
+Before any content-level dedup, real pipelines collapse URL aliases:
+``HTTP://Example.com:80/a#frag`` and ``http://example.com/a`` are the
+same fetch. :func:`canonical_url` normalizes the alias dimensions that
+are SAFE by RFC 3986 semantics — scheme and host case, default ports,
+the fragment (never sent to the server), and an empty path vs ``/`` —
+and deliberately nothing else: path case, query order, and tracking
+parameters are site-specific semantics where "normalizing" can merge
+genuinely different resources (the classic over-canonicalization bug).
+
+Pure built-in expressions over ``try_parse_url`` (NULL, never error, on
+malformed input — Spark 4's plain ``parse_url`` throws) — whole-stage
+codegen, so at 100 TB the canonical key costs what a projection costs,
+and URL dedup is then the same exact hash groupBy as every other dedup
+family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of a URL column: lowercased scheme and host,
+    default ports stripped, fragment dropped, empty path -> ``/``,
+    query preserved verbatim (order and tracking params are semantics,
+    not aliases). Malformed URLs (no scheme/host) return NULL — filter
+    or quarantine, the usual contract."""
+    c = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    # HOST excludes the port (it rides the authority), so the explicit
+    # port is extracted from the raw string for the default-port collapse
+    port = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    default_port = F.coalesce(
+        *[
+            F.when(proto == k, F.lit(v))
+            for k, v in _DEFAULT_PORTS.items()
+        ],
+        F.lit(""),
+    )
+    port_part = F.when(
+        (port != "") & (port != default_port), F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = F.try_parse_url(c, F.lit("PATH"))
+    path_part = F.when(
+        path.isNull() | (path == ""), F.lit("/")
+    ).otherwise(path)
+    query = F.try_parse_url(c, F.lit("QUERY"))
+    query_part = F.when(
+        query.isNotNull(), F.concat(F.lit("?"), query)
+    ).otherwise(F.lit(""))
+    out = F.concat(proto, F.lit("://"), host, port_part, path_part, query_part)
+    return F.when(proto.isNotNull() & host.isNotNull(), out)

@@ -49,6 +49,7 @@ from __future__ import annotations
 import gzip
 import hashlib
 import io
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -351,6 +352,45 @@ def load_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
     return parse_warc_records(raw)
 
 
+_CHARSET_IN_CT = re.compile(
+    r"""charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""", re.I
+)
+
+
+def _detect_charset(b: bytes, content_type: str | None) -> str:
+    """Charset of an HTML payload, by precedence: BOM, the Content-Type
+    header's charset parameter, an early ``<meta charset>`` /
+    http-equiv declaration (scanned ASCII-compatibly in the first 2 KiB,
+    per the HTML5 prescan), else UTF-8 — the modern-web default."""
+    if b[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if b[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    if content_type:
+        m = _CHARSET_IN_CT.search(content_type)
+        if m:
+            return m.group(1)
+    head = b[:2048].decode("latin-1", "replace")
+    m = re.search(
+        r"""(?i)<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""", head
+    )
+    if m:
+        return m.group(1)
+    return "utf-8"
+
+
+def _decode_html_bytes(b: bytes, content_type: str | None = None) -> str:
+    """Decode HTML payload bytes by their declared charset, never
+    raising: unknown codec names fall back to UTF-8, malformed byte
+    sequences become U+FFFD. Deterministic — the same payload always
+    yields the same text."""
+    cs = _detect_charset(b, content_type)
+    try:
+        return b.decode(cs, "replace")
+    except LookupError:
+        return b.decode("utf-8", "replace")
+
+
 def _documents_shape(pages: DataFrame, text, source: str) -> DataFrame:
     """Project filtered records into the ``documents`` layout the whole
     downstream pipeline consumes (+ the originating ``url``). doc_id is
@@ -374,7 +414,9 @@ def _documents_shape(pages: DataFrame, text, source: str) -> DataFrame:
     )
 
 
-def documents_from_warc(recs: DataFrame, source: str = "warc") -> DataFrame:
+def documents_from_warc(
+    recs: DataFrame, source: str = "warc", charset_aware: bool = False
+) -> DataFrame:
     """WARC record rows (:func:`parse_warc_records`) -> a ``documents``-
     shaped table: keeps 200-status ``response`` records with an HTML
     content type, extracts text with the deterministic JVM-side
@@ -382,9 +424,14 @@ def documents_from_warc(recs: DataFrame, source: str = "warc") -> DataFrame:
     Works identically on batch and streaming inputs (pure narrow
     transformation — the streaming first mile composes it verbatim).
 
-    Payload bytes decode as UTF-8 (the modern-web default; other
-    charsets come through with U+FFFD replacement — transcode upstream
-    if the corpus needs them)."""
+    Charset: the default decodes payloads as UTF-8 entirely JVM-side
+    (the modern-web overwhelming default; other charsets come through
+    with U+FFFD replacement). ``charset_aware=True`` adds ONE
+    Arrow-batched pass that honors each page's declared encoding — BOM,
+    the Content-Type charset parameter, or an early ``<meta charset>``
+    (HTML5-prescan style) — for corpora with a meaningful
+    latin-1/windows-1252/shift-jis tail; everything downstream of the
+    decode stays JVM-side either way."""
     from victor_spark.functions.html import html_to_text
 
     pages = recs.filter(
@@ -394,9 +441,26 @@ def documents_from_warc(recs: DataFrame, source: str = "warc") -> DataFrame:
             "text/html"
         )
     )
-    return _documents_shape(
-        pages, html_to_text(F.decode("payload", "UTF-8")), source
-    )
+    if charset_aware:
+        def _dec(payloads: pd.Series, ctypes: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    _decode_html_bytes(bytes(b), ct)
+                    for b, ct in zip(payloads, ctypes)
+                ],
+                dtype="object",
+            )
+
+        dec = F.pandas_udf(_dec, "string")
+        html = dec(F.col("payload"), F.col("http_content_type"))
+    else:
+        # NOT F.decode(..., 'UTF-8'): since Spark 4 that RAISES on the
+        # first malformed byte (MALFORMED_CHARACTER_CODING) — one
+        # latin-1 page would fail the whole job. binary->string cast
+        # wraps the raw bytes; make_valid_utf8 then replaces invalid
+        # sequences with U+FFFD, which is the documented contract.
+        html = F.make_valid_utf8(F.col("payload").cast("string"))
+    return _documents_shape(pages, html_to_text(html), source)
 
 
 def documents_from_wet(recs: DataFrame, source: str = "wet") -> DataFrame:
@@ -409,9 +473,10 @@ def documents_from_wet(recs: DataFrame, source: str = "wet") -> DataFrame:
     from victor_spark.functions.html import normalize_ws
 
     conv = recs.filter(F.col("warc_type") == "conversion")
-    return _documents_shape(
-        conv, normalize_ws(F.decode("payload", "UTF-8")), source
-    )
+    # same malformed-byte hazard as documents_from_warc: WET payloads
+    # from the wild are utf-8 by convention, not by guarantee
+    text = normalize_ws(F.make_valid_utf8(F.col("payload").cast("string")))
+    return _documents_shape(conv, text, source)
 
 
 def warc_documents(
@@ -419,6 +484,7 @@ def warc_documents(
     path: str,
     glob: str = "*.{warc,warc.gz}",
     source: str = "warc",
+    charset_aware: bool = False,
 ) -> DataFrame:
     """Crawl shards -> a ``documents``-shaped table in one call: the
     complete first mile (``binaryFile`` scan -> record walk ->
@@ -430,7 +496,9 @@ def warc_documents(
     ``.warc.gz`` but NOT ``.warc.wet.gz`` — a Common-Crawl-layout root
     holds both, and a ``*.warc*`` glob would gunzip and record-walk
     every WET shard only to filter out all its conversion records."""
-    return documents_from_warc(load_warc(spark, path, glob), source)
+    return documents_from_warc(
+        load_warc(spark, path, glob), source, charset_aware
+    )
 
 
 def wet_documents(
