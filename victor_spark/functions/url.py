@@ -28,14 +28,25 @@ def canonical_url(url) -> Column:
     """Canonical form of a URL column: lowercased scheme and host,
     default ports stripped, fragment dropped, empty path -> ``/``,
     query preserved verbatim (order and tracking params are semantics,
-    not aliases). Malformed URLs (no scheme/host) return NULL — filter
-    or quarantine, the usual contract."""
+    not aliases). Userinfo (``user:pass@``) is dropped — credentials
+    never name a distinct crawlable resource, and keeping them would
+    split aliases (stated here because it IS a collapse beyond pure
+    case/port normalization). Malformed URLs (no scheme/host) return
+    NULL — filter or quarantine, the usual contract."""
     c = F.col(url) if isinstance(url, str) else url
     proto = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
     host = F.lower(F.try_parse_url(c, F.lit("HOST")))
     # HOST excludes the port (it rides the authority), so the explicit
-    # port is extracted from the raw string for the default-port collapse
-    port = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    # port is extracted from the raw string for the default-port
+    # collapse. Anchored: skip an optional userinfo section (else a
+    # password like 'admin:1234@host' fabricates port 1234) and require
+    # the digits to END the authority (else a bracketed IPv6 literal's
+    # inner digits match).
+    port = F.regexp_extract(
+        c,
+        r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*?:(\d+)(?=[/?#]|$)",
+        1,
+    )
     default_port = F.coalesce(
         *[
             F.when(proto == k, F.lit(v))

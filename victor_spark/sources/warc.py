@@ -97,8 +97,10 @@ _WARC_DATE = "2026-01-01T00:00:00Z"
 # Decompression expansion cap (gzip-bomb guard, same family as the JPEG
 # 100-megapixel allocation guard): a crafted shard or response body must
 # not OOM an executor before the parse can reject it. 4 GiB comfortably
-# clears a real ~1 GB Common Crawl shard's ~3-5x expansion; raise it via
-# the parameter if a corpus legitimately packs denser.
+# clears a real ~1 GB Common Crawl shard's ~3-5x expansion; corpora that
+# legitimately pack denser pass ``max_decompressed`` to
+# load_warc/parse_warc_records (a module-global override would not reach
+# executor-side re-imports).
 MAX_DECOMPRESSED = 4 << 30
 
 
@@ -214,7 +216,9 @@ def _dechunk(body: bytes) -> bytes:
         pos += size + 2
 
 
-def _decode_content(body: bytes, encoding: str) -> bytes:
+def _decode_content(
+    body: bytes, encoding: str, max_out: int = MAX_DECOMPRESSED
+) -> bytes:
     """Undo an HTTP ``Content-Encoding``: gzip/x-gzip (member loop),
     deflate (zlib-wrapped per RFC 9110, raw fallback for the many
     servers that send it bare), identity. Unknown codings raise —
@@ -223,17 +227,17 @@ def _decode_content(body: bytes, encoding: str) -> bytes:
     if enc in ("", "identity"):
         return body
     if enc in ("gzip", "x-gzip"):
-        return _gunzip_members(body)
+        return _gunzip_members(body, max_out)
     if enc == "deflate":
         for wbits in (zlib.MAX_WBITS, -zlib.MAX_WBITS):
             d = zlib.decompressobj(wbits)
             try:
-                chunk = d.decompress(body, MAX_DECOMPRESSED + 1)
+                chunk = d.decompress(body, max_out + 1)
             except zlib.error:
                 continue
-            if len(chunk) > MAX_DECOMPRESSED:
+            if len(chunk) > max_out:
                 raise ValueError(
-                    f"warc: decompressed size exceeds {MAX_DECOMPRESSED} bytes"
+                    f"warc: decompressed size exceeds {max_out} bytes"
                 )
             if d.eof:
                 return chunk
@@ -241,7 +245,9 @@ def _decode_content(body: bytes, encoding: str) -> bytes:
     raise ValueError(f"warc: unsupported content-encoding {encoding!r}")
 
 
-def _parse_http_response(body: bytes) -> tuple[int, str | None, bytes]:
+def _parse_http_response(
+    body: bytes, max_out: int = MAX_DECOMPRESSED
+) -> tuple[int, str | None, bytes]:
     """Split an HTTP/1.1 response envelope into (status, Content-Type,
     body bytes), undoing ``Transfer-Encoding: chunked`` and
     ``Content-Encoding: gzip/deflate`` — crawl records store the wire
@@ -269,11 +275,15 @@ def _parse_http_response(body: bytes) -> tuple[int, str | None, bytes]:
     # (how the entity is stored) — the wire applies them in that order
     if "chunked" in headers.get("transfer-encoding", "").lower():
         payload = _dechunk(payload)
-    payload = _decode_content(payload, headers.get("content-encoding", ""))
+    payload = _decode_content(
+        payload, headers.get("content-encoding", ""), max_out
+    )
     return status, headers.get("content-type"), payload
 
 
-def parse_warc_records(raw: DataFrame) -> DataFrame:
+def parse_warc_records(
+    raw: DataFrame, max_decompressed: int = MAX_DECOMPRESSED
+) -> DataFrame:
     """The shard-bytes -> record-rows transform: ``raw`` carries one
     whole WARC shard per row in a ``content`` binary column (what
     ``binaryFile`` produces, batch OR streaming — the streaming first
@@ -308,7 +318,7 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
             for content in pdf["content"]:
                 data = bytes(content)
                 if data[:2] == b"\x1f\x8b":
-                    data = _gunzip_members(data)
+                    data = _gunzip_members(data, max_decompressed)
                 rows = {f.name: [] for f in WARC_SCHEMA.fields}
                 for fields, payload in _iter_records(data):
                     wtype = fields.get("warc-type", "")
@@ -317,7 +327,9 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
                         "content-type", ""
                     ):
                         try:
-                            status, ctype, body = _parse_http_response(payload)
+                            status, ctype, body = _parse_http_response(
+                                payload, max_decompressed
+                            )
                         except ValueError as e:
                             status = ctype = body = None
                             err = str(e)
@@ -337,11 +349,18 @@ def parse_warc_records(raw: DataFrame) -> DataFrame:
     return raw.mapInPandas(_parse, schema=WARC_SCHEMA)
 
 
-def load_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFrame:
+def load_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    max_decompressed: int = MAX_DECOMPRESSED,
+) -> DataFrame:
     """Read a directory of WARC shards (plain ``.warc`` or gzipped
     ``.warc.gz``, member-per-record or whole-file) into one row per
     record — ``binaryFile`` whole-shard scan + :func:`parse_warc_records`
-    (see its docstring for the per-record columns and memory contract)."""
+    (see its docstring for the per-record columns and memory contract).
+    ``max_decompressed`` raises the gzip-bomb expansion cap for corpora
+    that legitimately pack denser than the 4 GiB default."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -349,7 +368,7 @@ def load_warc(spark: SparkSession, path: str, glob: str = "*.warc*") -> DataFram
         .load(path)
         .select("content")
     )
-    return parse_warc_records(raw)
+    return parse_warc_records(raw, max_decompressed)
 
 
 _CHARSET_IN_CT = re.compile(
@@ -387,7 +406,10 @@ def _decode_html_bytes(b: bytes, content_type: str | None = None) -> str:
     cs = _detect_charset(b, content_type)
     try:
         return b.decode(cs, "replace")
-    except LookupError:
+    except (LookupError, UnicodeError):
+        # LookupError: codec name unknown. UnicodeError: codecs like
+        # 'undefined'/'punycode' REFUSE input even with errors='replace'
+        # — either way fall back rather than killing the job on one page
         return b.decode("utf-8", "replace")
 
 
