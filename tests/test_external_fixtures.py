@@ -506,3 +506,50 @@ def test_mp3_frame_walk_full_header_grid():
     # a desynced stream (frame truncated by one byte) still quarantines
     with pytest.raises(ValueError):
         mp3_probe(stream[:-1])
+
+
+def test_real_webp_header_probe_and_loud_stub(spark, tmp_path):
+    """A real VP8X WebP (CPython test data — ALPH + lossy VP8, the same
+    16x16 source image as the JPEG/GIF/PNG fixtures): the header probe
+    must read 16x16 from BOTH the extended canvas and the VP8 keyframe
+    (they cross-check each other), the sniffer classifies it as image
+    with real dims, pixel decode stays a loud stub, and decodable_image
+    pre-filters it out of the strict farms."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from victor_spark.operators.multimodal import (
+        _parse_image,
+        decodable_image,
+        decode_image_stats,
+        webp_dimensions,
+    )
+    from victor_spark.sources.media import load_media_dir
+
+    payload = _load("real_16x16_vp8x.webp")
+    assert webp_dimensions(payload) == (16, 16)
+    with pytest.raises(NotImplementedError, match="WebP"):
+        _parse_image(payload)
+    # corruption: ValueError only (bad start code; truncated chunk)
+    bad = bytearray(payload)
+    i = payload.index(b"\x9d\x01\x2a")
+    bad[i] = 0x00
+    with pytest.raises(ValueError):
+        webp_dimensions(bytes(bad))
+    with pytest.raises(ValueError):
+        webp_dimensions(payload[:20])
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    shutil.copy(os.path.join(FIX, "real_16x16_vp8x.webp"), d / "w.webp")
+    shutil.copy(os.path.join(FIX, "real_16x16_palette.png"), d / "p.png")
+    media = load_media_dir(spark, str(d)).filter("kind = 'image'")
+    rows = {r["meta_width"]: r for r in media.collect()}
+    assert len(rows) == 1  # both are 16 wide — one bucket
+    assert media.count() == 2  # webp included, honestly, with dims
+    ok = media.filter(decodable_image("payload"))
+    stats = decode_image_stats(ok).collect()
+    assert len(stats) == 1 and stats[0]["width"] == 16
+    with pytest.raises(Exception, match="WebP"):
+        decode_image_stats(media).collect()  # loud, not faked

@@ -649,6 +649,90 @@ def _is_simple_raster(payload: bytes) -> bool:
     )
 
 
+def _is_webp(payload: bytes) -> bool:
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    )
+
+
+def webp_dimensions(payload: bytes) -> tuple[int, int]:
+    """Header-only WebP probe -> (width, height) — the MP3-probe stance
+    for the image modality: the container and frame-header layers are
+    tiny public structures (RIFF chunks; VP8 keyframe tag + 0x9D012A
+    start code + 14-bit dims; VP8L 0x2F signature + packed 14-bit
+    dims-minus-one; VP8X 24-bit canvas-minus-one fields), while the
+    entropy layers stay a loud stub. When a VP8X extended header AND a
+    VP8/VP8L frame are both present, their dims must AGREE for a still
+    image — a free structural cross-check this probe enforces (real
+    encoders emit both; a wrong table/offset desyncs one of them).
+    ValueError on anything malformed — the shared parser contract."""
+    import struct
+
+    if not _is_webp(payload):
+        raise ValueError("not a WebP payload")
+    canvas = frame = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("webp: truncated chunk")
+        if tag == b"VP8X":
+            if size < 10:
+                raise ValueError("webp: short VP8X header")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            canvas = (w, h)
+        elif tag == b"VP8 ":
+            if size < 10:
+                raise ValueError("webp: short VP8 frame")
+            if body[0] & 1:
+                raise ValueError("webp: VP8 first frame is not a keyframe")
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("webp: bad VP8 keyframe start code")
+            w = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+            h = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+            frame = frame or (w, h)
+        elif tag == b"VP8L":
+            if size < 5 or body[0] != 0x2F:
+                raise ValueError("webp: bad VP8L signature")
+            bits = struct.unpack("<I", body[1:5])[0]
+            if (bits >> 29) & 0x7:
+                raise ValueError("webp: unsupported VP8L version")
+            frame = frame or ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if canvas and frame and canvas != frame:
+        # legal for animations (frames tile a larger canvas), but this
+        # probe only classifies stills — surface the mismatch
+        raise ValueError(f"webp: canvas {canvas} != frame {frame}")
+    dims = canvas or frame
+    if dims is None:
+        raise ValueError("webp: no VP8/VP8L/VP8X chunk found")
+    if dims[0] < 1 or dims[1] < 1 or dims[0] * dims[1] > 100_000_000:
+        raise ValueError(f"webp: implausible dimensions {dims}")
+    return dims
+
+
+def decodable_image(payload_col) -> "Column":
+    """JVM-side predicate: the payload is a container the STRICT image
+    farms (decode_image_stats, image_dhash, resize) can fully decode —
+    everything the sniffer classifies as 'image' EXCEPT WebP, whose
+    pixel decode is a deliberate loud stub (entropy tables absent
+    in-sandbox; webp_dimensions supplies honest metadata). Mirror of
+    decodable_audio: pre-filter mixed lakes before the strict farms.
+    Pure substring comparison — whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    return ~(
+        (F.substring(c, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(c, 9, 4) == F.lit(b"WEBP"))
+    )
+
+
 def _parse_image(payload: bytes):
     """Decode any supported image container to (w, h, (h,w,3) uint8):
     the PNM family (PPM/PGM/PBM, binary and ASCII), PNG (compressed,
@@ -659,6 +743,19 @@ def _parse_image(payload: bytes):
     (incl. byte-RLE), SGI (incl. scanline-RLE), baseline TIFF (incl.
     PackBits) and XBM. The single dispatch point for the image decode
     farm operators."""
+    if _is_webp(payload):
+        # LOUD stub, deliberately — the MP3 stance applied to images:
+        # webp_dimensions() gives honest header metadata (the sniffer
+        # classifies WebP as kind='image' with real dims), but the
+        # VP8/VP8L entropy layers' constant tables are not available
+        # in-sandbox. NotImplementedError, not ValueError: faking pixels
+        # for a KNOWN format would poison perceptual dedup. Pre-filter
+        # mixed lakes with decodable_image().
+        raise NotImplementedError(
+            "WebP entropy decode is deliberately not implemented (no "
+            "trusted VP8/VP8L spec tables in-sandbox); use "
+            "webp_dimensions for container metadata"
+        )
     if payload.startswith(_PNG_SIG):
         return _parse_png(payload)
     if payload[:6] in _GIF_MAGICS:

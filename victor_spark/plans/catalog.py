@@ -5063,7 +5063,8 @@ SELECT * FROM (VALUES
   (CAST(19922 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(19984 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
   (CAST(26598 AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(11025 AS BIGINT)),
-  (CAST(9436  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(22050 AS BIGINT))
+  (CAST(9436  AS BIGINT), 'audio', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(22050 AS BIGINT)),
+  (CAST(432   AS BIGINT), 'image', CAST(16  AS BIGINT), CAST(16  AS BIGINT), CAST(NULL  AS BIGINT))
 ) t(n_bytes, kind, meta_width, meta_height, meta_sample_rate)
 """,
     "EXTERNAL-ENCODER interop gate over the COMMITTED fixture "
@@ -5083,7 +5084,8 @@ SELECT * FROM (VALUES
     "consistently with the WAV reference, pinned in pytest — plus a "
     "real MPEG-2 Layer-III MP3 (ID3v2-tagged, 22050 Hz mono) that the "
     "frame-header metadata probe must classify as audio with its true "
-    "rate, no entropy decode): every "
+    "rate, no entropy decode, and a real VP8X WebP whose header probe "
+    "must agree between the extended-canvas and VP8-keyframe dims): every "
     "fixture must ingest "
     "through the media sniffer with the right kind + container "
     "metadata, none quarantined to kind='binary'. The oracle is the "

@@ -135,7 +135,7 @@ def load_media_dir(
                         kind = "image"
                         w, h, _arr = _parse_image(b)
                     elif _is_wave(b):  # both RIFF magics — bare 'RIFF'
-                        # also wraps AVI (below) / WebP (kind='binary')
+                        # also wraps AVI / WebP (probed below)
                         kind = "audio"
                         rate, _samples = _parse_wav(b)
                     elif _is_aiff(b):
@@ -158,6 +158,21 @@ def load_media_dir(
 
                         kind = "video"
                         w, h, _n = _avi_dimensions(b)
+                    elif (
+                        len(b) >= 12
+                        and b[:4] == b"RIFF"
+                        and b[8:12] == b"WEBP"
+                    ):
+                        # header-only probe (VP8X canvas / VP8 keyframe /
+                        # VP8L signature, cross-checked): honest image
+                        # metadata; pixel decode stays a LOUD stub —
+                        # strict farms pre-filter with decodable_image()
+                        from victor_spark.operators.multimodal import (
+                            webp_dimensions,
+                        )
+
+                        kind = "image"
+                        w, h = webp_dimensions(b)
                     elif b[:4] == b"fLaC":
                         # header-only probe (STREAMINFO), like the JPEG
                         # SOF probe — no entropy decode at ingest
