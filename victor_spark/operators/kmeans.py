@@ -52,6 +52,54 @@ def seed_rows(df: DataFrame, id_col: str, vec_col: str, k: int,
     return [[float(x) for x in r["_v"]] for r in rows]
 
 
+def seed_centroids(df: DataFrame, id_col: str, vec_col: str, k: int,
+                   salt: str, metric: str = "cosine",
+                   pool_mult: int = 8) -> list[list[float]]:
+    """Farthest-point k-means init (the deterministic k-means++ stand-in):
+    collect a salted-md5-ordered candidate pool of ``k * pool_mult`` rows
+    (a bounded model-sized collect, like the PQ codebook), start from the
+    pool's min-md5 row, then greedily add the candidate farthest from its
+    nearest chosen centroid.
+
+    Why not ``seed_rows`` directly: k independent md5 picks can land two
+    seeds in one cluster and none in another, and Lloyd cannot split a
+    merged cell afterwards — with uuid row ids the picks differ per
+    ingest, so IVF recall on clustered corpora varied run to run
+    (observed: a 4-cell build on a 4-cluster corpus dropping to 0.76
+    recall on an unlucky draw). Farthest-point spreads the seeds across
+    clusters for ANY draw the pool covers; ties break by pool order, so
+    the init stays fully deterministic given ids."""
+    import numpy as np
+
+    pool = seed_rows(df, id_col, vec_col, k * pool_mult, salt)
+    if len(pool) <= k:
+        return pool
+    P = np.asarray(pool, dtype=np.float64)
+    if metric == "cosine":
+        n_ = np.linalg.norm(P, axis=1, keepdims=True)
+        n_[n_ == 0] = 1.0
+        Q = P / n_
+    else:
+        Q = P
+
+    # O(pool * k) incremental nearest-distance updates, never the
+    # quadratic pool matrix (k=220 cells * 8x pool is fine either way,
+    # but a larger build must not square a 10k-row pool driver-side)
+    def _d(j: int) -> "np.ndarray":
+        if metric == "cosine":
+            return 1.0 - Q @ Q[j]  # monotone in angle
+        diff = Q - Q[j]
+        return (diff * diff).sum(axis=1)
+
+    chosen = [0]
+    d_near = _d(0)
+    while len(chosen) < k:
+        j = int(np.argmax(d_near))  # ties -> first index = pool order
+        chosen.append(j)
+        d_near = np.minimum(d_near, _d(j))
+    return [[float(x) for x in P[j]] for j in chosen]
+
+
 def fit_kmeans(df: DataFrame, id_col: str, vec_col: str, k: int,
                max_iter: int = 10, metric: str = "cosine",
                salt: str = "kmeans", tol: float = 1e-6) -> list[list[float]]:
@@ -65,7 +113,7 @@ def fit_kmeans(df: DataFrame, id_col: str, vec_col: str, k: int,
     """
     if metric not in ("cosine", "l2"):
         raise ValueError(f"metric must be cosine|l2, got {metric!r}")
-    init = seed_rows(df, id_col, vec_col, k, salt)
+    init = seed_centroids(df, id_col, vec_col, k, salt, metric)
     if not init:
         raise ValueError("cannot fit k-means over an empty dataframe")
     if len(init) < k:
