@@ -531,7 +531,8 @@ def test_real_webp_header_probe_and_loud_stub(spark, tmp_path):
     assert webp_dimensions(payload) == (16, 16)
     with pytest.raises(NotImplementedError, match="WebP"):
         _parse_image(payload)
-    # corruption: ValueError only (bad start code; truncated chunk)
+    # corruption: ValueError only (bad start code; truncated chunk;
+    # trailing garbage; lying RIFF size; animated container)
     bad = bytearray(payload)
     i = payload.index(b"\x9d\x01\x2a")
     bad[i] = 0x00
@@ -539,6 +540,19 @@ def test_real_webp_header_probe_and_loud_stub(spark, tmp_path):
         webp_dimensions(bytes(bad))
     with pytest.raises(ValueError):
         webp_dimensions(payload[:20])
+    with pytest.raises(ValueError, match="RIFF size"):
+        webp_dimensions(payload + b"\x00" * 7)  # strict: walk must tile
+    import struct as _struct
+
+    lying = payload[:4] + _struct.pack("<I", 99) + payload[8:]
+    with pytest.raises(ValueError, match="RIFF size"):
+        webp_dimensions(lying)
+    vp8x = (b"VP8X" + _struct.pack("<I", 10) + b"\x02\x00\x00\x00"
+            + (15).to_bytes(3, "little") + (15).to_bytes(3, "little"))
+    body = b"WEBP" + vp8x
+    anim = b"RIFF" + _struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="animated"):
+        webp_dimensions(anim)  # ANIM flag: not a still, quarantine
 
     d = tmp_path / "lake"
     d.mkdir()

@@ -219,3 +219,25 @@ def test_sampled_centroids_trail_kmeans_on_clustered_corpus(spark, tmp_path):
     idx.build_ivf(n_cells=4, trainer="kmeans", train_iters=8)
     r_kmeans = mean_recall()
     assert r_kmeans >= r_sample, (r_kmeans, r_sample)
+
+
+def test_seed_centroids_zero_vector_pool(spark):
+    """Review-caught: under cosine, a zero-norm pool row keeps
+    self-distance 1.0 after being chosen (the norm guard leaves it
+    all-zeros), so without masking the pick it would be re-chosen until
+    every remaining slot is a duplicate centroid. The greedy must still
+    produce k DISTINCT pool rows."""
+    from victor_spark.operators.kmeans import seed_centroids
+
+    rows = []
+    dirs = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    for i in range(30):
+        base = dirs[i % 3]
+        rows.append((f"id{i:02d}", [x + 0.01 * (i % 5) for x in base]))
+    rows.append(("id99", [0.0, 0.0, 0.0]))  # the poison row
+    df = spark.createDataFrame(rows, "id string, v array<double>")
+    cents = seed_centroids(df, "id", "v", k=4, salt="t", metric="cosine",
+                           pool_mult=8)
+    assert len(cents) == 4
+    # no duplicated centroid (the old bug filled slots with the zero row)
+    assert len({tuple(c) for c in cents}) == 4

@@ -68,7 +68,9 @@ def seed_centroids(df: DataFrame, id_col: str, vec_col: str, k: int,
     (observed: a 4-cell build on a 4-cluster corpus dropping to 0.76
     recall on an unlucky draw). Farthest-point spreads the seeds across
     clusters for ANY draw the pool covers; ties break by pool order, so
-    the init stays fully deterministic given ids."""
+    the init stays fully deterministic given ids. (The pool's membership
+    is chosen by salted md5; its ORDER — and therefore the first seed
+    and tie-breaks — is id order, seed_rows' return contract.)"""
     import numpy as np
 
     pool = seed_rows(df, id_col, vec_col, k * pool_mult, salt)
@@ -93,10 +95,16 @@ def seed_centroids(df: DataFrame, id_col: str, vec_col: str, k: int,
 
     chosen = [0]
     d_near = _d(0)
+    d_near[0] = -np.inf
     while len(chosen) < k:
         j = int(np.argmax(d_near))  # ties -> first index = pool order
         chosen.append(j)
         d_near = np.minimum(d_near, _d(j))
+        # mask the pick: a zero-norm row under cosine keeps self-distance
+        # 1.0 (the norm guard leaves it all-zeros), so without this one
+        # zero vector in the pool would be re-chosen until every
+        # remaining slot is a duplicate centroid (review-caught)
+        d_near[j] = -np.inf
     return [[float(x) for x in P[j]] for j in chosen]
 
 

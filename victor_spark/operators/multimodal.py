@@ -672,9 +672,20 @@ def webp_dimensions(payload: bytes) -> tuple[int, int]:
 
     if not _is_webp(payload):
         raise ValueError("not a WebP payload")
+    # the RIFF declared size must tile the file exactly (file size - 8),
+    # and the chunk walk below must land exactly on end-of-payload — the
+    # same self-validating strictness as the MP3 frame walk; corrupt or
+    # trailing-garbage containers quarantine, they don't half-parse
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size != len(payload) - 8:
+        raise ValueError(
+            f"webp: RIFF size {riff_size} != payload size {len(payload) - 8}"
+        )
     canvas = frame = None
     pos = 12
-    while pos + 8 <= len(payload):
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("webp: trailing bytes shorter than a chunk header")
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
@@ -683,6 +694,12 @@ def webp_dimensions(payload: bytes) -> tuple[int, int]:
         if tag == b"VP8X":
             if size < 10:
                 raise ValueError("webp: short VP8X header")
+            if body[0] & 0x02:
+                # ANIM flag: frames live inside ANMF sub-chunks this
+                # walk does not descend into — an animated WebP is NOT a
+                # still image, and unlike animated GIF there is no frame
+                # sampler for it; quarantine rather than mislabel
+                raise ValueError("webp: animated (ANIM flag) — not a still")
             w = int.from_bytes(body[4:7], "little") + 1
             h = int.from_bytes(body[7:10], "little") + 1
             canvas = (w, h)
@@ -704,6 +721,10 @@ def webp_dimensions(payload: bytes) -> tuple[int, int]:
                 raise ValueError("webp: unsupported VP8L version")
             frame = frame or ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if pos != len(payload) and pos != len(payload) + 1:
+        # +1: a final odd-sized chunk's pad byte may be omitted by some
+        # writers at end-of-file; anything else is framing damage
+        raise ValueError("webp: chunk walk did not land on end-of-payload")
     if canvas and frame and canvas != frame:
         # legal for animations (frames tile a larger canvas), but this
         # probe only classifies stills — surface the mismatch
@@ -718,19 +739,27 @@ def webp_dimensions(payload: bytes) -> tuple[int, int]:
 
 def decodable_image(payload_col) -> "Column":
     """JVM-side predicate: the payload is a container the STRICT image
-    farms (decode_image_stats, image_dhash, resize) can fully decode —
-    everything the sniffer classifies as 'image' EXCEPT WebP, whose
-    pixel decode is a deliberate loud stub (entropy tables absent
-    in-sandbox; webp_dimensions supplies honest metadata). Mirror of
-    decodable_audio: pre-filter mixed lakes before the strict farms.
-    Pure substring comparison — whole-stage codegen."""
+    farms (decode_image_stats, image_dhash, resize) can fully decode.
+    A positive ALLOWLIST of the magics _parse_image actually dispatches
+    (PNG, GIF, JPEG, the PNM family, BMP, Sun raster, SGI, baseline
+    TIFF, ICO, XBM) — the same fail-closed shape as decodable_audio, so
+    WebP (honest metadata, loud pixel stub), any future probe-only
+    format, and arbitrary binary all filter OUT instead of crashing the
+    farm. Pure substring comparisons — whole-stage codegen."""
     from pyspark.sql import functions as F
 
     c = F.col(payload_col) if isinstance(payload_col, str) else payload_col
-    return ~(
-        (F.substring(c, 1, 4) == F.lit(b"RIFF"))
-        & (F.substring(c, 9, 4) == F.lit(b"WEBP"))
-    )
+    p2 = F.substring(c, 1, 2)
+    magics2 = [b"P1", b"P2", b"P3", b"P4", b"P5", b"P6", b"BM", b"\x01\xda"]
+    cond = (F.substring(c, 1, 8) == F.lit(_PNG_SIG))
+    for m in _GIF_MAGICS:
+        cond = cond | (F.substring(c, 1, 6) == F.lit(m))
+    cond = cond | (F.substring(c, 1, 3) == F.lit(_JPEG_MAGIC))
+    for m in magics2:
+        cond = cond | (p2 == F.lit(m))
+    for m in (b"\x59\xa6\x6a\x95", b"II*\x00", b"MM\x00*", b"\x00\x00\x01\x00"):
+        cond = cond | (F.substring(c, 1, 4) == F.lit(m))
+    return cond | (F.substring(c, 1, 7) == F.lit(b"#define"))
 
 
 def _parse_image(payload: bytes):

@@ -78,8 +78,16 @@ def q_ingest_wet_roundtrip(spark, sf_dir):
         ).alias("uri"),
         "text",
     )
+    # cache key covers EVERY function that shapes the shard bytes —
+    # the record/envelope builders included (round-6 lesson; same rule
+    # as q_warc_extract)
+    from victor_spark.sources import warc as _warc_mod
+
     out, built = _ingest_cache_dir(
-        "wet", sf_dir, code_of=(q_ingest_wet_roundtrip, write_warc)
+        "wet", sf_dir,
+        code_of=(q_ingest_wet_roundtrip, write_warc,
+                 _warc_mod._record_bytes, _warc_mod._conversion_record,
+                 _warc_mod._warcinfo_record),
     )
     if not built:
         build = _ingest_build_dir(out)

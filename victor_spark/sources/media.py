@@ -46,6 +46,7 @@ from victor_spark.operators.multimodal import (
     _is_au,
     _is_simple_raster,
     _is_wave,
+    _is_webp,
     _parse_aiff,
     _parse_au,
     _parse_gif,
@@ -158,11 +159,7 @@ def load_media_dir(
 
                         kind = "video"
                         w, h, _n = _avi_dimensions(b)
-                    elif (
-                        len(b) >= 12
-                        and b[:4] == b"RIFF"
-                        and b[8:12] == b"WEBP"
-                    ):
+                    elif _is_webp(b):
                         # header-only probe (VP8X canvas / VP8 keyframe /
                         # VP8L signature, cross-checked): honest image
                         # metadata; pixel decode stays a LOUD stub —
