@@ -972,3 +972,187 @@ def test_stream_warc_first_mile_matches_batch(spark, tmp_path):
     with _pytest.raises(ValueError, match="unknown kind"):
         stream_warc_documents(spark, src_warc, str(tmp_path / "x"),
                               str(tmp_path / "y"), kind="nope")
+
+
+def test_stream_dedup_state_is_watermark_evictable(spark, tmp_path):
+    """Review-caught: dropDuplicates(['event_id']) after a watermark
+    declares eviction but never applies it — state grows O(stream). The
+    plan must carry the WithinWatermark dedup operator, whose state
+    evicts past the horizon."""
+    from victor_spark.streaming import dedup_events_stream
+
+    d = tmp_path / "src"
+    d.mkdir()
+    shutil.copy(os.path.join(SF_SMOKE, "events.parquet"), d / "p.parquet")
+    deduped = dedup_events_stream(_stream_events(spark, str(d)))
+    plan = deduped._jdf.queryExecution().analyzed().toString()
+    assert "DeduplicateWithinWatermark" in plan, plan[:500]
+
+
+def test_stream_sinks_support_continuous_mode(spark, tmp_path):
+    """Review-caught: trigger(availableNow=False) RAISES in pyspark, so
+    topologies passing the flag straight through could never run in
+    their documented continuous mode. available_now=False must START
+    (default trigger) — stopped immediately here."""
+    from victor_spark.sources.warc import write_warc
+    from victor_spark.streaming import stream_decode_media, stream_warc_documents
+
+    rows = spark.createDataFrame([("http://x.test/1", "<p>a</p>")],
+                                 "uri string, html string")
+    src = str(tmp_path / "wsrc")
+    write_warc(rows.repartition(1), src, "uri", "html").collect()
+    q = stream_warc_documents(
+        spark, src, str(tmp_path / "wout"), str(tmp_path / "wck"),
+        available_now=False,
+    )
+    try:
+        assert q.isActive
+    finally:
+        q.stop()
+
+    from victor_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(1, "x")], "id long, text string")
+    media = M.synthesize_ppm(docs.selectExpr("id", "md5(text) AS text"),
+                             "id", "text", 4, 4)
+    msrc = str(tmp_path / "msrc")
+    media.coalesce(1).write.parquet(msrc)
+    stream = spark.readStream.schema(media.schema).format("parquet").load(msrc)
+    q2 = stream_decode_media(stream, str(tmp_path / "mout"),
+                             str(tmp_path / "mck"), available_now=False)
+    try:
+        assert q2.isActive
+    finally:
+        q2.stop()
+
+
+def test_hist_bins_exclude_null_and_nan(spark):
+    """Review-caught: least/greatest skip nulls, so NULL values landed in
+    the TOP bin (dragging p95/p99 toward hi) and NaN in bin 0. Both are
+    excluded now."""
+    from victor_spark.streaming.hist_stream import batch_bins
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (float("nan",),)], "v double"
+    )
+    got = {r["bin"]: r["cnt"] for r in batch_bins(df, "v", 0.0, 10.0, 10).collect()}
+    assert got == {1: 1}  # only the real value, in its own bin
+
+
+def test_hist_state_skips_partial_epochs_and_validates_grid(spark, tmp_path):
+    """Review-caught pair: a crash mid-epoch-write leaves a partial dir
+    (no _SUCCESS) that must be skipped, and a reader passing a different
+    lo/hi/bins grid must get a loud error, not silently-remapped
+    quantiles."""
+    from victor_spark.streaming.hist_stream import quantile_estimate
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    vals = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    vals.coalesce(1).write.parquet(str(src / "f1"))
+    state = str(tmp_path / "hstate")
+    from victor_spark.streaming import stream_quantile_rollup
+
+    stream_quantile_rollup(
+        spark.readStream.schema("v double").parquet(str(src / "f1")),
+        "v", state, str(tmp_path / "hck"), lo=0.0, hi=100.0, bins=10,
+    ).awaitTermination()
+    # plant a PARTIAL epoch: directory with garbage, no _SUCCESS
+    bad = tmp_path / "hstate" / "epoch=999"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not parquet at all")
+    import pytest as _pytest
+
+    q = quantile_estimate(spark, state, [0.5], lo=0.0, hi=100.0, bins=10)
+    assert 40.0 <= q[0.5] <= 60.0  # partial epoch skipped, not crashed
+    with _pytest.raises(ValueError, match="grid mismatch"):
+        quantile_estimate(spark, state, [0.5], lo=0.0, hi=10.0, bins=10)
+
+
+def test_sessionize_group_extends_start_backwards_and_splits():
+    """Review-caught: a late-but-admitted event BEFORE the parked open
+    session must extend session_start backwards, and one more than a gap
+    earlier must form its own session — the old sweep anchored start at
+    the parked value."""
+    import pandas as pd
+
+    from victor_spark.streaming.stateful import _sessionize_group
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.hasTimedOut = False
+            self.updated = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutTimestamp(self, _ms):
+            pass
+
+        def remove(self):
+            self._v = None
+
+    H = 3_600_000_000  # 1h in us
+    t10 = 10 * H
+
+    # case 1: admitted event 4 min before the open session's start
+    st = FakeState((t10, t10, 3))
+    pdf = pd.DataFrame({"ts": [pd.Timestamp(t10 - 4 * 60_000_000, unit="us")]})
+    out = list(_sessionize_group((7,), iter([pdf]), st))
+    assert out == []  # nothing closes
+    start, end, n = st.updated
+    assert start == t10 - 4 * 60_000_000 and end == t10 and n == 4
+
+    # case 2: admitted event 40 min before start (> 30-min gap): its own
+    # earlier session closes and emits; the parked session stays open
+    st = FakeState((t10, t10, 3))
+    pdf = pd.DataFrame({"ts": [pd.Timestamp(t10 - 40 * 60_000_000, unit="us")]})
+    out = list(_sessionize_group((7,), iter([pdf]), st))
+    assert len(out) == 1 and out[0]["n_events"].tolist() == [1]
+    assert st.updated == (t10, t10, 3)
+
+
+def test_bloom_seen_filter_null_keys_and_reserved_columns(spark, tmp_path):
+    """Review-caught pair: NULL keys are flagged seen=True (conservative
+    — they'd otherwise read neither-new-nor-seen and re-surface every
+    batch), and a batch already carrying a 'seen' column is rejected
+    instead of producing an ambiguous duplicate."""
+    from victor_spark.streaming import stream_seen_filter
+
+    src = tmp_path / "bsrc"
+    src.mkdir()
+    spark.createDataFrame([("a",), (None,), ("b",)], "url string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema("url string").parquet(str(src / "f1"))
+    got = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            got[r["url"]] = r["seen"]
+
+    stream_seen_filter(
+        stream, "url", str(tmp_path / "bstate"), str(tmp_path / "bck"),
+        sink,
+    ).awaitTermination()
+    assert got["a"] is False and got["b"] is False
+    assert got[None] is True  # null key: never emitted as new
+
+    bad = spark.readStream.schema("url string, seen boolean").parquet(
+        str(src / "f1")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="seen"):
+        stream_seen_filter(
+            bad, "url", str(tmp_path / "bstate2"), str(tmp_path / "bck2"),
+            sink,
+        ).awaitTermination()

@@ -16,7 +16,12 @@ from victor_spark.streaming.search import (
     stream_search,
 )
 from victor_spark.streaming.bloom_stream import stream_seen_filter
+from victor_spark.streaming.hist_stream import (
+    quantile_estimate,
+    stream_quantile_rollup,
+)
 from victor_spark.streaming.media_stream import stream_decode_media
+from victor_spark.streaming.warc_stream import stream_warc_documents
 from victor_spark.streaming.sketch_stream import (
     distinct_estimate,
     stream_distinct_rollup,
@@ -44,4 +49,7 @@ __all__ = [
     "stream_seen_filter",
     "stream_chunked_ingest",
     "stream_decode_media",
+    "stream_quantile_rollup",
+    "quantile_estimate",
+    "stream_warc_documents",
 ]

@@ -68,10 +68,24 @@ def stream_seen_filter(
     Within one batch, duplicate keys all probe the same pre-batch state
     (they are reported with the same ``seen`` flag); cross-batch,
     at-most-once "new" emission holds per the module contract.
+
+    NULL keys are flagged ``seen=True`` (conservative: a null key is not
+    a crawlable URL, and both the probe and the filter build would
+    otherwise silently skip it — it would read as neither-new-nor-seen
+    and re-surface every batch, voiding the at-most-once contract;
+    review-caught). The batch may not already carry a ``seen`` column —
+    the output column would be ambiguous.
     """
     spark = keys.sparkSession
 
     def _handle(batch: DataFrame, epoch_id: int) -> None:
+        # reserved output/state aliases, checked on EVERY path (the
+        # __bloom_words guard used to run only when state existed)
+        for reserved in ("seen", "__bloom_words"):
+            if reserved in batch.columns:
+                raise ValueError(
+                    f"batch may not contain a {reserved!r} column"
+                )
         prev = read_state(spark, state_dir, _STATE_SCHEMA)
         if prev is not None:
             rows = prev.collect()
@@ -84,21 +98,26 @@ def stream_seen_filter(
         if words_df is not None:
             # the filter row rides under a reserved alias so a batch
             # column named "words" is neither shadowed nor clobbered
-            if "__bloom_words" in batch.columns:
-                raise ValueError(
-                    "batch may not contain a __bloom_words column"
-                )
             payload = F.broadcast(
                 words_df.select(F.col("words").alias("__bloom_words"))
             )
             flagged = batch.crossJoin(payload).select(
                 *batch.columns,
-                bloom_might_contain(
-                    F.col("__bloom_words"), F.col(col), k=k, m=m, salt=salt
-                ).alias("seen"),
+                F.when(F.col(col).isNull(), F.lit(True))
+                .otherwise(
+                    bloom_might_contain(
+                        F.col("__bloom_words"), F.col(col), k=k, m=m,
+                        salt=salt,
+                    )
+                )
+                .alias("seen"),
             )
         else:
-            flagged = batch.select(*batch.columns, F.lit(False).alias("seen"))
+            flagged = batch.select(
+                *batch.columns,
+                # null keys are "seen" even on the stateless first batch
+                F.col(col).isNull().alias("seen"),
+            )
         sink(flagged, epoch_id)
         fresh = bloom_build(batch, col, k=k, m=m, salt=salt)
         merged = fresh if words_df is None else bloom_merge(words_df, fresh)

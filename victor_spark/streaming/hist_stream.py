@@ -52,11 +52,15 @@ def batch_bins(df: DataFrame, col: str, lo: float, hi: float,
                bins: int = 256) -> DataFrame:
     """(bin, cnt) of ``col`` against the FIXED [lo, hi) edge grid —
     map-side partial aggregation; out-of-range values clamp to the edge
-    bins."""
+    bins. NULL and NaN rows are EXCLUDED (review-caught: least/greatest
+    skip nulls, so a NULL value used to land in the TOP bin and NaN in
+    bin 0 — a latency stream where timeouts carry null latency would
+    silently drag p95/p99 toward hi)."""
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     return (
-        df.select(_bin_expr(col, lo, hi, bins).alias("bin"))
+        df.where(F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double")))
+        .select(_bin_expr(col, lo, hi, bins).alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").alias("cnt"))
     )
@@ -84,6 +88,16 @@ def stream_quantile_rollup(
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
 
+    # persist the edge parameters next to the state: a reader passing a
+    # DIFFERENT grid would silently remap every quantile onto the wrong
+    # edges (review-caught) — quantile_estimate validates against this
+    import json as _json
+
+    fs_for(spark, state_dir).write_bytes_atomic(
+        state_dir.rstrip("/") + "/_edges.json",
+        _json.dumps({"lo": lo, "hi": hi, "bins": bins}).encode(),
+    )
+
     def _handle(batch: DataFrame, epoch_id: int) -> None:
         rows = batch_bins(batch, col, lo, hi, bins).collect()  # ≤ bins rows
         spark.createDataFrame(rows, _STATE_SCHEMA).coalesce(1).write.mode(
@@ -101,11 +115,20 @@ def stream_quantile_rollup(
 
 
 def merged_bins(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """The cross-epoch (bin, cnt) sum, or None if no state exists."""
+    """The cross-epoch (bin, cnt) sum, or None if no state exists.
+    Epochs without a ``_SUCCESS`` marker are skipped: ``mode("overwrite")``
+    is delete-first, so a crash mid-epoch-write leaves a partial
+    directory until the stream restarts and replays that epoch —
+    reading it would throw on a truncated part-file or silently
+    undercount (review-caught; same marker discipline as state.py)."""
     fs = fs_for(spark, state_dir)
     if not fs.exists(state_dir):
         return None
-    epochs = [d for d in fs.listdir(state_dir) if d.startswith("epoch=")]
+    epochs = [
+        d for d in fs.listdir(state_dir)
+        if d.startswith("epoch=")
+        and fs.exists(state_dir.rstrip("/") + "/" + d + "/_SUCCESS")
+    ]
     if not epochs:
         return None
     df = spark.read.schema(_STATE_SCHEMA).parquet(
@@ -124,7 +147,22 @@ def quantile_estimate(
 ) -> dict[float, float]:
     """Interpolated quantile estimates from the persisted state — error
     bounded by one bin width, same contract as the batch
-    ``hist_quantiles`` query. Returns {} if no state exists."""
+    ``hist_quantiles`` query. Returns {} if no state exists. The grid
+    parameters must MATCH the rollup that wrote the state (it persists
+    them in ``_edges.json``; a mismatch raises instead of silently
+    remapping counts onto wrong edges)."""
+    import json as _json
+
+    fs = fs_for(spark, state_dir)
+    meta_path = state_dir.rstrip("/") + "/_edges.json"
+    if fs.exists(meta_path):
+        meta = _json.loads(fs.read_bytes(meta_path))
+        if (meta["lo"], meta["hi"], meta["bins"]) != (lo, hi, bins):
+            raise ValueError(
+                f"histogram grid mismatch: state was written with "
+                f"lo={meta['lo']} hi={meta['hi']} bins={meta['bins']}, "
+                f"reader passed lo={lo} hi={hi} bins={bins}"
+            )
     merged = merged_bins(spark, state_dir)
     if merged is None:
         return {}

@@ -55,12 +55,15 @@ def stream_decode_media(
         raise ValueError(
             f"unknown transform {transform!r}; one of {sorted(_TRANSFORMS)}"
         ) from None
-    return (
+    writer = (
         fn(media_stream)
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=available_now)
-        .start()
     )
+    if available_now:
+        # trigger(availableNow=False) RAISES in pyspark (the kwarg only
+        # accepts True); continuous mode is the default trigger
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

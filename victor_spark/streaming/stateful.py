@@ -59,13 +59,19 @@ def dedup_events_stream(events: DataFrame, watermark: str = "10 minutes") -> Dat
     """Drop replayed/duplicate events by event_id within the watermark
     horizon (at-least-once upstream → exactly-once downstream).
 
-    ``dropDuplicates`` on a streaming frame keeps per-key state; the
-    watermark lets Spark evict keys older than the horizon, so state is
-    O(events per horizon), not O(stream)."""
+    ``dropDuplicatesWithinWatermark``, NOT plain ``dropDuplicates``:
+    Spark only evicts dedup state when the subset ties keys to event
+    time — with ``dropDuplicates(["event_id"])`` the watermark is
+    declared but never applied to the dedup state, which then grows
+    O(stream length) until the state store blows up (this is the exact
+    situation the WithinWatermark variant exists for). The contract is
+    correspondingly horizon-scoped: a replay arriving MORE than the
+    watermark after the original is no longer remembered — the standard
+    at-least-once ingest trade, state O(events per horizon)."""
     return (
         ensure_event_time(events)
         .withWatermark("ts", watermark)
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
 
 
@@ -98,18 +104,30 @@ def _sessionize_group(
         times.append(pdf["ts"].astype("datetime64[us]").astype("int64"))
     ts_us = pd.concat(times).sort_values().to_numpy()
 
-    sessions = []  # closed sessions to emit
+    # interval merge: each event is a [t, t] interval carrying count 1;
+    # the parked open session is one [start, end] interval carrying its
+    # accumulated count. Sorting by interval START and sweeping handles
+    # late-but-admitted events correctly in every position — an event
+    # BEFORE the open session extends session_start backwards (the old
+    # sweep anchored start at the parked value and mislabeled the
+    # session), and one more than a gap before it forms its own earlier
+    # session instead of silently merging (review-caught divergences
+    # from the batch events_sessionize twin).
+    items = [(int(t), int(t), 1) for t in ts_us]
     if state.exists:
-        start_us, end_us, n = state.get
-    else:
-        start_us, end_us, n = int(ts_us[0]), int(ts_us[0]), 0
-    for t in ts_us:
-        t = int(t)
-        if t - end_us > gap_us:
+        s0, e0, n0 = state.get
+        items.append((int(s0), int(e0), int(n0)))
+        items.sort(key=lambda it: (it[0], it[1]))
+
+    sessions = []  # closed sessions to emit
+    start_us, end_us, n = items[0]
+    for s, e, c in items[1:]:
+        if s - end_us > gap_us:
             sessions.append((start_us, end_us, n))
-            start_us, n = t, 0
-        end_us = max(end_us, t)
-        n += 1
+            start_us, end_us, n = s, e, c
+        else:
+            end_us = max(end_us, e)
+            n += c
     state.update((start_us, end_us, n))
     state.setTimeoutTimestamp(end_us // 1000 + gap_us // 1000)
 

@@ -69,11 +69,15 @@ def stream_warc_documents(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.load(src_dir).select("content")
     docs = fn(parse_warc_records(raw), source=kind)
-    return (
+    writer = (
         docs.writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=available_now)
-        .start()
     )
+    if available_now:
+        # trigger(availableNow=False) RAISES in pyspark (the kwarg only
+        # accepts True); the continuous fetcher-fleet mode — the
+        # module's headline case — uses the default trigger
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
