@@ -238,3 +238,62 @@ def test_semantic_dedup_zero_vector_kept_not_poisoning(spark):
     bad = spark.createDataFrame([(0, [0.0, 0.0, 0.0])], "cell long, cv array<double>")
     with _pytest.raises(ValueError, match="zero norm"):
         dedup.semantic_dedup(vecs, "vec_id", "v", bad)
+
+
+def test_exact_duplicates_excludes_null_content(spark):
+    """Review-caught: sha2(NULL) is NULL and groupBy pools all NULLs, so
+    missing-text rows read as one 'byte-identical' group and a keep-one
+    pipeline dropped rows that were never duplicates."""
+    from victor_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "id long, text string",
+    )
+    groups = exact_duplicates(df, "id", "text").collect()
+    assert len(groups) == 1 and groups[0]["n_docs"] == 2  # NULLs excluded
+
+
+def test_minhash_band_geometry_validated(spark):
+    """Review-caught: bands > num_hashes made every band key constant
+    (the candidate join degenerates to a full cross product); a
+    non-dividing bands silently discarded the signature tail."""
+    import pytest
+
+    from victor_spark.operators.dedup import minhash_candidate_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        minhash_candidate_pairs(df, "id", "text", num_hashes=16, bands=32)
+    with pytest.raises(ValueError, match="divide"):
+        minhash_candidate_pairs(df, "id", "text", num_hashes=16, bands=5)
+
+
+def test_semantic_dedup_nan_embedding_is_sentineled(spark):
+    """Review-caught: a NaN embedding has NaN norm (not 0), slipped past
+    the zero-norm split, and its NaN pair-dots marked every higher-id
+    cluster neighbor as a duplicate. NaN/Inf rows now take the sentinel
+    route and valid rows stay kept."""
+    from victor_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]), (2, [float("nan"), 1.0]),
+        (3, [0.9, 0.1]), (4, [float("inf"), 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc long, v array<double>")
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], "cell long, cv array<double>")
+    out = {r["doc"]: r for r in semantic_dedup(df, "doc", "v", cents,
+                                               threshold=0.99).collect()}
+    assert out[2]["cell"] == -1 and out[2]["keep"] == 1  # sentinel, kept
+    assert out[4]["cell"] == -1 and out[4]["keep"] == 1
+    # the real rows are judged on their REAL similarity, unpoisoned:
+    # doc 1 is the cluster representative (kept), doc 3 is a genuine
+    # near-duplicate (cos([1,0],[0.9,0.1]) ~ 0.9939 > 0.99 -> dropped)
+    assert out[1]["keep"] == 1
+    assert out[3]["keep"] == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="empty"):
+        semantic_dedup(df, "doc", "v",
+                       cents.filter("cell < 0"), threshold=0.9)

@@ -59,3 +59,47 @@ def test_salts_are_independent(spark):
     ).count()
     # independent 20% samples overlap on ~4%, not ~20%
     assert overlap < 100
+
+
+def test_split_and_sample_guards(spark):
+    """Review-caught trio: weights summing past 1 silently emptied later
+    splits; a sub-granularity positive rate rounded to an always-empty
+    sample; NULL ids concentrated deterministically in the LAST split
+    (contaminating 'test'). All three are loud or safe now."""
+    import pytest
+
+    from victor_spark.operators.sampling import (
+        hash_split,
+        split_label,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(2000)] + [(None,)], "id string"
+    )
+    with pytest.raises(ValueError, match="> 1"):
+        hash_split(df, "id", weights={"train": 0.8, "val": 0.3, "test": 0.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        split_label("id", weights={})
+    with pytest.raises(ValueError, match="rate"):
+        stratified_hash_sample(df, "id", 1.5)
+
+    # sub-granularity positive rate keeps ONE bucket, not zero
+    tiny = stratified_hash_sample(df, "id", 0.0005)
+    assert 0 < tiny.count() < 50
+
+    # NULL ids: NULL split (not silently 'test'), excluded from samples
+    splits = hash_split(df, "id")
+    null_split = splits.filter("id IS NULL").collect()
+    assert len(null_split) == 1 and null_split[0]["split"] is None
+    assert stratified_hash_sample(df, "id", 0.5).filter("id IS NULL").count() == 0
+
+    # the committed default edges are unchanged (oracle contract):
+    # 80/10/10 over 1000 buckets -> proportions hold on real ids
+    from pyspark.sql import functions as F
+
+    dist = {r["split"]: r["n"] for r in splits.filter("id IS NOT NULL")
+            .groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 0.75 < dist["train"] / 2000 < 0.85
+    assert 0.07 < dist["val"] / 2000 < 0.13
+    assert 0.07 < dist["test"] / 2000 < 0.13

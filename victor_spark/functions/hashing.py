@@ -158,6 +158,19 @@ def simhash32(token_hashes: ColumnOrName) -> Column:
     return bind(_col(token_hashes), _fold)
 
 
+def jaccard(a: ColumnOrName, b: ColumnOrName) -> Column:
+    """Set Jaccard similarity of two array columns:
+    |a ∩ b| / (|a| + |b| − |a ∩ b|). One expression shared by every
+    dedup verifier (word-n-gram join, MinHash/LSH verify, incremental
+    batch-vs-corpus) so a future guard lands in ONE place and the
+    operators cannot drift from each other or the oracle (review-caught:
+    the identical block was pasted four times in operators/dedup.py)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(ca, cb))
+    return inter.cast("double") / (F.size(ca) + F.size(cb) - inter)
+
+
 def hamming32(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Hamming distance between two 32-bit fingerprints stored as bigint.
 

@@ -36,9 +36,14 @@ def exact_duplicates(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     Returns (content_hash, n_docs, min_id) for groups with n_docs > 1 —
     the keep-one-representative form. Map-side partial aggregation means
     the shuffle carries one row per distinct digest per partition.
+    NULL-content rows are EXCLUDED (review-caught: sha2(NULL) is NULL and
+    groupBy pools all NULLs, so 500 rows with MISSING text would read as
+    one "byte-identical" group and a keep-one pipeline would drop 499
+    rows that were never duplicates).
     """
     return (
-        df.select(F.sha2(F.col(content_col), 256).alias("content_hash"), F.col(id_col))
+        df.filter(F.col(content_col).isNotNull())
+        .select(F.sha2(F.col(content_col), 256).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
@@ -137,8 +142,22 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str, content_col: str,
     return _candidates_from_hashed(hashed, num_hashes, bands)
 
 
+def _rows_per_band(num_hashes: int, bands: int) -> int:
+    """Validated LSH banding geometry. bands > num_hashes would make
+    every band key a constant (the 'candidate' join degenerates to a
+    full O(n^2) cross product); a non-dividing bands would silently
+    ignore the signature tail and deliver different recall than asked
+    (review-caught)."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes: got num_hashes={num_hashes}, "
+            f"bands={bands}"
+        )
+    return num_hashes // bands
+
+
 def _candidates_from_hashed(hashed: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    rows_per_band = num_hashes // bands
+    rows_per_band = _rows_per_band(num_hashes, bands)
     sig = hashed.select("doc", H.minhash_signature("h", num_hashes).alias("sig"))
     banded = sig.select(
         "doc", F.explode(H.band_keys("sig", bands, rows_per_band)).alias("band_key")
@@ -166,13 +185,8 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, id_col: str,
     return (
         df_pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("_inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("_inter")),
-        )
-        .drop("sh_a", "sh_b", "_inter")
+        .withColumn("jaccard", H.jaccard("sh_a", "sh_b"))
+        .drop("sh_a", "sh_b")
     )
 
 
@@ -228,12 +242,7 @@ def ngram_jaccard_join(df: DataFrame, id_col: str, content_col: str,
         cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
         .join(sh.select(F.col("doc").alias("id_a"), F.col("s").alias("sa")), "id_a")
         .join(sh.select(F.col("doc").alias("id_b"), F.col("s").alias("sb")), "id_b")
-        .withColumn("_inter", F.size(F.array_intersect("sa", "sb")))
-        .select(
-            "id_a", "id_b",
-            (F.col("_inter").cast("double")
-             / (F.size("sa") + F.size("sb") - F.col("_inter"))).alias("jaccard"),
-        )
+        .select("id_a", "id_b", H.jaccard("sa", "sb").alias("jaccard"))
     )
     return out.filter(F.col("jaccard") >= threshold)
 
@@ -256,7 +265,7 @@ def incremental_near_duplicates(corpus: DataFrame, batch: DataFrame,
     turning daily-batch dedup into one broadcast-join scan of the band
     table; the dataflow below is identical with the scan swapped in.
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = _rows_per_band(num_hashes, bands)
 
     def _bands(df: DataFrame, out_id: str, evict: bool) -> DataFrame:
         hashed = _hashed_shingles(df, id_col, content_col, shingle_n, unit,
@@ -280,14 +289,9 @@ def incremental_near_duplicates(corpus: DataFrame, batch: DataFrame,
         .distinct()
     )
     return (
-        cands.withColumn(
-            "_inter", F.size(F.array_intersect("_h_batch_id", "_h_corpus_id"))
-        )
-        .select(
+        cands.select(
             "batch_id", "corpus_id",
-            (F.col("_inter").cast("double")
-             / (F.size("_h_batch_id") + F.size("_h_corpus_id")
-                - F.col("_inter"))).alias("jaccard"),
+            H.jaccard("_h_batch_id", "_h_corpus_id").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -309,13 +313,8 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, content_col: str,
     verified = (
         cands.join(sh.withColumnRenamed("doc", "id_a").withColumnRenamed("h", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("doc", "id_b").withColumnRenamed("h", "sh_b"), "id_b")
-        .withColumn("_inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("_inter").cast("double")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("_inter")),
-        )
-        .drop("sh_a", "sh_b", "_inter")
+        .withColumn("jaccard", H.jaccard("sh_a", "sh_b"))
+        .drop("sh_a", "sh_b")
     )
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -431,8 +430,11 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     they are routed to cell -1, always kept (keep=1, sentinel sim), and
     NEVER enter the pair compare — without the split their NaN dots would
     poison max()/max_by (Spark orders NaN above everything) and silently
-    drop valid neighbors. A zero-norm CENTROID is a caller error and
-    raises.
+    drop valid neighbors. Rows with NaN/Inf components take the SAME
+    sentinel route (review-caught: a NaN embedding has NaN norm, not 0,
+    so it slipped past the zero check and its NaN pair-dots marked every
+    higher-id cluster neighbor as a duplicate). A zero-norm CENTROID or
+    an EMPTY centroid table is a caller error and raises.
 
     Both sides are L2-normalized ONCE up front, so assignment and the
     within-cluster compare are plain dots — one fold per pair instead of
@@ -443,7 +445,11 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
 
     v_all = fan_out(df).select(
         F.col(id_col).alias("doc"), to_double_array(vec_col).alias("_vec")
-    ).withColumn("_zero", norm("_vec") == 0.0)
+    ).withColumn(
+        "_zero",
+        (norm("_vec") == 0.0) | F.isnan(norm("_vec"))
+        | (norm("_vec") == float("inf")),
+    )
     zero_rows = v_all.filter("_zero").select(
         "doc",
         F.lit(-1).cast("long").alias("cell"),
@@ -462,6 +468,10 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         raise ValueError(
             f"semantic_dedup: centroid cell {bad[0]['cell']} has zero norm"
         )
+    if cdf.limit(1).count() == 0:
+        # an empty centroid table would silently drop every non-sentinel
+        # row from the report (empty crossJoin) — loud beats vanishing
+        raise ValueError("semantic_dedup: centroids table is empty")
     cent = F.broadcast(cdf.select("cell", l2_normalize("_cv").alias("ncv")))
     scored = v.crossJoin(cent).select(
         "doc", "nv", "cell", dot(F.col("nv"), F.col("ncv")).alias("_cs")
