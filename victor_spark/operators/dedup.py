@@ -463,15 +463,18 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         F.col("cell").cast("long").alias("cell"),
         to_double_array("cv").alias("_cv"),
     )
-    bad = cdf.filter(norm("_cv") == 0.0).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"semantic_dedup: centroid cell {bad[0]['cell']} has zero norm"
-        )
-    if cdf.limit(1).count() == 0:
-        # an empty centroid table would silently drop every non-sentinel
-        # row from the report (empty crossJoin) — loud beats vanishing
+    # ONE bounded collect validates both caller-error cases (centroids
+    # are a model-sized table, like the PQ codebook): zero-norm cells,
+    # and an EMPTY table — which would otherwise silently drop every
+    # non-sentinel row from the report via the empty crossJoin
+    cells = cdf.select("cell", (norm("_cv") == 0.0).alias("_z")).collect()
+    if not cells:
         raise ValueError("semantic_dedup: centroids table is empty")
+    for r in cells:
+        if r["_z"]:
+            raise ValueError(
+                f"semantic_dedup: centroid cell {r['cell']} has zero norm"
+            )
     cent = F.broadcast(cdf.select("cell", l2_normalize("_cv").alias("ncv")))
     scored = v.crossJoin(cent).select(
         "doc", "nv", "cell", dot(F.col("nv"), F.col("ncv")).alias("_cs")
