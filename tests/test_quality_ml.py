@@ -75,3 +75,25 @@ def test_score_linear_replays_in_python(spark):
     f4 = sum(1 for t in toks if t.lower() in stop) / len(toks)
     z = b + w[0] * f1 + w[1] * f2 + w[2] * f3 + w[3] * f4
     assert abs(got - 1.0 / (1.0 + math.exp(-z))) < 1e-12
+
+
+def test_scoring_guards(spark):
+    """Review-caught pair: a coefficients/feature-count mismatch silently
+    truncated via zip (plausible-looking partial dot products), and input
+    columns colliding with the ML pipeline's internals crashed transform
+    or silently dropped user data."""
+    import pytest
+
+    from victor_spark.operators.quality_ml import score_linear, score_quality
+
+    docs = spark.createDataFrame([(1, "some text here")], "id long, text string")
+    with pytest.raises(ValueError, match="coefficients"):
+        score_linear(docs, "text", 0.0, [0.1, 0.2, 0.3])  # 3 != 4 features
+
+    class FakeModel:
+        def transform(self, df):  # never reached — the guard fires first
+            raise AssertionError("guard should fire before transform")
+
+    bad = docs.withColumn("features", docs.id)
+    with pytest.raises(ValueError, match="collide"):
+        score_quality(FakeModel(), bad, "text")

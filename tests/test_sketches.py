@@ -292,3 +292,45 @@ def test_bloom_build_is_deterministic(spark):
     w1 = bloom_build(vals, "x").collect()[0]["words"]
     w2 = bloom_build(vals.repartition(7), "x").collect()[0]["words"]
     assert w1 == w2
+
+
+def test_histogram_excludes_null_and_nan_values(spark):
+    """Review-caught pair: NULL values formed a null-bin row the quantile
+    walk's asc-nulls-first window counted FIRST (estimates drifted below
+    the group minimum), and one NaN made mx=NaN, defeating the span==0
+    guard so every value clamped into the LAST bin."""
+    from victor_spark.operators.sketches import (
+        histogram_quantile,
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 20.0), ("g", None), ("g", None),
+         ("g", float("nan"))],
+        "grp string, v double",
+    )
+    hist = value_histogram(df, "grp", "v", bins=4)
+    rows = hist.collect()
+    assert all(r["bin"] is not None for r in rows)
+    assert rows[0]["n"] == 2 and rows[0]["mn"] == 10.0 and rows[0]["mx"] == 20.0
+    est = histogram_quantile(hist, "grp", 0.9, bins=4).collect()[0]["est"]
+    assert 10.0 <= est <= 20.0  # inside the real value range
+
+
+def test_bloom_null_probe_is_definitely_absent(spark):
+    """Review-caught: a NULL probe returned NULL, and ~NULL is NULL, so a
+    keep-unseen filter silently dropped never-seen null rows as if seen.
+    Nulls are never inserted, so False is the CORRECT answer."""
+    from pyspark.sql import functions as F
+
+    from victor_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    words = bloom_build(keys, "k").collect()[0]["words"]
+    probe = spark.createDataFrame([("a",), (None,), ("z",)], "k string")
+    got = {r["k"]: r["seen"] for r in probe.select(
+        "k",
+        bloom_might_contain(F.lit(words), F.col("k")).alias("seen"),
+    ).collect()}
+    assert got["a"] is True and got["z"] is False
+    assert got[None] is False  # not NULL — negated filters keep the row

@@ -88,3 +88,16 @@ def test_rank_is_dense_per_doc(spark, docs):
     for d in {r.doc_id for r in out}:
         ranks = sorted(r.rank for r in out if r.doc_id == d)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_textrank_rejects_reserved_id_col(spark):
+    """Review-caught: id_col values colliding with internal column names
+    ('token', 'w', ...) produced duplicate columns or
+    AMBIGUOUS_REFERENCE mid-plan; they are rejected up front now."""
+    import pytest
+
+    from victor_spark.operators.textrank import cooccurrence_edges
+
+    docs = spark.createDataFrame([(1, "a b c")], "token long, text string")
+    with pytest.raises(ValueError, match="collides"):
+        cooccurrence_edges(docs, "token", "text")

@@ -100,19 +100,42 @@ def score_linear(docs: DataFrame, text_col: str, intercept: float,
     one whole-stage-codegen expression, so it runs at scan speed over a
     100 TB corpus and replays exactly in the DuckDB oracle."""
     feats = quality_feature_columns(text_col)
+    if len(coefficients) != len(feats):
+        # zip() would silently truncate — a weights/feature-version
+        # mismatch (stale export, sliced list) must be loud, not a
+        # plausible-looking partial dot product (review-caught)
+        raise ValueError(
+            f"expected {len(feats)} coefficients (one per quality "
+            f"feature), got {len(coefficients)}"
+        )
     z = F.lit(float(intercept))
     for w, f in zip(coefficients, feats):
         z = z + F.lit(float(w)) * f
     return docs.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
 
+_PIPELINE_COLS = ("_text", "_toks", "features", "rawPrediction",
+                  "probability", "prediction")
+
+
 def score_quality(model, docs: DataFrame, text_col: str,
                   out_col: str = "ml_quality") -> DataFrame:
     """Attach ``out_col`` = P(good) from the fitted model; keeps all input
-    columns. Scoring is one map-side pass (no shuffle)."""
+    columns. Scoring is one map-side pass (no shuffle).
+
+    Input columns may not collide with the pipeline's internals
+    (review-caught: a pre-existing 'features' column crashed transform
+    with 'output column already exists', and a column literally named
+    '_text' was silently overwritten then DROPPED — data loss)."""
     from pyspark.ml.functions import vector_to_array
 
+    clash = [c for c in docs.columns if c in _PIPELINE_COLS]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with the scoring pipeline's "
+            f"internal columns {_PIPELINE_COLS}; rename them first"
+        )
     scored = model.transform(docs.withColumn("_text", F.col(text_col)))
     return scored.withColumn(
         out_col, vector_to_array("probability").getItem(1)
-    ).drop("_text", "_toks", "features", "rawPrediction", "probability", "prediction")
+    ).drop(*_PIPELINE_COLS)

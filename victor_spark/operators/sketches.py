@@ -287,17 +287,27 @@ def bloom_build(
     dense = spine.join(words0, "wi", "left").select(
         "wi", F.coalesce("w", F.lit(0)).alias("w")
     )
-    return dense.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("wi", "w"))), lambda s: s["w"]
-        ).alias("words")
-    )
+    return dense.agg(_pack_words())
+
+
+def _pack_words():
+    """The ONE (wi, w) -> sorted words-array packing expression, shared
+    by bloom_build and bloom_merge so the build and merge word layouts
+    cannot silently diverge."""
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct("wi", "w"))), lambda s: s["w"]
+    ).alias("words")
 
 
 def bloom_might_contain(
     words: Column, x: Column, k: int = BLOOM_K, m: int = BLOOM_M, salt: str = "bf"
 ) -> Column:
-    """Boolean probe against the packed word array: all k bits set."""
+    """Boolean probe against the packed word array: all k bits set.
+    A NULL probe value returns False, not NULL: nulls are never inserted
+    (bloom_build hashes non-null keys only), so "definitely not present"
+    is the CORRECT answer — and the old NULL propagated through negated
+    filters, silently dropping never-seen null rows as if seen
+    (review-caught)."""
     checks = []
     for j in range(k):
         pos = _bloom_pos(x, j, m, salt)
@@ -307,7 +317,7 @@ def bloom_might_contain(
     out = checks[0]
     for c in checks[1:]:
         out = out & c
-    return out
+    return F.when(x.isNull(), F.lit(False)).otherwise(out)
 
 
 # ---------------------------------------------------------------------------
@@ -330,13 +340,26 @@ def value_histogram(
 
     Bin = floor((v - mn) * bins / (mx - mn)) clamped to bins-1 (the max
     value lands in the last bin); a constant group degenerates to bin 0.
-    """
-    b = df.groupBy(group_col).agg(
+
+    NULL and NaN values are EXCLUDED before binning (review-caught pair:
+    F.count already excluded NULLs from n, but the bin path kept them as
+    a null-bin row that the quantile walk's asc-nulls-first window
+    counted FIRST — estimates drifted below the group minimum; and one
+    NaN made mx=NaN, defeating the span==0 guard so EVERY value clamped
+    into the last bin). The bounds aggregate is computed once and
+    carried through the bin groupBy (F.first) instead of re-joined — the
+    old second join re-derived the whole bounds subtree (the textrank
+    loop-invariant lesson)."""
+    clean = df.where(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    b = clean.groupBy(group_col).agg(
         F.min(value_col).alias("mn"),
         F.max(value_col).alias("mx"),
         F.count(value_col).alias("n"),
     )
-    j = df.join(F.broadcast(b), group_col)
+    j = clean.join(F.broadcast(b), group_col)
     span = F.col("mx") - F.col("mn")
     bin_ = (
         F.when(span == 0, F.lit(0.0))
@@ -351,10 +374,14 @@ def value_histogram(
         .cast("long")
     )
     return (
-        j.select(group_col, bin_.alias("bin"))
+        j.select(group_col, bin_.alias("bin"), "mn", "mx", "n")
         .groupBy(group_col, "bin")
-        .agg(F.count("*").alias("cnt"))
-        .join(F.broadcast(b), group_col)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("mn").alias("mn"),
+            F.first("mx").alias("mx"),
+            F.first("n").alias("n"),
+        )
     )
 
 
@@ -390,11 +417,13 @@ def histogram_quantile(
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Union filter of two builds (same k/m/salt): word-wise OR."""
-    return a.unionByName(b).select(
-        F.posexplode("words").alias("wi", "w")
-    ).groupBy("wi").agg(F.bit_or("w").alias("w")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("wi", "w"))), lambda s: s["w"]
-        ).alias("words")
+    """Union filter of two builds (same k/m/salt): word-wise OR. Packs
+    through the same _pack_words expression as bloom_build, so the two
+    can never diverge on the word layout (review-caught duplication)."""
+    return (
+        a.unionByName(b)
+        .select(F.posexplode("words").alias("wi", "w"))
+        .groupBy("wi")
+        .agg(F.bit_or("w").alias("w"))
+        .agg(_pack_words())
     )

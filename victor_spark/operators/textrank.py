@@ -24,8 +24,24 @@ from pyspark.sql import functions as F
 from victor_spark.functions import text as T
 
 
+# internal column names the pipeline derives; an id_col colliding with
+# any of them produces duplicate columns or AMBIGUOUS_REFERENCE mid-plan
+# (review-caught: id_col='token' yielded two token columns at the final
+# rename, id_col='w' collided with the edge-weight alias)
+_RESERVED = ("token", "u", "v", "w", "ow", "mc", "pr", "s", "t")
+
+
+def _check_id_col(id_col: str) -> None:
+    if id_col in _RESERVED:
+        raise ValueError(
+            f"id_col {id_col!r} collides with textrank's internal "
+            f"columns {_RESERVED}; rename it first"
+        )
+
+
 def cooccurrence_edges(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Weighted undirected adjacency edges: (id, u, v, w) both directions."""
+    _check_id_col(id_col)
     d = docs.select(
         F.col(id_col), T.tokens(F.lower(F.col(text_col))).alias("t")
     )
