@@ -18,9 +18,11 @@ pending marker. They will auto-front as never-green.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from victor_spark.functions.html import sql_normalize_ws
+from victor_spark.functions.vector import dot, norm, to_double_array
 from victor_spark.plans.catalog import (
     QuerySpec,
     _ingest_build_dir,
@@ -331,4 +333,289 @@ def q_dedup_url_canonical(spark, sf_dir):
     return (
         aliases.groupBy(canonical_url("url").alias("url_key"))
         .agg(F.count("*").alias("n_aliases"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repeated-line removal (RefinedWeb-style line dedup WITHIN
+# a doc — the complement of line_dedup_global's corpus-wide pass)
+# ---------------------------------------------------------------------------
+
+# A 5-line synthesized doc with two INTRA-doc repeats (the 40-char prefix
+# and the boilerplate footer each appear twice), so the dedup has real
+# work in every row. Shares the footer text with catalog.py's
+# _MULTILINE_SQL family so the two line-level passes stay comparable.
+_INTRA_SQL = (
+    "concat(text, chr(10), substr(text, 1, 40), chr(10), "
+    "'All rights reserved. Contact us today!', chr(10), "
+    "substr(text, 1, 40), chr(10), "
+    "'All rights reserved. Contact us today!')"
+)
+
+_INTRA_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split({_INTRA_SQL}, chr(10)) AS lines
+           FROM documents),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, (l, i) -> list_position(lines, l) = i) AS kept
+  FROM d
+)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept,
+       CAST(sha256(array_to_string(kept, chr(10))) AS VARCHAR) AS cleaned_hash
+FROM k
+"""
+
+
+@_q9(
+    "line_dedup_intra_doc",
+    _INTRA_ORACLE,
+    "intra-document repeated-line removal (RefinedWeb's within-doc line "
+    "dedup; the complement of line_dedup_global): each line of a "
+    "synthesized 5-line doc — containing two deliberate repeats — is "
+    "kept only at its FIRST position within its own document, via a "
+    "single higher-order-function projection (filter keeping lines "
+    "whose array_position equals their own index). ZERO shuffles, zero "
+    "Python — per-row codegen, so at 100 TB this costs exactly one "
+    "scan; order is preserved without the explode/groupBy/reassemble "
+    "round-trip the global pass needs. The oracle is the identical "
+    "index-lambda list_filter in DuckDB",
+)
+def q_line_dedup_intra_doc(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(
+            F.concat(
+                F.col("text"), F.lit("\n"),
+                F.substring("text", 1, 40), F.lit("\n"),
+                F.lit("All rights reserved. Contact us today!"), F.lit("\n"),
+                F.substring("text", 1, 40), F.lit("\n"),
+                F.lit("All rights reserved. Contact us today!"),
+            ),
+            "\n",
+        ).alias("lines"),
+    )
+    lines = F.col("lines")
+    # keep a line iff its first occurrence index IS its own index —
+    # PySpark's filter lambda index is 0-based, array_position 1-based
+    kept = F.filter(lines, lambda l, i: F.array_position(lines, l) == i + 1)
+    return d.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.sha2(F.array_join(kept, "\n"), 256).alias("cleaned_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level corpus stats + blocklist flag (the CCNet/RefinedWeb
+# per-host accounting that decides which domains to keep at all)
+# ---------------------------------------------------------------------------
+
+_HOST_ORACLE = """
+WITH u AS (
+  SELECT doc_id, length(text) AS nc,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
+  FROM documents
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       host IN ('site0.example', 'site3.example') AS blocked
+FROM u GROUP BY host
+"""
+
+
+@_q9(
+    "url_host_stats",
+    _HOST_ORACLE,
+    "domain-level corpus accounting: every document's (messy, "
+    "mixed-case, explicit-:80) URL is reduced to its canonical host via "
+    "try_parse_url + lower (pure codegen — the REAL parse, not string "
+    "arithmetic), then one partial-agg'd groupBy yields per-host doc "
+    "and char counts with a blocklist membership flag (UT1-style "
+    "domain filtering is this flag as an anti-join filter). The oracle "
+    "restates the host derivation arithmetically, so a match proves "
+    "the URL parser extracts what the synthesis intended. ONE hash "
+    "exchange with map-side combine; hosts are the canonical skew key "
+    "at 100 TB and partial aggregation is exactly the mitigation",
+)
+def q_url_host_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(
+        F.lit("HTTP://SITE"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example:80/p/"), F.col("doc_id").cast("string"),
+        F.lit("?q=1"),
+    )
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    return (
+        d.groupBy(host.alias("host"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .withColumn(
+            "blocked", F.col("host").isin("site0.example", "site3.example")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt longest-match evaluation (RFC 9309 §2.2.2): the crawl
+# pipeline's politeness gate, evaluated per-URL with zero shuffles
+# ---------------------------------------------------------------------------
+
+_ROBOTS_ORACLE = """
+WITH u AS (
+  SELECT doc_id, doc_id % 7 AS s,
+         CASE WHEN doc_id % 5 = 0 THEN '/private/p/' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 5 = 1 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+              ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents
+),
+r(parity, prefix, allow) AS (
+  VALUES (NULL, '/private', FALSE), (NULL, '/tmp', FALSE),
+         (0, '/private/p', TRUE)
+),
+m AS (
+  SELECT u.doc_id, r.prefix, r.allow,
+         row_number() OVER (
+           PARTITION BY u.doc_id
+           ORDER BY length(r.prefix) DESC, r.allow DESC
+         ) AS rn
+  FROM u JOIN r ON (r.parity IS NULL OR r.parity = u.s % 2)
+             AND u.path LIKE r.prefix || '%'
+)
+SELECT u.doc_id,
+       'http://site' || CAST(u.s AS VARCHAR) || '.example' || u.path AS url,
+       coalesce(b.allow, TRUE) AS allowed,
+       coalesce(b.prefix, '') AS matched_prefix
+FROM u LEFT JOIN (SELECT doc_id, prefix, allow FROM m WHERE rn = 1) b
+  ON u.doc_id = b.doc_id
+"""
+
+
+@_q9(
+    "robots_filter",
+    _ROBOTS_ORACLE,
+    "robots.txt evaluation (RFC 9309 §2.2.2 longest-match, allow wins "
+    "ties): per-host rule sets — Disallow /private and /tmp everywhere, "
+    "Allow /private/p on even-parity hosts — are attached as LITERAL "
+    "struct arrays and evaluated per-URL with filter + array_max over "
+    "(prefix_len, allow) struct ordering, default-allow when nothing "
+    "matches. ZERO shuffles: a real crawler's per-host rule set is tiny "
+    "(robots.txt caps at 500 KiB by the RFC), so rules ride the plan as "
+    "a broadcast-shaped literal / map-side lookup rather than a join — "
+    "at 100 TB the politeness gate costs one scan. The oracle restates "
+    "the rules as a VALUES table with LIKE-prefix longest-match",
+)
+def q_robots_filter(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    s = F.col("doc_id") % 7
+    path = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("/private/p/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("/tmp/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+    )
+
+    def rule(plen: int, allow: bool, prefix: str):
+        return F.struct(
+            F.lit(plen).alias("plen"),
+            F.lit(1 if allow else 0).alias("arank"),
+            F.lit(prefix).alias("prefix"),
+            F.lit(allow).alias("allow"),
+        )
+
+    base = [rule(8, False, "/private"), rule(4, False, "/tmp")]
+    rules = F.when(
+        s % 2 == 0, F.array(*base, rule(10, True, "/private/p"))
+    ).otherwise(F.array(*base))
+    matches = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+    best = F.array_max(matches)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"), s.cast("string"), F.lit(".example"), path
+        ).alias("url"),
+        F.coalesce(best["allow"], F.lit(True)).alias("allowed"),
+        F.coalesce(best["prefix"], F.lit("")).alias("matched_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka two-phase ANN: truncated-prefix coarse scan, exact rescore
+# ---------------------------------------------------------------------------
+
+_MRL_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT v AS qv, (v)[1:16] AS qv16 FROM e WHERE vec_id = 2),
+c AS (
+  SELECT vec_id, v, qv,
+         list_dot_product((v)[1:16], qv16)
+           / (sqrt(list_dot_product((v)[1:16], (v)[1:16]))
+              * sqrt(list_dot_product(qv16, qv16))) AS s16
+  FROM e, q
+),
+short AS (SELECT * FROM c ORDER BY s16 DESC, vec_id LIMIT 50),
+r AS (
+  SELECT vec_id,
+         list_dot_product(v, qv)
+           / (sqrt(list_dot_product(v, v))
+              * sqrt(list_dot_product(qv, qv))) AS s
+  FROM short
+),
+rk AS (
+  SELECT vec_id, s,
+         CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INTEGER) AS rank
+  FROM r
+)
+SELECT vec_id, rank, round(s, 6) AS sim FROM rk WHERE rank <= 10
+"""
+
+
+@_q9(
+    "ann_matryoshka_rescore",
+    _MRL_ORACLE,
+    "matryoshka two-phase search (MRL, Kusupati et al. 2022): cosine "
+    "over the FIRST 16 of 64 dims shortlists 50 candidates (4x less "
+    "arithmetic and memory traffic per corpus row — with MRL-trained "
+    "embeddings the prefix IS a valid coarse embedding), then the "
+    "exact full-dim cosine rescores only the shortlist for the top-10. "
+    "Both phases are bounded heaps (TakeOrderedAndProject); the "
+    "candidate rows carry their full vector through the first heap so "
+    "the rescore needs NO second corpus pass or join — at 100 TB the "
+    "query costs one quarter-width scan plus 50 rescores. The oracle "
+    "restates both phases with DuckDB list slicing",
+)
+def q_ann_matryoshka_rescore(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 2).select(
+            F.col("v").alias("qv"), F.slice("v", 1, 16).alias("qv16")
+        )
+    )
+    v16 = F.slice("v", 1, 16)
+    coarse = e.crossJoin(q).select(
+        "vec_id", "v", "qv",
+        (dot(v16, F.col("qv16")) / (norm(v16) * norm("qv16"))).alias("s16"),
+    )
+    short = coarse.orderBy(F.desc("s16"), F.asc("vec_id")).limit(50)
+    rescored = short.select(
+        "vec_id", (dot("v", "qv") / (norm("v") * norm("qv"))).alias("_s")
+    )
+    w = Window.orderBy(F.desc("_s"), F.asc("vec_id"))
+    return (
+        rescored.orderBy(F.desc("_s"), F.asc("vec_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "rank", F.round("_s", 6).alias("sim"))
     )
