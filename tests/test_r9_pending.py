@@ -28,3 +28,52 @@ def test_pending_query_matches_oracle(spark, name):
     odf = con.execute(spec.oracle_sql(SF_SMOKE)).fetchdf()
     problems = compare(sdf, odf)
     assert not problems, problems
+
+
+# ---------------------------------------------------------------------------
+# plan-shape assertions: the staged queries' scale claims, enforced the
+# same way tests/test_plans.py enforces them for the live catalog
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, name: str) -> str:
+    df = PENDING[name].build(spark, SF_SMOKE)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_intra_doc_dedup_is_one_shuffle_free_projection(spark):
+    # the whole point vs line_dedup_global: no explode/groupBy round-trip
+    p = _plan(spark, "line_dedup_intra_doc")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p  # pure codegen, no Python
+
+
+def test_robots_filter_is_shuffle_free_codegen(spark):
+    # rules ride the plan as literals; the politeness gate costs one scan
+    p = _plan(spark, "robots_filter")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_url_host_stats_is_single_partial_agg_shuffle(spark):
+    p = _plan(spark, "url_host_stats")
+    assert p.count("hashpartitioning(") == 1
+    assert "partial_count" in p  # map-side combine before the exchange
+    assert "EvalPython" not in p
+
+
+def test_matryoshka_both_phases_are_bounded_heaps(spark):
+    p = _plan(spark, "ann_matryoshka_rescore")
+    # query vector broadcast, corpus never hash/range-shuffled for the
+    # shortlist (the 50-row tail window after the heap is irrelevant)
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_url_canonical_dedup_is_single_exchange(spark):
+    p = _plan(spark, "dedup_url_canonical")
+    assert p.count("hashpartitioning(") == 1
+    assert "EvalPython" not in p
