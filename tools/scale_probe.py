@@ -105,6 +105,17 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # entropy pass per scan, 10-scan script) but the same shuffle-free
     # farm shape
     "multimodal_jpeg_progressive": {"documents": ["doc_id"]},
+    # round-8 staged (plans/catalog_r9.py — resolved via the PENDING
+    # fallback below until round-9 registration): the crawl-side URL
+    # family plus the two-phase matryoshka search
+    "line_dedup_intra_doc": {"documents": ["doc_id"]},
+    "url_host_stats": {"documents": ["doc_id"]},
+    "robots_filter": {"documents": ["doc_id"]},
+    "dedup_url_canonical": {"documents": ["doc_id"]},
+    "ann_matryoshka_rescore": {"embeddings": ["vec_id"]},
+    "ingest_wet_roundtrip": {"documents": ["doc_id"]},
+    "multimodal_mp3_probe": {"documents": ["doc_id"]},
+    "multimodal_webp_probe": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000
@@ -163,10 +174,15 @@ def main() -> int:
 
     from victor_spark import get_spark
     from victor_spark.plans import QUERIES
+    from victor_spark.plans.catalog_r9 import PENDING
+
+    # staged round-9 queries probe through the same path; live registry
+    # wins on any name collision (there are none by staging invariant)
+    registry = {**PENDING, **QUERIES}
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    QUERIES["topk_cosine"].build(spark, sf_dir).count()  # session warmup
+    registry["topk_cosine"].build(spark, sf_dir).count()  # session warmup
 
     for name, tables in PROBES.items():
         if only and name not in only:
@@ -193,7 +209,7 @@ def main() -> int:
                     # noop sink fully materializes every output column —
                     # count() would let Catalyst column-prune the measured
                     # computation away for projection-shaped queries
-                    QUERIES[name].build(spark, tmp).write.format(
+                    registry[name].build(spark, tmp).write.format(
                         "noop"
                     ).mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)

@@ -67,3 +67,36 @@ def canonical_url(url) -> Column:
     ).otherwise(F.lit(""))
     out = F.concat(proto, F.lit("://"), host, port_part, path_part, query_part)
     return F.when(proto.isNotNull() & host.isNotNull(), out)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt longest-match (RFC 9309 §2.2.2) as pure expressions
+# ---------------------------------------------------------------------------
+
+
+def robots_rule(prefix, allow) -> Column:
+    """One robots rule as the struct :func:`robots_best_match` orders by:
+    (prefix length, allow-wins-ties rank, prefix, allow). Accepts Python
+    literals or Columns, so rule sets can be plan literals (a handful of
+    rules) or rows of a static host-keyed table (a crawl-scale rule
+    corpus, broadcast-joined)."""
+    p = F.lit(prefix) if isinstance(prefix, str) else prefix
+    a = F.lit(allow) if isinstance(allow, bool) else allow
+    return F.struct(
+        F.length(p).alias("plen"),
+        a.cast("int").alias("arank"),
+        p.alias("prefix"),
+        a.alias("allow"),
+    )
+
+
+def robots_best_match(path, rules) -> Column:
+    """The winning rule (or NULL when nothing matches) for ``path``
+    against an array of :func:`robots_rule` structs: longest prefix
+    wins, allow wins length ties (RFC 9309 §2.2.2) — struct ordering on
+    (plen, arank) via ``array_max`` makes the whole evaluation one
+    codegen expression, zero shuffles and zero Python. NULL/absent rule
+    arrays mean "no robots.txt" → NULL → callers default-allow."""
+    p = F.col(path) if isinstance(path, str) else path
+    matches = F.filter(rules, lambda r: p.startswith(r["prefix"]))
+    return F.array_max(matches)

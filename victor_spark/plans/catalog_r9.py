@@ -511,6 +511,8 @@ FROM u LEFT JOIN (SELECT doc_id, prefix, allow FROM m WHERE rn = 1) b
     "the rules as a VALUES table with LIKE-prefix longest-match",
 )
 def q_robots_filter(spark, sf_dir):
+    from victor_spark.functions.url import robots_best_match, robots_rule
+
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     s = F.col("doc_id") % 7
     path = (
@@ -524,21 +526,11 @@ def q_robots_filter(spark, sf_dir):
         )
         .otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
     )
-
-    def rule(plen: int, allow: bool, prefix: str):
-        return F.struct(
-            F.lit(plen).alias("plen"),
-            F.lit(1 if allow else 0).alias("arank"),
-            F.lit(prefix).alias("prefix"),
-            F.lit(allow).alias("allow"),
-        )
-
-    base = [rule(8, False, "/private"), rule(4, False, "/tmp")]
+    base = [robots_rule("/private", False), robots_rule("/tmp", False)]
     rules = F.when(
-        s % 2 == 0, F.array(*base, rule(10, True, "/private/p"))
+        s % 2 == 0, F.array(*base, robots_rule("/private/p", True))
     ).otherwise(F.array(*base))
-    matches = F.filter(rules, lambda r: path.startswith(r["prefix"]))
-    best = F.array_max(matches)
+    best = robots_best_match(path, rules)
     return d.select(
         "doc_id",
         F.concat(

@@ -1,3 +1,8 @@
+from victor_spark.streaming.crawl_gate import (
+    crawl_frontier_stream,
+    gate_urls,
+    rules_by_host,
+)
 from victor_spark.streaming.dedup_stream import stream_incremental_dedup
 from victor_spark.streaming.enrich import stream_asof_enrich
 from victor_spark.streaming.frames import stream_frame_extraction
@@ -52,4 +57,7 @@ __all__ = [
     "stream_quantile_rollup",
     "quantile_estimate",
     "stream_warc_documents",
+    "crawl_frontier_stream",
+    "gate_urls",
+    "rules_by_host",
 ]
