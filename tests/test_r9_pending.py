@@ -77,3 +77,13 @@ def test_url_canonical_dedup_is_single_exchange(spark):
     p = _plan(spark, "dedup_url_canonical")
     assert p.count("hashpartitioning(") == 1
     assert "EvalPython" not in p
+
+
+def test_host_pagerank_iterations_broadcast_ranks(spark):
+    # node-sized relations (ranks, contributions, out-weights) broadcast
+    # onto the edge matrix; no sort-merge join and no cartesian product
+    # anywhere in the 3-iteration plan
+    p = _plan(spark, "host_pagerank")
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

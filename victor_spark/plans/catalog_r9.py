@@ -542,6 +542,114 @@ def q_robots_filter(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Host-graph PageRank: the crawl-side quality prior (Common Crawl ranks
+# hosts with exactly this family to pick what to fetch and keep)
+# ---------------------------------------------------------------------------
+
+_PR_ITER_SQL = """
+c{i} AS (
+  SELECT e.dst AS n,
+         sum(CAST(r{p}.r * CAST(e.w AS DOUBLE) / CAST(o.tw AS DOUBLE)
+                  AS DECIMAL(20,12))) AS s
+  FROM e JOIN r{p} ON e.src = r{p}.n JOIN o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.n,
+         CAST(0.15 AS DOUBLE) / nn.cnt
+           + CAST(0.85 AS DOUBLE) * CAST(coalesce(c{i}.s, 0) AS DOUBLE) AS r
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.n = c{i}.n
+)"""
+
+_PR_ORACLE = f"""
+WITH e0 AS (SELECT doc_id % 97 AS src, (doc_id * 31 + 7) % 97 AS dst
+            FROM documents),
+e AS (SELECT src, dst, count(*) AS w FROM e0 WHERE src <> dst
+      GROUP BY src, dst),
+nodes AS (SELECT DISTINCT n
+          FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*) AS cnt FROM nodes),
+o AS (SELECT src, sum(w) AS tw FROM e GROUP BY src),
+r0 AS (SELECT n, CAST(1.0 AS DOUBLE) / nn.cnt AS r FROM nodes CROSS JOIN nn),
+{",".join(_PR_ITER_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))}
+SELECT n AS host, round(r, 6) AS pagerank FROM r3
+"""
+
+
+@_q9(
+    "host_pagerank",
+    _PR_ORACLE,
+    "host-graph PageRank (3 damped iterations, d=0.85) — the crawl-side "
+    "quality prior (Common Crawl publishes host ranks computed with "
+    "exactly this family; pipelines use them to pick what to fetch and "
+    "keep). A deterministic host link graph is synthesized from "
+    "documents (doc_id%97 -> (31*doc_id+7)%97, self-loops dropped, "
+    "parallel links weight-folded), then three rank iterations run as "
+    "broadcast-rank x edge joins with a per-dst aggregation. Per-dst "
+    "contribution sums are DECIMAL(20,12) (the embedding_outliers "
+    "pattern) so the distributed sum is order-independent and both "
+    "engines agree exactly. At 100 TB: edges partition by src; ranks, "
+    "contributions and out-weights are broadcastable node-sized dims; "
+    "each iteration costs ONE exchange on dst; the loop-invariant edge "
+    "matrix and node set are localCheckpoint-materialized once "
+    "(textrank's precedent) — the canonical scale-out PageRank shape",
+)
+def q_host_pagerank(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 97).alias("src"),
+        ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
+    )
+    e = (
+        d.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    # edge matrix, node set, and out-weights are loop invariants
+    # referenced by every round — localCheckpoint materializes each once
+    # instead of re-deriving scan->project->aggregate per reference
+    # (textrank.py's precedent for iterative graph jobs)
+    e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .unionAll(e.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nn = F.broadcast(nodes.agg(F.count("*").alias("cnt")))
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    ranks = nodes.crossJoin(nn).select(
+        "n", (F.lit(1.0) / F.col("cnt")).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            e.join(F.broadcast(ranks), e["src"] == ranks["n"])
+            .join(F.broadcast(outw), "src")
+            .select(
+                "dst",
+                (
+                    F.col("r") * F.col("w").cast("double")
+                    / F.col("tw").cast("double")
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(20,12)")).alias("s"))
+        )
+        ranks = (
+            nodes.crossJoin(nn)
+            .join(F.broadcast(contrib), nodes["n"] == contrib["dst"], "left")
+            .select(
+                "n",
+                (
+                    F.lit(0.15) / F.col("cnt")
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(F.col("n").alias("host"), F.round("r", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka two-phase ANN: truncated-prefix coarse scan, exact rescore
 # ---------------------------------------------------------------------------
 
