@@ -92,6 +92,89 @@ def test_gate_urls_unknown_host_defaults_to_allow(spark):
     assert row["allowed"] and row["matched_prefix"] == ""
 
 
+def test_gate_urls_rejects_reserved_input_columns(spark):
+    import pytest
+
+    urls = spark.createDataFrame(
+        [("http://a.example/x", "clobber-me")], "url string, host string"
+    )
+    with pytest.raises(ValueError, match="host"):
+        gate_urls(urls, _rules(spark))
+
+
+def test_rules_by_host_normalizes_host_case(spark):
+    # a mixed-case host in the rule source must still gate its URLs
+    rules = rules_by_host(
+        spark.createDataFrame(
+            [("A.Example", "/private", False)],
+            "host string, prefix string, allow boolean",
+        )
+    )
+    urls = spark.createDataFrame(
+        [("http://a.example/private/x",)], "url string"
+    )
+    row = gate_urls(urls, rules).collect()[0]
+    assert not row["allowed"] and row["matched_prefix"] == "/private"
+
+
+def test_robots_match_target_includes_query_string(spark):
+    # RFC 9309 matches path + query: a rule extending into the query
+    # must match, and the same path without the query must not
+    rules = rules_by_host(
+        spark.createDataFrame(
+            [("a.example", "/search?sess=", False)],
+            "host string, prefix string, allow boolean",
+        )
+    )
+    urls = spark.createDataFrame(
+        [("http://a.example/search?sess=abc",),
+         ("http://a.example/search",)],
+        "url string",
+    )
+    rows = {r["url"]: r for r in gate_urls(urls, rules).collect()}
+    assert not rows["http://a.example/search?sess=abc"]["allowed"]
+    assert rows["http://a.example/search"]["allowed"]
+
+
+def test_robots_wildcard_and_anchor_rules(spark):
+    # RFC 9309 §2.2.3 specials: '*' spans octets, trailing '$' anchors;
+    # regex metachars inside patterns stay literal; longest RAW pattern
+    # still wins precedence
+    rules = rules_by_host(
+        spark.createDataFrame(
+            [
+                ("a.example", "/private/*/tmp", False),
+                ("a.example", "/exact$", False),
+                ("a.example", "/a.b", False),       # '.' is literal
+                ("a.example", "/private/*/tmp/pub", True),
+            ],
+            "host string, prefix string, allow boolean",
+        )
+    )
+    urls = spark.createDataFrame(
+        [
+            ("http://a.example/private/x/tmp",),      # wildcard disallow
+            ("http://a.example/private/x/y/tmp",),    # '*' spans slashes
+            ("http://a.example/exact",),              # anchored disallow
+            ("http://a.example/exact/sub",),          # past anchor → allow
+            ("http://a.example/aXb",),                # '.' literal → allow
+            ("http://a.example/a.b",),                # literal match
+            ("http://a.example/private/x/tmp/pub",),  # longer allow wins
+        ],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"] for r in gate_urls(urls, rules).collect()}
+    assert got == {
+        "http://a.example/private/x/tmp": False,
+        "http://a.example/private/x/y/tmp": False,
+        "http://a.example/exact": False,
+        "http://a.example/exact/sub": True,
+        "http://a.example/aXb": True,
+        "http://a.example/a.b": False,
+        "http://a.example/private/x/tmp/pub": True,
+    }
+
+
 def test_crawl_frontier_stream_matches_batch_gate(spark, tmp_path):
     # stage the url relation TWICE (at-least-once discovery); the frontier
     # must admit each allowed canonical key exactly once and nothing else

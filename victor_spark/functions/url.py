@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from victor_spark.functions.vector import bind
+
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
 
@@ -76,27 +78,64 @@ def canonical_url(url) -> Column:
 
 def robots_rule(prefix, allow) -> Column:
     """One robots rule as the struct :func:`robots_best_match` orders by:
-    (prefix length, allow-wins-ties rank, prefix, allow). Accepts Python
-    literals or Columns, so rule sets can be plan literals (a handful of
-    rules) or rows of a static host-keyed table (a crawl-scale rule
-    corpus, broadcast-joined)."""
+    (pattern length, allow-wins-ties rank, pattern, allow). Accepts
+    Python literals or Columns, so rule sets can be plan literals (a
+    handful of rules) or rows of a static host-keyed table (a
+    crawl-scale rule corpus, broadcast-joined).
+
+    RFC 9309 §2.2.3 special characters are compiled here, ONCE per rule:
+    ``*`` matches any octet sequence and a TRAILING ``$`` anchors the
+    end of the match target (a ``$`` anywhere else is literal, per the
+    RFC's "designates the end" wording). Patterns without specials keep
+    ``is_literal=true`` so the hot path stays a plain ``startswith`` —
+    the overwhelming majority of real robots lines — and only wildcard
+    rules pay the regex. Precedence length is the RAW pattern's octet
+    length (the RFC ranks by pattern length, specials included)."""
     p = F.lit(prefix) if isinstance(prefix, str) else prefix
     a = F.lit(allow) if isinstance(allow, bool) else allow
+    anchored = p.endswith("$")
+    body = F.when(anchored, F.substring(p, 1, F.length(p) - 1)).otherwise(p)
+    # escape Java-regex metachars (incl. '*' and '$'), then turn the
+    # escaped wildcard back into '.*'
+    escaped = F.regexp_replace(
+        body, F.lit(r"([.\\+?\[\]()^${}|*])"), F.lit(r"\\$1")
+    )
+    rx = F.concat(
+        F.lit("^"),
+        F.replace(escaped, F.lit(r"\*"), F.lit(".*")),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    is_literal = ~(p.contains("*") | anchored)
     return F.struct(
         F.length(p).alias("plen"),
         a.cast("int").alias("arank"),
         p.alias("prefix"),
         a.alias("allow"),
+        is_literal.alias("is_literal"),
+        rx.alias("rx"),
     )
 
 
 def robots_best_match(path, rules) -> Column:
-    """The winning rule (or NULL when nothing matches) for ``path``
-    against an array of :func:`robots_rule` structs: longest prefix
-    wins, allow wins length ties (RFC 9309 §2.2.2) — struct ordering on
-    (plen, arank) via ``array_max`` makes the whole evaluation one
-    codegen expression, zero shuffles and zero Python. NULL/absent rule
-    arrays mean "no robots.txt" → NULL → callers default-allow."""
+    """The winning rule (or NULL when nothing matches) for the match
+    target ``path`` (path plus query, per RFC 9309) against an array of
+    :func:`robots_rule` structs: longest pattern wins, allow wins
+    length ties (RFC 9309 §2.2.2) — struct ordering on (plen, arank)
+    via ``array_max`` makes the whole evaluation one expression, zero
+    shuffles and zero Python. Literal rules match by ``startswith``;
+    wildcard/anchored rules by their precompiled regex. NULL/absent
+    rule arrays mean "no robots.txt" → NULL → callers default-allow.
+    The match target is bound once per row (HOF lambdas re-evaluate
+    embedded subtrees per element)."""
     p = F.col(path) if isinstance(path, str) else path
-    matches = F.filter(rules, lambda r: p.startswith(r["prefix"]))
-    return F.array_max(matches)
+    return bind(
+        p,
+        lambda t: F.array_max(
+            F.filter(
+                rules,
+                lambda r: F.when(
+                    r["is_literal"], t.startswith(r["prefix"])
+                ).otherwise(F.regexp_like(t, r["rx"])),
+            )
+        ),
+    )

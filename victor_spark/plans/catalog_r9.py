@@ -22,7 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from victor_spark.functions.html import sql_normalize_ws
-from victor_spark.functions.vector import dot, norm, to_double_array
+from victor_spark.functions.vector import bind, dot, norm, to_double_array
 from victor_spark.plans.catalog import (
     QuerySpec,
     _ingest_build_dir,
@@ -616,7 +616,9 @@ def q_host_pagerank(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     nn = F.broadcast(nodes.agg(F.count("*").alias("cnt")))
-    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw")).localCheckpoint(
+        eager=False
+    )
     ranks = nodes.crossJoin(nn).select(
         "n", (F.lit(1.0) / F.col("cnt")).alias("r")
     )
@@ -698,15 +700,22 @@ def q_ann_matryoshka_rescore(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("v")
     )
+    # the query-side 16-dim norm is a per-query CONSTANT — computed once
+    # in the broadcast dim, never per corpus row; the corpus-side slice
+    # is bound once per row (dot + norm would otherwise re-embed it)
     q = F.broadcast(
         e.filter(F.col("vec_id") == 2).select(
-            F.col("v").alias("qv"), F.slice("v", 1, 16).alias("qv16")
+            F.col("v").alias("qv"),
+            F.slice("v", 1, 16).alias("qv16"),
+            norm(F.slice("v", 1, 16)).alias("qn16"),
         )
     )
-    v16 = F.slice("v", 1, 16)
     coarse = e.crossJoin(q).select(
         "vec_id", "v", "qv",
-        (dot(v16, F.col("qv16")) / (norm(v16) * norm("qv16"))).alias("s16"),
+        bind(
+            F.slice("v", 1, 16),
+            lambda v16: dot(v16, F.col("qv16")) / (norm(v16) * F.col("qn16")),
+        ).alias("s16"),
     )
     short = coarse.orderBy(F.desc("s16"), F.asc("vec_id")).limit(50)
     rescored = short.select(

@@ -53,8 +53,12 @@ def rules_by_host(rules: DataFrame) -> DataFrame:
     """Fold a (host, prefix, allow) rule table — one row per robots.txt
     line — into one row per host carrying its rule array, the shape
     :func:`gate_urls` joins against. Run once per robots refresh; the
-    result is the static dim of the stream-static join."""
-    return rules.groupBy("host").agg(
+    result is the static dim of the stream-static join. Hosts are
+    lowercased HERE so a mixed-case host spelling in the rule source
+    (common in fetch logs) still meets the lowercased host
+    :func:`gate_urls` derives from each URL — a case mismatch would
+    silently bypass the host's rules into default-allow."""
+    return rules.groupBy(F.lower(F.col("host")).alias("host")).agg(
         F.collect_list(
             robots_rule(F.col("prefix"), F.col("allow"))
         ).alias("rules")
@@ -69,19 +73,41 @@ def gate_urls(urls: DataFrame, host_rules: DataFrame) -> DataFrame:
     Adds: ``url_key`` (canonical form; NULL = malformed), ``host``,
     ``allowed`` (RFC 9309 longest-match, allow wins ties, default-allow
     when the host has no rules — but malformed URLs are NOT allowed),
-    ``matched_prefix`` ('' when no rule matched)."""
+    ``matched_prefix`` ('' when no rule matched). Rules are evaluated
+    against the RFC's match target — the path PLUS the query string —
+    so a rule whose pattern extends into the query (``/search?sess=``)
+    matches; matching on the bare path would silently skip it.
+
+    The input may not already carry the columns this gate produces (or
+    the rule-array join key) — that would silently clobber caller data
+    and emit duplicate column names; raise loudly instead."""
+    reserved = {"url_key", "host", "allowed", "matched_prefix", "rules",
+                "_match_target"}
+    clash = reserved & set(urls.columns)
+    if clash:
+        raise ValueError(
+            f"gate_urls input columns {sorted(clash)} collide with the "
+            "gate's output/join columns — rename them upstream"
+        )
     url_key = canonical_url("url")
     host = F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
     path = F.coalesce(
         F.try_parse_url(F.col("url"), F.lit("PATH")), F.lit("/")
     )
+    query = F.try_parse_url(F.col("url"), F.lit("QUERY"))
+    target = F.concat(
+        F.when(path == "", "/").otherwise(path),
+        F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(
+            F.lit("")
+        ),
+    )
     gated = (
         urls.withColumn("url_key", url_key)
         .withColumn("host", host)
-        .withColumn("_path", F.when(path == "", "/").otherwise(path))
+        .withColumn("_match_target", target)
         .join(host_rules, "host", "left")
     )
-    best = robots_best_match(F.col("_path"), F.col("rules"))
+    best = robots_best_match(F.col("_match_target"), F.col("rules"))
     return gated.select(
         *urls.columns,
         "url_key",
