@@ -79,6 +79,15 @@ def test_url_canonical_dedup_is_single_exchange(spark):
     assert "EvalPython" not in p
 
 
+def test_crawl_admission_is_dim_join_projection(spark):
+    # the 35-row rule dim broadcasts; the url relation never shuffles
+    # and no Python runs — admission costs what a projection costs
+    p = _plan(spark, "crawl_admission")
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "EvalPython" not in p
+
+
 def test_host_pagerank_iterations_broadcast_ranks(spark):
     # node-sized relations (ranks, contributions, out-weights) broadcast
     # onto the edge matrix; no sort-merge join and no cartesian product

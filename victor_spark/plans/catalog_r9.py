@@ -542,6 +542,92 @@ def q_robots_filter(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Crawl admission: the full gate (canonicalize + RFC 9309 evaluation
+# with wildcard/anchored/query-target rules) under the driver oracle
+# ---------------------------------------------------------------------------
+
+_ADMIT_ORACLE = """
+SELECT doc_id,
+       'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+       CASE doc_id % 5
+         WHEN 0 THEN '/private/p/' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN '/search?sess=' || CAST(doc_id AS VARCHAR)
+         WHEN 3 THEN '/files/' || CAST(doc_id AS VARCHAR) || '.json'
+         ELSE '/p/' || CAST(doc_id AS VARCHAR)
+       END AS url_key,
+       doc_id % 5 IN (0, 4) AS allowed,
+       CASE doc_id % 5
+         WHEN 0 THEN '/private/p'
+         WHEN 1 THEN '/tmp'
+         WHEN 2 THEN '/search?sess='
+         WHEN 3 THEN '/files/*.json$'
+         ELSE ''
+       END AS matched_prefix
+FROM documents
+"""
+
+
+@_q9(
+    "crawl_admission",
+    _ADMIT_ORACLE,
+    "the full crawl admission gate (streaming/crawl_gate.gate_urls — "
+    "the batch plane of topology 17) under the driver oracle: messy "
+    "mixed-case/:80/#frag URL spellings are canonicalized and evaluated "
+    "against a host-keyed rule dim exercising every RFC 9309 matcher "
+    "branch — literal longest-match with allow-wins ('/private' vs "
+    "'/private/p'), a rule extending into the QUERY string "
+    "('/search?sess='), and a wildcard+anchored pattern "
+    "('/files/*.json\\$'). The oracle states the expected canonical key, "
+    "verdict, and winning pattern per residue class. Plan: one "
+    "broadcast-shaped join with the 35-row rule dim + codegen "
+    "projection — at 100 TB admission costs what a dim-join projection "
+    "costs",
+)
+def q_crawl_admission(spark, sf_dir):
+    from victor_spark.streaming.crawl_gate import gate_urls, rules_by_host
+
+    rules = rules_by_host(
+        spark.createDataFrame(
+            [
+                (f"site{s}.example", prefix, allow)
+                for s in range(7)
+                for prefix, allow in (
+                    ("/private", False),
+                    ("/private/p", True),
+                    ("/tmp", False),
+                    ("/search?sess=", False),
+                    ("/files/*.json$", False),
+                )
+            ],
+            "host string, prefix string, allow boolean",
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    s = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/private/p/"), i))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/tmp/"), i))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/search?sess="), i))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("/files/"), i, F.lit(".json")),
+        )
+        .otherwise(F.concat(F.lit("/p/"), i))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://SITE"), s, F.lit(".EXAMPLE:80"), path, F.lit("#frag")
+        ).alias("url"),
+    )
+    return gate_urls(urls, rules).select(
+        "doc_id", "url_key", "allowed", "matched_prefix"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Host-graph PageRank: the crawl-side quality prior (Common Crawl ranks
 # hosts with exactly this family to pick what to fetch and keep)
 # ---------------------------------------------------------------------------

@@ -65,7 +65,11 @@ def rules_by_host(rules: DataFrame) -> DataFrame:
     )
 
 
-def gate_urls(urls: DataFrame, host_rules: DataFrame) -> DataFrame:
+def gate_urls(
+    urls: DataFrame,
+    host_rules: DataFrame,
+    broadcast_rules: bool = True,
+) -> DataFrame:
     """Canonicalize + robots-evaluate a URL relation (batch OR stream —
     the plan is a projection plus one equi-join with the static
     ``host_rules`` dim from :func:`rules_by_host`).
@@ -101,11 +105,17 @@ def gate_urls(urls: DataFrame, host_rules: DataFrame) -> DataFrame:
             F.lit("")
         ),
     )
+    # the rule dim is broadcast by default (robots.txt is RFC-capped at
+    # 500 KiB per host and most hosts have a handful of lines; even a
+    # large crawl's folded rule corpus is dim-sized). Pass
+    # broadcast_rules=False only when the rule corpus genuinely exceeds
+    # broadcast limits — the join then shuffles on host like any big dim.
+    dim = F.broadcast(host_rules) if broadcast_rules else host_rules
     gated = (
         urls.withColumn("url_key", url_key)
         .withColumn("host", host)
         .withColumn("_match_target", target)
-        .join(host_rules, "host", "left")
+        .join(dim, "host", "left")
     )
     best = robots_best_match(F.col("_match_target"), F.col("rules"))
     return gated.select(
