@@ -57,11 +57,18 @@ def rules_by_host(rules: DataFrame) -> DataFrame:
     lowercased HERE so a mixed-case host spelling in the rule source
     (common in fetch logs) still meets the lowercased host
     :func:`gate_urls` derives from each URL — a case mismatch would
-    silently bypass the host's rules into default-allow."""
-    return rules.groupBy(F.lower(F.col("host")).alias("host")).agg(
-        F.collect_list(
-            robots_rule(F.col("prefix"), F.col("allow"))
-        ).alias("rules")
+    silently bypass the host's rules into default-allow. Empty patterns
+    are dropped — RFC 9309 §2.2.2: an empty Disallow/Allow value
+    matches nothing (it is how sites spell "disallow nothing"); kept,
+    it would startswith-match EVERY target at precedence 0."""
+    return (
+        rules.filter(F.length("prefix") > 0)
+        .groupBy(F.lower(F.col("host")).alias("host"))
+        .agg(
+            F.collect_list(
+                robots_rule(F.col("prefix"), F.col("allow"))
+            ).alias("rules")
+        )
     )
 
 
