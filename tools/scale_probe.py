@@ -118,6 +118,7 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "multimodal_webp_probe": {"documents": ["doc_id"]},
     "host_pagerank": {"documents": ["doc_id"]},
     "crawl_admission": {"documents": ["doc_id"]},
+    "ingest_sitemap_roundtrip": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -542,6 +542,99 @@ def q_robots_filter(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Sitemap roundtrip: the crawl's other discovery source (sitemaps.org
+# urlset + sitemapindex pages), synthesized with XML-escaped URLs and
+# walked back by the pure-regexp extractor
+# ---------------------------------------------------------------------------
+
+_SITEMAP_ORACLE = """
+SELECT 'url' AS kind,
+       'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+         || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS loc,
+       '2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+         AS lastmod
+FROM documents
+UNION ALL
+SELECT 'sitemap' AS kind,
+       'http://site' || CAST(s AS VARCHAR) || '.example/sitemap.xml' AS loc,
+       CAST(NULL AS VARCHAR) AS lastmod
+FROM (SELECT DISTINCT doc_id % 7 AS s FROM documents)
+"""
+
+
+@_q9(
+    "ingest_sitemap_roundtrip",
+    _SITEMAP_ORACLE,
+    "sitemap discovery roundtrip (sitemaps.org protocol): per-site "
+    "urlset pages — every URL carrying a query string, XML-escaped as "
+    "the protocol requires — plus one sitemapindex page listing the "
+    "site sitemaps, walked back by sources/sitemap.sitemap_entries "
+    "(pure-regexp, entity decode amp-LAST, attribute-tolerant; the "
+    "'<url' pattern proven not to swallow '<urlset'). The oracle "
+    "states every expected (kind, loc, lastmod) row, so a match proves "
+    "synthesis->escape->extract->decode end to end. One small shuffle "
+    "builds the per-site pages; extraction itself is per-row codegen — "
+    "at 100 TB it parallelizes with the shard scan",
+)
+def q_ingest_sitemap_roundtrip(spark, sf_dir):
+    from victor_spark.functions.html import escape_html
+    from victor_spark.sources.sitemap import sitemap_entries
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("site"),
+    )
+    loc = F.concat(
+        F.lit("http://site"), F.col("site").cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        F.lit("?a=1&b=2"),
+    )
+    lastmod = F.concat(
+        F.lit("2026-01-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), escape_html(loc), F.lit("</loc><lastmod>"),
+        lastmod, F.lit("</lastmod></url>"),
+    )
+    site_pages = d.select("site", F.struct("doc_id", entry.alias("e")).alias(
+        "se"
+    )).groupBy("site").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                  '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                  'sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("se")), lambda s: s["e"]
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    index_page = site_pages.agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><sitemapindex>'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("site")),
+                    lambda s: F.concat(
+                        F.lit("<sitemap><loc>http://site"),
+                        s.cast("string"),
+                        F.lit(".example/sitemap.xml</loc></sitemap>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</sitemapindex>"),
+        ).alias("xml")
+    )
+    pages = site_pages.select("xml").unionAll(index_page)
+    return sitemap_entries(pages, "xml").select("kind", "loc", "lastmod")
+
+
+# ---------------------------------------------------------------------------
 # Crawl admission: the full gate (canonicalize + RFC 9309 evaluation
 # with wildcard/anchored/query-target rules) under the driver oracle
 # ---------------------------------------------------------------------------

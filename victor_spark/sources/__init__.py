@@ -1,4 +1,5 @@
 from victor_spark.sources.media import load_media_dir
+from victor_spark.sources.sitemap import sitemap_entries
 from victor_spark.sources.tables import TABLES, load_table, register_views
 from victor_spark.sources.warc import (
     load_warc,
@@ -13,6 +14,7 @@ __all__ = [
     "load_table",
     "register_views",
     "load_media_dir",
+    "sitemap_entries",
     "load_warc",
     "warc_documents",
     "wet_documents",
