@@ -175,6 +175,47 @@ def test_robots_wildcard_and_anchor_rules(spark):
     }
 
 
+def test_sitemap_frontier_stream_closes_the_discovery_loop(spark, tmp_path):
+    # sitemap pages stream in; urlset entries (XML-escaped query URLs)
+    # are extracted, gated, and admitted exactly once; the index child
+    # and the disallowed URL never reach the frontier
+    from pyspark.sql import functions as F
+
+    from victor_spark.streaming import sitemap_frontier_stream
+
+    xml1 = (
+        "<urlset>"
+        "<url><loc>http://site1.example/p/1?a=1&amp;b=2</loc></url>"
+        "<url><loc>http://site1.example/tmp/9</loc></url>"  # disallowed
+        "<url><loc>HTTP://SITE1.EXAMPLE:80/p/1?a=1&amp;b=2#x</loc></url>"
+        "</urlset>"
+    )
+    xml2 = (
+        "<sitemapindex>"
+        "<sitemap><loc>http://site1.example/sitemap2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    pages = spark.createDataFrame(
+        [(xml1,), (xml2,)], "xml string"
+    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000)))
+    src = str(tmp_path / "sm_src")
+    pages.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(pages.schema).format("parquet").load(src)
+    frontier = sitemap_frontier_stream(stream, _rules(spark))
+    sink = str(tmp_path / "sm_sink")
+    (
+        frontier.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "sm_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = [r["url_key"] for r in spark.read.parquet(sink).collect()]
+    assert got == ["http://site1.example/p/1?a=1&b=2"]
+
+
 def test_crawl_frontier_stream_matches_batch_gate(spark, tmp_path):
     # stage the url relation TWICE (at-least-once discovery); the frontier
     # must admit each allowed canonical key exactly once and nothing else

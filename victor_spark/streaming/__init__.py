@@ -2,6 +2,7 @@ from victor_spark.streaming.crawl_gate import (
     crawl_frontier_stream,
     gate_urls,
     rules_by_host,
+    sitemap_frontier_stream,
 )
 from victor_spark.streaming.dedup_stream import stream_incremental_dedup
 from victor_spark.streaming.enrich import stream_asof_enrich
@@ -60,4 +61,5 @@ __all__ = [
     "crawl_frontier_stream",
     "gate_urls",
     "rules_by_host",
+    "sitemap_frontier_stream",
 ]

@@ -152,3 +152,32 @@ def crawl_frontier_stream(
         gated.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["url_key"])
     )
+
+
+def sitemap_frontier_stream(
+    sitemap_pages: DataFrame,
+    host_rules: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    xml_col: str = "xml",
+) -> DataFrame:
+    """The full discovery loop, streaming end to end: sitemap pages
+    arrive (fetched urlset shards), their entries are extracted
+    per-row (sources/sitemap.py — projection + explode, stream-safe),
+    and each discovered URL rides the same gate + frontier as every
+    other discovery source. ``sitemapindex`` children are NOT fetchable
+    page URLs, so only ``kind='url'`` entries (with a non-NULL loc)
+    enter the gate — index children go back to the fetcher, a different
+    queue. One stateful stage total (the frontier dedup); extraction
+    and gating add none."""
+    from victor_spark.sources.sitemap import sitemap_entries
+
+    urls = (
+        sitemap_entries(sitemap_pages, xml_col)
+        .filter((F.col("kind") == "url") & F.col("loc").isNotNull())
+        .withColumnRenamed("loc", "url")
+        .drop("kind", "lastmod")
+    )
+    return crawl_frontier_stream(
+        urls, host_rules, watermark=watermark, ts_col=ts_col
+    )
