@@ -6,7 +6,11 @@ sf0.01. Round 1 lost all five events_* queries to a session-dependent
 parquet conf; this script exists so that never happens again — run it
 before every round-end commit.
 
-Usage: python tools/driver_sim.py [sf_dir] [query ...]
+Usage: python tools/driver_sim.py [--pending] [sf_dir] [query ...]
+
+``--pending`` additionally runs the staged round-9 queries
+(plans/catalog_r9.py — not yet in queries()/oracle_sql(), so the real
+driver gate can't see them; this is their only vanilla-session check).
 """
 
 from __future__ import annotations
@@ -19,8 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--pending"]
+    pending = "--pending" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     # dynamic oracles (bpe_train/bpe_encode/pca_project) resolve against
     # this env var inside __spark_entry__.oracle_sql(); without it they
     # replay sf0.01 data while the queries run on sf_dir — every dynamic
@@ -42,6 +48,14 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    if pending:
+        from victor_spark.plans.catalog_r9 import PENDING
+
+        for name, spec in PENDING.items():
+            queries[name] = spec.build
+            sql = spec.oracle_sql(sf_dir)
+            if sql is not None:
+                oracles[name] = sql
 
     from tests.oracle_utils import compare, duck_connect
 
