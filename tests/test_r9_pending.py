@@ -20,12 +20,16 @@ def test_pending_queries_are_not_registered():
     assert not set(PENDING) & set(QUERIES)
 
 
+@pytest.mark.parametrize("sf", [SF_SMOKE, "/root/testdata/sf0.01"])
 @pytest.mark.parametrize("name", sorted(PENDING))
-def test_pending_query_matches_oracle(spark, name):
+def test_pending_query_matches_oracle(spark, name, sf):
+    # both the smoke SF and the driver gate's SF — the staged queries
+    # have no driver row until round-9 registration, so pytest carries
+    # the full gate-parity burden at the gate's own scale
     spec = PENDING[name]
-    con = duck_connect(SF_SMOKE)
-    sdf = spec.build(spark, SF_SMOKE)
-    odf = con.execute(spec.oracle_sql(SF_SMOKE)).fetchdf()
+    con = duck_connect(sf)
+    sdf = spec.build(spark, sf)
+    odf = con.execute(spec.oracle_sql(sf)).fetchdf()
     problems = compare(sdf, odf)
     assert not problems, problems
 
