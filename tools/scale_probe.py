@@ -119,6 +119,7 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "host_pagerank": {"documents": ["doc_id"]},
     "crawl_admission": {"documents": ["doc_id"]},
     "ingest_sitemap_roundtrip": {"documents": ["doc_id"]},
+    "bpe_roundtrip": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -82,11 +82,19 @@ def train_bpe_merges(docs: DataFrame, text_col: str, num_merges: int = 20,
 
 
 def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
-              out_col: str = "bpe_tokens") -> DataFrame:
+              out_col: str = "bpe_tokens",
+              word_end_marker: str | None = None) -> DataFrame:
     """Segment each doc's words with a learned merge list (applied in rank
     order, same greedy adjacent-pair rule as training) — Arrow-batched
     mapInPandas, the encode path a tokenization pipeline ships.
-    """
+
+    ``word_end_marker`` (Sennrich's '</w>' convention) suffixes each
+    word's LAST subword, making the flat token array detokenizable —
+    without it word boundaries are lost and :func:`decode_bpe` cannot
+    exist. Off by default (the marker-free form is what the original
+    oracle-checked catalog queries pin); the marker must not occur in
+    the text itself — that is the caller's contract, same as every
+    sentinel-based tokenizer."""
     import pandas as pd
 
     merge_list = list(merges)
@@ -109,11 +117,18 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
                        for f in docs.schema.fields)
     schema = f"{fields}, {out_col} array<string>"
 
+    def _encode_marked(word: str) -> list[str]:
+        syms = _encode_word(word)
+        syms[-1] = syms[-1] + word_end_marker
+        return syms
+
+    enc = _encode_word if word_end_marker is None else _encode_marked
+
     def _encode(batches):
         for pdf in batches:
             toks = [
                 [s for w in ("" if t is None else str(t)).lower().split(" ")
-                 if w for s in _encode_word(w)]
+                 if w for s in enc(w)]
                 for t in pdf[text_col]
             ]
             pdf = pdf.copy()
@@ -121,3 +136,18 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
             yield pdf
 
     return docs.mapInPandas(_encode, schema=schema)
+
+
+def decode_bpe(tokens_col, word_end_marker: str):
+    """Detokenize a marker-suffixed BPE token array back to the
+    space-joined word sequence — PURE codegen (join, sentinel→space,
+    drop the final separator), zero Python: at 100 TB detokenization is
+    a projection. Returns a Column; inverse of :func:`apply_bpe` with
+    the same ``word_end_marker`` over tokens()-normalized text."""
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    joined = F.replace(
+        F.array_join(c, ""), F.lit(word_end_marker), F.lit(" ")
+    )
+    return F.when(
+        F.size(c) > 0, F.substring(joined, 1, F.length(joined) - 1)
+    ).otherwise(F.lit(""))

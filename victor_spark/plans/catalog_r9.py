@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from victor_spark.functions.html import sql_normalize_ws
 from victor_spark.functions.vector import bind, dot, norm, to_double_array
 from victor_spark.plans.catalog import (
+    SQL_TOKS,
     QuerySpec,
     _ingest_build_dir,
     _ingest_cache_dir,
@@ -538,6 +539,62 @@ def q_robots_filter(spark, sf_dir):
         ).alias("url"),
         F.coalesce(best["allow"], F.lit(True)).alias("allowed"),
         F.coalesce(best["prefix"], F.lit("")).alias("matched_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE detokenization roundtrip: encode with an end-of-word marker,
+# decode with pure codegen, prove the identity with a TOTAL oracle
+# ---------------------------------------------------------------------------
+
+# merge-independent oracle: whatever merges training produced, marked
+# encode followed by decode must reproduce the tokens()-normalized text
+# exactly. coalesce matters: DuckDB's array_to_string([]) is NULL while
+# Spark decodes an empty token array to '' (the empty-doc edge row).
+_BPE_RT_ORACLE = f"""
+SELECT doc_id,
+       md5(coalesce(array_to_string(
+         {SQL_TOKS.format(s="lower(text)")}, ' '), '')) AS decoded_md5
+FROM documents
+"""
+
+
+@_q9(
+    "bpe_roundtrip",
+    _BPE_RT_ORACLE,
+    "BPE DETOKENIZATION leg (closes the tokenizer family: train -> "
+    "encode -> decode): every doc is encoded with the 20 trained merges "
+    "and Sennrich's end-of-word marker (without a marker the flat "
+    "subword array loses word boundaries and decode cannot exist), "
+    "then decoded by pure codegen (join, sentinel->space, drop final "
+    "separator — zero Python; at 100 TB detokenization is a "
+    "projection). The oracle is TOTAL and merge-independent: decode of "
+    "encode must equal the tokens()-normalized text, md5-compared — "
+    "any merge-table corruption, marker loss, or boundary bug breaks "
+    "the hash. Training itself is pinned separately (bpe_train's "
+    "dynamic oracle)",
+)
+def q_bpe_roundtrip(spark, sf_dir):
+    from victor_spark.operators.bpe import (
+        apply_bpe,
+        decode_bpe,
+        train_bpe_merges,
+    )
+    from victor_spark.sources.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe_merges(d, "text", num_merges=20)
+        .orderBy("rank").collect()
+    ]
+    enc = apply_bpe(
+        d.select("doc_id", "text"), "text", merges,
+        out_col="bpe_tokens", word_end_marker="\x00",
+    )
+    return enc.select(
+        "doc_id",
+        F.md5(decode_bpe("bpe_tokens", "\x00")).alias("decoded_md5"),
     )
 
 
