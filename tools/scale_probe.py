@@ -120,6 +120,7 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "crawl_admission": {"documents": ["doc_id"]},
     "ingest_sitemap_roundtrip": {"documents": ["doc_id"]},
     "bpe_roundtrip": {"documents": ["doc_id"]},
+    "retrieval_ndcg": {"embeddings": ["vec_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -543,6 +543,152 @@ def q_robots_filter(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Retrieval evaluation metrics: graded nDCG@10 + MRR@10 over the real
+# cosine retrieval — the eval leg of the ANN family (ann_recall audits
+# set overlap; ranking quality needs the graded, rank-discounted form)
+# ---------------------------------------------------------------------------
+
+_NDCG_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv,
+             sqrt(list_dot_product(v, v)) AS qn
+      FROM e WHERE vec_id < 8),
+s AS (
+  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * q.qn) AS sim
+  FROM e, q WHERE e.vec_id <> q.qid
+),
+r AS (
+  SELECT qid, qlabel, vec_id, label,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+  FROM s
+),
+g AS (
+  SELECT qid, rk,
+         CASE WHEN label = qlabel THEN 2
+              WHEN (label - qlabel) % 2 = 0 THEN 1 ELSE 0 END AS rel
+  FROM r
+),
+dcg AS (
+  SELECT qid, sum((pow(2, rel) - 1) / log2(rk + 1)) AS dcg10,
+         coalesce(max(CASE WHEN rel > 0 THEN 1.0 / rk END), 0) AS mrr10
+  FROM g WHERE rk <= 10 GROUP BY qid
+),
+cnt AS (
+  SELECT qid,
+         sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS n2,
+         sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS n1
+  FROM g GROUP BY qid
+),
+idcg AS (
+  SELECT cnt.qid,
+         sum((pow(2, CASE WHEN gs <= n2 THEN 2
+                          WHEN gs <= n2 + n1 THEN 1 ELSE 0 END) - 1)
+             / log2(gs + 1)) AS idcg10
+  FROM cnt, generate_series(1, 10) t(gs) GROUP BY cnt.qid
+)
+SELECT dcg.qid AS query_id,
+       round(CASE WHEN idcg.idcg10 > 0 THEN dcg.dcg10 / idcg.idcg10
+                  ELSE 0 END, 6) AS ndcg10,
+       round(dcg.mrr10, 6) AS mrr10
+FROM dcg JOIN idcg ON dcg.qid = idcg.qid
+"""
+
+
+@_q9(
+    "retrieval_ndcg",
+    _NDCG_ORACLE,
+    "graded retrieval evaluation: 8 queries x corpus exact cosine "
+    "ranking (self excluded), label-derived graded relevance (2 = same "
+    "label, 1 = even label distance, 0 otherwise), nDCG@10 against the "
+    "per-query IDEAL ranking (relevance counts over the FULL corpus "
+    "fill the ideal slots — computed as one codegen fold over "
+    "sequence(1,10), no per-slot join) and MRR@10. One corpus scan, "
+    "one rank window per query partition, two small aggregations — the "
+    "eval harness a retrieval pipeline runs after every index build; "
+    "at 100 TB it shares the batched-search shape (query side "
+    "broadcast, corpus never shuffled before scoring)",
+)
+def q_retrieval_ndcg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+            norm("v").alias("qn"),
+        )
+    )
+    s = (
+        e.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "qlabel", "vec_id", "label",
+            (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    g = s.withColumn("rk", F.row_number().over(w)).select(
+        "qid", "rk",
+        F.when(F.col("label") == F.col("qlabel"), 2)
+        .when((F.col("label") - F.col("qlabel")) % 2 == 0, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    dcg = (
+        g.filter(F.col("rk") <= 10)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1)
+                / F.log2(F.col("rk") + 1)
+            ).alias("dcg10"),
+            F.coalesce(
+                F.max(F.when(F.col("rel") > 0, 1.0 / F.col("rk"))), F.lit(0.0)
+            ).alias("mrr10"),
+        )
+    )
+    cnt = g.groupBy("qid").agg(
+        F.sum((F.col("rel") == 2).cast("long")).alias("n2"),
+        F.sum((F.col("rel") == 1).cast("long")).alias("n1"),
+    )
+    idcg = cnt.select(
+        "qid",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(10)),
+            F.lit(0.0),
+            lambda acc, gs: acc
+            + (
+                F.pow(
+                    F.lit(2.0),
+                    F.when(gs <= F.col("n2"), 2)
+                    .when(gs <= F.col("n2") + F.col("n1"), 1)
+                    .otherwise(0),
+                )
+                - 1
+            )
+            / F.log2(gs.cast("double") + 1),
+        ).alias("idcg10"),
+    )
+    return (
+        dcg.join(idcg, "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.round(
+                F.when(
+                    F.col("idcg10") > 0, F.col("dcg10") / F.col("idcg10")
+                ).otherwise(0.0),
+                6,
+            ).alias("ndcg10"),
+            F.round("mrr10", 6).alias("mrr10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE detokenization roundtrip: encode with an end-of-word marker,
 # decode with pure codegen, prove the identity with a TOTAL oracle
 # ---------------------------------------------------------------------------
