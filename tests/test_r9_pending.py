@@ -20,6 +20,29 @@ def test_pending_queries_are_not_registered():
     assert not set(PENDING) & set(QUERIES)
 
 
+def test_round9_registration_dry_run():
+    """The round-9 merge (`QUERIES.update(catalog_r9.PENDING)`) must be
+    safe the day it lands: names stay unique, every staged spec carries
+    a resolvable oracle, and the computed gate order fronts ALL staged
+    queries (they have no driver CORRECTNESS rows, so the never-green
+    tier must place every one of them inside a 50-row gate window).
+    Dry-run on a COPY — the live registry is never touched."""
+    from victor_spark.plans import catalog as cat
+
+    merged = dict(QUERIES)
+    merged.update(PENDING)
+    assert len(merged) == len(QUERIES) + len(PENDING)
+    for name, spec in PENDING.items():
+        sql = spec.oracle_sql(SF_SMOKE)
+        assert sql and "SELECT" in sql.upper(), name
+    last_green = cat._last_green_rounds()
+    never = [n for n in merged if n not in last_green]
+    assert set(PENDING) <= set(never)
+    # never-green queries lead the computed order; the staged family
+    # must fit the gate window with room to spare
+    assert len(never) <= 50
+
+
 @pytest.mark.parametrize("sf", [SF_SMOKE, "/root/testdata/sf0.01"])
 @pytest.mark.parametrize("name", sorted(PENDING))
 def test_pending_query_matches_oracle(spark, name, sf):
