@@ -115,6 +115,23 @@ def test_crawl_admission_is_dim_join_projection(spark):
     assert "EvalPython" not in p
 
 
+def test_fim_transform_is_shuffle_free_codegen(spark):
+    # FIM is a map over the corpus at data-prep time — one scan, no
+    # exchange, no Python
+    p = _plan(spark, "fim_transform")
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_hard_negatives_broadcasts_queries_no_corpus_shuffle(spark):
+    # label filter + scoring ride the scan; only the per-query rank
+    # window shuffles (on the 8-query key, WindowGroupLimit-bounded)
+    p = _plan(spark, "hard_negatives")
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_host_pagerank_iterations_broadcast_ranks(spark):
     # node-sized relations (ranks, contributions, out-weights) broadcast
     # onto the edge matrix; no sort-merge join and no cartesian product

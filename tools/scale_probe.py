@@ -121,6 +121,8 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "ingest_sitemap_roundtrip": {"documents": ["doc_id"]},
     "bpe_roundtrip": {"documents": ["doc_id"]},
     "retrieval_ndcg": {"embeddings": ["vec_id"]},
+    "hard_negatives": {"embeddings": ["vec_id"]},
+    "fim_transform": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -543,6 +543,151 @@ def q_robots_filter(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hard-negative mining: per query, the highest-cosine DIFFERENT-label
+# corpus vectors — the contrastive-training triplet miner
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv,
+             sqrt(list_dot_product(v, v)) AS qn
+      FROM e WHERE vec_id < 8),
+s AS (
+  SELECT q.qid, e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * q.qn) AS sim
+  FROM e, q WHERE e.label <> q.qlabel
+),
+r AS (
+  SELECT qid, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+              AS INTEGER) AS rank
+  FROM s
+)
+SELECT qid AS query_id, vec_id AS negative_id, rank, round(sim, 6) AS sim
+FROM r WHERE rank <= 5
+"""
+
+
+@_q9(
+    "hard_negatives",
+    _HARDNEG_ORACLE,
+    "hard-negative mining for contrastive training (the triplet miner "
+    "every embedding-model pipeline runs): for each of 8 queries, the "
+    "top-5 highest-cosine corpus vectors with a DIFFERENT label — the "
+    "near-misses that make the best negatives (random negatives are "
+    "too easy; same-label rows are positives, and the query row "
+    "excludes itself by its own label). Query side broadcast, label "
+    "filter BEFORE scoring prunes the rank input, per-query "
+    "WindowGroupLimit bounds the heap — the batched-search shape, one "
+    "corpus scan at 100 TB",
+)
+def q_hard_negatives(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            norm("v").alias("qn"),
+            F.col("v").alias("qv"),
+        )
+    )
+    s = (
+        e.crossJoin(q)
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid", "vec_id",
+            (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("negative_id"),
+            "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-middle transform (Bavarian et al. 2022): the pretraining data
+# reordering for infilling-capable models, as pure substring codegen
+# ---------------------------------------------------------------------------
+
+_FIM_ORACLE = """
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n, md5(text) AS h FROM documents
+),
+cut AS (
+  SELECT doc_id, text, n,
+         greatest(n // 3, 1) AS third,
+         ord(substr(h, 1, 1)) AS h1,
+         ord(substr(h, 2, 1)) AS h2
+  FROM p
+),
+spans AS (
+  SELECT doc_id, text, n,
+         h1 % third AS a,
+         third + (h2 % third) AS mlen
+  FROM cut
+)
+SELECT doc_id,
+       CAST(a AS BIGINT) AS prefix_len,
+       CAST(least(mlen, greatest(n - a, 0)) AS BIGINT) AS middle_len,
+       md5('<PRE>' || substr(text, 1, a) || '<SUF>'
+           || substr(text, a + mlen + 1) || '<MID>'
+           || substr(text, a + 1, mlen)) AS fim_md5
+FROM spans
+"""
+
+
+@_q9(
+    "fim_transform",
+    _FIM_ORACLE,
+    "fill-in-middle transform (Bavarian et al. 2022 PSM order) — the "
+    "pretraining reordering behind infilling-capable code models: "
+    "md5-derived deterministic cut points split each doc into "
+    "prefix/middle/suffix, re-emitted as <PRE>prefix<SUF>suffix"
+    "<MID>middle. Pure substring codegen, zero shuffles, zero Python — "
+    "at 100 TB the transform costs one scan (exactly how FIM is "
+    "applied in production: a map over the corpus at data-prep time). "
+    "The oracle restates the cut arithmetic and the reassembled md5; "
+    "short/empty docs fall out of the same clamping arithmetic on both "
+    "engines",
+)
+def q_fim_transform(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("n"), F.md5("text").alias("h")
+    )
+    third = F.greatest(F.floor(F.col("n") / 3).cast("long"), F.lit(1))
+    h1 = F.ascii(F.substring("h", 1, 1))
+    h2 = F.ascii(F.substring("h", 2, 1))
+    a = (h1 % third).cast("int")
+    mlen = (third + (h2 % third)).cast("int")
+    prefix = F.substring(F.col("text"), F.lit(1), a)
+    middle = F.substring(F.col("text"), a + 1, mlen)
+    suffix = F.substring(F.col("text"), a + mlen + 1, F.col("n").cast("int"))
+    fim = F.concat(
+        F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+    )
+    return d.select(
+        "doc_id",
+        a.cast("long").alias("prefix_len"),
+        F.least(
+            mlen.cast("long"),
+            F.greatest(F.col("n") - a, F.lit(0).cast("long")),
+        ).alias("middle_len"),
+        F.md5(fim).alias("fim_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Retrieval evaluation metrics: graded nDCG@10 + MRR@10 over the real
 # cosine retrieval — the eval leg of the ANN family (ann_recall audits
 # set overlap; ranking quality needs the graded, rank-discounted form)
