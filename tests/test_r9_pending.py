@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, SF_T2
 from tests.oracle_utils import compare, duck_connect
 from victor_spark.plans import QUERIES
 from victor_spark.plans.catalog_r9 import PENDING
@@ -43,7 +43,7 @@ def test_round9_registration_dry_run():
     assert len(never) <= 50
 
 
-@pytest.mark.parametrize("sf", [SF_SMOKE, "/root/testdata/sf0.01"])
+@pytest.mark.parametrize("sf", [SF_SMOKE, SF_T2])
 @pytest.mark.parametrize("name", sorted(PENDING))
 def test_pending_query_matches_oracle(spark, name, sf):
     # both the smoke SF and the driver gate's SF — the staged queries

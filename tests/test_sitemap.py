@@ -5,11 +5,9 @@ from __future__ import annotations
 from victor_spark.sources.sitemap import sitemap_entries
 
 
-def _rows(spark, xml, extra=None):
-    cols = "page_id int, xml string" if extra is None else extra
-    data = [(1, xml)] if extra is None else xml
+def _rows(spark, xml):
     return sitemap_entries(
-        spark.createDataFrame(data, cols), "xml"
+        spark.createDataFrame([(1, xml)], "page_id int, xml string"), "xml"
     ).collect()
 
 
@@ -57,3 +55,45 @@ def test_malformed_entry_surfaces_null_loc_not_silence(spark):
 def test_empty_and_entry_free_pages_yield_no_rows(spark):
     assert _rows(spark, "<urlset></urlset>") == []
     assert _rows(spark, "not xml at all") == []
+
+
+def test_xml_predefined_entities_decode_html_only_ones_stay_literal(spark):
+    # this is XML, not HTML: &apos; is one of the five predefined XML
+    # entities and MUST decode; &nbsp; is undefined in XML and must
+    # stay literal (review-caught)
+    xml = (
+        "<urlset><url><loc>http://a.example/it&apos;s?q=a&amp;b</loc>"
+        "</url><url><loc>http://a.example/x&nbsp;y</loc></url></urlset>"
+    )
+    rows = _rows(spark, xml)
+    assert rows[0]["loc"] == "http://a.example/it's?q=a&b"
+    assert rows[1]["loc"] == "http://a.example/x&nbsp;y"
+
+
+def test_reserved_input_columns_raise(spark):
+    import pytest
+
+    pages = spark.createDataFrame(
+        [("<urlset/>", "clobber")], "xml string, lastmod string"
+    )
+    with pytest.raises(ValueError, match="lastmod"):
+        sitemap_entries(pages, "xml")
+
+
+def test_sitemap_frontier_stream_rejects_url_column(spark):
+    import pytest
+
+    from victor_spark.streaming import rules_by_host, sitemap_frontier_stream
+
+    rules = rules_by_host(
+        spark.createDataFrame(
+            [("a.example", "/x", False)],
+            "host string, prefix string, allow boolean",
+        )
+    )
+    pages = spark.createDataFrame(
+        [("<urlset/>", "http://page.example/sitemap.xml")],
+        "xml string, url string",
+    )
+    with pytest.raises(ValueError, match="url"):
+        sitemap_frontier_stream(pages, rules)

@@ -583,9 +583,9 @@ FROM r WHERE rank <= 5
     "corpus scan at 100 TB",
 )
 def q_hard_negatives(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", to_double_array("embedding").alias("v")
-    )
+    from victor_spark.plans.catalog import _emb
+
+    e = _emb(spark, sf_dir)
     q = F.broadcast(
         e.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("qid"),
@@ -756,9 +756,9 @@ FROM dcg JOIN idcg ON dcg.qid = idcg.qid
     "broadcast, corpus never shuffled before scoring)",
 )
 def q_retrieval_ndcg(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", to_double_array("embedding").alias("v")
-    )
+    from victor_spark.plans.catalog import _emb
+
+    e = _emb(spark, sf_dir)
     q = F.broadcast(
         e.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("qid"),
@@ -961,7 +961,10 @@ def q_ingest_sitemap_roundtrip(spark, sf_dir):
             F.lit("</urlset>"),
         ).alias("xml")
     )
-    index_page = site_pages.agg(
+    # index page from the cheap distinct-site scan, NOT from site_pages:
+    # referencing site_pages in both union branches would run the whole
+    # page-build groupBy-concat shuffle twice (review-caught)
+    index_page = d.select("site").distinct().agg(
         F.concat(
             F.lit('<?xml version="1.0" encoding="UTF-8"?><sitemapindex>'),
             F.array_join(

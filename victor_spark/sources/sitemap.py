@@ -21,8 +21,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from victor_spark.functions.html import _ENTITIES
-
 # entry-fragment patterns: '<url' must be followed by '>' or whitespace,
 # so '<urlset ...>' (same prefix) can never match an entry
 _RE_URL = r"(?s)<url(?:\s[^>]*)?>(.*?)</url>"
@@ -30,9 +28,22 @@ _RE_SITEMAP = r"(?s)<sitemap(?:\s[^>]*)?>(.*?)</sitemap>"
 _RE_LOC = r"(?s)<loc(?:\s[^>]*)?>\s*(.*?)\s*</loc>"
 _RE_LASTMOD = r"(?s)<lastmod(?:\s[^>]*)?>\s*(.*?)\s*</lastmod>"
 
+# XML's five predefined entities (review-caught: this is XML, not HTML —
+# &apos; is spec-valid in a sitemap loc while &nbsp; is UNDEFINED in XML
+# and must stay literal), plus the numeric apostrophe some escapers
+# emit. &amp; strictly last, html.py's double-escape ordering rule.
+_XML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
 
 def _xml_unescape(c: Column) -> Column:
-    for ent, ch in _ENTITIES:
+    for ent, ch in _XML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return c
 
@@ -65,7 +76,19 @@ def sitemap_entries(pages: DataFrame, xml_col: str = "xml") -> DataFrame:
     ('url' for urlset entries, 'sitemap' for sitemapindex children),
     ``loc`` (entity-decoded; NULL = malformed entry), and ``lastmod``
     (NULL when the optional element is absent). A page can in principle
-    carry both kinds; both are extracted."""
+    carry both kinds; both are extracted.
+
+    Input pages may not already carry the output columns — duplicate
+    names would surface later as a confusing AMBIGUOUS_REFERENCE deep
+    in a downstream plan; raise loudly here instead (the same contract
+    as crawl_gate.gate_urls)."""
+    clash = {"kind", "loc", "lastmod", "_e"} & set(pages.columns)
+    clash -= {xml_col}
+    if clash:
+        raise ValueError(
+            f"sitemap_entries input columns {sorted(clash)} collide with "
+            "the extractor's output columns — rename them upstream"
+        )
     xml = F.col(xml_col)
     entries = F.concat(
         _entries(xml, _RE_URL, "url"),

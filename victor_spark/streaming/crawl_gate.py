@@ -172,6 +172,13 @@ def sitemap_frontier_stream(
     and gating add none."""
     from victor_spark.sources.sitemap import sitemap_entries
 
+    if "url" in sitemap_pages.columns:
+        # the rename below would otherwise create a second 'url' column
+        # and fail much later with AMBIGUOUS_REFERENCE inside the gate
+        raise ValueError(
+            "sitemap_frontier_stream input already carries a 'url' "
+            "column — rename it upstream (extracted locs become 'url')"
+        )
     urls = (
         sitemap_entries(sitemap_pages, xml_col)
         .filter((F.col("kind") == "url") & F.col("loc").isNotNull())
