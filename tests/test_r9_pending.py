@@ -132,6 +132,23 @@ def test_hard_negatives_broadcasts_queries_no_corpus_shuffle(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_retrieval_ndcg_broadcasts_queries_no_corpus_shuffle(spark):
+    # the corpus is scored against the broadcast query side; only the
+    # per-query rank window and the two small aggregations shuffle
+    p = _plan(spark, "retrieval_ndcg")
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_bpe_roundtrip_decode_is_codegen_not_python(spark):
+    # encode is the sanctioned Arrow-batched mapInPandas; decode must
+    # NOT add a second Python hop — it is a pure projection
+    p = _plan(spark, "bpe_roundtrip")
+    assert p.count("EvalPython") <= 1  # the encode farm only
+    assert "CartesianProduct" not in p
+
+
 def test_host_pagerank_iterations_broadcast_ranks(spark):
     # node-sized relations (ranks, contributions, out-weights) broadcast
     # onto the edge matrix; no sort-merge join and no cartesian product

@@ -818,8 +818,10 @@ def q_retrieval_ndcg(spark, sf_dir):
             / F.log2(gs.cast("double") + 1),
         ).alias("idcg10"),
     )
+    # both sides are 8-row aggregates; static stats can't see that, so
+    # without the hint the final join plans as a SortMergeJoin
     return (
-        dcg.join(idcg, "qid")
+        dcg.join(F.broadcast(idcg), "qid")
         .select(
             F.col("qid").alias("query_id"),
             F.round(
