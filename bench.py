@@ -108,7 +108,8 @@ def main() -> None:
         for k in (
             "metric", "value", "unit", "sf", "n_queries", "sec_per_query",
             "per_query_min_total", "ingest_rows_per_sec",
-            "storage_bytes_per_vector",
+            "storage_bytes_per_vector", "calib_roundtrip_ms",
+            "calib_shuffle_ms",
         )
         if k in out
     }
@@ -140,6 +141,24 @@ def run_suite() -> None:
     spark.range(64).repartition(32).mapInPandas(_ident, schema="id long").write.format(
         "noop"
     ).mode("overwrite").save()
+
+    # Host-health calibration (round-8 verdict item 2): the sandbox's
+    # scheduling capacity degrades over a session's lifetime (five
+    # closing r8 runs measured 139->358s on UNCHANGED code, JVM-bound
+    # queries smeared 1.3-3.9x while per-row Python farms stayed flat).
+    # Two fixed, data-independent probes give every future cross-round
+    # diff a noise denominator: (a) median of 21 trivial one-task jobs =
+    # pure scheduler round-trip; (b) one fixed 32->32 partition shuffle
+    # of 1M longs = exchange machinery. Quiet-host reference values are
+    # recorded in BASELINE.md; a calib_roundtrip_ms far above its band
+    # means the headline carries environmental smear, not code cost.
+    calib_roundtrip_ms = _calibrate_roundtrip(spark)
+    calib_shuffle_ms = _calibrate_shuffle(spark)
+    print(
+        f"# calib: roundtrip {calib_roundtrip_ms}ms, "
+        f"shuffle {calib_shuffle_ms}ms",
+        file=sys.stderr,
+    )
 
     # Warmup: run every headline query once at the smallest SF so the
     # measured pass reflects steady-state throughput — whole-stage codegen
@@ -196,9 +215,41 @@ def run_suite() -> None:
                 "sec_per_query": round(total / max(len(times), 1), 4),
                 "ingest_rows_per_sec": ingest_rows_s,
                 "storage_bytes_per_vector": bytes_per_vec,
+                "calib_roundtrip_ms": calib_roundtrip_ms,
+                "calib_shuffle_ms": calib_shuffle_ms,
             }
         )
     )
+
+
+def _calibrate_roundtrip(spark) -> float:
+    """Median wall time (ms) of 21 one-task JVM no-op jobs — pure
+    driver<->scheduler round-trip latency, no data, no Python workers.
+    Quiet-host band: see BASELINE.md (calibration row)."""
+    samples = []
+    for _ in range(21):
+        t0 = time.perf_counter()
+        spark.range(1, numPartitions=1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        samples.append((time.perf_counter() - t0) * 1000.0)
+    samples.sort()
+    return round(samples[len(samples) // 2], 2)
+
+
+def _calibrate_shuffle(spark) -> float:
+    """Best-of-3 wall time (ms) of a fixed 1M-row 32->32 repartition —
+    exchange write+fetch machinery under the session's thread pool. Data
+    is spark.range output, so the probe is byte-identical every round."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(1_000_000, numPartitions=32).repartition(32).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = (time.perf_counter() - t0) * 1000.0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
 
 
 def _bench_ingest(spark, sf_dir: str) -> tuple[float, float]:

@@ -149,11 +149,19 @@ def test_bpe_roundtrip_decode_is_codegen_not_python(spark):
     assert "CartesianProduct" not in p
 
 
-def test_host_pagerank_iterations_broadcast_ranks(spark):
-    # node-sized relations (ranks, contributions, out-weights) broadcast
-    # onto the edge matrix; no sort-merge join and no cartesian product
-    # anywhere in the 3-iteration plan
+def test_host_pagerank_no_node_sized_broadcast_hint(spark):
+    # r8 verdict item 1: ranks/contributions/out-weights are node-sized
+    # (tens of millions of hosts on a real crawl graph), so NOTHING in
+    # the 3-iteration plan may carry an explicit broadcast hint — the
+    # analyzed logical plan must contain ZERO ResolvedHint nodes; the
+    # small-graph fast path is AQE's stats-driven broadcast, never a
+    # hand hint that would pin a multi-GB repeated broadcast at scale.
+    # The folded edge matrix is a loop invariant: exactly one
+    # checkpointed relation feeds all three iterations.
+    df = PENDING["host_pagerank"].build(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
     p = _plan(spark, "host_pagerank")
-    assert "BroadcastExchange" in p
-    assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

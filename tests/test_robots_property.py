@@ -16,8 +16,11 @@ from pyspark.sql import functions as F
 
 from victor_spark.functions.url import robots_best_match, robots_rule
 
-_PAT_ALPHA = ["a", "b", "/", "*", "$", ".", "\\", "|", "(", "["]
-_TGT_ALPHA = ["a", "b", "/", ".", "\\", "|", "(", "[", "$", "*"]
+# é (2 UTF-8 bytes) and 日 (3) make octet-vs-character precedence
+# observable: a 2-char multibyte pattern must beat a 3-char ASCII one
+# (RFC 9309 §2.2.2 ranks by octets — ADVICE r8)
+_PAT_ALPHA = ["a", "b", "/", "*", "$", ".", "\\", "|", "(", "[", "é", "日"]
+_TGT_ALPHA = ["a", "b", "/", ".", "\\", "|", "(", "[", "$", "*", "é", "日"]
 
 
 def _ref_matches(pattern: str, target: str) -> bool:
@@ -32,11 +35,12 @@ def _ref_matches(pattern: str, target: str) -> bool:
 
 def _ref_best(rules: list[tuple[str, bool]], target: str):
     """Reference longest-match: max over (plen, arank, prefix, allow) —
-    the exact struct ordering array_max applies."""
+    the exact struct ordering array_max applies. plen is the UTF-8
+    OCTET length per RFC 9309 §2.2.2 (len() would count characters)."""
     best = None
     for prefix, allow in rules:
         if _ref_matches(prefix, target):
-            key = (len(prefix), int(allow), prefix, allow)
+            key = (len(prefix.encode("utf-8")), int(allow), prefix, allow)
             if best is None or key > best:
                 best = key
     return best  # None, or (plen, arank, prefix, allow)

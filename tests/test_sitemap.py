@@ -52,9 +52,16 @@ def test_malformed_entry_surfaces_null_loc_not_silence(spark):
     assert rows[0]["loc"] is None and rows[0]["lastmod"] == "2026-01-01"
 
 
-def test_empty_and_entry_free_pages_yield_no_rows(spark):
-    assert _rows(spark, "<urlset></urlset>") == []
-    assert _rows(spark, "not xml at all") == []
+def test_entry_free_pages_surface_one_null_row_not_silence(spark):
+    # the quarantine contract extends to whole pages: a page with zero
+    # extractable entries (empty urlset, garbage bytes) must emit one
+    # all-NULL row so crawl-seed loss is visible downstream (ADVICE r8)
+    for xml in ("<urlset></urlset>", "not xml at all"):
+        rows = _rows(spark, xml)
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["kind"], r["loc"], r["lastmod"]) == (None, None, None)
+        assert r["page_id"] == 1  # pass-through columns survive
 
 
 def test_xml_predefined_entities_decode_html_only_ones_stay_literal(spark):

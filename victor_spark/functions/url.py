@@ -107,7 +107,11 @@ def robots_rule(prefix, allow) -> Column:
     )
     is_literal = ~(p.contains("*") | anchored)
     return F.struct(
-        F.length(p).alias("plen"),
+        # RFC 9309 §2.2.2 ranks precedence by OCTETS, not characters:
+        # real robots.txt files do carry raw UTF-8 paths, and a
+        # multibyte pattern must win the longest-match tiebreak its
+        # byte length earns (ADVICE r8; F.length counts characters)
+        F.octet_length(p).alias("plen"),
         a.cast("int").alias("arank"),
         p.alias("prefix"),
         a.alias("allow"),

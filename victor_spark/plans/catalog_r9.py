@@ -483,7 +483,7 @@ m AS (
   SELECT u.doc_id, r.prefix, r.allow,
          row_number() OVER (
            PARTITION BY u.doc_id
-           ORDER BY length(r.prefix) DESC, r.allow DESC
+           ORDER BY strlen(r.prefix) DESC, r.allow DESC
          ) AS rn
   FROM u JOIN r ON (r.parity IS NULL OR r.parity = u.s % 2)
              AND u.path LIKE r.prefix || '%'
@@ -1116,15 +1116,19 @@ SELECT n AS host, round(r, 6) AS pagerank FROM r3
     "exactly this family; pipelines use them to pick what to fetch and "
     "keep). A deterministic host link graph is synthesized from "
     "documents (doc_id%97 -> (31*doc_id+7)%97, self-loops dropped, "
-    "parallel links weight-folded), then three rank iterations run as "
-    "broadcast-rank x edge joins with a per-dst aggregation. Per-dst "
-    "contribution sums are DECIMAL(20,12) (the embedding_outliers "
-    "pattern) so the distributed sum is order-independent and both "
-    "engines agree exactly. At 100 TB: edges partition by src; ranks, "
-    "contributions and out-weights are broadcastable node-sized dims; "
-    "each iteration costs ONE exchange on dst; the loop-invariant edge "
-    "matrix and node set are localCheckpoint-materialized once "
-    "(textrank's precedent) — the canonical scale-out PageRank shape",
+    "parallel links weight-folded). Out-weights are folded INTO the "
+    "edge matrix once before the loop, so each of the three damped "
+    "iterations costs exactly one rank-x-edge equi-join plus a per-dst "
+    "aggregation. Per-dst contribution sums are DECIMAL(20,12) (the "
+    "embedding_outliers pattern) so the distributed sum is "
+    "order-independent and both engines agree exactly. At 100 TB: the "
+    "real host graph has tens of millions of hosts, so NOTHING "
+    "node-sized carries a broadcast hint — the edge matrix is "
+    "co-partitioned on src and materialized once (localCheckpoint, "
+    "textrank's precedent), the node-sized rank table shuffles onto it "
+    "per iteration, and AQE's stats-driven broadcast is the small-dim "
+    "fast path when the graph genuinely fits (r8 verdict item 1). The "
+    "node count is one bounded driver scalar",
 )
 def q_host_pagerank(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
@@ -1136,28 +1140,36 @@ def q_host_pagerank(spark, sf_dir):
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
     )
-    # edge matrix, node set, and out-weights are loop invariants
-    # referenced by every round — localCheckpoint materializes each once
-    # instead of re-deriving scan->project->aggregate per reference
-    # (textrank.py's precedent for iterative graph jobs)
-    e = e.localCheckpoint(eager=False)
+    # Loop invariants, each materialized once (localCheckpoint) instead
+    # of re-derived scan->project->aggregate per iteration: the edge
+    # matrix WITH its source's total out-weight folded in (w and tw kept
+    # as separate columns so the per-edge term stays the oracle's exact
+    # (r*w)/tw float evaluation), co-partitioned on the join key.
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    em = (
+        e.join(outw, "src")
+        .select("src", "dst", "w", "tw")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
     nodes = (
-        e.select(F.col("src").alias("n"))
-        .unionAll(e.select(F.col("dst").alias("n")))
+        em.select(F.col("src").alias("n"))
+        .unionAll(em.select(F.col("dst").alias("n")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    nn = F.broadcast(nodes.agg(F.count("*").alias("cnt")))
-    outw = e.groupBy("src").agg(F.sum("w").alias("tw")).localCheckpoint(
-        eager=False
-    )
-    ranks = nodes.crossJoin(nn).select(
-        "n", (F.lit(1.0) / F.col("cnt")).alias("r")
-    )
+    # bounded driver scalar (one long) — replaces the former 1-row
+    # broadcast dim and its per-iteration crossJoin
+    n_hosts = nodes.count()
+    ranks = nodes.select("n", F.lit(1.0 / n_hosts).alias("r"))
     for _ in range(3):
+        # no broadcast hint on the node-sized rank table: at crawl scale
+        # it is multi-GB and a repeated broadcast is the scale-killer;
+        # the equi-join shuffles ranks onto the already-src-partitioned
+        # edge matrix (AQE still picks a broadcast join when the graph
+        # is genuinely dim-sized — the documented fast path)
         contrib = (
-            e.join(F.broadcast(ranks), e["src"] == ranks["n"])
-            .join(F.broadcast(outw), "src")
+            em.join(ranks, em["src"] == ranks["n"])
             .select(
                 "dst",
                 (
@@ -1169,12 +1181,11 @@ def q_host_pagerank(spark, sf_dir):
             .agg(F.sum(F.col("c").cast("decimal(20,12)")).alias("s"))
         )
         ranks = (
-            nodes.crossJoin(nn)
-            .join(F.broadcast(contrib), nodes["n"] == contrib["dst"], "left")
+            nodes.join(contrib, nodes["n"] == contrib["dst"], "left")
             .select(
                 "n",
                 (
-                    F.lit(0.15) / F.col("cnt")
+                    F.lit(0.15 / n_hosts)
                     + F.lit(0.85)
                     * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
                 ).alias("r"),

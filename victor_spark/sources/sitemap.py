@@ -76,7 +76,11 @@ def sitemap_entries(pages: DataFrame, xml_col: str = "xml") -> DataFrame:
     ('url' for urlset entries, 'sitemap' for sitemapindex children),
     ``loc`` (entity-decoded; NULL = malformed entry), and ``lastmod``
     (NULL when the optional element is absent). A page can in principle
-    carry both kinds; both are extracted.
+    carry both kinds; both are extracted. A page whose XML yields ZERO
+    extractable entries (truncated, garbled, not XML at all) emits ONE
+    row with NULL kind/loc/lastmod instead of vanishing — silence hides
+    crawl-seed loss; callers that only want real entries already filter
+    ``loc IS NOT NULL`` (ADVICE r8: explode would drop such pages).
 
     Input pages may not already carry the output columns — duplicate
     names would surface later as a confusing AMBIGUOUS_REFERENCE deep
@@ -96,6 +100,6 @@ def sitemap_entries(pages: DataFrame, xml_col: str = "xml") -> DataFrame:
     )
     keep = [c for c in pages.columns if c != xml_col]
     return (
-        pages.select(*keep, F.explode(entries).alias("_e"))
+        pages.select(*keep, F.explode_outer(entries).alias("_e"))
         .select(*keep, "_e.kind", "_e.loc", "_e.lastmod")
     )
