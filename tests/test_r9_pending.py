@@ -165,3 +165,31 @@ def test_host_pagerank_no_node_sized_broadcast_hint(spark):
     p = _plan(spark, "host_pagerank")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_crawl_pipeline_plan_shapes(spark):
+    # the capstone's two halves carry distinct scale claims.
+    # (a) discovery->gate->frontier->fetch->render (the shard-writer
+    # input): pure codegen — NO Python anywhere before the WARC writer —
+    # and the only broadcast hint is the RFC-capped rule dim.
+    from victor_spark.plans.catalog_r9 import _crawl_fetch_pages
+
+    pages = _crawl_fetch_pages(spark, SF_SMOKE)
+    analyzed = pages._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 1  # rules dim only
+    pre = pages._sc._jvm.PythonSQLUtils.explainString(
+        pages._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in pre
+    assert "EvalPython" not in pre
+    # (b) shards->extract->c4->dedup->quality: exactly ONE Python stage
+    # (the Arrow-batched WARC record walk); extraction and curation are
+    # codegen projections; the only shuffle is the content-dedup groupBy
+    # — no join of any kind after the shards
+    import re
+
+    p = _plan(spark, "crawl_pipeline")
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1  # record walk
+    assert "EvalPython" not in p  # no row-at-a-time Python anywhere
+    assert "CartesianProduct" not in p
+    assert "Join" not in p

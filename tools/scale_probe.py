@@ -123,6 +123,10 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "retrieval_ndcg": {"embeddings": ["vec_id"]},
     "hard_negatives": {"embeddings": ["vec_id"]},
     "fim_transform": {"documents": ["doc_id"]},
+    # round-9 capstone: discovery -> gate -> frontier -> WARC -> extract
+    # -> c4 -> dedup -> quality in one dataflow; rep 1 of each scale
+    # builds the shards (cache miss), rep 2 measures the steady path
+    "crawl_pipeline": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -22,6 +22,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from victor_spark.functions.html import sql_normalize_ws
+from victor_spark.functions.text import STOPWORDS as _T_STOPWORDS
 from victor_spark.functions.vector import bind, dot, norm, to_double_array
 from victor_spark.plans.catalog import (
     SQL_TOKS,
@@ -1271,3 +1272,320 @@ def q_ann_matryoshka_rescore(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .select("vec_id", "rank", F.round("_s", 6).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl_pipeline: the crawl-side capstone (r8 verdict item 5) — discovery,
+# admission, frontier, fetch, WARC transport, extraction and curation
+# composed into ONE oracle-checked dataflow (the crawl twin of
+# curation_pipeline)
+# ---------------------------------------------------------------------------
+
+_CP_STOP = list(_T_STOPWORDS)
+
+_CRAWL_PIPELINE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, doc_id % 7 AS s,
+         CASE WHEN doc_id % 5 = 1 THEN '/tmp/' ELSE '/p/' END
+           || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+),
+admitted AS (
+  -- the gate's verdict, restated: site hosts disallow /tmp; the mirror
+  -- host publishes no robots.txt, so RFC 9309 default-allow admits even
+  -- its /tmp paths. The duplicate sitemap listing (two shards per host)
+  -- needs no restating: the frontier's distinct collapses it.
+  SELECT doc_id, text,
+         'http://site' || CAST(s AS VARCHAR) || '.example' || path AS url_key
+  FROM base WHERE doc_id % 5 <> 1
+  UNION ALL
+  SELECT doc_id, text, 'http://mirror.example' || path AS url_key
+  FROM base WHERE doc_id % 4 = 0
+),
+body AS (
+  SELECT doc_id, url_key,
+         text || chr(10) ||
+         'Document ' || CAST(doc_id AS VARCHAR) || ' reports ' ||
+         CASE WHEN doc_id % 9 = 0 THEN '!!! ??? *** $$$ ###'
+              ELSE substr(text, 1, 40) END || '.' || chr(10) ||
+         'Buy now' || chr(10) ||
+         'All rights reserved. Contact us today!' AS bt
+  FROM admitted
+),
+ex AS (
+  -- WARC shard transport + HTML->text extraction are an identity on the
+  -- page body under the shared whitespace contract (proven by
+  -- warc_extract, which pins the same page template end to end)
+  SELECT doc_id, url_key,
+         {{NORM_DOC_BT}} AS t
+  FROM body
+),
+c4 AS (
+  SELECT doc_id, url_key,
+         list_filter(string_split(t, chr(10)), l ->
+           len(list_filter(string_split(l, ' '), x -> x <> '')) >= 3
+           AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%."'
+                OR l LIKE '%!"' OR l LIKE '%?"')) AS kept
+  FROM ex
+),
+cl AS (
+  SELECT doc_id, url_key, CAST(len(kept) AS INTEGER) AS n_kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS c
+  FROM c4
+),
+dd AS (
+  -- content-level exact dedup: mirror and site copies of a document
+  -- share cleaned text; the lexicographically smallest URL wins
+  SELECT arg_min(doc_id, url_key) AS doc_id,
+         min(url_key) AS url_key,
+         arg_min(n_kept, url_key) AS n_kept,
+         arg_min(c, url_key) AS c
+  FROM cl GROUP BY md5(c)
+),
+qs AS (
+  SELECT doc_id, url_key, n_kept, c,
+         CAST(len(tk) AS INTEGER) AS n_tokens,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+                   / len(tk) END AS atl,
+         CASE WHEN len(c) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(c, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                   / len(c) END AS pr,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(tk, x ->
+                     list_contains({_CP_STOP!r}, lower(x)))) AS DOUBLE)
+                   / len(tk) END AS sr
+  FROM (SELECT *, {SQL_TOKS.format(s='c')} AS tk FROM dd)
+),
+fin AS (
+  SELECT doc_id, url_key, n_kept,
+         CAST(length(c) AS INTEGER) AS cleaned_chars,
+         round((least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+            + (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.5 END)
+            + least(sr * 10.0, 1.0)) / 4.0, 6) AS quality,
+         CAST(sha256(c) AS VARCHAR) AS cleaned_hash
+  FROM qs
+)
+SELECT doc_id, url_key, n_kept, cleaned_chars, quality, cleaned_hash
+FROM fin WHERE quality >= 0.5
+""".replace(
+    "{NORM_DOC_BT}",
+    sql_normalize_ws("'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || bt"),
+)
+
+
+def _crawl_fetch_pages(spark, sf_dir):
+    """Stages 1-4 of the crawl capstone, as one dataflow that feeds the
+    WARC writer: sitemap DISCOVERY (two shards per host list every URL —
+    at-least-once, like real recrawls), robots ADMISSION (gate_urls over
+    a host-keyed rule dim; mirror.example has no robots.txt and rides
+    RFC 9309 default-allow), FRONTIER dedup (distinct on the canonical
+    key — the batch twin of dropDuplicatesWithinWatermark in topology
+    17), and FETCH simulation (equi-join back to documents, render the
+    warc_extract page template around a multi-line body). Returns the
+    (uri, html) relation the shard writer packs."""
+    from victor_spark.functions.html import escape_html
+    from victor_spark.sources.sitemap import sitemap_entries
+    from victor_spark.streaming.crawl_gate import gate_urls, rules_by_host
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    path = F.concat(
+        F.when(F.col("doc_id") % 5 == 1, F.lit("/tmp/")).otherwise(
+            F.lit("/p/")
+        ),
+        i,
+    )
+    site_host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example")
+    )
+    locs = docs.select(
+        site_host.alias("h"),
+        F.concat(F.lit("http://"), site_host, path).alias("loc"),
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            F.lit("mirror.example").alias("h"),
+            F.concat(F.lit("http://mirror.example"), path).alias("loc"),
+        )
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), escape_html(F.col("loc")), F.lit("</loc></url>")
+    )
+    pages = (
+        locs.select(
+            "h",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("shard"),
+            entry.alias("e"),
+        )
+        .groupBy("h", "shard")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+        .select("xml")
+    )
+    urls = (
+        sitemap_entries(pages, "xml")
+        .filter((F.col("kind") == "url") & F.col("loc").isNotNull())
+        .select(F.col("loc").alias("url"))
+    )
+    rules = rules_by_host(
+        spark.createDataFrame(
+            [(f"site{s}.example", "/tmp", False) for s in range(7)],
+            "host string, prefix string, allow boolean",
+        )
+    )
+    frontier = (
+        gate_urls(urls, rules)
+        .filter(F.col("allowed"))
+        .select("url_key")
+        .dropDuplicates(["url_key"])
+    )
+    fetch = frontier.withColumn(
+        "doc_id", F.regexp_extract("url_key", "/(\\d+)$", 1).cast("long")
+    ).join(docs, "doc_id")
+    body_text = F.concat(
+        F.col("text"),
+        F.lit("\n"),
+        F.lit("Document "),
+        i,
+        F.lit(" reports "),
+        F.when(
+            F.col("doc_id") % 9 == 0, F.lit("!!! ??? *** $$$ ###")
+        ).otherwise(F.substring("text", 1, 40)),
+        F.lit(".\n"),
+        F.lit("Buy now\n"),
+        F.lit("All rights reserved. Contact us today!"),
+    )
+    paras = F.array_join(
+        F.transform(
+            F.split(escape_html(body_text), "\n"),
+            lambda x: F.concat(F.lit("<p>"), x, F.lit("</p>")),
+        ),
+        "\n",
+    )
+    html = F.concat(
+        F.lit("<!DOCTYPE html>\n<html>\n<head>\n<title>t"),
+        i,
+        F.lit(
+            "</title>\n<style type=\"text/css\">\np { margin: 0; }\n"
+            "</style>\n</head>\n<body>\n<script>\nif (a < b && c > d) "
+            '{ document.write("<p>js junk</p>"); }\n</script>\n'
+            "<!-- boilerplate <div>nav</div> -->\n<h1>doc&nbsp;"
+        ),
+        i,
+        F.lit("</h1>\n<div class=\"content\">\n"),
+        paras,
+        F.lit("\n</div>\n<hr/>\n</body>\n</html>\n"),
+    )
+    return fetch.select(F.col("url_key").alias("uri"), html.alias("html"))
+
+
+@_q9(
+    "crawl_pipeline",
+    _CRAWL_PIPELINE_ORACLE,
+    "crawl-side capstone — the round-8 first-mile pieces composed into "
+    "ONE dataflow, the crawl twin of curation_pipeline: sitemap "
+    "discovery (every URL listed in TWO shards per host — at-least-once "
+    "recrawl semantics) -> RFC 9309 admission gate (site hosts disallow "
+    "/tmp; mirror.example has no robots.txt and default-allows) -> "
+    "frontier dedup (distinct on the canonical key) -> fetch simulation "
+    "(join back to documents; ~25% of docs also live on a mirror host) "
+    "-> Common-Crawl-style .warc.gz shards -> HTML->text extraction -> "
+    "C4 line filter -> content-level exact dedup (mirror copies "
+    "collapse, smallest URL wins) -> quality-score filter (a shouty "
+    "residue class fails the 0.5 bar). The oracle restates every stage "
+    "from documents alone, so a match proves discovery, gating, "
+    "frontier, WARC framing, extraction AND curation compose end to "
+    "end. Scale: the only Python is the Arrow-batched WARC record walk; "
+    "gate/extract/c4/quality are codegen projections; shuffles are the "
+    "page-build groupBy, the frontier distinct, the fetch equi-join and "
+    "the dedup groupBy — no corpus-sized broadcast anywhere (the rule "
+    "dim is RFC-capped, the only sanctioned broadcast)",
+)
+def q_crawl_pipeline(spark, sf_dir):
+    from victor_spark.functions import text as T
+    from victor_spark.functions.html import escape_html, html_to_text
+    from victor_spark.functions.url import robots_best_match, robots_rule
+    from victor_spark.sources import warc as _warc_mod
+    from victor_spark.sources.sitemap import sitemap_entries
+    from victor_spark.sources.warc import load_warc, write_warc
+    from victor_spark.streaming.crawl_gate import gate_urls, rules_by_host
+
+    # cache key covers every function that shapes shard bytes OR decides
+    # which URIs reach them (admission + discovery + rendering included)
+    out, built = _ingest_cache_dir(
+        "crawl_pipeline",
+        sf_dir,
+        code_of=(
+            q_crawl_pipeline,
+            _crawl_fetch_pages,
+            write_warc,
+            escape_html,
+            gate_urls,
+            rules_by_host,
+            sitemap_entries,
+            robots_rule,
+            robots_best_match,
+            _warc_mod._record_bytes,
+            _warc_mod._response_record,
+            _warc_mod._warcinfo_record,
+        ),
+    )
+    if not built:
+        build = _ingest_build_dir(out)
+        write_warc(
+            _crawl_fetch_pages(spark, sf_dir).repartition(8),
+            build,
+            "uri",
+            "html",
+        ).collect()
+        _publish_ingest_dir(build, out)
+    resp = load_warc(spark, out).filter(F.col("warc_type") == "response")
+    ex = resp.select(
+        F.col("target_uri").alias("url_key"),
+        F.regexp_extract("target_uri", "/(\\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        html_to_text(F.decode("payload", "UTF-8")).alias("_t"),
+    )
+    lines = F.split(F.col("_t"), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (T.token_count(l) >= 3)
+        & (
+            l.endswith(".")
+            | l.endswith("!")
+            | l.endswith("?")
+            | l.endswith('."')
+            | l.endswith('!"')
+            | l.endswith('?"')
+        ),
+    )
+    c4 = ex.select(
+        "doc_id",
+        "url_key",
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("_c"),
+    )
+    dd = (
+        c4.groupBy(F.md5("_c").alias("_h"))
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "url_key", "n_kept", "_c"), "url_key"
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    return dd.select(
+        "doc_id",
+        "url_key",
+        "n_kept",
+        F.length("_c").alias("cleaned_chars"),
+        F.round(T.quality_score("_c"), 6).alias("quality"),
+        F.sha2("_c", 256).alias("cleaned_hash"),
+    ).filter(F.col("quality") >= 0.5)
