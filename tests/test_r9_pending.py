@@ -1,7 +1,8 @@
-"""Round-9 staged queries (plans/catalog_r9.py): full driver-gate parity
-NOW, registration at round-9 start (the round-8 gate window is dedicated
-to the r4/r5 stale-tail drain — see catalog_r9's module docstring).
-These tests run the exact compare the driver gate runs."""
+"""Round-9 query family (plans/catalog_r9.py): registered into the live
+catalog at round-9 start. tests/test_oracle_parity.py now covers the
+family at the smoke SF like any other query; this module keeps the
+DRIVER-SF parity run (the gate compares at sf0.01, not sf0.001) and the
+family's plan-shape assertions."""
 
 from __future__ import annotations
 
@@ -13,46 +14,26 @@ from victor_spark.plans import QUERIES
 from victor_spark.plans.catalog_r9 import PENDING
 
 
-def test_pending_queries_are_not_registered():
-    """Staging invariant: nothing here may leak into the live registry
-    (it would evict stale-tier queries from the round-8 gate window)."""
+def test_round9_family_is_registered():
+    """The round-9 merge landed: every catalog_r9 query is in the live
+    registry under the SAME spec object (not a divergent copy), and the
+    never-green gate tier fronts whatever has no driver row yet (pinned
+    generically by test_gate_order; this asserts the merge identity)."""
     assert PENDING
-    assert not set(PENDING) & set(QUERIES)
-
-
-def test_round9_registration_dry_run():
-    """The round-9 merge (`QUERIES.update(catalog_r9.PENDING)`) must be
-    safe the day it lands: names stay unique, every staged spec carries
-    a resolvable oracle, and the computed gate order fronts ALL staged
-    queries (they have no driver CORRECTNESS rows, so the never-green
-    tier must place every one of them inside a 50-row gate window).
-    Dry-run on a COPY — the live registry is never touched."""
-    from victor_spark.plans import catalog as cat
-
-    merged = dict(QUERIES)
-    merged.update(PENDING)
-    assert len(merged) == len(QUERIES) + len(PENDING)
     for name, spec in PENDING.items():
+        assert QUERIES.get(name) is spec, name
         sql = spec.oracle_sql(SF_SMOKE)
         assert sql and "SELECT" in sql.upper(), name
-    last_green = cat._last_green_rounds()
-    never = [n for n in merged if n not in last_green]
-    assert set(PENDING) <= set(never)
-    # never-green queries lead the computed order; the staged family
-    # must fit the gate window with room to spare
-    assert len(never) <= 50
 
 
-@pytest.mark.parametrize("sf", [SF_SMOKE, SF_T2])
 @pytest.mark.parametrize("name", sorted(PENDING))
-def test_pending_query_matches_oracle(spark, name, sf):
-    # both the smoke SF and the driver gate's SF — the staged queries
-    # have no driver row until round-9 registration, so pytest carries
-    # the full gate-parity burden at the gate's own scale
+def test_r9_query_matches_oracle_at_driver_sf(spark, name):
+    # the driver gate's own SF — the smoke-SF run lives in
+    # test_oracle_parity.py with the rest of the catalog
     spec = PENDING[name]
-    con = duck_connect(sf)
-    sdf = spec.build(spark, sf)
-    odf = con.execute(spec.oracle_sql(sf)).fetchdf()
+    con = duck_connect(SF_T2)
+    sdf = spec.build(spark, SF_T2)
+    odf = con.execute(spec.oracle_sql(SF_T2)).fetchdf()
     problems = compare(sdf, odf)
     assert not problems, problems
 

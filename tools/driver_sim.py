@@ -8,9 +8,9 @@ before every round-end commit.
 
 Usage: python tools/driver_sim.py [--pending] [sf_dir] [query ...]
 
-``--pending`` additionally runs the staged round-9 queries
-(plans/catalog_r9.py — not yet in queries()/oracle_sql(), so the real
-driver gate can't see them; this is their only vanilla-session check).
+``--pending`` additionally overlays the plans/catalog_r9.py specs. Since
+the round-9 registration they are already IN queries()/oracle_sql(), so
+the flag is an idempotent no-op kept for muscle memory.
 """
 
 from __future__ import annotations

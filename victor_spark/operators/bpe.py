@@ -98,20 +98,32 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
     import pandas as pd
 
     merge_list = list(merges)
+    # production-vocab shape (32k+ merges): precompute each merge's fused
+    # form once; per word, only merges whose fused form is a SUBSTRING of
+    # the word can ever fire (symbols are always contiguous substrings of
+    # the word, so an applicable pair (l, r) implies l+r appears in it) —
+    # an exact-equivalence prune that turns the O(n_merges) scan per word
+    # into n_merges C-level `in` checks plus the handful that survive.
+    # Measured at 32k merges: see SCALING.md (bpe 32k-merge encode row).
+    fused_list = [(left, right, left + right) for left, right in merge_list]
 
-    def _encode_word(word: str) -> list[str]:
+    def _merge_word(word: str) -> list[str]:
         syms = list(word)
-        for left, right in merge_list:
+        for left, right, fused in fused_list:
+            if fused not in word:
+                continue
             out, i = [], 0
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
-                    out.append(left + right)
+                    out.append(fused)
                     i += 2
                 else:
                     out.append(syms[i])
                     i += 1
             syms = out
         return syms
+
+    _encode_word = _merge_word
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in docs.schema.fields)
@@ -125,10 +137,25 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
     enc = _encode_word if word_end_marker is None else _encode_marked
 
     def _encode(batches):
+        # per-task word cache (built HERE so the closure stays picklable:
+        # a decorator-level lru_cache cannot ship to workers): corpora are
+        # Zipf-distributed, so most words re-encode for free; bounded so a
+        # high-cardinality corpus cannot grow worker memory unboundedly
+        cache: dict[str, list[str]] = {}
+
+        def enc_cached(w: str) -> list[str]:
+            r = cache.get(w)
+            if r is None:
+                if len(cache) >= (1 << 17):
+                    cache.clear()
+                r = enc(w)
+                cache[w] = r
+            return r
+
         for pdf in batches:
             toks = [
                 [s for w in ("" if t is None else str(t)).lower().split(" ")
-                 if w for s in enc(w)]
+                 if w for s in enc_cached(w)]
                 for t in pdf[text_col]
             ]
             pdf = pdf.copy()

@@ -8216,19 +8216,13 @@ def q_embedding_outliers(spark, sf_dir):
 # Builders/oracles touched in the CURRENT round — the only hand input.
 # Reset when a new round starts; the artifact-derived tiers handle the rest.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round 8: EMPTY by design (round-7 verdict item 2) — after r7 the
-    # stale-green tail is exactly 49 queries (8 last-checked r4 + 41
-    # last-checked r5), which fits ONE 50-row gate window together with
-    # the single new never-green query (warc_extract, auto-fronted).
-    # Listing anything here would push a stale query out of the window,
-    # so round-8 seam changes rely on the other two gates instead:
-    # - ingest_external_fixtures (MP3 metadata probe added): pinned by
-    #   tests/test_external_fixtures.py + the full-catalog driver_sim
-    #   run; its r7-green row ages into the r9 rotation window.
-    # - ingest_webdataset_roundtrip / warc writers (fs-shim shipping for
-    #   URI-scheme targets): the local-path code path the catalog uses
-    #   is unchanged; the new scheme branch is pinned by
-    #   tests/test_formats.py lifecycle tests over file: URIs.
+    # round 9: EMPTY by design (round-8 verdict item 3) — the 16
+    # registered-this-round queries are never-green and auto-front, and
+    # the remaining window slots must go to the r6-tier tail (43 queries,
+    # of which 50-16=34 fit this round; the rotation clears the rest in
+    # r10). Round-9 seam changes to LIVE queries (if any) rely on pytest
+    # oracle parity + the full-catalog driver_sim run instead, exactly
+    # like round 8's seam changes did.
 ]
 
 
@@ -8295,5 +8289,14 @@ def _gate_order() -> None:
     QUERIES.clear()
     QUERIES.update(ordered)
 
+
+# Round-9 registration (round-8 verdict item 1): the queries staged and
+# oracle-hardened through round 8 join the live registry. The import is
+# circular-safe: catalog_r9 pulls names defined ABOVE this line from the
+# partially-initialized module in sys.modules. They all auto-front as
+# never-green in the gate order computed below.
+from victor_spark.plans import catalog_r9 as _catalog_r9  # noqa: E402
+
+QUERIES.update(_catalog_r9.PENDING)
 
 _gate_order()

@@ -1,19 +1,18 @@
-"""Round-9 staged catalog queries — built and oracle-tested in round 8,
-NOT yet registered.
+"""Round-9 catalog queries — staged and oracle-hardened through round 8,
+REGISTERED at round-9 start (catalog.py merges ``PENDING`` into
+``QUERIES`` just before computing the gate order, so every query here
+auto-fronts as never-green).
 
-Why staged: the driver's correctness gate checks the FIRST 50 of
-``QUERIES`` and never-green queries auto-front, so registering new
-queries mid-round evicts stale-tier queries from the gate window. The
-round-7 verdict dedicated round 8's window to draining the entire
-49-query r4/r5 tail (exactly warc_extract + 49 = 50 slots), so these
-four wait here with full builders, oracles, and pytest parity coverage
-(``tests/test_r9_pending.py`` runs the same compare the driver gate
-does).
+Why these lived in a separate module for a round: the driver's
+correctness gate checks the FIRST 50 of ``QUERIES`` and never-green
+queries auto-front, so registering new queries mid-round would have
+evicted the r4/r5 stale tail the round-8 window was dedicated to.
+``tests/test_r9_pending.py`` still runs the driver-gate compare for the
+family at the gate's own SF, plus the plan-shape assertions.
 
-TO REGISTER AT ROUND-9 START: in ``catalog.py``, after the last ``@_q``
-definition add ``QUERIES.update(catalog_r9.PENDING)`` — or simply move
-these definitions inline — then delete this module and its test's
-pending marker. They will auto-front as never-green.
+``PENDING`` is kept as the module's registry (merged, not renamed) so
+the staging-era tests, tools/driver_sim.py and tools/scale_probe.py
+keep resolving names through one dict.
 """
 
 from __future__ import annotations
