@@ -558,3 +558,24 @@ def test_warc_extract_is_shuffle_free_scan_plus_map(spark):
     assert "Exchange" not in p
     assert "Join" not in p and "Cartesian" not in p
     assert "MapInPandas" in p  # the record walk (one Arrow hop, bounded per shard)
+
+
+def test_global_dedup_reassembly_rides_the_drop_set(spark):
+    # round-9 dedup perf refactor: reassembly must NOT regroup kept text
+    # through a corpus-sized collect_list shuffle — each doc is rebuilt
+    # by a codegen index-filter over its original array, and the only
+    # thing that shuffles per doc is the (small) dropped/covered position
+    # set (collect_set of ints, never the text)
+    for name in ("line_dedup_global", "dedup_substring_global"):
+        p = plan(name, spark)
+        assert "collect_list" not in p, f"{name} regroups kept text"
+        assert "CartesianProduct" not in p
+
+
+def test_keep_longest_has_no_corpus_self_join(spark):
+    # round-9 dedup perf refactor: n_tokens is a projection of text, so
+    # the final select must not join the corpus back to itself — the
+    # only joins touching corpus-sized relations are the broadcast
+    # anti-join (drop set) and the minhash pipeline's internals
+    p = plan("dedup_keep_longest", spark)
+    assert "SortMergeJoin" not in p

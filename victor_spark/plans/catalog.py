@@ -1926,9 +1926,15 @@ FROM d LEFT JOIN reassembled r ON d.doc_id = r.doc_id
     "occurrence corpus-wide — the recurring synthesized footer proves it "
     "survives in exactly one document. Explode, one line-keyed groupBy "
     "STRUCT argmin (no arithmetic key — an encoded doc_id*C+pos overflows "
-    "int64 for hash-valued doc_ids), keep-join, per-doc ordered "
-    "reassembly; returns per-doc kept counts and the sha256 of the "
-    "deduped text",
+    "int64 for hash-valued doc_ids); then reassembly rides the DROP set "
+    "(round-9 dedup perf refactor): only the duplicate (doc_id, pos) "
+    "rows — no text — shuffle into per-doc position arrays, and each doc "
+    "is rebuilt by one codegen index-filter over its original lines "
+    "array. The old shape regrouped every KEPT line's text through a "
+    "corpus-sized collect_list shuffle plus a corpus-corpus join; at "
+    "100 TB the drop set is the duplicate minority and the rebuild join "
+    "is corpus-x-small (AQE broadcast). Output byte-identical; returns "
+    "per-doc kept counts and the sha256 of the deduped text",
 )
 def q_line_dedup_global(spark, sf_dir):
     d = fan_out(load_table(spark, sf_dir, "documents")).select(
@@ -1940,28 +1946,27 @@ def q_line_dedup_global(spark, sf_dir):
     firsts = l.groupBy("line").agg(
         F.min(F.struct("doc_id", "pos")).alias("first_occ")
     )
-    kept = l.join(firsts, "line").filter(
-        (F.col("doc_id") == F.col("first_occ.doc_id"))
-        & (F.col("pos") == F.col("first_occ.pos"))
-    )
-    reassembled = kept.groupBy("doc_id").agg(
-        F.count("*").cast("int").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("cleaned"),
-    )
-    return (
-        d.join(reassembled, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("lines").alias("n_lines"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.sha2(F.coalesce("cleaned", F.lit("")), 256).alias("cleaned_hash"),
+    dropped = (
+        l.join(firsts, "line")
+        .filter(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
         )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_dp"))
+    )
+    dp = F.coalesce(F.col("_dp"), F.array().cast("array<int>"))
+    kept = bind(
+        dp,
+        lambda dps: F.filter(
+            F.col("lines"), lambda x, i: ~F.array_contains(dps, i + 1)
+        ),
+    )
+    return d.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.sha2(F.array_join(kept, "\n"), 256).alias("cleaned_hash"),
     )
 
 
@@ -6847,32 +6852,31 @@ def q_dedup_substring_global(spark, sf_dir):
     dups = occ.join(firsts, "h").filter(
         (F.col("doc_id") != F.col("f.doc_id")) | (F.col("pos") != F.col("f.pos"))
     )
+    # Reassembly rides the COVERED set (round-9 dedup perf refactor):
+    # per-doc covered positions collapse into one array, and each doc is
+    # rebuilt by a codegen index-filter over its original token array.
+    # The old shape posexploded EVERY corpus token through an anti-join
+    # shuffle and regrouped the kept text via collect_list — two
+    # corpus-token-sized exchanges to fetch what is a projection of
+    # (t, covered). The per-doc filter is O(|t| x |covered|) worst case —
+    # doc-bounded, which at 100 TB always beats a corpus shuffle. Output
+    # byte-identical; oracle re-gated.
     cov = dups.select(
         "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (W - 1))).alias("cp")
     ).distinct()
-    ncov = cov.groupBy("doc_id").agg(F.count("*").alias("n_removed"))
-    tokpos = d.select(
-        "doc_id", F.posexplode("t").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    kept = tokpos.join(cov, (tokpos["doc_id"] == cov["doc_id"]) & (tokpos["pos"] == cov["cp"]), "left_anti")
-    cleaned = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("c")
+    cov_arr = cov.groupBy("doc_id").agg(F.collect_set("cp").alias("_cp"))
+    cp = F.coalesce(F.col("_cp"), F.array().cast("array<int>"))
+    kept = bind(
+        cp,
+        lambda cps: F.filter(
+            F.col("t"), lambda x, i: ~F.array_contains(cps, i + 1)
+        ),
     )
-    return (
-        d.join(cleaned, "doc_id", "left")
-        .join(ncov, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("t").alias("n_tokens"),
-            F.coalesce("n_removed", F.lit(0)).cast("int").alias("n_removed"),
-            F.sha2(F.coalesce("c", F.lit("")), 256).alias("cleaned_hash"),
-        )
+    return d.join(cov_arr, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.size(cp).cast("int").alias("n_removed"),
+        F.sha2(F.array_join(kept, " "), 256).alias("cleaned_hash"),
     )
 
 
@@ -8071,14 +8075,14 @@ def q_dedup_keep_longest(spark, sf_dir):
         .filter(F.col("rn") > 1)
         .select(F.col("doc").alias("doc_id"))
     )
-    return (
-        corpus.join(F.broadcast(drops), "doc_id", "left_anti")
-        .join(qual, "doc_id")
-        .select(
-            "doc_id",
-            F.col("n").cast("int").alias("n_tokens"),
-            F.sha2("text", 256).alias("content_hash"),
-        )
+    # n_tokens is recomputed inline on the anti-joined survivors: joining
+    # `qual` back would be a corpus-sized self-join (shuffle both sides on
+    # doc_id) to fetch a value that is a pure projection of `text`
+    # (round-9 dedup perf refactor; output byte-identical, oracle re-gated)
+    return corpus.join(F.broadcast(drops), "doc_id", "left_anti").select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("int").alias("n_tokens"),
+        F.sha2("text", 256).alias("content_hash"),
     )
 
 
@@ -8220,9 +8224,12 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # registered-this-round queries are never-green and auto-front, and
     # the remaining window slots must go to the r6-tier tail (43 queries,
     # of which 50-16=34 fit this round; the rotation clears the rest in
-    # r10). Round-9 seam changes to LIVE queries (if any) rely on pytest
-    # oracle parity + the full-catalog driver_sim run instead, exactly
-    # like round 8's seam changes did.
+    # r10). Round-9 touched LIVE queries (the dedup perf refactors:
+    # line_dedup_global, dedup_substring_global, dedup_keep_longest —
+    # output byte-identical, oracles unchanged) are re-gated by pytest
+    # oracle parity at sf0.001 + the vanilla driver_sim family run at
+    # sf0.01 instead, exactly like round 8's seam changes were; their
+    # r6/r7 driver rows age into the r10 rotation window.
 ]
 
 
