@@ -1,0 +1,109 @@
+"""Damped PageRank over an edge relation — the crawl-scale shape.
+
+Common Crawl publishes host ranks computed with exactly this family;
+training-data pipelines use them as a fetch/keep quality prior. The
+implementation is the generalization of the catalog's ``host_pagerank``
+query (round-8 verdict item 1 fixed its shape): nothing node-sized ever
+carries a broadcast hint, because the real host graph has tens of
+millions of nodes and a repeated multi-GB broadcast is the
+scale-killer; AQE's stats-driven broadcast remains the fast path when a
+graph genuinely fits.
+
+Scale shape, per call:
+- parallel edges fold into one weighted edge matrix, its source's total
+  out-weight folded IN (loop-invariant), co-partitioned on ``src`` and
+  localCheckpoint-materialized once;
+- each damped iteration is ONE shuffle equi-join (the node-sized rank
+  table onto the pre-partitioned edge matrix) plus a per-dst
+  aggregation;
+- per-dst contribution sums are DECIMAL(20,12), so the distributed sum
+  is order-independent — two runs (or two engines) agree exactly;
+- the node count is one bounded driver scalar (a single long).
+
+Dangling nodes (no out-edges) keep receiving rank but redistribute
+none — their mass is dropped rather than spread uniformly, matching the
+host-rank use (relative ordering, not a probability distribution) and
+the DuckDB oracle in plans/catalog_r9.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+    one_minus_damping: float | None = None,
+) -> DataFrame:
+    """Rank every node of ``edges`` (directed, optionally weighted).
+
+    ``weight`` — an edge-weight column; ``None`` counts each edge row as
+    weight 1 (so parallel rows fold into their multiplicity). Self-loops
+    are dropped (they only recycle a node's own mass and the host-rank
+    family excludes them). Returns (node, rank) with rank as a double.
+
+    ``one_minus_damping`` — the teleport numerator as an EXACT double,
+    for bit-parity with an oracle that states it literally: IEEE
+    ``1.0 - 0.85`` is one ulp away from the literal ``0.15``, and a
+    value-hashed gate cares. Defaults to ``1.0 - damping``.
+    """
+    if iterations < 1:
+        raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
+    omd = (1.0 - damping) if one_minus_damping is None else one_minus_damping
+    w = F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
+    e = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("_w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("_w").alias("w"))
+    )
+    # loop invariants, materialized once: the edge matrix with its
+    # source's total out-weight folded in (w and tw stay separate
+    # columns so the per-edge term is the exact (r*w)/tw float
+    # evaluation the oracle states), co-partitioned on the join key
+    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
+    em = (
+        e.join(outw, "src")
+        .select("src", "dst", "w", "tw")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        em.select(F.col("src").alias("n"))
+        .unionAll(em.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()  # bounded driver scalar (one long)
+    if n_nodes == 0:
+        return nodes.select(F.col("n").alias("node"), F.lit(0.0).alias("rank"))
+    ranks = nodes.select("n", F.lit(1.0 / n_nodes).alias("r"))
+    teleport = omd / n_nodes
+    for _ in range(iterations):
+        contrib = (
+            em.join(ranks, em["src"] == ranks["n"])
+            .select(
+                "dst",
+                (
+                    F.col("r") * F.col("w").cast("double")
+                    / F.col("tw").cast("double")
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("c").cast("decimal(20,12)")).alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes["n"] == contrib["dst"], "left").select(
+            "n",
+            (
+                F.lit(teleport)
+                + F.lit(damping)
+                * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return ranks.select(F.col("n").alias("node"), F.col("r").alias("rank"))

@@ -1131,67 +1131,18 @@ SELECT n AS host, round(r, 6) AS pagerank FROM r3
     "node count is one bounded driver scalar",
 )
 def q_host_pagerank(spark, sf_dir):
+    from victor_spark.operators.pagerank import pagerank
+
     d = load_table(spark, sf_dir, "documents").select(
         (F.col("doc_id") % 97).alias("src"),
         ((F.col("doc_id") * 31 + 7) % 97).alias("dst"),
     )
-    e = (
-        d.filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
+    # one_minus_damping=0.15 exactly: the oracle states the literal, and
+    # IEEE 1.0 - 0.85 is one ulp away — a value-hashed gate cares
+    ranks = pagerank(d, iterations=3, damping=0.85, one_minus_damping=0.15)
+    return ranks.select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("pagerank")
     )
-    # Loop invariants, each materialized once (localCheckpoint) instead
-    # of re-derived scan->project->aggregate per iteration: the edge
-    # matrix WITH its source's total out-weight folded in (w and tw kept
-    # as separate columns so the per-edge term stays the oracle's exact
-    # (r*w)/tw float evaluation), co-partitioned on the join key.
-    outw = e.groupBy("src").agg(F.sum("w").alias("tw"))
-    em = (
-        e.join(outw, "src")
-        .select("src", "dst", "w", "tw")
-        .repartition("src")
-        .localCheckpoint(eager=False)
-    )
-    nodes = (
-        em.select(F.col("src").alias("n"))
-        .unionAll(em.select(F.col("dst").alias("n")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    # bounded driver scalar (one long) — replaces the former 1-row
-    # broadcast dim and its per-iteration crossJoin
-    n_hosts = nodes.count()
-    ranks = nodes.select("n", F.lit(1.0 / n_hosts).alias("r"))
-    for _ in range(3):
-        # no broadcast hint on the node-sized rank table: at crawl scale
-        # it is multi-GB and a repeated broadcast is the scale-killer;
-        # the equi-join shuffles ranks onto the already-src-partitioned
-        # edge matrix (AQE still picks a broadcast join when the graph
-        # is genuinely dim-sized — the documented fast path)
-        contrib = (
-            em.join(ranks, em["src"] == ranks["n"])
-            .select(
-                "dst",
-                (
-                    F.col("r") * F.col("w").cast("double")
-                    / F.col("tw").cast("double")
-                ).alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum(F.col("c").cast("decimal(20,12)")).alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["n"] == contrib["dst"], "left")
-            .select(
-                "n",
-                (
-                    F.lit(0.15 / n_hosts)
-                    + F.lit(0.85)
-                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-                ).alias("r"),
-            )
-        )
-    return ranks.select(F.col("n").alias("host"), F.round("r", 6).alias("pagerank"))
 
 
 # ---------------------------------------------------------------------------
