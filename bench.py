@@ -188,8 +188,14 @@ def run_suite() -> None:
             if _pass == 0
             else sorted(HEADLINE, key=lambda n: times.get(n, 0.0), reverse=True)
         )
+        # retry-time budget scales with catalog size (a fixed 300 s gave
+        # a 143-query pass0 of ~180 s only ~120 s of retries — six
+        # queries — on a noisy host, exactly when retries matter most):
+        # 2 s/query ≈ pass0's own cost plus one worst-first sweep
         for name in order:
-            if _pass > 0 and time.perf_counter() - bench_start > 300:
+            if _pass > 0 and time.perf_counter() - bench_start > max(
+                300.0, 2.0 * len(HEADLINE)
+            ):
                 break
             t0 = time.perf_counter()
             run(name)

@@ -1,0 +1,92 @@
+"""Round-10 staged queries (plans/catalog_r10.py): full driver-gate
+parity NOW, registration at round-10 start (round 9's gate window is
+exactly full — 16 registered + 34 r6-tier; see catalog_r10's module
+docstring). These tests run the exact compare the driver gate runs, at
+BOTH the smoke SF and the gate's own SF."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE, SF_T2
+from tests.oracle_utils import compare, duck_connect
+from victor_spark.plans import QUERIES
+from victor_spark.plans.catalog_r10 import PENDING
+
+
+def test_r10_pending_queries_are_not_registered():
+    """Staging invariant: nothing here may leak into the live registry
+    (it would evict r6-tier queries from the round-9 gate window)."""
+    assert PENDING
+    assert not set(PENDING) & set(QUERIES)
+
+
+def test_round10_registration_dry_run():
+    """The round-10 merge must be safe the day it lands: names unique,
+    every staged spec carries a resolvable oracle, and the never-green
+    tier (these + any r9 stragglers) fits a 50-row gate window."""
+    from victor_spark.plans import catalog as cat
+
+    merged = dict(QUERIES)
+    merged.update(PENDING)
+    assert len(merged) == len(QUERIES) + len(PENDING)
+    for name, spec in PENDING.items():
+        sql = spec.oracle_sql(SF_SMOKE)
+        assert sql and "SELECT" in sql.upper(), name
+    last_green = cat._last_green_rounds()
+    never = [n for n in merged if n not in last_green]
+    assert set(PENDING) <= set(never)
+
+
+@pytest.mark.parametrize("sf", [SF_SMOKE, SF_T2])
+@pytest.mark.parametrize("name", sorted(PENDING))
+def test_r10_pending_query_matches_oracle(spark, name, sf):
+    spec = PENDING[name]
+    con = duck_connect(sf)
+    sdf = spec.build(spark, sf)
+    odf = con.execute(spec.oracle_sql(sf)).fetchdf()
+    problems = compare(sdf, odf)
+    assert not problems, problems
+
+
+# ---------------------------------------------------------------------------
+# plan-shape assertions: the staged queries' scale claims
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, name: str) -> str:
+    df = PENDING[name].build(spark, SF_SMOKE)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_kneser_ney_is_codegen_with_partial_aggs(spark):
+    # the LM-family shape: type-table aggregations map-side combined, no
+    # Python, no cartesian (the 1-row bigram-type count broadcasts)
+    p = _plan(spark, "kneser_ney_bigram")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_phrase_search_filters_before_postings(spark):
+    # the contains() prefilter must reach the scan operator's Filter
+    # (before any exchange), and only the two terms' postings shuffle;
+    # no Python anywhere
+    p = _plan(spark, "phrase_search")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Contains" in p  # the lossless candidate prefilter survives
+
+
+def test_fertility_is_one_arrow_farm_plus_tiny_agg(spark):
+    # exactly one Python stage (the sanctioned BPE encode farm); the
+    # language/ratio arithmetic is codegen; output is a per-language
+    # aggregation of integer sums
+    import re
+
+    p = _plan(spark, "tokenizer_fertility")
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p

@@ -49,9 +49,10 @@ def main() -> int:
     queries = entry.queries()
     oracles = entry.oracle_sql()
     if pending:
-        from victor_spark.plans.catalog_r9 import PENDING
+        from victor_spark.plans.catalog_r9 import PENDING as _P9
+        from victor_spark.plans.catalog_r10 import PENDING as _P10
 
-        for name, spec in PENDING.items():
+        for name, spec in {**_P9, **_P10}.items():
             queries[name] = spec.build
             sql = spec.oracle_sql(sf_dir)
             if sql is not None:

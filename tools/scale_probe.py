@@ -127,6 +127,10 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # -> c4 -> dedup -> quality in one dataflow; rep 1 of each scale
     # builds the shards (cache miss), rep 2 measures the steady path
     "crawl_pipeline": {"documents": ["doc_id"]},
+    # round-10 staged family (resolved via the PENDING fallback)
+    "kneser_ney_bigram": {"documents": ["doc_id"]},
+    "phrase_search": {"documents": ["doc_id"]},
+    "tokenizer_fertility": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000
@@ -185,11 +189,12 @@ def main() -> int:
 
     from victor_spark import get_spark
     from victor_spark.plans import QUERIES
-    from victor_spark.plans.catalog_r9 import PENDING
+    from victor_spark.plans.catalog_r9 import PENDING as _P9
+    from victor_spark.plans.catalog_r10 import PENDING as _P10
 
-    # staged round-9 queries probe through the same path; live registry
-    # wins on any name collision (there are none by staging invariant)
-    registry = {**PENDING, **QUERIES}
+    # staged queries probe through the same path; live registry wins on
+    # any name collision (there are none by staging invariant)
+    registry = {**_P9, **_P10, **QUERIES}
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
