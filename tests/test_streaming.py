@@ -1156,3 +1156,69 @@ def test_bloom_seen_filter_null_keys_and_reserved_columns(spark, tmp_path):
             bad, "url", str(tmp_path / "bstate2"), str(tmp_path / "bck2"),
             sink,
         ).awaitTermination()
+
+
+def test_curation_stream_equals_batch_and_gates_quality(spark, tmp_path):
+    """Topology 18 (curation stream): shards -> extract -> C4 line
+    filter -> quality gate, streaming, must equal the same transforms
+    on the batch plane — and the stages must be non-vacuous: the junk
+    lines are dropped from every doc and the shouty doc fails the
+    quality bar entirely."""
+    from victor_spark.functions.html import escape_html
+    from victor_spark.sources.warc import warc_documents, write_warc
+    from victor_spark.streaming import curate_documents, stream_curated_documents
+
+    rows = spark.createDataFrame(
+        [
+            (
+                f"http://c.test/{i}",
+                (
+                    "!!! ??? *** $$$ ###."  # shouty doc: fails quality
+                    if i == 0
+                    else f"This is sentence number {i} with the needed words."
+                )
+                + "\nBuy now\nno terminal punctuation here at all",
+            )
+            for i in range(12)
+        ],
+        "uri string, txt string",
+    )
+    paras = F.array_join(
+        F.transform(
+            F.split(escape_html(F.col("txt")), "\n"),
+            lambda x: F.concat(F.lit("<p>"), x, F.lit("</p>")),
+        ),
+        "\n",
+    )
+    html = rows.select(
+        "uri",
+        F.concat(
+            F.lit("<html><head><title>t</title></head><body>"),
+            paras,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    src = str(tmp_path / "src")
+    # two prefixes -> two files -> two micro-batches
+    write_warc(html.filter("uri < 'http://c.test/5'").repartition(1),
+               src, "uri", "html", prefix="a").collect()
+    write_warc(html.filter("uri >= 'http://c.test/5'").repartition(1),
+               src, "uri", "html", prefix="b").collect()
+
+    sink = str(tmp_path / "sink")
+    q = stream_curated_documents(
+        spark, src, sink, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.read.parquet(sink).collect()}
+    want = {
+        tuple(r)
+        for r in curate_documents(warc_documents(spark, src)).collect()
+    }
+    assert got == want
+    # non-vacuous: 11 of 12 docs survive (the shouty one fails quality),
+    # and C4 kept exactly the one sentence line of each survivor's three
+    assert len(got) == 11
+    by_url = {r for r in spark.read.parquet(sink).select(
+        "n_lines", "n_kept").collect()}
+    assert by_url == {(3, 1)}

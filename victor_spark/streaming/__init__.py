@@ -26,6 +26,10 @@ from victor_spark.streaming.hist_stream import (
     quantile_estimate,
     stream_quantile_rollup,
 )
+from victor_spark.streaming.curation_stream import (
+    curate_documents,
+    stream_curated_documents,
+)
 from victor_spark.streaming.media_stream import stream_decode_media
 from victor_spark.streaming.warc_stream import stream_warc_documents
 from victor_spark.streaming.sketch_stream import (
@@ -54,6 +58,8 @@ __all__ = [
     "distinct_estimate",
     "stream_seen_filter",
     "stream_chunked_ingest",
+    "curate_documents",
+    "stream_curated_documents",
     "stream_decode_media",
     "stream_quantile_rollup",
     "quantile_estimate",
