@@ -139,7 +139,18 @@ def test_build_pq_with_kmeans_trainer_lowers_quantization_error(spark, tmp_path)
     d_sample = self_dist()
     idx.build_pq(m=2, n_codes=8, trainer="kmeans", train_iters=8)
     d_kmeans = self_dist()
-    assert d_kmeans < d_sample, (d_kmeans, d_sample)
+    # NOT `d_kmeans < d_sample`: insert() mints fresh uuids per run and
+    # both trainers seed on salted-md5(id), so the sample baseline is a
+    # per-run draw — measured 6.5..27.9 across draws, and on a LUCKY
+    # draw (codes landing on the probe rows themselves, zeroing their
+    # own ADC distance) a one-draw sample legitimately beats 8-iter
+    # Lloyd on 48 points. The deterministic contract is the absolute
+    # one: kmeans (measured 10.3-11.0 across draws — farthest-point
+    # init makes it nearly draw-independent) must reconstruct better
+    # than codes sitting AT the true generating centers would in
+    # expectation (12 probes x 8 dims x 0.4^2 noise = 15.36), which an
+    # unlucky sample draw (23-28) decisively fails.
+    assert d_kmeans < 14.0, (d_kmeans, d_sample)
 
 
 def test_unknown_trainer_rejected(small_idx):
