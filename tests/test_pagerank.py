@@ -62,6 +62,26 @@ def test_parallel_edges_fold_and_match_explicit_weights(spark):
     assert multi == w
 
 
+def test_fractional_weights_are_honored_not_truncated(spark):
+    # review-caught: a long cast turned 0.5 into 0, zeroing the source's
+    # out-weight and dividing by zero. Halved equal weights carry the
+    # same FRACTIONS as unit weights, so the ranks must match exactly.
+    def run(wvals):
+        return {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                spark.createDataFrame(
+                    [(0, 1, wvals[0]), (0, 2, wvals[1]), (1, 0, wvals[2]),
+                     (2, 0, wvals[3])],
+                    "src long, dst long, w double",
+                ),
+                weight="w",
+                iterations=2,
+            ).collect()
+        }
+    assert run([0.5, 0.5, 1.0, 1.0]) == run([1.0, 1.0, 1.0, 1.0])
+
+
 def test_self_loops_dropped_and_bad_iterations_raise(spark):
     got = _ranks(spark, [(0, 0), (0, 1), (1, 0)], iterations=2)
     # with the self-loop dropped this is the 2-cycle: uniform 1/2

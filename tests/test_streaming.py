@@ -1222,3 +1222,15 @@ def test_curation_stream_equals_batch_and_gates_quality(spark, tmp_path):
     by_url = {r for r in spark.read.parquet(sink).select(
         "n_lines", "n_kept").collect()}
     assert by_url == {(3, 1)}
+
+
+def test_curate_documents_rejects_colliding_columns(spark):
+    import pytest
+
+    from victor_spark.streaming import curate_documents
+
+    docs = spark.createDataFrame(
+        [("a.", 0.9)], "text string, quality double"
+    )
+    with pytest.raises(ValueError, match="quality"):
+        curate_documents(docs)

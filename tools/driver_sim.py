@@ -8,9 +8,10 @@ before every round-end commit.
 
 Usage: python tools/driver_sim.py [--pending] [sf_dir] [query ...]
 
-``--pending`` additionally overlays the plans/catalog_r9.py specs. Since
-the round-9 registration they are already IN queries()/oracle_sql(), so
-the flag is an idempotent no-op kept for muscle memory.
+``--pending`` overlays the staged-query modules: catalog_r9's specs are
+already registered (idempotent overlay), but catalog_r10's are NOT — the
+flag is the round-10 staged family's ONLY vanilla-session check until
+their registration, so keep using it before round-end commits.
 """
 
 from __future__ import annotations

@@ -42,6 +42,28 @@ def token_count(s: ColumnOrName) -> Column:
     return F.size(tokens(s))
 
 
+def c4_kept_lines(lines: Column) -> Column:
+    """The C4 line-filter predicate (Raffel 2020 §2.2) over an
+    ``array<string>`` of lines: keep lines with >= 3 whitespace tokens
+    ending in terminal punctuation (``. ! ?`` or their close-quote
+    forms — colons are boilerplate and dropped). ONE definition shared
+    by the batch catalog queries (c4_line_filter, crawl_pipeline) and
+    the streaming curation topology, so the C4 contract cannot drift
+    between planes; the DuckDB oracles restate it literally."""
+    return F.filter(
+        lines,
+        lambda l: (token_count(l) >= 3)
+        & (
+            l.endswith(".")
+            | l.endswith("!")
+            | l.endswith("?")
+            | l.endswith('."')
+            | l.endswith('!"')
+            | l.endswith('?"')
+        ),
+    )
+
+
 def word_count(s: ColumnOrName) -> Column:
     """Count of [A-Za-z0-9]+ word tokens (BPE-ish pre-tokenizer count)."""
     return F.size(F.regexp_extract_all(_col(s), F.lit(WORD_RE), 0))

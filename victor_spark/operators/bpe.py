@@ -107,7 +107,7 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
     # Measured at 32k merges: see SCALING.md (bpe 32k-merge encode row).
     fused_list = [(left, right, left + right) for left, right in merge_list]
 
-    def _merge_word(word: str) -> list[str]:
+    def _encode_word(word: str) -> list[str]:
         syms = list(word)
         for left, right, fused in fused_list:
             if fused not in word:
@@ -122,8 +122,6 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
                     i += 1
             syms = out
         return syms
-
-    _encode_word = _merge_word
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in docs.schema.fields)

@@ -44,9 +44,12 @@ def pagerank(
     """Rank every node of ``edges`` (directed, optionally weighted).
 
     ``weight`` — an edge-weight column; ``None`` counts each edge row as
-    weight 1 (so parallel rows fold into their multiplicity). Self-loops
-    are dropped (they only recycle a node's own mass and the host-rank
-    family excludes them). Returns (node, rank) with rank as a double.
+    weight 1 (so parallel rows fold into their multiplicity). Weights
+    must be POSITIVE; fractional weights are honored (they sum as
+    doubles, so a pathological weight distribution inherits float
+    summation-order variance — integer weights stay exact up to 2^53).
+    Self-loops are dropped (they only recycle a node's own mass and the
+    host-rank family excludes them). Returns (node, rank) as doubles.
 
     ``one_minus_damping`` — the teleport numerator as an EXACT double,
     for bit-parity with an oracle that states it literally: IEEE
@@ -56,7 +59,10 @@ def pagerank(
     if iterations < 1:
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
     omd = (1.0 - damping) if one_minus_damping is None else one_minus_damping
-    w = F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
+    # double, not long: a long cast silently truncates fractional
+    # weights (0.5 -> 0 made tw=0 and the iteration divide by zero —
+    # review-caught); integer-weight sums stay exact as doubles
+    w = F.lit(1.0) if weight is None else F.col(weight).cast("double")
     e = (
         edges.filter(F.col(src) != F.col(dst))
         .select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("_w"))

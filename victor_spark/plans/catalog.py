@@ -1864,14 +1864,7 @@ FROM f
 def q_c4_line_filter(spark, sf_dir):
     d = fan_out(load_table(spark, sf_dir, "documents"))
     lines = F.split(_multiline_text(), "\n")
-    kept = F.filter(
-        lines,
-        lambda l: (T.token_count(l) >= 3)
-        & (
-            l.endswith(".") | l.endswith("!") | l.endswith("?")
-            | l.endswith('."') | l.endswith('!"') | l.endswith('?"')
-        ),
-    )
+    kept = T.c4_kept_lines(lines)
     cleaned = F.array_join(kept, "\n")
     return d.select(
         "doc_id",

@@ -297,6 +297,7 @@ SELECT pred_lang,
        round(CAST(sum(lp.n_chars) AS DOUBLE) / sum(enc.n_bpe), 6)
          AS chars_per_token
 FROM lp JOIN enc USING (doc_id)
+WHERE lp.n_words > 0
 GROUP BY pred_lang
 """
 
@@ -314,7 +315,8 @@ GROUP BY pred_lang
     "Oracle: an independent Python replay of train+encode states per-doc "
     "token counts as VALUES; language grouping and the ratio arithmetic "
     "are restated in SQL. Integer sums keep the ratios "
-    "order-independent at any scale",
+    "order-independent at any scale; word-free docs carry no fertility "
+    "signal and are excluded in both engines",
 )
 def q_tokenizer_fertility(spark, sf_dir):
     from victor_spark.functions import text as T
@@ -335,6 +337,10 @@ def q_tokenizer_fertility(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars"),
         F.size("bpe_tokens").cast("long").alias("n_bpe"),
     )
+    # word-free docs (empty/whitespace-only text) carry no fertility
+    # signal and would make a group's sum(n_words)=0 divide by zero
+    # under ANSI mode (review-caught) — excluded in BOTH engines
+    per_doc = per_doc.filter(F.col("n_words") > 0)
     return per_doc.groupBy("pred_lang").agg(
         F.count("*").alias("n_docs"),
         F.round(

@@ -1504,18 +1504,7 @@ def q_crawl_pipeline(spark, sf_dir):
         html_to_text(F.decode("payload", "UTF-8")).alias("_t"),
     )
     lines = F.split(F.col("_t"), "\n")
-    kept = F.filter(
-        lines,
-        lambda l: (T.token_count(l) >= 3)
-        & (
-            l.endswith(".")
-            | l.endswith("!")
-            | l.endswith("?")
-            | l.endswith('."')
-            | l.endswith('!"')
-            | l.endswith('?"')
-        ),
-    )
+    kept = T.c4_kept_lines(lines)
     c4 = ex.select(
         "doc_id",
         "url_key",

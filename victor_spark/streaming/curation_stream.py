@@ -37,20 +37,21 @@ def curate_documents(
     whose quality score (functions/text.quality_score over the CLEANED
     text) falls below ``min_quality``. Adds ``n_lines`` / ``n_kept`` /
     ``quality``; every other input column passes through. Pure narrow
-    projection — identical semantics on batch and streaming inputs."""
-    lines = F.split(F.col(text_col), "\n")
-    kept = F.filter(
-        lines,
-        lambda l: (T.token_count(l) >= 3)
-        & (
-            l.endswith(".")
-            | l.endswith("!")
-            | l.endswith("?")
-            | l.endswith('."')
-            | l.endswith('!"')
-            | l.endswith('?"')
-        ),
+    projection — identical semantics on batch and streaming inputs.
+    Input columns may not collide with the curation outputs (raises
+    loudly, the gate_urls/sitemap_entries contract)."""
+    reserved = {"n_lines", "n_kept", "quality"} | (
+        {"text"} if text_col != "text" else set()
     )
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"curate_documents input columns {sorted(clash)} collide with "
+            "the curation output columns — rename them upstream (the same "
+            "contract as gate_urls/sitemap_entries)"
+        )
+    lines = F.split(F.col(text_col), "\n")
+    kept = T.c4_kept_lines(lines)
     passthrough = [c for c in docs.columns if c != text_col]
     curated = bind(
         F.array_join(kept, "\n"),
