@@ -90,3 +90,28 @@ def test_fertility_is_one_arrow_farm_plus_tiny_agg(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_maxsim_is_codegen_scan_plus_bounded_heap(spark):
+    # per-token embeddings, maxes and the sum are one bound projection;
+    # the top-10 is a bounded heap — no shuffle before it, no Python
+    p = _plan(spark, "late_interaction_maxsim")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_cdc_chunking_is_one_arrow_farm_hashes_only_shuffle(spark):
+    # the rolling-hash chunker is ONE Arrow-batched numpy farm (the
+    # decode family's pattern — an interpreted pure-codegen HOF chunker
+    # measured 50x slower); only chunk HASHES shuffle (argmin + the
+    # per-doc dup count), never payload bytes, and the farm's output is
+    # checkpointed so both consumers read it once
+    import re
+
+    p = _plan(spark, "cdc_chunk_dedup")
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) <= 1
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_min" in p or "partial_count" in p

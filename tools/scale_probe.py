@@ -131,6 +131,8 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "kneser_ney_bigram": {"documents": ["doc_id"]},
     "phrase_search": {"documents": ["doc_id"]},
     "tokenizer_fertility": {"documents": ["doc_id"]},
+    "late_interaction_maxsim": {"documents": ["doc_id"]},
+    "cdc_chunk_dedup": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -350,3 +350,272 @@ def q_tokenizer_fertility(spark, sf_dir):
             F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (ColBERT-style MaxSim) — per-token
+# embeddings, sum-of-max scoring
+# ---------------------------------------------------------------------------
+
+_LI_QUERY = ("training", "data", "quality")
+_LI_DIM = 8
+
+# deterministic per-token pseudo-embedding, dim j in [0, 8):
+#   tv(tok)[j] = (md5_32(tok || ':' || j) % 1000) / 1000 - 0.5
+# — the token-level analog of the corpus's hash embedder, identically
+# restatable in DuckDB (SQL_H32), so the maxsim SHAPE is what's tested.
+_SQL_TV = (
+    "list_transform(range(0, 8), j -> "
+    "CAST({h} % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+)
+
+
+def _li_sql_tv(tok_expr: str) -> str:
+    from victor_spark.plans.catalog import SQL_H32
+
+    return _SQL_TV.format(
+        h=SQL_H32.format(x=f"{tok_expr} || ':' || CAST(j AS VARCHAR)")
+    )
+
+
+def _li_oracle() -> str:
+    from victor_spark.plans.catalog import SQL_TOKS
+
+    terms = " + ".join(
+        "coalesce(list_max(list_transform(vecs, v -> "
+        f"list_dot_product(v, {_li_sql_tv(repr(qt))}))), 0.0)"
+        for qt in _LI_QUERY
+    )
+    return f"""
+WITH d AS (SELECT doc_id, list_distinct({SQL_TOKS.format(s='text')}) toks
+           FROM documents),
+dv AS (SELECT doc_id,
+              list_transform(toks, t -> {_li_sql_tv('t')}) vecs
+       FROM d),
+s AS (SELECT doc_id, {terms} AS score FROM dv),
+r AS (SELECT doc_id, round(score, 6) AS maxsim,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS INTEGER) AS rank
+      FROM s)
+SELECT doc_id, rank, maxsim FROM r WHERE rank <= 10
+"""
+
+
+@_q10(
+    "late_interaction_maxsim",
+    _li_oracle(),
+    "late-interaction retrieval (ColBERT's MaxSim, Khattab & Zaharia "
+    "2020): every token gets its own embedding and a document's score "
+    "is the sum over QUERY tokens of the max dot product against any "
+    "DOC token — the retrieval family between single-vector cosine and "
+    "full cross-attention. Token embeddings here are the deterministic "
+    "hash pseudo-embedder (dim 8), so both engines restate them "
+    "exactly; the doc-side token-vector table is bound once per row, "
+    "the per-query-token maxes are codegen array folds, and the top-10 "
+    "is a bounded heap. At 100 TB: one scan, zero shuffles before the "
+    "heap — the real-model swap changes the embedder seam only",
+)
+def q_late_interaction_maxsim(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from victor_spark.functions import hashing as H
+    from victor_spark.functions.vector import bind, dot
+    from victor_spark.sources.tables import fan_out
+
+    def tv(tok):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_LI_DIM - 1)),
+            lambda j: (
+                H.md5_32(F.concat(tok, F.lit(":"), j.cast("string"))) % 1000
+            ).cast("double")
+            / 1000.0
+            - 0.5,
+        )
+
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("toks"),
+    )
+
+    def qmax(vecs, qt):
+        qv = tv(F.lit(qt))
+        return F.coalesce(
+            F.array_max(F.transform(vecs, lambda v: dot(v, qv))),
+            F.lit(0.0),
+        )
+
+    def full_score(vs):
+        # all three per-query-token maxes inside ONE bound lambda: the
+        # doc's token-vector table evaluates once per row, and a single
+        # binding avoids the cross-bind lambda-variable collision that
+        # silently mis-scored when each term carried its own bind
+        total = None
+        for qt in _LI_QUERY:
+            term = qmax(vs, qt)
+            total = term if total is None else total + term
+        return total
+
+    scored = d.select(
+        "doc_id", bind(F.transform("toks", tv), full_score).alias("_s")
+    )
+    w = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("_s"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank", F.round("_s", 6).alias("maxsim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (CDC) — storage-level dedup over binary
+# payloads, the blob-store/backup family (complements content-level text
+# dedup)
+# ---------------------------------------------------------------------------
+
+_CDC_W = 8  # rolling window, bytes
+_CDC_D = 16  # boundary divisor -> ~16-byte average chunks
+_CDC_M = 2147483648  # 2^31 hash modulus
+
+_CDC_ORACLE = f"""
+WITH m AS (SELECT doc_id, hex(encode(text)) h,
+                  octet_length(encode(text)) n
+           FROM documents),
+b AS (SELECT doc_id, h, n,
+             list_transform(range(1, n + 1), p ->
+               CAST(concat('0x', substr(h, (p - 1) * 2 + 1, 2)) AS BIGINT)
+             ) AS bs
+      FROM m),
+bo AS (SELECT doc_id, h, n,
+              list_filter(range({_CDC_W}, n + 1), i ->
+                -- 2-arg list_reduce folds from the first element; that
+                -- equals Spark's aggregate-with-0 seed because
+                -- 0*31+b1 = b1 and b1 < 256 < the modulus
+                list_reduce(bs[i - {_CDC_W} + 1 : i],
+                            (acc, x) -> (acc * 31 + x) % {_CDC_M})
+                % {_CDC_D} = 0
+              ) AS bounds
+       FROM b),
+sp AS (SELECT doc_id, h,
+              -- list_sort: DuckDB's list_distinct SCRAMBLES order
+              -- (Spark's array_distinct keeps first-occurrence order,
+              -- already ascending here)
+              list_sort(list_distinct(list_concat(list_concat(
+                [CAST(0 AS BIGINT)],
+                list_transform(bounds, x -> CAST(x AS BIGINT))),
+                [CAST(n AS BIGINT)]))) AS s
+       FROM bo),
+ch AS (SELECT doc_id,
+              list_transform(range(1, len(s)), j ->
+                md5(substr(h, CAST(s[j] * 2 + 1 AS INTEGER),
+                           CAST((s[j + 1] - s[j]) * 2 AS INTEGER)))) AS cs
+       FROM sp),
+occ AS (SELECT doc_id, generate_subscripts(cs, 1) pos, unnest(cs) cm
+        FROM ch),
+firsts AS (SELECT cm, min(row(doc_id, pos)) f FROM occ GROUP BY cm)
+SELECT occ.doc_id,
+       CAST(count(*) AS INTEGER) AS n_chunks,
+       CAST(count(*) FILTER (WHERE row(occ.doc_id, occ.pos) <> firsts.f)
+            AS INTEGER) AS dup_chunks
+FROM occ JOIN firsts ON occ.cm = firsts.cm
+GROUP BY occ.doc_id
+"""
+
+
+@_q10(
+    "cdc_chunk_dedup",
+    _CDC_ORACLE,
+    "content-defined chunking dedup (the backup/blob-store family — "
+    "FastCDC/LBFS lineage): a rolling polynomial hash over each binary "
+    "payload cuts chunk boundaries wherever the windowed hash divides "
+    "{D}, so shared byte runs chunk IDENTICALLY regardless of their "
+    "offset (the insert-resistance fixed-size blocking lacks), and "
+    "cross-document duplicate chunks are counted corpus-wide with the "
+    "substring-dedup argmin shape. Storage-level complement to the "
+    "text-level dedup family — this is how you dedup image/audio/video "
+    "payload bytes, not their content. Per doc: chunking is ONE "
+    "Arrow-batched numpy farm (sliding-window matmul for the rolling "
+    "hash — the decode family's sanctioned pattern for per-row byte "
+    "compute; a pure-codegen HOF chunker computed the same values 50x "
+    "slower, interpreted per position); the only shuffles are the "
+    "chunk-hash argmin and the per-doc dup count. At 100 TB chunk "
+    "hashes are the minority shuffle payload — never the payload "
+    "bytes".format(D=_CDC_D),
+)
+def q_cdc_chunk_dedup(spark, sf_dir):
+    from victor_spark.sources.tables import fan_out
+
+    m = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def _chunk_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        powers = (31 ** np.arange(_CDC_W - 1, -1, -1)).astype(np.int64)
+        for pdf in batches:
+            css = []
+            for txt in pdf["text"]:
+                raw = ("" if txt is None else str(txt)).encode("utf-8")
+                b = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                n = len(b)
+                if n >= _CDC_W:
+                    # exact int64 sliding-window polynomial: max value
+                    # 255 * (31^7 + ... + 1) ~ 7.2e12 << 2^63, one mod
+                    # at the end equals the per-step-mod fold (mod is
+                    # ring-homomorphic over + and *)
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        b, _CDC_W
+                    )
+                    h = (win @ powers) % _CDC_M
+                    bounds = np.nonzero(h % _CDC_D == 0)[0] + _CDC_W
+                else:
+                    bounds = np.empty(0, dtype=np.int64)
+                s = np.unique(np.concatenate(([0], bounds, [n])))
+                hx = raw.hex().upper()
+                css.append(
+                    [
+                        hashlib.md5(
+                            hx[int(a) * 2 : int(e) * 2].encode("ascii")
+                        ).hexdigest()
+                        for a, e in zip(s[:-1], s[1:])
+                    ]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "cs": pd.Series(css, index=pdf.index)}
+            )
+
+    ch = m.mapInPandas(_chunk_batches, schema="doc_id long, cs array<string>")
+    # ONE pass over the chunk occurrences: n_chunks and the dup count
+    # come from the same firsts-join aggregation, so the heavy chunking
+    # projection evaluates exactly once (the first cut rejoined the
+    # per-doc chunk table against itself and re-ran the whole pipeline
+    # for the second branch — measured 9 s vs 3.3 s at sf0.1). Empty
+    # payloads chunk to nothing and are absent in both engines.
+    occ = (
+        ch.select("doc_id", F.posexplode("cs").alias("p0", "cm"))
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "cm")
+        # both consumers (the firsts argmin and the join's probe side)
+        # would otherwise re-run the whole chunking projection — the
+        # plan showed the scan->bytes->bounds->chunks tree twice
+        .localCheckpoint(eager=False)
+    )
+    firsts = occ.groupBy("cm").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f")
+    )
+    return (
+        occ.join(firsts, "cm")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.count_if(
+                (F.col("pos") != F.col("f.pos"))
+                | (F.col("doc_id") != F.col("f.doc_id"))
+            )
+            .cast("int")
+            .alias("dup_chunks"),
+        )
+    )
