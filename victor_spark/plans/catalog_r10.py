@@ -619,3 +619,83 @@ def q_cdc_chunk_dedup(spark, sf_dir):
             .alias("dup_chunks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup: per-doc sampling weights 1/|duplicate cluster| — train-time
+# downweighting instead of hard removal
+# ---------------------------------------------------------------------------
+
+_SOFT_DEDUP_ORACLE = """
+WITH RECURSIVE {ctes},
+dup_edges AS (
+  SELECT id_a AS a, id_b AS b FROM ver WHERE jaccard >= 0.7
+  UNION
+  SELECT id_b AS a, id_a AS b FROM ver WHERE jaccard >= 0.7
+),
+reach(node, r) AS (
+  SELECT a, a FROM dup_edges
+  UNION
+  SELECT e.b, r.r FROM reach r JOIN dup_edges e ON e.a = r.node
+),
+clusters AS (SELECT node AS doc, min(r) AS cluster FROM reach GROUP BY node),
+sizes AS (SELECT cluster, count(*) AS csize FROM clusters GROUP BY cluster)
+SELECT corpus.doc_id,
+       coalesce(clusters.cluster, corpus.doc_id) AS cluster,
+       round(1.0 / CAST(coalesce(sizes.csize, 1) AS DOUBLE), 6) AS weight
+FROM corpus
+LEFT JOIN clusters ON corpus.doc_id = clusters.doc
+LEFT JOIN sizes ON clusters.cluster = sizes.cluster
+"""
+
+
+def _soft_dedup_oracle() -> str:
+    from victor_spark.plans.catalog import _DUP_CORPUS_SQL, _minhash_ctes
+
+    return _SOFT_DEDUP_ORACLE.format(ctes=_minhash_ctes(_DUP_CORPUS_SQL))
+
+
+@_q10(
+    "soft_dedup_weights",
+    _soft_dedup_oracle(),
+    "soft deduplication: instead of dropping near-duplicates, every doc "
+    "gets sampling weight 1/|its duplicate cluster| (singletons weight "
+    "1, cluster = its min-id like the dedup family), so a training "
+    "sampler sees each CONTENT with equal total mass while keeping "
+    "every variant available — the downweight-don't-delete policy "
+    "debated for web corpora (duplication count as a quality signal). "
+    "Pipeline: the standard MinHash-LSH pair stage, transitive "
+    "clustering, one tiny cluster-size aggregation, then a broadcast "
+    "join back onto the corpus (the cluster table is duplicate-minority "
+    "sized — the corpus itself never shuffles). The oracle replays "
+    "clustering as a recursive closure and states every weight",
+)
+def q_soft_dedup_weights(spark, sf_dir):
+    from victor_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_near_duplicates,
+    )
+    from victor_spark.plans.catalog import (
+        MINHASH_BANDS,
+        MINHASH_NUM,
+        _dup_corpus,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_near_duplicates(
+        corpus, "doc_id", "text",
+        threshold=0.7, num_hashes=MINHASH_NUM, bands=MINHASH_BANDS,
+        shingle_n=3, unit="word",
+    )
+    clusters = duplicate_clusters(pairs)
+    sizes = clusters.groupBy("cluster").agg(F.count("*").alias("csize"))
+    cw = clusters.join(sizes, "cluster").select(
+        F.col("doc").alias("doc_id"), "cluster", "csize"
+    )
+    return corpus.join(F.broadcast(cw), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        F.round(
+            F.lit(1.0) / F.coalesce("csize", F.lit(1)).cast("double"), 6
+        ).alias("weight"),
+    )
