@@ -115,3 +115,13 @@ def test_cdc_chunking_is_one_arrow_farm_hashes_only_shuffle(spark):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert "partial_min" in p or "partial_count" in p
+
+
+def test_soft_dedup_corpus_weight_join_is_broadcast(spark):
+    # the cluster-weight table is duplicate-minority sized and rides a
+    # broadcast join onto the corpus (the minhash pipeline's internal
+    # candidate/verify joins shuffle by design — pinned by the dedup
+    # family's own plan tests — so no global no-SMJ claim here)
+    p = _plan(spark, "soft_dedup_weights")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p

@@ -133,6 +133,7 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "tokenizer_fertility": {"documents": ["doc_id"]},
     "late_interaction_maxsim": {"documents": ["doc_id"]},
     "cdc_chunk_dedup": {"documents": ["doc_id"]},
+    "soft_dedup_weights": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000
