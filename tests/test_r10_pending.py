@@ -125,3 +125,13 @@ def test_soft_dedup_corpus_weight_join_is_broadcast(spark):
     p = _plan(spark, "soft_dedup_weights")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p and "LeftOuter" in p
+
+
+def test_doremi_is_lm_shape_with_tiny_tails(spark):
+    # the LM family's explode + distribution join feeding two tiny
+    # aggregations; the 1-row reference/total/normalizer dims broadcast,
+    # no Python, no cartesian blowup (crossJoins are 1-row broadcasts)
+    p = _plan(spark, "domain_mix_doremi")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

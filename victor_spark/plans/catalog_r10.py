@@ -699,3 +699,99 @@ def q_soft_dedup_weights(spark, sf_dir):
             F.lit(1.0) / F.coalesce("csize", F.lit(1)).cast("double"), 6
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-lite domain reweighting — excess-loss-driven mixture weights
+# ---------------------------------------------------------------------------
+
+_DOREMI_ETA = 1.0
+_DOREMI_EPS = 0.2
+
+_DOREMI_ORACLE = f"""
+WITH toks AS (SELECT source, unnest({SQL_TOKS.format(s='lower(text)')}) tok
+              FROM documents),
+dist AS (SELECT tok, count(*) c FROM toks GROUP BY tok),
+total AS (SELECT CAST(sum(c) AS DOUBLE) t FROM dist),
+nll AS (SELECT toks.source, -ln(CAST(dist.c AS DOUBLE) / total.t) l
+        FROM toks JOIN dist USING (tok) CROSS JOIN total),
+ref AS (SELECT avg(l) rl FROM nll),
+dom AS (SELECT source, CAST(count(*) AS BIGINT) n_tokens, avg(l) dl
+        FROM nll GROUP BY source),
+ex AS (SELECT source, n_tokens,
+              greatest(dom.dl - ref.rl, 0.0) AS excess
+       FROM dom CROSS JOIN ref),
+ew AS (SELECT source, n_tokens, excess,
+              exp({_DOREMI_ETA} * excess) AS w FROM ex),
+z AS (SELECT sum(CAST(w AS DECIMAL(20, 12))) zsum FROM ew),
+k AS (SELECT CAST(count(*) AS DOUBLE) k FROM ew)
+SELECT source, n_tokens, round(excess, 6) AS excess_loss,
+       round((1.0 - {_DOREMI_EPS}) * (w / CAST(z.zsum AS DOUBLE))
+             + {_DOREMI_EPS} / k.k, 6) AS weight
+FROM ew CROSS JOIN z CROSS JOIN k
+"""
+
+
+@_q10(
+    "domain_mix_doremi",
+    _DOREMI_ORACLE,
+    "DoReMi-lite domain reweighting (Xie et al. 2023, simplified to one "
+    "round with the corpus unigram LM as the proxy model): each source "
+    "domain's EXCESS loss over the corpus-wide reference (mean unigram "
+    "NLL) drives an exponentiated weight, normalized and smoothed with "
+    "a uniform mixture (eps=0.2, the paper's stabilizer) — hard domains "
+    "get upsampled, at-reference domains fall back toward uniform. "
+    "Shuffle shape: the LM family's (one explode, a Heaps-bounded "
+    "distribution table, the instance join) feeding TWO tiny "
+    "aggregations (per-domain, 1-row reference); the normalization sum "
+    "is DECIMAL(20,12) so the 5-row reduction is order-independent. "
+    "Complements mix_weights (size-driven) with quality/difficulty-"
+    "driven mixing",
+)
+def q_domain_mix_doremi(spark, sf_dir):
+    from victor_spark.functions import text as T
+    from victor_spark.sources.tables import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "source", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    dist = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = F.broadcast(dist.agg(F.sum("c").cast("double").alias("t")))
+    nll = (
+        toks.join(dist, "tok")
+        .crossJoin(total)
+        .select(
+            "source",
+            (-F.log(F.col("c").cast("double") / F.col("t"))).alias("l"),
+        )
+    )
+    ref = F.broadcast(nll.agg(F.avg("l").alias("rl")))
+    dom = nll.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"), F.avg("l").alias("dl")
+    )
+    ew = dom.crossJoin(ref).select(
+        "source",
+        "n_tokens",
+        F.greatest(F.col("dl") - F.col("rl"), F.lit(0.0)).alias("excess"),
+        F.exp(F.lit(_DOREMI_ETA) * F.greatest(F.col("dl") - F.col("rl"), F.lit(0.0))).alias("w"),
+    )
+    z = F.broadcast(
+        ew.agg(F.sum(F.col("w").cast("decimal(20,12)")).alias("zsum"))
+    )
+    k = F.broadcast(ew.agg(F.count("*").cast("double").alias("k")))
+    return (
+        ew.crossJoin(z)
+        .crossJoin(k)
+        .select(
+            "source",
+            "n_tokens",
+            F.round("excess", 6).alias("excess_loss"),
+            F.round(
+                F.lit(1.0 - _DOREMI_EPS)
+                * (F.col("w") / F.col("zsum").cast("double"))
+                + F.lit(_DOREMI_EPS) / F.col("k"),
+                6,
+            ).alias("weight"),
+        )
+    )
