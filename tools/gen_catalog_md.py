@@ -35,17 +35,39 @@ def main() -> None:
         "`python tools/gen_catalog_md.py > CATALOG.md`."
     )
     print()
-    print("| # | query | oracle | what it is |")
-    print("|---|---|---|---|")
-    for i, name in enumerate(sorted(QUERIES), 1):
-        spec = QUERIES[name]
-        kind = (
-            "dynamic" if callable(spec.oracle)
-            else "sql" if spec.oracle is not None
-            else "rows-only"
+    def table(specs) -> None:
+        print("| # | query | oracle | what it is |")
+        print("|---|---|---|---|")
+        for i, name in enumerate(sorted(specs), 1):
+            spec = specs[name]
+            kind = (
+                "dynamic" if callable(spec.oracle)
+                else "sql" if spec.oracle is not None
+                else "rows-only"
+            )
+            doc = " ".join((spec.doc or "").split())
+            print(f"| {i} | `{name}` | {kind} | {doc} |")
+
+    table(QUERIES)
+
+    try:
+        from victor_spark.plans.catalog_r10 import PENDING
+    except ImportError:
+        PENDING = {}
+    staged = {k: v for k, v in PENDING.items() if k not in QUERIES}
+    if staged:
+        print()
+        print("## Staged (next-round registration)")
+        print()
+        print(
+            f"{len(staged)} queries built and oracle-hardened this round, "
+            "registered at next round's start (the gate-window staging "
+            "pattern — see plans/catalog_r10.py's module docstring). "
+            "Covered NOW by tests/test_r10_pending.py at two SFs and by "
+            "`tools/driver_sim.py --pending` in a vanilla session."
         )
-        doc = " ".join((spec.doc or "").split())
-        print(f"| {i} | `{name}` | {kind} | {doc} |")
+        print()
+        table(staged)
 
 
 if __name__ == "__main__":
