@@ -979,7 +979,8 @@ class VectorIndex:
     # -- PQ serving path (extension; see operators/pq.py) -------------------
 
     def build_pq(self, m: int = 8, n_codes: int = 16,
-                 trainer: str = "sample", train_iters: int = 10) -> None:
+                 trainer: str = "sample", train_iters: int = 10,
+                 seed_col: str = "id") -> None:
         """Build (or refresh) the product-quantization serving table: a
         deterministic codebook over the stored vectors plus an
         ``(id, pq_code)`` parquet of per-subvector codes.
@@ -994,6 +995,13 @@ class VectorIndex:
         row codebook (oracle-replayable in SQL); ``trainer="kmeans"`` runs
         ``train_iters`` Lloyd rounds from the same deterministic init —
         better quantization error, same serving algebra.
+
+        ``seed_col``: the column whose salted md5 drives the
+        deterministic init. The default ``"id"`` is stable within one
+        index lifetime but ids are minted per insert, so REBUILDING an
+        identical corpus draws a different init; pass ``"content"`` (or
+        any column stable across re-inserts and unique per row) for
+        cross-run reproducible codebooks.
         """
         from victor_spark.operators import pq
 
@@ -1002,9 +1010,12 @@ class VectorIndex:
         dim = self.dimension()
         if dim % m != 0:
             raise ValueError(f"dimension {dim} not divisible by m={m}")
-        full = self.scan().select("id", "embedding")
+        cols = ["id", "embedding"] + ([seed_col] if seed_col not in
+                                      ("id", "embedding") else [])
+        full = self.scan().select(*cols)
         cb = self._train_codebook(full, n_codes, trainer, train_iters,
-                                  metric="l2", salt="pq")
+                                  metric="l2", salt="pq", seed_col=seed_col)
+        full = full.select("id", "embedding")
         enc = pq.encode(full, "embedding", cb, m=m).select("id", "pq_code")
         tmp = self.pq_path + "__building"
         self.fs.delete(tmp)
@@ -1013,16 +1024,19 @@ class VectorIndex:
         self._write_json(self.pq_meta_path, {"m": m, "codebook": cb})
 
     def _train_codebook(self, df, k: int, trainer: str, train_iters: int,
-                        metric: str, salt: str) -> list[list[float]]:
+                        metric: str, salt: str,
+                        seed_col: str = "id") -> list[list[float]]:
         """Model rows for an ANN artifact: the deterministic salted-md5
         sample (oracle-replayable) or Lloyd-refined centroids from that
-        same init (better recall at equal serving cost; operators/kmeans)."""
+        same init (better recall at equal serving cost; operators/kmeans).
+        ``seed_col`` picks the column the init hashes (see build_pq)."""
         from victor_spark.operators import kmeans, pq
 
         if trainer == "sample":
-            return pq.codebook_vectors(df, "id", "embedding", k=k, salt=salt)
+            return pq.codebook_vectors(df, seed_col, "embedding", k=k,
+                                       salt=salt)
         if trainer == "kmeans":
-            return kmeans.fit_kmeans(df, "id", "embedding", k=k,
+            return kmeans.fit_kmeans(df, seed_col, "embedding", k=k,
                                      max_iter=train_iters, metric=metric,
                                      salt=salt)
         raise ValueError(f"trainer must be sample|kmeans, got {trainer!r}")
@@ -1074,7 +1088,8 @@ class VectorIndex:
         ).orderBy(F.asc("adc_dist"), F.asc("id"))
 
     def build_ivf(self, n_cells: int = 64,
-                  trainer: str = "sample", train_iters: int = 10) -> None:
+                  trainer: str = "sample", train_iters: int = 10,
+                  seed_col: str = "id") -> None:
         """Materialize the inverted-file serving table: rows rewritten
         PARTITIONED BY their nearest-centroid cell, centroids persisted
         driver-side. ``search_ivf`` then probes nprobe cells as parquet
@@ -1092,9 +1107,13 @@ class VectorIndex:
         if self.is_empty():
             raise ValueError("cannot build IVF over an empty index")
         full = self.scan().select("id", "content", "tags", "embedding")
-        cents = self._train_codebook(full.select("id", "embedding"), n_cells,
+        seed_cols = ["id", "embedding"] + (
+            [seed_col] if seed_col not in ("id", "embedding") else []
+        )
+        cents = self._train_codebook(full.select(*seed_cols), n_cells,
                                      trainer, train_iters,
-                                     metric="cosine", salt="ivf")
+                                     metric="cosine", salt="ivf",
+                                     seed_col=seed_col)
         cent_df = F.broadcast(
             self.spark.createDataFrame(
                 [(i, c) for i, c in enumerate(cents)],
