@@ -252,3 +252,27 @@ def test_seed_centroids_zero_vector_pool(spark):
     assert len(cents) == 4
     # no duplicated centroid (the old bug filled slots with the zero row)
     assert len({tuple(c) for c in cents}) == 4
+
+
+def test_ivfpq_content_seeding_is_reproducible_across_reinserts(spark, tmp_path):
+    """seed_col threads through BOTH ivfpq trainer paths (coarse cells
+    and the residual codebook): re-ingesting the identical corpus into a
+    fresh index must serve identical ADC distances, which id seeding
+    cannot promise (ids are minted per insert)."""
+    from victor_spark.index import VectorIndex
+
+    rng = np.random.default_rng(7)
+    rows = [(f"d{i:02d}", [float(x) for x in rng.normal(0, 1, 8)], [])
+            for i in range(40)]
+
+    def serve(path):
+        idx = VectorIndex(spark, path)
+        idx.insert(rows)
+        idx.build_ivfpq(m=2, n_codes=4, n_cells=2, trainer="kmeans",
+                        train_iters=4, seed_col="content")
+        return [
+            round(r["adc_dist"], 9)
+            for r in idx.search_ivfpq(rows[5][1], k=5, nprobe=2).collect()
+        ]
+
+    assert serve(str(tmp_path / "a")) == serve(str(tmp_path / "b"))

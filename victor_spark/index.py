@@ -1202,7 +1202,8 @@ class VectorIndex:
 
     def build_ivfpq(self, m: int = 8, n_codes: int = 16,
                     n_cells: int = 64,
-                    trainer: str = "sample", train_iters: int = 10) -> None:
+                    trainer: str = "sample", train_iters: int = 10,
+                    seed_col: str = "id") -> None:
         """Materialize the IVF-PQ serving table (operators/ivfpq.py, the
         FAISS-standard composition): rows assigned to nearest-centroid
         cells, RESIDUALS (v − centroid) product-quantized, and the
@@ -1215,7 +1216,10 @@ class VectorIndex:
         build_pq/build_ivf. ``trainer="kmeans"``: spherical Lloyd for the
         cells, then L2 Lloyd over the RESIDUALS for the codebook — the
         FAISS training recipe. A maintenance artifact — rebuild after
-        batch loads."""
+        batch loads. ``seed_col`` picks the column the deterministic
+        inits hash (build_pq's reproducibility contract: ids are minted
+        per insert, so pass a stable unique column like ``"content"``
+        for identical codebooks across re-ingests of the same corpus)."""
         import math
 
         from victor_spark.operators import pq as PQ
@@ -1225,16 +1229,20 @@ class VectorIndex:
         dim = self.dimension()
         if dim % m != 0:
             raise ValueError(f"dimension {dim} not divisible by m={m}")
-        full = self.scan().select("id", "embedding")
+        seed_cols = ["id", "embedding"] + (
+            [seed_col] if seed_col not in ("id", "embedding") else []
+        )
+        full = self.scan().select(*seed_cols)
         if trainer == "kmeans":
-            self._build_ivfpq_kmeans(full, m, n_codes, n_cells, train_iters)
+            self._build_ivfpq_kmeans(full, m, n_codes, n_cells, train_iters,
+                                     seed_col=seed_col)
             return
         # one collect for both model artifacts: centroid rows + codebook rows
         tagged = full.select(
             "id", "embedding",
-            F.conv(F.substring(F.md5(F.concat(F.lit("ivfpq-cent:"), F.col("id"))), 1, 8),
+            F.conv(F.substring(F.md5(F.concat(F.lit("ivfpq-cent:"), F.col(seed_col).cast("string"))), 1, 8),
                    16, 10).cast("long").alias("_hc"),
-            F.conv(F.substring(F.md5(F.concat(F.lit("ivfpq-cb:"), F.col("id"))), 1, 8),
+            F.conv(F.substring(F.md5(F.concat(F.lit("ivfpq-cb:"), F.col(seed_col).cast("string"))), 1, 8),
                    16, 10).cast("long").alias("_hb"),
         )
         cent_part = tagged.orderBy("_hc", "id").limit(n_cells).select(
@@ -1271,9 +1279,13 @@ class VectorIndex:
         self._write_ivfpq(full, cents, codebook, m)
 
     def _assign_cells_with_residuals(self, full: DataFrame,
-                                     cents: list[list[float]]) -> DataFrame:
-        """(id, cell, _r): nearest-centroid cell by cosine (ties → lowest
-        cell) and the residual vector — the shared IVF-PQ assignment job.
+                                     cents: list[list[float]],
+                                     carry: tuple[str, ...] = ()) -> DataFrame:
+        """(id, cell, _r [, carry...]): nearest-centroid cell by cosine
+        (ties → lowest cell) and the residual vector — the shared IVF-PQ
+        assignment job. ``carry`` names extra ``full`` columns to keep
+        (e.g. the reproducible-seed column the residual-codebook trainer
+        hashes).
 
         Argmax as a max_by aggregation carrying the winning (cell, cv)
         struct (tie → lowest cell): map-side partial aggregation, one
@@ -1286,12 +1298,13 @@ class VectorIndex:
         )
         best = scored.groupBy("id").agg(
             F.first("embedding").alias("embedding"),
+            *[F.first(c).alias(c) for c in carry],
             F.max_by(
                 F.struct("cell", "cv"), F.struct(F.col("_cs"), -F.col("cell"))
             ).alias("_best"),
         )
         return best.select(
-            "id", F.col("_best.cell").alias("cell"),
+            "id", *carry, F.col("_best.cell").alias("cell"),
             F.zip_with(
                 "embedding", F.col("_best.cv"), lambda x, y: x - y
             ).alias("_r"),
@@ -1315,18 +1328,24 @@ class VectorIndex:
         )
 
     def _build_ivfpq_kmeans(self, full: DataFrame, m: int, n_codes: int,
-                            n_cells: int, train_iters: int) -> None:
+                            n_cells: int, train_iters: int,
+                            seed_col: str = "id") -> None:
         """FAISS-recipe training: spherical k-means for the coarse cells,
         then L2 k-means over the residuals for the shared codebook."""
         from victor_spark.operators import kmeans
 
-        cents = kmeans.fit_kmeans(full, "id", "embedding", k=n_cells,
+        cents = kmeans.fit_kmeans(full, seed_col, "embedding", k=n_cells,
                                   max_iter=train_iters, metric="cosine",
                                   salt="ivfpq-cent")
         # the assignment job is the corpus-sized part of the build; compute
-        # it once and feed both the codebook trainer and the encode/write
-        residuals = self._assign_cells_with_residuals(full, cents).localCheckpoint()
-        codebook = kmeans.fit_kmeans(residuals, "id", "_r", k=n_codes,
+        # it once and feed both the codebook trainer and the encode/write,
+        # carrying the seed column so the residual-codebook init follows
+        # the same reproducibility contract as the coarse cells
+        carry = (seed_col,) if seed_col not in ("id", "embedding") else ()
+        residuals = self._assign_cells_with_residuals(
+            full, cents, carry=carry
+        ).localCheckpoint()
+        codebook = kmeans.fit_kmeans(residuals, seed_col, "_r", k=n_codes,
                                      max_iter=train_iters, metric="l2",
                                      salt="ivfpq-cb")
         self._write_ivfpq(full, cents, codebook, m, assigned=residuals)
