@@ -135,3 +135,13 @@ def test_doremi_is_lm_shape_with_tiny_tails(spark):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_winnowing_is_codegen_fingerprint_join(spark):
+    # per-doc winnow sets are one codegen projection; the pair stage is
+    # an equi-join on the fingerprint key + a bounded top-20 — no
+    # Python, no cartesian
+    p = _plan(spark, "winnow_fingerprints")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p

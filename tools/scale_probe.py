@@ -135,6 +135,7 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "cdc_chunk_dedup": {"documents": ["doc_id"]},
     "soft_dedup_weights": {"documents": ["doc_id"]},
     "domain_mix_doremi": {"documents": ["doc_id"]},
+    "winnow_fingerprints": {"documents": ["doc_id"]},
 }
 
 ID_STRIDE = 100_000_000

@@ -795,3 +795,124 @@ def q_domain_mix_doremi(spark, sf_dir):
             ).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# algorithm): guaranteed-density local fingerprinting + overlap pairs
+# ---------------------------------------------------------------------------
+
+_WIN_W = 4  # winnowing window (fingerprints per w consecutive grams)
+_WIN_T = 2  # report pairs sharing at least this many fingerprints
+
+_WINNOW_ORACLE = f"""
+WITH corpus AS ({{corpus}}),
+t AS (SELECT doc_id, {{toks}} tk FROM corpus),
+g AS (SELECT doc_id,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(range(1, len(tk) - 1),
+                 i -> {{h}})
+             ELSE [] END AS hs
+      FROM t),
+fp AS (SELECT doc_id,
+              list_distinct(
+                CASE WHEN len(hs) = 0 THEN []
+                     WHEN len(hs) < {_WIN_W} THEN [list_min(hs)]
+                     ELSE list_transform(range(1, len(hs) - {_WIN_W} + 2),
+                            j -> list_min(hs[j : j + {_WIN_W} - 1]))
+                END) AS fps
+       FROM g),
+occ AS (SELECT doc_id, unnest(fps) f FROM fp),
+pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_shared
+          FROM occ a JOIN occ b ON a.f = b.f AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, CAST(n_shared AS INTEGER) AS n_shared
+FROM pairs WHERE n_shared >= {_WIN_T}
+ORDER BY n_shared DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+def _winnow_oracle() -> str:
+    from victor_spark.plans.catalog import _DUP_CORPUS_SQL, SQL_H32, SQL_TOKS
+
+    gram = "concat(tk[i], ' ', tk[i+1], ' ', tk[i+2])"
+    return _WINNOW_ORACLE.format(
+        corpus=_DUP_CORPUS_SQL,
+        toks=SQL_TOKS.format(s="text"),
+        h=SQL_H32.format(x=gram),
+    )
+
+
+@_q10(
+    "winnow_fingerprints",
+    _winnow_oracle(),
+    "winnowing (Schleimer et al. 2003 — MOSS's fingerprinting): hash "
+    "every POSITIONAL word 3-gram, keep the minimum of each sliding "
+    "window of {w} hashes — a local algorithm with a guaranteed "
+    "fingerprint density (~2/(w+1)) that, unlike MinHash's global "
+    "signature, detects PARTIAL overlap: any shared run of w+2 tokens "
+    "is guaranteed to share a fingerprint regardless of position. "
+    "Pairs sharing >= {t} fingerprints are the plagiarism/containment "
+    "report (top-20). Scale shape: winnow sets are per-doc codegen "
+    "projections bounded to ~|grams|/{w} entries; the pair stage is an "
+    "equi-join on the fingerprint key — band-join economics, never "
+    "all-pairs. Complements MinHash (whole-doc near-dup) and the "
+    "substring dedup (exact windows) with alignment-free partial-"
+    "overlap detection".format(w=_WIN_W, t=_WIN_T),
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    from victor_spark.functions import hashing as H
+    from victor_spark.functions.vector import bind
+    from victor_spark.plans.catalog import _dup_corpus
+
+    d = _dup_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("tk"),
+    )
+    grams = F.when(
+        F.size("tk") >= 3,
+        bind(
+            F.col("tk"),
+            lambda tk: F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 2),
+                lambda i: H.md5_32(
+                    F.concat(
+                        F.element_at(tk, i), F.lit(" "),
+                        F.element_at(tk, i + 1), F.lit(" "),
+                        F.element_at(tk, i + 2),
+                    )
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fps = bind(
+        grams,
+        lambda hs: F.array_distinct(
+            F.when(F.size(hs) == 0, F.array().cast("array<long>"))
+            .when(F.size(hs) < _WIN_W, F.array(F.array_min(hs)))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(hs) - (_WIN_W - 1)),
+                    lambda j: F.array_min(F.slice(hs, j, _WIN_W)),
+                )
+            )
+        ),
+    )
+    occ = d.select("doc_id", F.explode(fps).alias("f"))
+    a, b = occ.alias("a"), occ.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_T)
+    )
+    return pairs.orderBy(
+        F.desc("n_shared"), F.asc("id_a"), F.asc("id_b")
+    ).limit(20)
