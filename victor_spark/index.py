@@ -1005,13 +1005,17 @@ class VectorIndex:
         """
         from victor_spark.operators import pq
 
+        if seed_col == "embedding":
+            raise ValueError(
+                "seed_col must name a scalar identity column (e.g. 'id' "
+                "or 'content'), not the vector column"
+            )
         if self.is_empty():
             raise ValueError("cannot build PQ over an empty index")
         dim = self.dimension()
         if dim % m != 0:
             raise ValueError(f"dimension {dim} not divisible by m={m}")
-        cols = ["id", "embedding"] + ([seed_col] if seed_col not in
-                                      ("id", "embedding") else [])
+        cols = ["id", "embedding"] + ([seed_col] if seed_col != "id" else [])
         full = self.scan().select(*cols)
         cb = self._train_codebook(full, n_codes, trainer, train_iters,
                                   metric="l2", salt="pq", seed_col=seed_col)
@@ -1104,11 +1108,16 @@ class VectorIndex:
         (tests/test_kmeans.py measures it). A maintenance artifact —
         rebuild after batch loads.
         """
+        if seed_col == "embedding":
+            raise ValueError(
+                "seed_col must name a scalar identity column (e.g. 'id' "
+                "or 'content'), not the vector column"
+            )
         if self.is_empty():
             raise ValueError("cannot build IVF over an empty index")
         full = self.scan().select("id", "content", "tags", "embedding")
         seed_cols = ["id", "embedding"] + (
-            [seed_col] if seed_col not in ("id", "embedding") else []
+            [seed_col] if seed_col != "id" else []
         )
         cents = self._train_codebook(full.select(*seed_cols), n_cells,
                                      trainer, train_iters,
@@ -1224,13 +1233,18 @@ class VectorIndex:
 
         from victor_spark.operators import pq as PQ
 
+        if seed_col == "embedding":
+            raise ValueError(
+                "seed_col must name a scalar identity column (e.g. 'id' "
+                "or 'content'), not the vector column"
+            )
         if self.is_empty():
             raise ValueError("cannot build IVF-PQ over an empty index")
         dim = self.dimension()
         if dim % m != 0:
             raise ValueError(f"dimension {dim} not divisible by m={m}")
         seed_cols = ["id", "embedding"] + (
-            [seed_col] if seed_col not in ("id", "embedding") else []
+            [seed_col] if seed_col != "id" else []
         )
         full = self.scan().select(*seed_cols)
         if trainer == "kmeans":
@@ -1341,7 +1355,7 @@ class VectorIndex:
         # it once and feed both the codebook trainer and the encode/write,
         # carrying the seed column so the residual-codebook init follows
         # the same reproducibility contract as the coarse cells
-        carry = (seed_col,) if seed_col not in ("id", "embedding") else ()
+        carry = (seed_col,) if seed_col != "id" else ()
         residuals = self._assign_cells_with_residuals(
             full, cents, carry=carry
         ).localCheckpoint()

@@ -715,11 +715,16 @@ dist AS (SELECT tok, count(*) c FROM toks GROUP BY tok),
 total AS (SELECT CAST(sum(c) AS DOUBLE) t FROM dist),
 nll AS (SELECT toks.source, -ln(CAST(dist.c AS DOUBLE) / total.t) l
         FROM toks JOIN dist USING (tok) CROSS JOIN total),
-ref AS (SELECT avg(l) rl FROM nll),
-dom AS (SELECT source, CAST(count(*) AS BIGINT) n_tokens, avg(l) dl
+dom AS (SELECT source, CAST(count(*) AS BIGINT) n_tokens, sum(l) sl
         FROM nll GROUP BY source),
+-- the reference loss folds over dom's 20 per-source partials instead
+-- of re-scanning the instance stream (one corpus pass, not two); the
+-- cross-source reduction is DECIMAL so it is order-independent
+ref AS (SELECT CAST(sum(CAST(sl AS DECIMAL(38, 12))) AS DOUBLE)
+               / CAST(sum(n_tokens) AS DOUBLE) rl
+        FROM dom),
 ex AS (SELECT source, n_tokens,
-              greatest(dom.dl - ref.rl, 0.0) AS excess
+              greatest(dom.sl / n_tokens - ref.rl, 0.0) AS excess
        FROM dom CROSS JOIN ref),
 ew AS (SELECT source, n_tokens, excess,
               exp({_DOREMI_ETA} * excess) AS w FROM ex),
@@ -766,15 +771,29 @@ def q_domain_mix_doremi(spark, sf_dir):
             (-F.log(F.col("c").cast("double") / F.col("t"))).alias("l"),
         )
     )
-    ref = F.broadcast(nll.agg(F.avg("l").alias("rl")))
+    # ONE corpus pass: per-source (count, sum) partials; the reference
+    # loss folds over those 20 partials (DECIMAL cross-source sum —
+    # order-independent) instead of re-running the explode+join for a
+    # second global average (review-caught double corpus pass)
     dom = nll.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_tokens"), F.avg("l").alias("dl")
+        F.count("*").cast("long").alias("n_tokens"), F.sum("l").alias("sl")
+    )
+    ref = F.broadcast(
+        dom.agg(
+            (
+                F.sum(F.col("sl").cast("decimal(38,12)")).cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("rl")
+        )
+    )
+    excess = F.greatest(
+        F.col("sl") / F.col("n_tokens") - F.col("rl"), F.lit(0.0)
     )
     ew = dom.crossJoin(ref).select(
         "source",
         "n_tokens",
-        F.greatest(F.col("dl") - F.col("rl"), F.lit(0.0)).alias("excess"),
-        F.exp(F.lit(_DOREMI_ETA) * F.greatest(F.col("dl") - F.col("rl"), F.lit(0.0))).alias("w"),
+        excess.alias("excess"),
+        F.exp(F.lit(_DOREMI_ETA) * excess).alias("w"),
     )
     z = F.broadcast(
         ew.agg(F.sum(F.col("w").cast("decimal(20,12)")).alias("zsum"))
@@ -899,7 +918,12 @@ def q_winnow_fingerprints(spark, sf_dir):
             )
         ),
     )
-    occ = d.select("doc_id", F.explode(fps).alias("f"))
+    # checkpoint: both sides of the pair self-join would otherwise
+    # re-run the gram-hash + window-min projection over the whole
+    # corpus (cdc_chunk_dedup's lesson in this same module)
+    occ = d.select("doc_id", F.explode(fps).alias("f")).localCheckpoint(
+        eager=False
+    )
     a, b = occ.alias("a"), occ.alias("b")
     pairs = (
         a.join(
