@@ -82,6 +82,29 @@ def test_fractional_weights_are_honored_not_truncated(spark):
     assert run([0.5, 0.5, 1.0, 1.0]) == run([1.0, 1.0, 1.0, 1.0])
 
 
+def test_non_positive_weights_raise(spark):
+    # the POSITIVE-weights contract is enforced, not just documented:
+    # a negative, zero, or NULL weight must fail fast with a clear
+    # message instead of silently corrupting ranks or hitting ANSI
+    # DIVIDE_BY_ZERO deep inside an iteration job (review-caught)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    for bad in (-1.0, 0.0, None):
+        # pagerank() itself runs the node count, so the guard fires at
+        # call time — first touch, before any iteration job
+        with pytest.raises((PySparkException, Py4JJavaError)) as exc:
+            pagerank(
+                spark.createDataFrame(
+                    [(0, 1, 1.0), (1, 0, bad)],
+                    "src long, dst long, w double",
+                ),
+                weight="w",
+                iterations=1,
+            ).collect()
+        assert "weights must be positive" in str(exc.value)
+
+
 def test_self_loops_dropped_and_bad_iterations_raise(spark):
     got = _ranks(spark, [(0, 0), (0, 1), (1, 0)], iterations=2)
     # with the self-loop dropped this is the 2-cycle: uniform 1/2

@@ -1,8 +1,8 @@
-"""Round-10 staged queries (plans/catalog_r10.py): full driver-gate
-parity NOW, registration at round-10 start (round 9's gate window is
-exactly full — 16 registered + 34 r6-tier; see catalog_r10's module
-docstring). These tests run the exact compare the driver gate runs, at
-BOTH the smoke SF and the gate's own SF."""
+"""Round-10 queries (plans/catalog_r10.py): staged through round 9,
+REGISTERED at round-10 start after their two flagged scale hazards were
+fixed (winnow_fingerprints' document-frequency cap, soft_dedup_weights'
+dropped broadcast hint). These tests run the exact compare the driver
+gate runs, at BOTH the smoke SF and the gate's own SF."""
 
 from __future__ import annotations
 
@@ -14,27 +14,19 @@ from victor_spark.plans import QUERIES
 from victor_spark.plans.catalog_r10 import PENDING
 
 
-def test_r10_pending_queries_are_not_registered():
-    """Staging invariant: nothing here may leak into the live registry
-    (it would evict r6-tier queries from the round-9 gate window)."""
-    assert PENDING
-    assert not set(PENDING) & set(QUERIES)
-
-
-def test_round10_registration_dry_run():
-    """The round-10 merge must be safe the day it lands: names unique,
-    every staged spec carries a resolvable oracle, and the never-green
-    tier (these + any r9 stragglers) fits a 50-row gate window."""
+def test_r10_queries_are_registered():
+    """Round-10 registration happened: every spec in this module IS the
+    live registry's spec (same object — not a divergent copy), and all
+    8 front the gate window as never-green."""
     from victor_spark.plans import catalog as cat
 
-    merged = dict(QUERIES)
-    merged.update(PENDING)
-    assert len(merged) == len(QUERIES) + len(PENDING)
+    assert PENDING
     for name, spec in PENDING.items():
+        assert QUERIES.get(name) is spec, name
         sql = spec.oracle_sql(SF_SMOKE)
         assert sql and "SELECT" in sql.upper(), name
     last_green = cat._last_green_rounds()
-    never = [n for n in merged if n not in last_green]
+    never = [n for n in QUERIES if n not in last_green]
     assert set(PENDING) <= set(never)
 
 
@@ -117,14 +109,20 @@ def test_cdc_chunking_is_one_arrow_farm_hashes_only_shuffle(spark):
     assert "partial_min" in p or "partial_count" in p
 
 
-def test_soft_dedup_corpus_weight_join_is_broadcast(spark):
-    # the cluster-weight table is duplicate-minority sized and rides a
-    # broadcast join onto the corpus (the minhash pipeline's internal
+def test_soft_dedup_has_no_broadcast_hint(spark):
+    # the r9-verdict fix: the cluster-weight table has one row per
+    # duplicate-cluster MEMBER (data-dependent, 30-50% of a real web
+    # corpus), so the corpus join must carry ZERO hand hints — AQE's
+    # runtime stats pick broadcast only when the table genuinely fits
+    # (the host_pagerank pattern). The minhash pipeline's internal
     # candidate/verify joins shuffle by design — pinned by the dedup
-    # family's own plan tests — so no global no-SMJ claim here)
+    # family's own plan tests.
+    df = PENDING["soft_dedup_weights"].build(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
     p = _plan(spark, "soft_dedup_weights")
     assert "CartesianProduct" not in p
-    assert "BroadcastHashJoin" in p and "LeftOuter" in p
+    assert "LeftOuter" in p
 
 
 def test_doremi_is_lm_shape_with_tiny_tails(spark):
@@ -145,3 +143,48 @@ def test_winnowing_is_codegen_fingerprint_join(spark):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_winnowing_caps_hot_fingerprints_before_pair_join(spark):
+    # the r9-verdict fix: a document-frequency aggregation must gate the
+    # pair self-join (MOSS's boilerplate exclusion) — without it one hot
+    # fingerprint shared by n docs emits n(n-1)/2 join rows. The cap is
+    # a count-agg + semi-shaped filter join on the SAME key the pair
+    # join shuffles on, so it shows up as a partial_count in the plan.
+    p = _plan(spark, "winnow_fingerprints")
+    assert "partial_count" in p
+
+
+def test_winnowing_hot_key_pairs_are_dropped(spark):
+    # behavioral twin of the plan pin: a corpus where EVERY doc shares a
+    # boilerplate footer but is otherwise token-unique. Without the df
+    # cap the footer fingerprints alone pair every doc with every other
+    # (C(44,2)=946 candidate pairs — the quadratic hot key); with the
+    # cap, the ONLY pairs that survive are the dup-corpus's planted
+    # exact dups (doc_id % 10 == 0 copied to doc_id + 100000), which
+    # share all their doc-specific, df=2 fingerprints.
+    import os
+    import tempfile
+
+    from victor_spark.plans.catalog_r10 import (
+        _WIN_DF_CAP,
+        q_winnow_fingerprints,
+    )
+
+    n = 40
+    assert n > _WIN_DF_CAP  # the footer key IS hot in this corpus
+    footer = " ".join(f"bp{j}" for j in range(8))
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30)) + " " + footer)
+        for i in range(1, n + 1)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        out = q_winnow_fingerprints(spark, tmp).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    expected = {(i, i + 100000) for i in range(10, n + 1, 10)}
+    assert got == expected, (
+        f"boilerplate-only pairs leaked past the df cap: {got - expected}"
+    )

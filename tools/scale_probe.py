@@ -138,11 +138,26 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "winnow_fingerprints": {"documents": ["doc_id"]},
 }
 
+# Hot-key variants: same query, but EVERY document (across every
+# replica) gets one shared, non-replica-prefixed boilerplate footer
+# appended — the adversarial corpus shape a real web crawl produces.
+# Replication then grows the hottest fingerprint's document frequency
+# linearly, so an uncapped pair join would go quadratic and the probe
+# exponent would drift toward 2; the df cap keeps it linear. Probe name
+# -> underlying query name.
+HOT_TEXT_PROBES: dict[str, str] = {
+    "winnow_fingerprints__hot": "winnow_fingerprints",
+}
+
+_HOT_FOOTER = (
+    " boilerplate footer alpha beta gamma delta epsilon zeta eta theta"
+)
+
 ID_STRIDE = 100_000_000
 
 
 def build_scaled(spark, sf_dir: str, out_dir: str, scale: int,
-                 tables: dict[str, list[str]]) -> None:
+                 tables: dict[str, list[str]], hot_text: bool = False) -> None:
     from pyspark.sql import functions as F
 
     for table, id_cols in tables.items():
@@ -181,6 +196,14 @@ def build_scaled(spark, sf_dir: str, out_dir: str, scale: int,
                         F.regexp_replace(F.col("text"), " ", f" r{i}_"),
                     ),
                 )
+            if table == "documents" and hot_text:
+                # AFTER replica-prefixing: the footer stays byte-identical
+                # across all docs of all replicas, so its fingerprints'
+                # document frequency grows with the corpus — the hot-key
+                # shape the df cap exists for
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(_HOT_FOOTER))
+                )
             parts.append(rep)
         df = parts[0]
         for p in parts[1:]:
@@ -205,9 +228,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     registry["topk_cosine"].build(spark, sf_dir).count()  # session warmup
 
-    for name, tables in PROBES.items():
+    probe_items = [(n, t, False) for n, t in PROBES.items()] + [
+        (n, PROBES[q], True) for n, q in HOT_TEXT_PROBES.items()
+    ]
+    for name, tables, hot_text in probe_items:
         if only and name not in only:
             continue
+        qname = HOT_TEXT_PROBES.get(name, name)
         times: dict[int, float] = {}
         for scale in SCALES:
             tmp = tempfile.mkdtemp(prefix=f"scale_{name}_{scale}_")

@@ -45,7 +45,10 @@ def pagerank(
 
     ``weight`` — an edge-weight column; ``None`` counts each edge row as
     weight 1 (so parallel rows fold into their multiplicity). Weights
-    must be POSITIVE; fractional weights are honored (they sum as
+    must be POSITIVE — enforced: a NULL or non-positive weight raises
+    ``pagerank: edge weights must be positive`` at first touch rather
+    than silently corrupting ranks or hitting ANSI DIVIDE_BY_ZERO deep
+    inside an iteration job. Fractional weights are honored (they sum as
     doubles, so a pathological weight distribution inherits float
     summation-order variance — integer weights stay exact up to 2^53).
     Self-loops are dropped (they only recycle a node's own mass and the
@@ -63,12 +66,29 @@ def pagerank(
     # weights (0.5 -> 0 made tw=0 and the iteration divide by zero —
     # review-caught); integer-weight sums stay exact as doubles
     w = F.lit(1.0) if weight is None else F.col(weight).cast("double")
-    e = (
-        edges.filter(F.col(src) != F.col(dst))
-        .select(F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("_w"))
-        .groupBy("src", "dst")
-        .agg(F.sum("_w").alias("w"))
+    e = edges.filter(F.col(src) != F.col(dst)).select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("_w")
     )
+    if weight is not None:
+        # enforce the POSITIVE-weights contract at plan-build time
+        # instead of letting a negative weight silently corrupt ranks
+        # or a zero-sum source hit DIVIDE_BY_ZERO (ANSI mode) deep
+        # inside an iteration job: non-positive and NULL weights raise
+        # with the offending value in the message, at first touch.
+        e = e.withColumn(
+            "_w",
+            F.when(F.col("_w") > 0, F.col("_w")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("pagerank: edge weights must be positive, got "),
+                        F.coalesce(
+                            F.col("_w").cast("string"), F.lit("NULL")
+                        ),
+                    )
+                )
+            ),
+        )
+    e = e.groupBy("src", "dst").agg(F.sum("_w").alias("w"))
     # loop invariants, materialized once: the edge matrix with its
     # source's total out-weight folded in (w and tw stay separate
     # columns so the per-edge term is the exact (r*w)/tw float

@@ -8213,16 +8213,15 @@ def q_embedding_outliers(spark, sf_dir):
 # Builders/oracles touched in the CURRENT round — the only hand input.
 # Reset when a new round starts; the artifact-derived tiers handle the rest.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round 9: EMPTY by design (round-8 verdict item 3) — the 16
-    # registered-this-round queries are never-green and auto-front, and
-    # the remaining window slots must go to the r6-tier tail (43 queries,
-    # of which 50-16=34 fit this round; the rotation clears the rest in
-    # r10). Round-9 touched LIVE queries (the dedup perf refactors:
-    # line_dedup_global, dedup_substring_global, dedup_keep_longest —
-    # output byte-identical, oracles unchanged) are re-gated by pytest
-    # oracle parity at sf0.001 + the vanilla driver_sim family run at
-    # sf0.01 instead, exactly like round 8's seam changes were; their
-    # r6/r7 driver rows age into the r10 rotation window.
+    # round 10: ingest_sitemap_roundtrip gained an explicit
+    # loc IS NOT NULL guard (advice-caught: explode_outer's entry-free
+    # all-NULL row would silently diverge from the static oracle on a
+    # future corpus) — output identical on today's corpora, but the
+    # builder changed, so the driver re-checks it this round. The 8
+    # catalog_r10 registrations are never-green and auto-front; the
+    # 9-query r6 tail + 33 oldest-r7 queries fill the rest of the
+    # 50-row window (rule 3), which drains the r6 tier to zero.
+    "ingest_sitemap_roundtrip",
 ]
 
 
@@ -8298,5 +8297,15 @@ def _gate_order() -> None:
 from victor_spark.plans import catalog_r9 as _catalog_r9  # noqa: E402
 
 QUERIES.update(_catalog_r9.PENDING)
+
+# Round-10 registration (round-9 verdict item 1): the 8 queries staged and
+# oracle-hardened through round 9 join the live registry, AFTER their two
+# flagged scale hazards were fixed this round (winnow_fingerprints gained
+# MOSS's document-frequency cap before its pair join; soft_dedup_weights
+# dropped its forced corpus-scale broadcast hint). Same circular-safe
+# import shape as the round-9 line above; all 8 auto-front as never-green.
+from victor_spark.plans import catalog_r10 as _catalog_r10  # noqa: E402
+
+QUERIES.update(_catalog_r10.PENDING)
 
 _gate_order()

@@ -665,9 +665,11 @@ def _soft_dedup_oracle() -> str:
     "every variant available — the downweight-don't-delete policy "
     "debated for web corpora (duplication count as a quality signal). "
     "Pipeline: the standard MinHash-LSH pair stage, transitive "
-    "clustering, one tiny cluster-size aggregation, then a broadcast "
-    "join back onto the corpus (the cluster table is duplicate-minority "
-    "sized — the corpus itself never shuffles). The oracle replays "
+    "clustering, one tiny cluster-size aggregation, then a plain "
+    "equi-join back onto the corpus — NO broadcast hint, because the "
+    "cluster-member table is data-dependent-sized (30-50% of a real "
+    "web corpus is in some near-dup cluster); AQE's runtime stats pick "
+    "broadcast only when it genuinely fits. The oracle replays "
     "clustering as a recursive closure and states every weight",
 )
 def q_soft_dedup_weights(spark, sf_dir):
@@ -692,7 +694,12 @@ def q_soft_dedup_weights(spark, sf_dir):
     cw = clusters.join(sizes, "cluster").select(
         F.col("doc").alias("doc_id"), "cluster", "csize"
     )
-    return corpus.join(F.broadcast(cw), "doc_id", "left").select(
+    # no broadcast hint: cw has one row per duplicate-CLUSTER MEMBER,
+    # which on a real web corpus is 30-50% of all docs — corpus-scale,
+    # not dim-table-scale. A plain equi-join lets AQE's runtime stats
+    # pick broadcast only when cw genuinely fits (the host_pagerank
+    # lesson: never force a data-dependent-size table through a hint).
+    return corpus.join(cw, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
         F.round(
@@ -823,6 +830,15 @@ def q_domain_mix_doremi(spark, sf_dir):
 
 _WIN_W = 4  # winnowing window (fingerprints per w consecutive grams)
 _WIN_T = 2  # report pairs sharing at least this many fingerprints
+# MOSS's over-shared-fingerprint drop: a fingerprint appearing in more
+# than this many DISTINCT documents is boilerplate (a shared header, a
+# license banner, a navigation footer) and is excluded from the pair
+# stage. Without the cap the pair join is quadratic PER HOT KEY — a
+# trigram window shared by n docs emits n(n-1)/2 rows for that key
+# alone, which is exactly what a web corpus produces at scale. MOSS
+# itself drops fingerprints that match too many documents for the same
+# reason (Schleimer et al. 2003 §5, "too common to be interesting").
+_WIN_DF_CAP = 16
 
 _WINNOW_ORACLE = f"""
 WITH corpus AS ({{corpus}}),
@@ -842,8 +858,13 @@ fp AS (SELECT doc_id,
                 END) AS fps
        FROM g),
 occ AS (SELECT doc_id, unnest(fps) f FROM fp),
+-- occ is per-doc distinct, so count(*) per fingerprint == its document
+-- frequency; fingerprints shared by more than the cap are dropped
+-- BEFORE the pair join (MOSS's boilerplate exclusion)
+keep AS (SELECT f FROM occ GROUP BY f HAVING count(*) <= {_WIN_DF_CAP}),
+occk AS (SELECT occ.doc_id, occ.f FROM occ JOIN keep USING (f)),
 pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_shared
-          FROM occ a JOIN occ b ON a.f = b.f AND a.doc_id < b.doc_id
+          FROM occk a JOIN occk b ON a.f = b.f AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
 SELECT id_a, id_b, CAST(n_shared AS INTEGER) AS n_shared
 FROM pairs WHERE n_shared >= {_WIN_T}
@@ -874,11 +895,14 @@ def _winnow_oracle() -> str:
     "is guaranteed to share a fingerprint regardless of position. "
     "Pairs sharing >= {t} fingerprints are the plagiarism/containment "
     "report (top-20). Scale shape: winnow sets are per-doc codegen "
-    "projections bounded to ~|grams|/{w} entries; the pair stage is an "
-    "equi-join on the fingerprint key — band-join economics, never "
+    "projections bounded to ~|grams|/{w} entries; fingerprints in more "
+    "than {cap} distinct docs are dropped BEFORE the pair join (MOSS's "
+    "own boilerplate exclusion — without it one hot fingerprint makes "
+    "the join quadratic per key); the pair stage is then an equi-join "
+    "on the df-capped fingerprint key — band-join economics, never "
     "all-pairs. Complements MinHash (whole-doc near-dup) and the "
     "substring dedup (exact windows) with alignment-free partial-"
-    "overlap detection".format(w=_WIN_W, t=_WIN_T),
+    "overlap detection".format(w=_WIN_W, t=_WIN_T, cap=_WIN_DF_CAP),
 )
 def q_winnow_fingerprints(spark, sf_dir):
     from victor_spark.functions import hashing as H
@@ -918,12 +942,26 @@ def q_winnow_fingerprints(spark, sf_dir):
             )
         ),
     )
-    # checkpoint: both sides of the pair self-join would otherwise
-    # re-run the gram-hash + window-min projection over the whole
-    # corpus (cdc_chunk_dedup's lesson in this same module)
+    # checkpoint: the df aggregation and both sides of the pair
+    # self-join would otherwise each re-run the gram-hash + window-min
+    # projection over the whole corpus (cdc_chunk_dedup's lesson in
+    # this same module)
     occ = d.select("doc_id", F.explode(fps).alias("f")).localCheckpoint(
         eager=False
     )
+    # MOSS's boilerplate exclusion: occ is per-doc distinct, so the
+    # plain count per fingerprint IS its document frequency; keys hotter
+    # than the cap never reach the pair join (one hot key is otherwise
+    # quadratic — n docs sharing a footer trigram emit n(n-1)/2 rows).
+    # The df agg and the pair join shuffle on the SAME key, so the
+    # filter join is co-partitioned with the work it protects.
+    keep = (
+        occ.groupBy("f")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _WIN_DF_CAP)
+        .select("f")
+    )
+    occ = occ.join(keep, "f")
     a, b = occ.alias("a"), occ.alias("b")
     pairs = (
         a.join(

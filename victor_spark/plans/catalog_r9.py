@@ -984,7 +984,16 @@ def q_ingest_sitemap_roundtrip(spark, sf_dir):
         ).alias("xml")
     )
     pages = site_pages.select("xml").unionAll(index_page)
-    return sitemap_entries(pages, "xml").select("kind", "loc", "lastmod")
+    # sitemap_entries uses explode_outer, so an entry-free page emits one
+    # all-NULL row (the "saw the page, found nothing" contract for crawl
+    # accounting). Every page synthesized above carries entries, but this
+    # query's oracle states only real entries — guard explicitly so a
+    # future entry-free corpus can't silently diverge (review-caught).
+    return (
+        sitemap_entries(pages, "xml")
+        .filter(F.col("loc").isNotNull())
+        .select("kind", "loc", "lastmod")
+    )
 
 
 # ---------------------------------------------------------------------------
