@@ -1027,3 +1027,91 @@ def test_stale_lock_break_is_single_winner(spark, tmp_path):
     os.remove(idx.lock_path)
     with _pytest.raises(Exception):
         idx._break_stale_lock(stale_s=600.0)
+
+
+def test_shard_lifecycle_capstone(spark, tmp_path):
+    """The cross-shard lifecycle, composed end to end the way a real
+    parallel ingest runs it (each leg is unit-tested alone; this proves
+    they COMPOSE): 3 privately-built shard indexes -> merge_from x3 ->
+    compact -> build_ivfpq(trainer="kmeans", seed_col="content") ->
+    tagged search_ivfpq, with brute-force parity as the oracle. The
+    corpus is a mixture of well-separated Gaussian DIRECTIONS (the shape
+    IVF exists for), sharded round-robin so every shard carries every
+    cluster; content-seeded k-means makes the whole pipeline a pure
+    function of the data."""
+    import numpy as np
+
+    from victor_spark.index import VectorIndex
+
+    rng = np.random.default_rng(47)
+    centers = rng.normal(0, 1, size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(120):
+        v = centers[i % 4] * 3.0 + rng.normal(0, 0.25, size=16)
+        rows.append(
+            (f"doc{i:03d}", [float(x) for x in v],
+             ["corpus", f"c{i % 4}"])
+        )
+
+    # 1) shard-parallel ingest: three private builds, no listing contention
+    shards = []
+    for s in range(3):
+        sh = VectorIndex(spark, str(tmp_path / f"shard{s}"))
+        sh.insert(rows[s::3])
+        shards.append(sh)
+    target = VectorIndex(spark, str(tmp_path / "merged"))
+    assert sum(target.merge_from(sh) for sh in shards) == 120
+
+    # 2) compact: the merge left one file per (shard-batch, tag-set);
+    # compaction must shrink the file count and preserve every row
+    before = sum(s["rows"] for s in target.stats())
+    report = target.compact(target_rows_per_file=1_000_000)
+    assert report["rows"] == before == 120
+    assert report["files_after"] <= report["files_before"]
+
+    # 3) serving build over the merged+compacted table (content-seeded:
+    # reproducible across re-ingests despite per-insert uuids)
+    target.build_ivfpq(m=4, n_codes=8, n_cells=4, trainer="kmeans",
+                       train_iters=6, seed_col="content")
+
+    # 4) tagged ANN serving vs brute force. Two claims, separately:
+    # (a) ROUTING — every ANN top-5 hit is from the query's own cluster
+    #     (the IVF cells must align with the data's clusters);
+    # (b) RANKING — the exact top-5 sit inside the ANN top-20 (recall@5
+    #     in 20): 8-code PQ legitimately blurs the FINE order among ~30
+    #     near-identical cluster members, so top-5==top-5 would test the
+    #     quantizer's noise floor, not the composition.
+    # The pipeline is content-seeded + fixed-rng, hence deterministic.
+    hits = total = 0
+    for q_ix in range(4):
+        q = [float(x) for x in centers[q_ix] * 3.0]
+        exact = {r["content"]
+                 for r in target.search(q, k=5, tags=["corpus"]).collect()}
+        ann20 = [r["content"]
+                 for r in target.search_ivfpq(q, k=20, nprobe=2,
+                                              tags=["corpus"]).collect()]
+        assert all(int(c[3:]) % 4 == q_ix for c in ann20[:5]), (q_ix, ann20)
+        hits += len(exact & set(ann20))
+        total += len(exact)
+    assert total == 20
+    assert hits / total >= 0.85, f"recall@5-in-20 {hits}/{total}"
+
+    # 5) tag scoping on the ANN path sees the unioned shard listings:
+    # every c0-tagged row came through a different shard
+    got = target.search_ivfpq(
+        [float(x) for x in centers[0] * 3.0], k=30, nprobe=4, tags=["c0"]
+    ).collect()
+    assert 0 < len(got) <= 30
+    assert all(int(r["content"][3:]) % 4 == 0 for r in got)
+
+    # 6) the lifecycle is rebuild-stable: re-running the content-seeded
+    # build reproduces identical ADC distances (pure function of data)
+    q0 = [float(x) for x in centers[0] * 3.0]
+    d1 = [round(r["adc_dist"], 12)
+          for r in target.search_ivfpq(q0, k=5, nprobe=2).collect()]
+    target.build_ivfpq(m=4, n_codes=8, n_cells=4, trainer="kmeans",
+                       train_iters=6, seed_col="content")
+    d2 = [round(r["adc_dist"], 12)
+          for r in target.search_ivfpq(q0, k=5, nprobe=2).collect()]
+    assert d1 == d2

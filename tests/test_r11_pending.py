@@ -1,0 +1,171 @@
+"""Round-11 staged queries (plans/catalog_r11.py): full driver-gate
+parity NOW, registration at round-11 start (round 10's gate window is
+exactly full — 8 registered + 1 touched + 9 r6-tier + 32 r7-tier; see
+catalog_r11's module docstring). These tests run the exact compare the
+driver gate runs, at BOTH the smoke SF and the gate's own SF."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE, SF_T2
+from tests.oracle_utils import compare, duck_connect
+from victor_spark.plans import QUERIES
+from victor_spark.plans.catalog_r11 import PENDING
+
+
+def test_r11_pending_queries_are_not_registered():
+    """Staging invariant: nothing here may leak into the live registry
+    (it would evict rotation-tier queries from the round-10 gate
+    window)."""
+    assert PENDING
+    assert not set(PENDING) & set(QUERIES)
+
+
+def test_round11_registration_dry_run():
+    """The round-11 merge must be safe the day it lands: names unique,
+    every staged spec carries a resolvable oracle, and the never-green
+    tier fits a 50-row gate window."""
+    from victor_spark.plans import catalog as cat
+
+    merged = dict(QUERIES)
+    merged.update(PENDING)
+    assert len(merged) == len(QUERIES) + len(PENDING)
+    for name, spec in PENDING.items():
+        sql = spec.oracle_sql(SF_SMOKE)
+        assert sql and "SELECT" in sql.upper(), name
+    last_green = cat._last_green_rounds()
+    never = [n for n in merged if n not in last_green]
+    assert set(PENDING) <= set(never)
+    assert len(never) <= 50
+
+
+@pytest.mark.parametrize("sf", [SF_SMOKE, SF_T2])
+@pytest.mark.parametrize("name", sorted(PENDING))
+def test_r11_pending_query_matches_oracle(spark, name, sf):
+    spec = PENDING[name]
+    con = duck_connect(sf)
+    sdf = spec.build(spark, sf)
+    odf = con.execute(spec.oracle_sql(sf)).fetchdf()
+    problems = compare(sdf, odf)
+    assert not problems, problems
+
+
+# ---------------------------------------------------------------------------
+# plan-shape / determinism assertions: the staged queries' scale claims
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_estep_counts_are_exact_hand_check(spark):
+    # the distributed E-step's contract on a corpus small enough to do
+    # by hand: word types {aa:2, bb:2, cc:1}; with equal piece counts
+    # the single-piece path for "aa" beats two chars (one logp vs two),
+    # so aa->['aa'], bb->['b','b'], cc->['c','c'] and 'a' goes unused
+    from victor_spark.operators.bpe import word_counts
+    from victor_spark.operators.unigram import _estep_counts, _smooth_logps
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb cc")], "doc_id long, text string"
+    )
+    wc = word_counts(docs, "text")
+    logps = _smooth_logps({"a": 2, "b": 2, "c": 1, "aa": 2})
+    counts = _estep_counts(wc, logps, 2)
+    assert counts == {"aa": 2, "b": 4, "c": 2}
+
+
+def test_unigram_train_is_partitioning_invariant(spark):
+    # hard-EM's integer counts make the result a pure function of the
+    # corpus: retraining on a differently-partitioned copy of the same
+    # docs must reproduce every (piece, expected_n, logp) BIT-exactly
+    from victor_spark.operators.unigram import train_unigram
+
+    rows = [(i, f"alpha bravo charlie w{i} alpha bravo") for i in range(60)]
+    d1 = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    d32 = spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        32
+    )
+    t1 = sorted(
+        train_unigram(d1, "text", vocab_size=60, seed_size=200,
+                      em_iters=2).collect()
+    )
+    t32 = sorted(
+        train_unigram(d32, "text", vocab_size=60, seed_size=200,
+                      em_iters=2).collect()
+    )
+    assert t1 == t32
+
+
+def test_unigram_learns_frequent_words_as_pieces(spark):
+    # the tokenizer-quality claim behind the fertility metric: words the
+    # corpus repeats constantly must become single pieces, so their
+    # fertility is 1 (vs len(word) for a character model)
+    from victor_spark.operators.unigram import (
+        apply_unigram,
+        train_unigram,
+        viterbi_segment,
+    )
+
+    rows = [(i, "tokenize everything tokenize always") for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    trained = train_unigram(
+        d, "text", vocab_size=40, seed_max_len=10, seed_size=200, em_iters=3
+    ).collect()
+    logps = {r["piece"]: r["logp"] for r in trained}
+    assert "tokenize" in logps
+    assert viterbi_segment("tokenize", logps, 10) == ["tokenize"]
+    enc = apply_unigram(d.limit(1), "text", logps).collect()[0]
+    assert enc["unigram_tokens"] == [
+        "tokenize", "everything", "tokenize", "always",
+    ]
+
+
+def test_unigram_unknown_chars_become_unk_singletons(spark):
+    # coverage contract: a character absent from the piece table still
+    # encodes (single-char <unk> steps), never crashes or drops text
+    from victor_spark.operators.unigram import viterbi_segment
+
+    logps = {"a": -1.0, "b": -1.0, "ab": -1.5}
+    assert viterbi_segment("aZb", logps, 2) == ["a", "Z", "b"]
+    assert viterbi_segment("", logps, 2) == []
+
+
+def test_unigram_train_validates_params(spark):
+    from victor_spark.operators.unigram import train_unigram
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(d, "text", vocab_size=0)
+    with pytest.raises(ValueError, match="em_iters"):
+        train_unigram(d, "text", em_iters=0)
+
+
+def test_unigram_tokenize_plan_is_one_arrow_farm(spark):
+    # the encode leg: exactly one Python stage (the Viterbi farm); the
+    # word/fertility arithmetic is codegen
+    import re
+
+    df = PENDING["unigram_tokenize"].build(spark, SF_SMOKE)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_unigram_beats_character_fertility(spark):
+    # the audit the round-9 verdict asked for, stated as the inequality
+    # that must hold for ANY useful subword model: fertility strictly
+    # below the character model's (chars per word) and >= 1
+    sdf = PENDING["unigram_tokenize"].build(spark, SF_SMOKE).toPandas()
+    sdf = sdf[sdf["n_words"] > 0]
+    assert (sdf["fertility"] >= 1.0).all()
+    con = duck_connect(SF_SMOKE)
+    chars_per_word = con.execute(
+        "SELECT CAST(sum(len(replace(text, ' ', ''))) AS DOUBLE)"
+        "       / sum(len(list_filter(string_split(lower(text), ' '),"
+        "                             t -> t <> ''))) "
+        "FROM documents WHERE doc_id % 25 = 0"
+    ).fetchone()[0]
+    corpus_fertility = sdf["n_tokens"].sum() / sdf["n_words"].sum()
+    assert 1.0 <= corpus_fertility < chars_per_word

@@ -136,6 +136,10 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "soft_dedup_weights": {"documents": ["doc_id"]},
     "domain_mix_doremi": {"documents": ["doc_id"]},
     "winnow_fingerprints": {"documents": ["doc_id"]},
+    # round-11 staged: unigram-LM trainer (3 distributed E-step passes
+    # over the word-type table) + its Viterbi encode leg
+    "unigram_lm_train": {"documents": ["doc_id"]},
+    "unigram_tokenize": {"documents": ["doc_id"]},
 }
 
 # Hot-key variants: same query, but EVERY document (across every
@@ -219,10 +223,11 @@ def main() -> int:
     from victor_spark.plans import QUERIES
     from victor_spark.plans.catalog_r9 import PENDING as _P9
     from victor_spark.plans.catalog_r10 import PENDING as _P10
+    from victor_spark.plans.catalog_r11 import PENDING as _P11
 
     # staged queries probe through the same path; live registry wins on
     # any name collision (there are none by staging invariant)
-    registry = {**_P9, **_P10, **QUERIES}
+    registry = {**_P9, **_P10, **_P11, **QUERIES}
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -248,7 +253,8 @@ def main() -> int:
             tdir = tempfile.gettempdir()
             pre = {d for d in os.listdir(tdir) if d.startswith("victor_ingest_")}
             try:
-                build_scaled(spark, sf_dir, tmp, scale, tables)
+                build_scaled(spark, sf_dir, tmp, scale, tables,
+                             hot_text=hot_text)
                 # the probe's input dir only carries the scaled tables;
                 # queries in PROBES read nothing else
                 best = math.inf
@@ -257,7 +263,7 @@ def main() -> int:
                     # noop sink fully materializes every output column —
                     # count() would let Catalyst column-prune the measured
                     # computation away for projection-shaped queries
-                    registry[name].build(spark, tmp).write.format(
+                    registry[qname].build(spark, tmp).write.format(
                         "noop"
                     ).mode("overwrite").save()
                     best = min(best, time.perf_counter() - t0)
