@@ -42,3 +42,68 @@ def test_apply_bpe_roundtrip(spark):
     assert "".join(row["bpe_tokens"]) == "".join(str(row["text"]).lower().split())
     # merges lo (rank 2) then lo+w (rank 3) fully fuse the word 'low'
     assert "low" in row["bpe_tokens"]
+
+
+def test_ranked_encode_equals_rank_order_scan(spark):
+    """The rank-priority encode must be EXACTLY the rank-order scan
+    (Hypothesis-style sweep over structured + adversarial words with a
+    synthetic 2k-merge prefix-chain table): firing merge k can never
+    create a pair of rank < k, so lowest-rank-present == rank order
+    restricted to firing pairs. A divergence here silently corrupts
+    every BPE catalog oracle."""
+    import random
+
+    from victor_spark.operators.bpe import apply_bpe
+
+    random.seed(3)
+    syll = ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"]
+    words = list({
+        "".join(random.choice(syll) for _ in range(random.randint(1, 5)))
+        for _ in range(3000)
+    })
+    merges, seen = [], set()
+    for w in words:
+        for i in range(1, len(w)):
+            p = (w[:i], w[i])
+            if p not in seen:
+                seen.add(p)
+                merges.append(p)
+        if len(merges) >= 2000:
+            break
+    merges = merges[:2000]
+
+    # the old substring-prune rank-order scan, kept here as the spec
+    fused_list = [(l, r, l + r) for l, r in merges]
+
+    def encode_spec(word):
+        syms = list(word)
+        for left, right, fused in fused_list:
+            if fused not in word:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    probe = sorted(set(words[:400] + [
+        "", "x", "thth", "ththth", "qqq", "thx", "xth",
+        "".join(random.choice("theinqz") for _ in range(30)),
+    ]))
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(probe)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in apply_bpe(docs, "text", merges).collect()
+    }
+    for i, w in enumerate(probe):
+        want = [t for part in w.lower().split(" ") if part
+                for t in encode_spec(part)]
+        assert got[i] == want, (w, got[i], want)

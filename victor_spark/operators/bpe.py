@@ -98,20 +98,32 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
     import pandas as pd
 
     merge_list = list(merges)
-    # production-vocab shape (32k+ merges): precompute each merge's fused
-    # form once; per word, only merges whose fused form is a SUBSTRING of
-    # the word can ever fire (symbols are always contiguous substrings of
-    # the word, so an applicable pair (l, r) implies l+r appears in it) —
-    # an exact-equivalence prune that turns the O(n_merges) scan per word
-    # into n_merges C-level `in` checks plus the handful that survive.
-    # Measured at 32k merges: see SCALING.md (bpe 32k-merge encode row).
-    fused_list = [(left, right, left + right) for left, right in merge_list]
+    # rank-priority encode (the GPT-2-reference bpe() shape): instead of
+    # scanning the merge table per word, repeatedly apply the LOWEST-RANK
+    # pair present among the word's adjacent symbols. Exact equivalence
+    # with rank-order application: firing merge k can never create a
+    # pair of rank < k (training defines rank-k operands over symbols
+    # that exist before step k, and fusing a,b->ab only creates pairs
+    # involving ab, whose merges are trained later), so the lowest-rank-
+    # present order IS the rank order restricted to pairs that fire.
+    # Cost per word: O(fired merges x |word|) dict lookups, independent
+    # of table size — measured 162x over the substring-prune scan at 32k
+    # merges on a cache-hostile corpus (SCALING.md, round-10 row; the
+    # prune scan was itself ~180x over the naive full scan).
+    rank_of = {pair: k for k, pair in enumerate(merge_list)}
 
     def _encode_word(word: str) -> list[str]:
         syms = list(word)
-        for left, right, fused in fused_list:
-            if fused not in word:
-                continue
+        while len(syms) > 1:
+            best_rank, best = None, None
+            for pair in zip(syms, syms[1:]):
+                k = rank_of.get(pair)
+                if k is not None and (best_rank is None or k < best_rank):
+                    best_rank, best = k, pair
+            if best is None:
+                break
+            left, right = best
+            fused = left + right
             out, i = [], 0
             while i < len(syms):
                 if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
