@@ -51,7 +51,7 @@ def main() -> None:
     table(QUERIES)
 
     try:
-        from victor_spark.plans.catalog_r10 import PENDING
+        from victor_spark.plans.catalog_r11 import PENDING
     except ImportError:
         PENDING = {}
     staged = {k: v for k, v in PENDING.items() if k not in QUERIES}
@@ -62,8 +62,8 @@ def main() -> None:
         print(
             f"{len(staged)} queries built and oracle-hardened this round, "
             "registered at next round's start (the gate-window staging "
-            "pattern — see plans/catalog_r10.py's module docstring). "
-            "Covered NOW by tests/test_r10_pending.py at two SFs and by "
+            "pattern — see plans/catalog_r11.py's module docstring). "
+            "Covered NOW by tests/test_r11_pending.py at two SFs and by "
             "`tools/driver_sim.py --pending` in a vanilla session."
         )
         print()

@@ -1,19 +1,18 @@
-"""Round-10 staged catalog queries — built and oracle-tested in round 9,
-NOT yet registered.
+"""Round-10 catalog queries — staged and oracle-hardened through round 9,
+REGISTERED at round-10 start (catalog.py merges this module's ``PENDING``
+into the live registry) after the round-9 verdict's two flagged scale
+hazards were fixed:
 
-Why staged (the round-8/9 pattern): the driver's correctness gate checks
-the FIRST 50 of ``QUERIES`` and never-green queries auto-front. Round 9's
-window is already exactly full (16 registered-this-round + 34 of the 43
-r6-tier stale queries), so registering these now would evict stale-tier
-queries from the window. They carry full builders, oracles, pytest parity
-at BOTH the smoke SF and the driver's SF (tests/test_r10_pending.py), and
-plan-shape assertions; tools/driver_sim.py --pending gives them a
-vanilla-session path.
+- ``winnow_fingerprints`` gained MOSS's document-frequency cap
+  (``_WIN_DF_CAP``) before its pair self-join — one hot boilerplate
+  fingerprint shared by n docs otherwise emits n(n-1)/2 join rows;
+- ``soft_dedup_weights`` dropped its forced broadcast of the
+  data-dependent-size cluster-weight table (AQE decides instead).
 
-TO REGISTER AT ROUND-10 START: in ``catalog.py``, extend the round-9
-registration line to also merge this module's ``PENDING`` (one line),
-then update tests/test_r10_pending.py's registration test the way
-test_r9_pending.py was updated at round-9 start.
+The module keeps its own file (like catalog_r9) so each round's
+additions stay reviewable as a unit; tests/test_r10_pending.py carries
+the oracle parity at both SFs plus the plan/behavior pins for the two
+fixes.
 """
 
 from __future__ import annotations
