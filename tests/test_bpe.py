@@ -107,3 +107,26 @@ def test_ranked_encode_equals_rank_order_scan(spark):
         want = [t for part in w.lower().split(" ") if part
                 for t in encode_spec(part)]
         assert got[i] == want, (w, got[i], want)
+
+
+def test_anomalous_merge_table_falls_back_to_scan_semantics(spark):
+    """The ranked-loop equivalence precondition, exercised at its
+    counterexample: merges [("bc","d"), ("b","c")] — rank 1 CREATES
+    rank 0's left operand, so after (b,c) fires the priority loop would
+    also fire (bc,d), while the single-pass rank-order scan (the
+    oracles' semantics) has already passed rank 0 and leaves it
+    unmerged. apply_bpe must detect the anomaly and produce the scan's
+    answer ["bc","d"], never the loop's ["bcd"]."""
+    from victor_spark.operators.bpe import apply_bpe
+
+    docs = spark.createDataFrame([(1, "bcd")], "doc_id long, text string")
+    out = apply_bpe(docs, "text", [("bc", "d"), ("b", "c")]).first()
+    assert list(out["bpe_tokens"]) == ["bc", "d"]
+    # duplicate pairs are the other anomaly class: same fallback
+    out2 = apply_bpe(
+        docs, "text", [("b", "c"), ("c", "d"), ("b", "c")]
+    ).first()
+    assert list(out2["bpe_tokens"]) == ["bc", "d"]
+    # and a clean table still rides the fast path to the same answers
+    out3 = apply_bpe(docs, "text", [("b", "c"), ("bc", "d")]).first()
+    assert list(out3["bpe_tokens"]) == ["bcd"]

@@ -101,18 +101,53 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
     # rank-priority encode (the GPT-2-reference bpe() shape): instead of
     # scanning the merge table per word, repeatedly apply the LOWEST-RANK
     # pair present among the word's adjacent symbols. Exact equivalence
-    # with rank-order application: firing merge k can never create a
-    # pair of rank < k (training defines rank-k operands over symbols
-    # that exist before step k, and fusing a,b->ab only creates pairs
-    # involving ab, whose merges are trained later), so the lowest-rank-
-    # present order IS the rank order restricted to pairs that fire.
-    # Cost per word: O(fired merges x |word|) dict lookups, independent
-    # of table size — measured 162x over the substring-prune scan at 32k
-    # merges on a cache-hostile corpus (SCALING.md, round-10 row; the
-    # prune scan was itself ~180x over the naive full scan).
+    # with the single-pass rank-order scan (which the catalog's dynamic
+    # oracles replay) holds because firing merge k only creates pairs
+    # involving the new symbol l+r, whose merges are trained later — so
+    # lowest-rank-present IS the rank order restricted to pairs that
+    # fire. Cost per word: O(fired merges x |word|) dict lookups,
+    # independent of table size — measured 162x over the substring-prune
+    # scan at 32k merges on a cache-hostile corpus (SCALING.md r10 row).
+    #
+    # The equivalence has a precise precondition, checked here: no merge
+    # may RE-CREATE an earlier rank's operand (if fused(m) equals the
+    # left or right operand of some rank k < m, firing m can re-form the
+    # rank-k pair — the single pass has already moved past k and leaves
+    # it unmerged, while the priority loop would merge it), and no pair
+    # may appear twice. Real trained tables essentially never trip this
+    # (a trained merge's fused string coinciding with an earlier operand
+    # requires two distinct merge paths to the same string), but when
+    # one does, fall back to the legacy scan so the encode is ALWAYS the
+    # oracle's semantics, never approximately so.
     rank_of = {pair: k for k, pair in enumerate(merge_list)}
+    last_fused_rank: dict[str, int] = {
+        left + right: k for k, (left, right) in enumerate(merge_list)
+    }
+    anomalous = len(rank_of) != len(merge_list) or any(
+        last_fused_rank.get(left, -1) > k or last_fused_rank.get(right, -1) > k
+        for k, (left, right) in enumerate(merge_list)
+    )
+    fused_list = [(left, right, left + right) for left, right in merge_list]
 
-    def _encode_word(word: str) -> list[str]:
+    def _encode_word_scan(word: str) -> list[str]:
+        # legacy single-pass rank-order scan with the lossless substring
+        # prune — the executable spec (kept for the anomaly fallback)
+        syms = list(word)
+        for left, right, fused in fused_list:
+            if fused not in word:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def _encode_word_ranked(word: str) -> list[str]:
         syms = list(word)
         while len(syms) > 1:
             best_rank, best = None, None
@@ -134,6 +169,8 @@ def apply_bpe(docs: DataFrame, text_col: str, merges: list[tuple[str, str]],
                     i += 1
             syms = out
         return syms
+
+    _encode_word = _encode_word_scan if anomalous else _encode_word_ranked
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in docs.schema.fields)
