@@ -1234,3 +1234,81 @@ def test_curate_documents_rejects_colliding_columns(spark):
     )
     with pytest.raises(ValueError, match="quality"):
         curate_documents(docs)
+
+
+def test_tokenize_stream_equals_batch_both_tokenizers(spark, tmp_path):
+    """Topology 19 (tokenizer serving): documents landing as parquet are
+    encoded with a FROZEN tokenizer table — the production shape, where
+    the vocab is a batch-plane build artifact and the stream only
+    applies it. stream == batch must hold exactly for BOTH tokenizer
+    families (BPE rank-priority encode, unigram Viterbi encode), and
+    the encode must be non-vacuous (multi-char subwords fire)."""
+    from victor_spark.operators.bpe import train_bpe_merges
+    from victor_spark.operators.unigram import train_unigram
+    from victor_spark.streaming import (
+        stream_tokenized_documents,
+        tokenize_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"low lower lowest newer new wider doc{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "landing")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    docs.filter("doc_id < 6").repartition(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 6").repartition(1).write.mode("append").parquet(src)
+
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe_merges(docs, "text", num_merges=8)
+        .orderBy("rank").collect()
+    ]
+    logps = {
+        r["piece"]: r["logp"]
+        for r in train_unigram(
+            docs, "text", vocab_size=60, seed_size=200, em_iters=2
+        ).collect()
+    }
+
+    for name, kw in (("bpe", {"merges": merges}),
+                     ("uni", {"unigram_logps": logps})):
+        sink = str(tmp_path / f"sink_{name}")
+        q = stream_tokenized_documents(
+            spark, src, sink, str(tmp_path / f"ckpt_{name}"),
+            max_files_per_trigger=1, **kw,
+        )
+        q.awaitTermination()
+        got = {
+            (r["doc_id"], tuple(r["tokens"]), r["n_tokens"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        want = {
+            (r["doc_id"], tuple(r["tokens"]), r["n_tokens"])
+            for r in tokenize_documents(
+                spark.read.parquet(src), **kw
+            ).collect()
+        }
+        assert got == want, name
+        assert len(got) == 12, name
+        # non-vacuous: some multi-char subword fired
+        assert any(
+            len(t) > 1 for _d, toks, _n in got for t in toks
+        ), name
+
+
+def test_tokenize_documents_validates_inputs(spark):
+    import pytest
+
+    from victor_spark.streaming import tokenize_documents
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exactly one"):
+        tokenize_documents(d)
+    with pytest.raises(ValueError, match="exactly one"):
+        tokenize_documents(d, merges=[("a", "b")], unigram_logps={"a": -1.0})
+    clash = spark.createDataFrame(
+        [(1, "x", 5)], "doc_id long, text string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        tokenize_documents(clash, merges=[("a", "b")])

@@ -40,6 +40,10 @@ from victor_spark.streaming.stateful import (
     dedup_events_stream,
     sessionize_stream,
 )
+from victor_spark.streaming.tokenize_stream import (
+    stream_tokenized_documents,
+    tokenize_documents,
+)
 
 __all__ = [
     "stream_events_to_table",
@@ -68,4 +72,6 @@ __all__ = [
     "gate_urls",
     "rules_by_host",
     "sitemap_frontier_stream",
+    "tokenize_documents",
+    "stream_tokenized_documents",
 ]
