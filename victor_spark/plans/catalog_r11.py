@@ -305,3 +305,110 @@ def q_unigram_tokenize(spark, sf_dir):
         )
         .alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the rank-frequency curve — the corpus-sizing audit
+# (vocabulary shape drives tokenizer vocab size and LM data budgets)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS word
+              FROM documents),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) n FROM toks GROUP BY word),
+ranked AS (SELECT word, n,
+                  row_number() OVER (ORDER BY n DESC, word ASC) AS rnk
+           FROM wc QUALIFY rnk <= {_ZIPF_TOP}),
+-- per-point logs rounded to 9 decimals and summed as DECIMAL: the
+-- aggregation is addition-only, so both engines' sums are EXACT over
+-- identical rounded inputs; all products/divisions then run in double
+-- on identical values (the cross-engine float-parity recipe)
+pts AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18, 9)) x,
+               CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(18, 9)) y
+        FROM ranked),
+s AS (SELECT CAST(count(*) AS DOUBLE) k,
+             CAST(sum(x) AS DOUBLE) sx, CAST(sum(y) AS DOUBLE) sy,
+             CAST(sum(x * x) AS DOUBLE) sxx,
+             CAST(sum(x * y) AS DOUBLE) sxy,
+             CAST(sum(y * y) AS DOUBLE) syy
+      FROM pts)
+SELECT CAST(k AS BIGINT) AS n_ranks,
+       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k,
+             6) AS intercept,
+       round(pow(k * sxy - sx * sy, 2)
+             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+FROM s
+"""
+
+
+@_q11(
+    "zipf_fit",
+    _ZIPF_ORACLE,
+    "Zipf's-law fit: OLS of ln(frequency) on ln(rank) over the top-{top} "
+    "word ranks — the corpus-shape audit behind tokenizer vocab sizing "
+    "and LM data budgeting (natural corpora fit slope ~ -1; a synthetic "
+    "or templated corpus shows up immediately as a flat or kinked "
+    "curve, r2 quantifies it). Cross-engine float parity by "
+    "construction: the per-point logs are rounded to 9 decimals and "
+    "CAST to DECIMAL(18,9), the five OLS sums are ADDITION-ONLY decimal "
+    "aggregations (exact in both engines), and every product/division "
+    "runs in double on those identical sums. Scale shape: one explode + "
+    "one Heaps-bounded word-count shuffle, a bounded top-{top} "
+    "TakeOrdered, a {top}-row single-partition window, one 1-row "
+    "aggregate — the fit itself is free at any corpus size".format(
+        top=_ZIPF_TOP
+    ),
+)
+def q_zipf_fit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from victor_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    top = wc.orderBy(F.desc("n"), F.asc("word")).limit(_ZIPF_TOP)
+    # row_number over the already-bounded top-N relation: a
+    # single-partition window over <= 100 rows, not a global sort
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    pts = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("k").cast("long").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )
