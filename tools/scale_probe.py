@@ -140,6 +140,7 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # over the word-type table) + its Viterbi encode leg
     "unigram_lm_train": {"documents": ["doc_id"]},
     "unigram_tokenize": {"documents": ["doc_id"]},
+    "zipf_fit": {"documents": ["doc_id"]},
 }
 
 # Hot-key variants: same query, but EVERY document (across every
