@@ -169,3 +169,91 @@ def test_unigram_beats_character_fertility(spark):
     ).fetchone()[0]
     corpus_fertility = sdf["n_tokens"].sum() / sdf["n_words"].sum()
     assert 1.0 <= corpus_fertility < chars_per_word
+
+
+def test_domain_mix_plan_has_no_explode(spark):
+    # the docstring's scale claim: token counts ride sum(size(tokens))
+    # per doc straight into the source-key aggregation -- the plan may
+    # not contain a Generate (explode) node or any Python stage
+    df = PENDING["domain_mix_temperature"].build(spark, SF_SMOKE)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Generate" not in p
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_domain_mix_temperature_compresses_the_mix(spark):
+    # the recipe's defining property (tau < 1): sampling weights are a
+    # COMPRESSED version of the raw token shares -- every
+    # below-average source is upweighted (weight > p_raw), every
+    # above-average source is downweighted, and the weights are a
+    # probability distribution
+    import pandas as pd
+
+    pdf = (
+        PENDING["domain_mix_temperature"].build(spark, SF_SMOKE).toPandas()
+    )
+    assert abs(pdf["weight"].sum() - 1.0) < 1e-4
+    mean_p = 1.0 / len(pdf)
+    below = pdf[pdf["p_raw"] < mean_p * 0.999]
+    above = pdf[pdf["p_raw"] > mean_p * 1.001]
+    assert (below["weight"] > below["p_raw"]).all()
+    assert (above["weight"] < above["p_raw"]).all()
+    # effective epochs audit: weight * budget / n_tokens, exactly
+    expect = (pdf["weight"] * 1_000_000 / pdf["n_tokens"]).round(2)
+    assert (pdf["eff_epochs"].round(2) == expect).all()
+
+
+def test_heaps_fit_plan_shape(spark):
+    # the threshold join is a 20-row BROADCAST nested loop (bounded by
+    # construction), never a cartesian product; no Python stages
+    df = PENDING["heaps_law_fit"].build(spark, SF_SMOKE)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p and "MapInPandas" not in p
+
+
+def test_heaps_beta_flattens_under_duplication(spark):
+    # the dedup-health claim: duplicating the same doc grows instances
+    # without growing types, so the fitted growth exponent must drop
+    # hard vs a diverse corpus of the same size
+    from victor_spark.plans.catalog_r11 import q_heaps_law_fit
+
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(300)]
+
+    def doc(i):
+        return " ".join(rng.choice(words) for _ in range(80))
+
+    diverse = [(i, doc(i)) for i in range(120)]
+    one = doc(0)
+    duped = [(i, one) for i in range(120)]
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        for name, rows in [("div", diverse), ("dup", duped)]:
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).write.parquet(os.path.join(td, name, "documents.parquet"))
+        b_div = q_heaps_law_fit(
+            spark, os.path.join(td, "div")
+        ).collect()[0]
+        b_dup = q_heaps_law_fit(
+            spark, os.path.join(td, "dup")
+        ).collect()[0]
+    assert b_div["beta"] > 0.5
+    assert b_div["r2"] is not None
+    assert b_dup["beta"] < 0.1
+    assert b_dup["beta"] < b_div["beta"] - 0.4
+    # fully-duplicated corpus: type growth is FLAT, so the type-count
+    # variance is zero and r2 is undefined -> NULL, never a throw
+    assert b_dup["r2"] is None

@@ -141,6 +141,11 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "unigram_lm_train": {"documents": ["doc_id"]},
     "unigram_tokenize": {"documents": ["doc_id"]},
     "zipf_fit": {"documents": ["doc_id"]},
+    # round-11 staged corpus-shape/mix audits: trigram-type growth fit
+    # (one gram-type shuffle + a 20-row broadcast nested loop) and the
+    # explode-free temperature mix (one source-key agg)
+    "heaps_law_fit": {"documents": ["doc_id"]},
+    "domain_mix_temperature": {"documents": ["doc_id"]},
 }
 
 # Hot-key variants: same query, but EVERY document (across every

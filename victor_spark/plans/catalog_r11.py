@@ -25,7 +25,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from victor_spark.plans.catalog import QuerySpec
+from victor_spark.plans.catalog import SQL_TOKS, QuerySpec
 from victor_spark.sources import load_table
 
 PENDING: dict[str, QuerySpec] = {}
@@ -411,4 +411,299 @@ def q_zipf_fit(spark, sf_dir):
             ),
             6,
         ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law fit over token-trigram type growth — zipf_fit's sibling on
+# the OTHER corpus-shape axis: zipf audits the frequency CURVE at a
+# point in time, Heaps audits how the type inventory GROWS with corpus
+# size (V(N) = K * N^beta; natural text fits beta ~ 0.4-0.6 and heavy
+# duplication flattens the curve, so the fit doubles as a dedup-health
+# probe). Trigram types rather than word types because growth is the
+# phenomenon under audit: the word vocabulary saturates on any bounded
+# lexicon while n-gram types keep compounding — the same reason
+# tokenizer-vocab sizing studies fit Heaps over n-grams.
+# ---------------------------------------------------------------------------
+
+_HEAPS_CKPTS = 20
+
+_HEAPS_ORACLE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS.format(s='lower(text)')} t FROM documents),
+g AS (SELECT doc_id,
+             unnest(t[1:len(t)-2]) w1,
+             unnest(t[2:len(t)-1]) w2,
+             unnest(t[3:len(t)])   w3
+      FROM d WHERE len(t) >= 3),
+gi AS (SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS gram FROM g),
+pdg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_grams FROM gi GROUP BY doc_id),
+firsts AS (SELECT gram, min(doc_id) fd FROM gi GROUP BY gram),
+nt AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) new_types
+       FROM firsts GROUP BY fd),
+pd AS (SELECT pdg.doc_id, pdg.n_grams, coalesce(nt.new_types, 0) AS new_types
+       FROM pdg LEFT JOIN nt USING (doc_id)),
+-- checkpoint thresholds: 20 integer-exact points on the doc_id axis
+-- ((i*mx) // 20 in BOTH engines -- float division would round-vs-
+-- truncate differently); DISTINCT because a small corpus collapses
+-- adjacent thresholds and a duplicated group key would double-count
+m AS (SELECT max(doc_id) AS mx FROM documents),
+thr AS (SELECT DISTINCT (i * mx) // {_HEAPS_CKPTS} AS thr
+        FROM m, range(1, {_HEAPS_CKPTS + 1}) t(i)),
+cum AS (SELECT thr, sum(n_grams) AS cg, sum(new_types) AS ct
+        FROM pd JOIN thr ON pd.doc_id <= thr.thr GROUP BY thr),
+-- the zipf_fit cross-engine float-parity recipe: per-point logs
+-- rounded to 9 decimals, summed as DECIMAL (addition-only => exact in
+-- both engines), every product/division in double on identical sums
+pts AS (SELECT CAST(round(ln(CAST(cg AS DOUBLE)), 9) AS DECIMAL(18, 9)) x,
+               CAST(round(ln(CAST(ct AS DOUBLE)), 9) AS DECIMAL(18, 9)) y
+        FROM cum),
+s AS (SELECT CAST(count(*) AS DOUBLE) k,
+             CAST(sum(x) AS DOUBLE) sx, CAST(sum(y) AS DOUBLE) sy,
+             CAST(sum(x * x) AS DOUBLE) sxx,
+             CAST(sum(x * y) AS DOUBLE) sxy,
+             CAST(sum(y * y) AS DOUBLE) syy
+      FROM pts)
+-- degenerate-corpus guards (NULL, never a throw): a fully-duplicated
+-- corpus has ZERO type-count variance (k*syy - sy*sy = 0, r2
+-- undefined) and a single-checkpoint corpus has zero x variance
+-- (slope undefined); Spark 4's ANSI mode turns an unguarded division
+-- into a runtime error deep inside the job
+SELECT CAST(k AS BIGINT) AS n_points,
+       CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+            ELSE round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+       END AS beta,
+       CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+            ELSE round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
+                        * sx) / k, 6)
+       END AS intercept,
+       CASE WHEN (k * sxx - sx * sx) * (k * syy - sy * sy) = 0 THEN NULL
+            ELSE round(pow(k * sxy - sx * sy, 2)
+                       / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6)
+       END AS r2
+FROM s
+"""
+
+
+@_q11(
+    "heaps_law_fit",
+    _HEAPS_ORACLE,
+    "Heaps'-law fit: OLS of ln(trigram types) on ln(trigram instances) "
+    "at {k} cumulative doc_id checkpoints — the vocabulary-GROWTH audit "
+    "(V(N) = K*N^beta) that complements zipf_fit's frequency-curve "
+    "audit; natural text fits beta ~ 0.4-0.6 and heavy duplication "
+    "flattens it, so the slope doubles as a dedup-health metric. "
+    "Cross-engine float parity is zipf_fit's recipe (9-decimal-rounded "
+    "ln points, DECIMAL addition-only sums, double OLS on identical "
+    "sums); the checkpoint thresholds are integer-exact ((i*mx) DIV "
+    "{k}) because float division rounds in DuckDB and truncates in "
+    "Spark casts. Scale shape: one trigram explode, one Heaps-bounded "
+    "type-table shuffle (min doc_id per gram), one per-doc count "
+    "shuffle, then a {k}-row broadcast nested-loop whose output "
+    "partial-aggregates map-side to <= {k} rows — the fit itself is "
+    "free at any corpus size".format(k=_HEAPS_CKPTS),
+)
+def q_heaps_law_fit(spark, sf_dir):
+    from victor_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    n2 = F.size("t") - F.lit(2)
+    gi = (
+        toks.filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, n2).alias("w1"),
+                    F.slice("t", 2, n2).alias("w2"),
+                    F.slice("t", 3, n2).alias("w3"),
+                )
+            ).alias("_g"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("_g.w1"), F.col("_g.w2"), F.col("_g.w3")
+            ).alias("gram"),
+        )
+    )
+    pdg = gi.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    nt = (
+        gi.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("new_types"))
+    )
+    pd = pdg.join(nt, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+    )
+    # 20 integer-exact checkpoints; provably bounded -> broadcast is safe
+    thr = (
+        d.agg(F.max("doc_id").alias("mx"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_HEAPS_CKPTS))
+            ).alias("i"),
+            "mx",
+        )
+        .select(
+            F.expr(f"(i * mx) DIV {_HEAPS_CKPTS}").alias("thr")
+        )
+        .distinct()
+    )
+    cum = (
+        pd.join(F.broadcast(thr), pd.doc_id <= thr.thr)
+        .groupBy("thr")
+        .agg(
+            F.sum("n_grams").alias("cg"),
+            F.sum("new_types").alias("ct"),
+        )
+    )
+    pts = cum.select(
+        F.round(F.log(F.col("cg").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("ct").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    # degenerate-corpus guards (match the oracle's CASE arms): zero x
+    # variance -> slope/intercept NULL; zero y variance (a fully
+    # duplicated corpus) -> r2 NULL. ANSI mode would otherwise turn the
+    # division into a runtime error mid-job.
+    xden = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    r2den = xden * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / xden
+    return s.select(
+        F.col("k").cast("long").alias("n_points"),
+        F.when(xden == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("beta"),
+        F.when(xden == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6)
+        )
+        .alias("intercept"),
+        F.when(r2den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.pow(
+                    F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                    2,
+                )
+                / r2den,
+                6,
+            )
+        )
+        .alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing — the standard multinomial data-mix
+# recipe (GPT-3 App. A / XLM-R / Llama): sample source i with
+# probability proportional to p_i^tau. domain_mix_doremi is the
+# LEARNED member of this family; this is the closed-form member every
+# production mix starts from. tau < 1 upweights small sources, and the
+# effective-epochs column is the overfitting audit that decides whether
+# a small source is being repeated too often for a given token budget.
+# ---------------------------------------------------------------------------
+
+_MIX_TAU = 0.7
+_MIX_BUDGET = 1_000_000
+
+_MIX_ORACLE = f"""
+WITH n AS (SELECT source,
+                  CAST(sum(len({SQL_TOKS.format(s='lower(text)')})) AS BIGINT)
+                    AS n_tokens
+           FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens) AS tt FROM n),
+-- pow() is libm in both engines; committing the per-source value at 9
+-- decimals as DECIMAL makes the normalizer an addition-only exact sum
+-- (the zipf_fit parity recipe), after which every division runs in
+-- double on identical operands
+u AS (SELECT source, n_tokens,
+             CAST(round(pow(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE),
+                            {_MIX_TAU}), 9) AS DECIMAL(18, 9)) AS ui,
+             CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS p
+      FROM n CROSS JOIN tot),
+z AS (SELECT sum(ui) AS zz FROM u)
+SELECT source,
+       n_tokens,
+       round(p, 6) AS p_raw,
+       round(CAST(ui AS DOUBLE) / CAST(zz AS DOUBLE), 6) AS weight,
+       round({_MIX_BUDGET} * (CAST(ui AS DOUBLE) / CAST(zz AS DOUBLE))
+             / CAST(n_tokens AS DOUBLE), 6) AS eff_epochs
+FROM u CROSS JOIN z
+ORDER BY source
+"""
+
+
+@_q11(
+    "domain_mix_temperature",
+    _MIX_ORACLE,
+    "temperature-scaled source mixing (GPT-3 Appendix A / XLM-R / "
+    "Llama's data-mix recipe; domain_mix_doremi is this family's "
+    "LEARNED member): sampling weight_i proportional to p_i^tau with "
+    "tau={tau}, plus the effective-epochs audit (weight * budget / "
+    "n_tokens_i) that flags a small source being repeated past the "
+    "memorization threshold for a {budget}-token budget. Float parity: "
+    "pow() is libm in both engines, so the per-source pow value is "
+    "committed at 9 decimals as DECIMAL and the normalizer is an "
+    "addition-only exact sum (zipf_fit's recipe); every division then "
+    "runs in double on identical operands. Scale shape: token counts "
+    "ride sum(size(tokens)) per doc — NO explode — into one "
+    "map-side-combine shuffle on the source key; everything after is "
+    "source-cardinality-sized (two 1-row broadcast joins)".format(
+        tau=_MIX_TAU, budget=_MIX_BUDGET
+    ),
+)
+def q_domain_mix_temperature(spark, sf_dir):
+    from victor_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.lower(F.col("text")))))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = F.broadcast(n.agg(F.sum("n_tokens").alias("tt")))
+    p = F.col("n_tokens").cast("double") / F.col("tt").cast("double")
+    u = n.crossJoin(tot).select(
+        "source",
+        "n_tokens",
+        F.round(F.pow(p, F.lit(_MIX_TAU)), 9)
+        .cast("decimal(18,9)")
+        .alias("ui"),
+        p.alias("p"),
+    )
+    z = F.broadcast(u.agg(F.sum("ui").alias("zz")))
+    w = F.col("ui").cast("double") / F.col("zz").cast("double")
+    return (
+        u.crossJoin(z)
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("p"), 6).alias("p_raw"),
+            F.round(w, 6).alias("weight"),
+            F.round(
+                F.lit(_MIX_BUDGET)
+                * w
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("eff_epochs"),
+        )
+        .orderBy("source")
     )
