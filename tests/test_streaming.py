@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -1312,3 +1314,126 @@ def test_tokenize_documents_validates_inputs(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         tokenize_documents(clash, merges=[("a", "b")])
+
+
+def test_vocab_drift_stream_equals_batch(spark, tmp_path):
+    """Topology 20 (vocab-drift monitor): documents landing as parquet
+    are scored against a FROZEN reference vocabulary. The epoch-keyed
+    state must reproduce the batch plane exactly: summed token/OOV
+    totals equal the whole-corpus drift_metrics, and the cumulative
+    novel-type inventory equals the batch OOV type set."""
+    from victor_spark.streaming import (
+        cumulative_drift,
+        drift_metrics,
+        epoch_drift,
+        stream_vocab_drift,
+        type_drift,
+    )
+
+    vocab = ["the", "data", "join", "sort"]
+    docs = spark.createDataFrame(
+        [
+            (0, "the data join novel0 the"),
+            (1, "sort sort data novel1"),
+            (2, "the novel0 novel2"),
+            (3, "join data the sort"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "landing")
+    # two files -> two micro-batches under maxFilesPerTrigger
+    docs.filter("doc_id < 2").repartition(1).write.mode("append").parquet(src)
+    docs.filter("doc_id >= 2").repartition(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = str(tmp_path / "state")
+    q = stream_vocab_drift(stream, vocab, state, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    cum = cumulative_drift(spark, state).collect()[0]
+    batch = drift_metrics(type_drift(spark.read.parquet(src), vocab)).collect()[0]
+    assert cum["n_tokens"] == batch["n_tokens"] == 16
+    assert cum["oov_tokens"] == batch["oov_tokens"] == 4
+    assert cum["novel_types"] == batch["oov_types"] == 3
+    assert cum["oov_token_rate"] == batch["oov_token_rate"]
+
+    per = epoch_drift(spark, state).collect()
+    assert len(per) == 2
+    # additive metrics split exactly across epochs
+    assert sum(r["n_tokens"] for r in per) == 16
+    assert sum(r["oov_tokens"] for r in per) == 4
+    # novel types count FIRST epochs only: novel0 belongs to the epoch
+    # that saw doc 0, never double-counted when doc 2 repeats it
+    assert sum(r["novel_types"] for r in per) == 3
+    assert all(r["oov_token_rate"] is not None for r in per)
+
+
+def test_vocab_drift_restart_is_idempotent(spark, tmp_path):
+    """Restart discipline: re-running the stream over the same landing
+    dir with the same checkpoint must not change the state (no new
+    epochs, no double counts); a NEW file then lands as exactly one new
+    epoch whose novel_types excludes types already inventoried."""
+    from victor_spark.streaming import (
+        cumulative_drift,
+        epoch_drift,
+        stream_vocab_drift,
+    )
+
+    vocab = ["known"]
+    src = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [(0, "known fresh0 fresh0")], "doc_id long, text string"
+    ).repartition(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    def run():
+        s = spark.readStream.schema(schema).parquet(src)
+        stream_vocab_drift(s, vocab, state, ckpt).awaitTermination()
+
+    run()
+    first = cumulative_drift(spark, state).collect()[0]
+    run()  # no new files: must be a no-op
+    again = cumulative_drift(spark, state).collect()[0]
+    assert first == again
+
+    # one new file: one new epoch; the repeated type fresh0 is NOT novel
+    spark.createDataFrame(
+        [(1, "known fresh0 fresh1")], "doc_id long, text string"
+    ).repartition(1).write.mode("append").parquet(src)
+    run()
+    per = epoch_drift(spark, state).collect()
+    assert len(per) == 2
+    assert [r["novel_types"] for r in per] == [1, 1]
+    cum = cumulative_drift(spark, state).collect()[0]
+    assert cum["n_tokens"] == 6 and cum["oov_tokens"] == 4
+    assert cum["novel_types"] == 2
+
+
+def test_type_drift_validates_and_handles_empty(spark, tmp_path):
+    from victor_spark.streaming import (
+        cumulative_drift,
+        drift_metrics,
+        epoch_drift,
+        type_drift,
+    )
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty reference vocabulary"):
+        type_drift(d, [])
+    # empty corpus: metrics are zeros with a NULL rate, never a throw
+    empty = d.filter("doc_id < 0")
+    m = drift_metrics(type_drift(empty, ["x"])).collect()[0]
+    assert (
+        m["n_tokens"], m["n_types"], m["oov_tokens"], m["oov_types"],
+        m["oov_token_rate"],
+    ) == (0, 0, 0, 0, None)
+    # no state on disk -> None, not an exception
+    assert epoch_drift(spark, str(tmp_path / "nope")) is None
+    assert cumulative_drift(spark, str(tmp_path / "nope")) is None

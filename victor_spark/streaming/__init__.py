@@ -44,6 +44,13 @@ from victor_spark.streaming.tokenize_stream import (
     stream_tokenized_documents,
     tokenize_documents,
 )
+from victor_spark.streaming.drift_stream import (
+    cumulative_drift,
+    drift_metrics,
+    epoch_drift,
+    stream_vocab_drift,
+    type_drift,
+)
 
 __all__ = [
     "stream_events_to_table",
@@ -74,4 +81,9 @@ __all__ = [
     "sitemap_frontier_stream",
     "tokenize_documents",
     "stream_tokenized_documents",
+    "type_drift",
+    "drift_metrics",
+    "stream_vocab_drift",
+    "epoch_drift",
+    "cumulative_drift",
 ]
