@@ -146,6 +146,9 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # explode-free temperature mix (one source-key agg)
     "heaps_law_fit": {"documents": ["doc_id"]},
     "domain_mix_temperature": {"documents": ["doc_id"]},
+    # batch anchor of streaming topology 20 (frozen top-K vocab, one
+    # word-type shuffle + a vocab-sized equi-join)
+    "vocab_drift_audit": {"documents": ["doc_id"]},
 }
 
 # Hot-key variants: same query, but EVERY document (across every

@@ -707,3 +707,71 @@ def q_domain_mix_temperature(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocab-drift audit — the batch-plane anchor for streaming topology 20
+# (streaming/drift_stream.py): the same shared transform the monitor
+# runs per micro-batch, driver-gated against a static SQL oracle.
+# ---------------------------------------------------------------------------
+
+_DRIFT_VOCAB_K = 10
+
+_DRIFT_ORACLE = f"""
+WITH toks AS (SELECT unnest({SQL_TOKS.format(s='lower(text)')}) AS word
+              FROM documents),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) n FROM toks GROUP BY word),
+vocab AS (SELECT word FROM wc
+          ORDER BY n DESC, word ASC LIMIT {_DRIFT_VOCAB_K}),
+t AS (SELECT wc.word, wc.n,
+             (vocab.word IS NOT NULL) AS known
+      FROM wc LEFT JOIN vocab USING (word))
+SELECT CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN NOT known THEN n ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       CAST(sum(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_types,
+       CASE WHEN sum(n) = 0 THEN NULL
+            ELSE round(CAST(sum(CASE WHEN NOT known THEN n ELSE 0 END)
+                            AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+       END AS oov_token_rate
+FROM t
+"""
+
+
+@_q11(
+    "vocab_drift_audit",
+    _DRIFT_ORACLE,
+    "vocabulary-drift audit: OOV token/type counts and OOV token rate "
+    "of the corpus against a frozen top-{k}-word reference vocabulary "
+    "— the batch-plane anchor for streaming topology 20 "
+    "(streaming/drift_stream.py), which runs the IDENTICAL shared "
+    "transform (type_drift + drift_metrics) per micro-batch against "
+    "the same frozen artifact; registering it here puts the "
+    "stream's correctness under the driver gate. The reference is "
+    "collected as a {k}-row bounded artifact (the frozen-vocab serving "
+    "shape: tokenizer tables ship the same way); the instance stream "
+    "aggregates to the Heaps-bounded type table map-side before "
+    "touching it. Deterministic tie-break (n DESC, word ASC) on the "
+    "vocab cut so both engines freeze the same reference".format(
+        k=_DRIFT_VOCAB_K
+    ),
+)
+def q_vocab_drift_audit(spark, sf_dir):
+    from victor_spark.functions import text as T
+    from victor_spark.streaming.drift_stream import drift_metrics, type_drift
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = [
+        r["word"]
+        for r in d.select(
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(_DRIFT_VOCAB_K)
+        .collect()
+    ]
+    return drift_metrics(type_drift(d, vocab))
