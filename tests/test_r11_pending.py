@@ -257,3 +257,43 @@ def test_heaps_beta_flattens_under_duplication(spark):
     # fully-duplicated corpus: type growth is FLAT, so the type-count
     # variance is zero and r2 is undefined -> NULL, never a throw
     assert b_dup["r2"] is None
+
+
+def test_tokenize_pack_pipeline_plan_shape(spark):
+    # the composed last mile stays its stages' shapes: exactly one
+    # Python stage (the Arrow encode farm), no cartesian product, and
+    # the packing window is partitioned (never a global unpartitioned
+    # running sum)
+    import re
+
+    df = PENDING["tokenize_pack_pipeline"].build(spark, SF_SMOKE)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_tokenize_pack_pipeline_composition_invariants(spark):
+    # cross-stage invariants the per-doc oracle rows imply but are
+    # worth stating directly: packs tile each bucket stream without
+    # gaps, and the split is the documented 80/10/10 hash assignment
+    import pandas as pd
+
+    pdf = (
+        PENDING["tokenize_pack_pipeline"].build(spark, SF_SMOKE).toPandas()
+    )
+    assert len(pdf) == 500
+    assert set(pdf["split"]) <= {"train", "val", "test"}
+    # concat-then-chunk: within a bucket, sorted start_offs + token
+    # counts tile the stream exactly (no holes, no overlaps)
+    for b, g in pdf.groupby("bucket"):
+        g = g.sort_values("start_off")
+        ends = (g["start_off"] + g["n_bpe_tokens"]).to_numpy()
+        starts = g["start_off"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == ends[:-1]).all()
+        # pack_id is the chunk the doc STARTS in
+        assert (g["pack_id"] == g["start_off"] // 256).all()

@@ -149,6 +149,9 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # batch anchor of streaming topology 20 (frozen top-K vocab, one
     # word-type shuffle + a vocab-sized equi-join)
     "vocab_drift_audit": {"documents": ["doc_id"]},
+    # last-mile capstone: BPE train -> encode farm -> pack windows ->
+    # hash split, one dataflow
+    "tokenize_pack_pipeline": {"documents": ["doc_id"]},
 }
 
 # Hot-key variants: same query, but EVERY document (across every

@@ -775,3 +775,141 @@ def q_vocab_drift_audit(spark, sf_dir):
         .collect()
     ]
     return drift_metrics(type_drift(d, vocab))
+
+
+# ---------------------------------------------------------------------------
+# Tokenize-and-pack capstone — the training-data LAST MILE composed the
+# way crawl_pipeline composed the first mile: train the tokenizer on
+# the corpus, encode every document through the serving farm, pack the
+# token stream into fixed-length training sequences, and assign
+# deterministic train/val/test splits — one dataflow, per-doc output,
+# every stage an already-gated operator.
+# ---------------------------------------------------------------------------
+
+_TPP_SEQ_LEN = 256
+_TPP_BUCKETS = 8
+
+
+def _tpp_oracle(sf_dir: str) -> str:
+    """Dynamic oracle: replay BPE train + encode independently (the
+    bpe_train/bpe_encode recurrence, memoized in catalog.py), state the
+    per-doc subword counts as VALUES, and run the pack + split
+    arithmetic in pure SQL — the same md5 bucket/order/cumsum window as
+    pack_sequences' static oracle and hash_split's bucket CASE, so
+    every composed stage is re-derived outside Spark."""
+    import os
+
+    import duckdb
+
+    from victor_spark.plans.catalog import (
+        SQL_H32,
+        _bpe_apply_merge,
+        _expected_bpe_merges,
+    )
+
+    merge_pairs = [
+        (a, b) for _r, a, b, _m, _n in _expected_bpe_merges(sf_dir)
+    ]
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    ).fetchall()
+    con.close()
+
+    memo: dict[str, int] = {}
+
+    def n_sub(word: str) -> int:
+        if word not in memo:
+            syms = list(word)
+            for left, right in merge_pairs:
+                syms = _bpe_apply_merge(syms, left, right)
+            memo[word] = len(syms)
+        return memo[word]
+
+    rows = []
+    for doc_id, text in docs:
+        n = sum(n_sub(w) for w in (text or "").lower().split(" ") if w)
+        rows.append((int(doc_id), n))
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS BIGINT) "
+            "n_bpe_tokens, CAST(NULL AS INTEGER) bucket, CAST(NULL AS "
+            "BIGINT) start_off, CAST(NULL AS BIGINT) pack_id, CAST(NULL "
+            "AS VARCHAR) split WHERE false"
+        )
+    values = ", ".join(f"({d}, {n})" for d, n in rows)
+    h_pack = SQL_H32.format(x="concat('pack:', CAST(doc_id AS VARCHAR))")
+    h_split = SQL_H32.format(x="concat('split:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH d AS (SELECT doc_id, n_tok FROM (VALUES {values}) AS t(doc_id, n_tok)),
+h AS (SELECT doc_id, n_tok, {h_pack} AS h, {h_split} % 1000 AS sb FROM d),
+w AS (SELECT doc_id, n_tok, CAST(h % {_TPP_BUCKETS} AS INTEGER) AS bucket, sb,
+             sum(n_tok) OVER (PARTITION BY h % {_TPP_BUCKETS}
+                              ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_bpe_tokens,
+       bucket,
+       CAST(cum - n_tok AS BIGINT) AS start_off,
+       CAST((cum - n_tok) // {_TPP_SEQ_LEN} AS BIGINT) AS pack_id,
+       CASE WHEN sb < 800 THEN 'train' WHEN sb < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM w
+"""
+
+
+@_q11(
+    "tokenize_pack_pipeline",
+    _tpp_oracle,
+    "the training-data LAST MILE as one dataflow (crawl_pipeline's "
+    "tokenize-side sibling): train 20 BPE merges on the corpus -> "
+    "encode EVERY document through the rank-priority Arrow serving "
+    "farm -> pack the subword stream into seq_len={sl} training "
+    "sequences over {nb} parallel bucket streams (concat-then-chunk, "
+    "deterministic on any cluster size) -> deterministic 80/10/10 "
+    "hash split. Per-doc output (doc_id, n_bpe_tokens, bucket, "
+    "start_off, pack_id, split) so the oracle checks the COMPOSITION, "
+    "not just stage counts; checked against an independent Python "
+    "replay of train+encode with the pack/split arithmetic re-derived "
+    "in pure SQL. Scale shape: the composition adds nothing to its "
+    "stages' own shapes — one word-count shuffle + driver merge loop "
+    "(Heaps-bounded), one stateless Arrow encode farm, one shuffle by "
+    "pack bucket with per-bucket windows, split as a pure projection; "
+    "the merge table is the only collected artifact".format(
+        sl=_TPP_SEQ_LEN, nb=_TPP_BUCKETS
+    ),
+)
+def q_tokenize_pack_pipeline(spark, sf_dir):
+    from victor_spark.operators.bpe import apply_bpe, train_bpe_merges
+    from victor_spark.operators.packing import pack_sequences
+    from victor_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in train_bpe_merges(d, "text", num_merges=20)
+        .orderBy("rank")
+        .collect()
+    ]
+    counted = apply_bpe(
+        d.select("doc_id", "text"), "text", merges, out_col="bpe_tokens"
+    ).select(
+        "doc_id", F.size("bpe_tokens").cast("int").alias("n_tok")
+    )
+    packed = pack_sequences(
+        counted,
+        "doc_id",
+        "n_tok",
+        seq_len=_TPP_SEQ_LEN,
+        n_buckets=_TPP_BUCKETS,
+    )
+    return hash_split(packed, "doc_id").select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_bpe_tokens"),
+        "bucket",
+        "start_off",
+        "pack_id",
+        "split",
+    )
