@@ -297,3 +297,40 @@ def test_tokenize_pack_pipeline_composition_invariants(spark):
         assert (starts[1:] == ends[:-1]).all()
         # pack_id is the chunk the doc STARTS in
         assert (g["pack_id"] == g["start_off"] // 256).all()
+
+
+def test_domain_mix_degenerate_sources_yield_nulls(spark, tmp_path):
+    # a zero-token source is legal signal (weight 0, eff_epochs NULL);
+    # an all-empty corpus yields all-NULL ratios -- neither may throw
+    # under ANSI mode
+    import os
+
+    from victor_spark.plans.catalog_r11 import q_domain_mix_temperature
+
+    mixed = spark.createDataFrame(
+        [(0, "real words here", "srcA"), (1, "", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    empty = spark.createDataFrame(
+        [(0, "", "srcA"), (1, "   ", "srcB")],
+        "doc_id long, text string, source string",
+    )
+    for name, df in [("mixed", mixed), ("empty", empty)]:
+        df.write.parquet(
+            os.path.join(str(tmp_path), name, "documents.parquet")
+        )
+    rows = {
+        r["source"]: r
+        for r in q_domain_mix_temperature(
+            spark, os.path.join(str(tmp_path), "mixed")
+        ).collect()
+    }
+    assert rows["srcA"]["weight"] == 1.0
+    assert rows["srcB"]["n_tokens"] == 0
+    assert rows["srcB"]["weight"] == 0.0
+    assert rows["srcB"]["eff_epochs"] is None
+    for r in q_domain_mix_temperature(
+        spark, os.path.join(str(tmp_path), "empty")
+    ).collect():
+        assert r["p_raw"] is None
+        assert r["weight"] is None and r["eff_epochs"] is None

@@ -634,18 +634,31 @@ tot AS (SELECT sum(n_tokens) AS tt FROM n),
 -- decimals as DECIMAL makes the normalizer an addition-only exact sum
 -- (the zipf_fit parity recipe), after which every division runs in
 -- double on identical operands
+-- degenerate guards (NULL, never an ANSI throw): tt = 0 is the
+-- empty/whitespace-only corpus; a zero-token SOURCE is legal (weight
+-- 0) but has no defined effective-epochs ratio
 u AS (SELECT source, n_tokens,
-             CAST(round(pow(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE),
-                            {_MIX_TAU}), 9) AS DECIMAL(18, 9)) AS ui,
-             CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS p
+             CASE WHEN tt = 0 THEN CAST(0 AS DECIMAL(18, 9))
+                  ELSE CAST(round(pow(CAST(n_tokens AS DOUBLE)
+                                      / CAST(tt AS DOUBLE),
+                                      {_MIX_TAU}), 9) AS DECIMAL(18, 9))
+             END AS ui,
+             CASE WHEN tt = 0 THEN NULL
+                  ELSE CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE)
+             END AS p
       FROM n CROSS JOIN tot),
 z AS (SELECT sum(ui) AS zz FROM u)
 SELECT source,
        n_tokens,
        round(p, 6) AS p_raw,
-       round(CAST(ui AS DOUBLE) / CAST(zz AS DOUBLE), 6) AS weight,
-       round({_MIX_BUDGET} * (CAST(ui AS DOUBLE) / CAST(zz AS DOUBLE))
-             / CAST(n_tokens AS DOUBLE), 6) AS eff_epochs
+       CASE WHEN zz = 0 THEN NULL
+            ELSE round(CAST(ui AS DOUBLE) / CAST(zz AS DOUBLE), 6)
+       END AS weight,
+       CASE WHEN zz = 0 OR n_tokens = 0 THEN NULL
+            ELSE round({_MIX_BUDGET} * (CAST(ui AS DOUBLE)
+                                        / CAST(zz AS DOUBLE))
+                       / CAST(n_tokens AS DOUBLE), 6)
+       END AS eff_epochs
 FROM u CROSS JOIN z
 ORDER BY source
 """
@@ -680,12 +693,19 @@ def q_domain_mix_temperature(spark, sf_dir):
         .alias("n_tokens")
     )
     tot = F.broadcast(n.agg(F.sum("n_tokens").alias("tt")))
-    p = F.col("n_tokens").cast("double") / F.col("tt").cast("double")
+    # degenerate guards mirror the oracle's CASE arms: tt = 0 (empty
+    # corpus) and per-source n_tokens = 0 yield NULLs, never an ANSI
+    # divide-by-zero throw mid-job
+    p = F.when(F.col("tt") == 0, F.lit(None).cast("double")).otherwise(
+        F.col("n_tokens").cast("double") / F.col("tt").cast("double")
+    )
     u = n.crossJoin(tot).select(
         "source",
         "n_tokens",
-        F.round(F.pow(p, F.lit(_MIX_TAU)), 9)
-        .cast("decimal(18,9)")
+        F.when(F.col("tt") == 0, F.lit(0).cast("decimal(18,9)"))
+        .otherwise(
+            F.round(F.pow(p, F.lit(_MIX_TAU)), 9).cast("decimal(18,9)")
+        )
         .alias("ui"),
         p.alias("p"),
     )
@@ -697,13 +717,22 @@ def q_domain_mix_temperature(spark, sf_dir):
             "source",
             "n_tokens",
             F.round(F.col("p"), 6).alias("p_raw"),
-            F.round(w, 6).alias("weight"),
-            F.round(
-                F.lit(_MIX_BUDGET)
-                * w
-                / F.col("n_tokens").cast("double"),
-                6,
-            ).alias("eff_epochs"),
+            F.when(F.col("zz") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(w, 6))
+            .alias("weight"),
+            F.when(
+                (F.col("zz") == 0) | (F.col("n_tokens") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.lit(_MIX_BUDGET)
+                    * w
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+            )
+            .alias("eff_epochs"),
         )
         .orderBy("source")
     )
