@@ -334,3 +334,40 @@ def test_domain_mix_degenerate_sources_yield_nulls(spark, tmp_path):
     ).collect():
         assert r["p_raw"] is None
         assert r["weight"] is None and r["eff_epochs"] is None
+
+
+def test_unigram_whole_word_seeding_lifts_the_fertility_floor(spark):
+    # a frequent word LONGER than seed_max_len can never become a piece
+    # under substring-only seeding (fertility floor > 1); opt-in
+    # whole-word seeding (the SentencePiece behavior) removes the floor
+    # while the default keeps gate-frozen artifacts bit-identical
+    from victor_spark.operators.unigram import (
+        train_unigram,
+        viterbi_segment,
+    )
+
+    rows = [(i, "hippopotamus tiny cat") for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(vocab_size=60, seed_max_len=5, seed_size=300, em_iters=2)
+    base = {
+        r["piece"]: r["logp"]
+        for r in train_unigram(d, "text", **kw).collect()
+    }
+    assert "hippopotamus" not in base
+    assert len(viterbi_segment("hippopotamus", base, 5)) >= 3
+    ww = {
+        r["piece"]: r["logp"]
+        for r in train_unigram(
+            d, "text", seed_whole_words=True, **kw
+        ).collect()
+    }
+    assert "hippopotamus" in ww
+    assert viterbi_segment(
+        "hippopotamus", ww, max(len(p) for p in ww)
+    ) == ["hippopotamus"]
+    # default path unchanged: retrain without the flag matches exactly
+    again = {
+        r["piece"]: r["logp"]
+        for r in train_unigram(d, "text", **kw).collect()
+    }
+    assert again == base

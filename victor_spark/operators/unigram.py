@@ -95,12 +95,18 @@ def viterbi_segment(
 
 
 def _seed_pieces(
-    vocab: list[tuple[str, int]], seed_max_len: int, seed_size: int
+    vocab: list[tuple[str, int]], seed_max_len: int, seed_size: int,
+    seed_whole_words: bool = False,
 ) -> dict[str, int]:
     """Deterministic seed-candidate table: every substring up to
     ``seed_max_len`` of every word type, occurrence-counted weighted by
     the word's corpus frequency; all single characters survive, the
-    multi-char tail keeps the top (count desc, piece asc) slots."""
+    multi-char tail keeps the top (count desc, piece asc) slots.
+    ``seed_whole_words`` additionally admits every full word type as a
+    candidate regardless of ``seed_max_len`` (SentencePiece's behavior
+    — without it a frequent word LONGER than seed_max_len can never
+    become a single piece, which floors its fertility above 1; the
+    matched-vocab head-to-head in SCALING.md caught this)."""
     cand: dict[str, int] = {}
     for word, n in vocab:
         wl = len(word)
@@ -108,6 +114,8 @@ def _seed_pieces(
             for start in range(wl - length + 1):
                 sub = word[start : start + length]
                 cand[sub] = cand.get(sub, 0) + n
+        if seed_whole_words and wl > seed_max_len:
+            cand[word] = cand.get(word, 0) + n
     chars = {p: c for p, c in cand.items() if len(p) == 1}
     multi = sorted(
         ((p, c) for p, c in cand.items() if len(p) > 1),
@@ -168,6 +176,7 @@ def train_unigram(
     seed_size: int = 1000,
     em_iters: int = 3,
     max_vocab: int = 1_000_000,
+    seed_whole_words: bool = False,
 ) -> DataFrame:
     """Train a unigram-LM piece table; returns (piece, expected_n, logp).
 
@@ -178,7 +187,10 @@ def train_unigram(
     recurrence (no engine math in the output path). ``max_vocab`` bounds
     the SEEDING collect only (top word types by count — the same cap and
     justification as BPE training); every E-step runs distributed over
-    the full type table.
+    the full type table. ``seed_whole_words=True`` admits full word
+    types into the seed beyond ``seed_max_len`` (the SentencePiece
+    default behavior); it is opt-in so every artifact gated on the
+    default parameters stays bit-identical.
     """
     if vocab_size < 1 or em_iters < 1:
         raise ValueError(
@@ -195,7 +207,8 @@ def train_unigram(
             [], "piece string, expected_n long, logp double"
         )
 
-    counts = _seed_pieces(vocab, seed_max_len, seed_size)
+    counts = _seed_pieces(vocab, seed_max_len, seed_size,
+                          seed_whole_words=seed_whole_words)
     max_piece_len = max(len(p) for p in counts)
     # NO pre-EM prune: the full seed rides into the first E-step so the
     # prune decisions are EM-informed (Viterbi-count) facts, never raw
