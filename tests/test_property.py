@@ -1317,3 +1317,79 @@ def test_jpeg_progressive_corruption_never_escapes_valueerror(data):
     except ValueError:
         return
     assert back.shape[2] == 3  # decoded to SOMETHING pixel-shaped
+
+
+@PROP
+@given(
+    word=st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=0,
+        max_size=24,
+    ),
+    pieces=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_viterbi_segmentation_coverage_invariant(word, pieces):
+    """The Viterbi encode contract over random tables: pieces always
+    concatenate back to the word EXACTLY (lossless coverage), every
+    emitted piece is either in the table or a single-char <unk>, and
+    segmentation is deterministic — the invariants that make the
+    unigram replay oracle and the drift/fertility audits valid."""
+    from victor_spark.operators.unigram import viterbi_segment
+
+    logps = {p: -float(len(p)) for p in pieces}
+    max_len = max(len(p) for p in logps)
+    segs = viterbi_segment(word, logps, max_len)
+    assert "".join(segs) == word
+    for s in segs:
+        assert s in logps or len(s) == 1
+    assert viterbi_segment(word, logps, max_len) == segs
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["the", "data", "novel", "xq", "zz", ""]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    vocab=st.lists(
+        st.sampled_from(["the", "data", "join"]),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_type_drift_matches_python_model(spark, docs, vocab):
+    """type_drift/drift_metrics against a brute-force Python model on
+    random corpora: token totals, OOV splits, and the rate."""
+    from collections import Counter
+
+    from victor_spark.streaming import drift_metrics, type_drift
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = drift_metrics(type_drift(d, vocab)).first()
+
+    cnt = Counter(w for ws in docs for w in ws if w)
+    vs = set(vocab)
+    n_tokens = sum(cnt.values())
+    oov_tokens = sum(n for w, n in cnt.items() if w not in vs)
+    assert got["n_tokens"] == n_tokens
+    assert got["n_types"] == len(cnt)
+    assert got["oov_tokens"] == oov_tokens
+    assert got["oov_types"] == sum(1 for w in cnt if w not in vs)
+    if n_tokens == 0:
+        assert got["oov_token_rate"] is None
+    else:
+        assert got["oov_token_rate"] == round(oov_tokens / n_tokens, 6)
