@@ -152,6 +152,9 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # last-mile capstone: BPE train -> encode farm -> pack windows ->
     # hash split, one dataflow
     "tokenize_pack_pipeline": {"documents": ["doc_id"]},
+    # pairwise source-vocabulary Jaccard: the pair join rides the
+    # DISTINCT (source, word) type table, never instances
+    "source_overlap_jaccard": {"documents": ["doc_id"]},
 }
 
 # Hot-key variants: same query, but EVERY document (across every

@@ -942,3 +942,96 @@ def q_tokenize_pack_pipeline(spark, sf_dir):
         "pack_id",
         "split",
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap audit — pairwise vocabulary Jaccard between sources:
+# the redundancy check behind every mix decision (two "different"
+# sources that are the same crawl under two names show up as a
+# near-1.0 pair; domain_mix_temperature / domain_mix_doremi weights
+# assume sources are distinct populations).
+# ---------------------------------------------------------------------------
+
+_OVL_ORACLE = f"""
+WITH sw AS (SELECT DISTINCT source, word
+            FROM (SELECT source,
+                         unnest({SQL_TOKS.format(s='lower(text)')}) AS word
+                  FROM documents)),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) n FROM sw GROUP BY source),
+co AS (SELECT a.source s1, b.source s2, CAST(count(*) AS BIGINT) n_common
+       FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+       GROUP BY a.source, b.source)
+SELECT co.s1, co.s2, co.n_common,
+       za.n AS n_s1, zb.n AS n_s2,
+       round(CAST(co.n_common AS DOUBLE)
+             / CAST(za.n + zb.n - co.n_common AS DOUBLE), 6) AS jaccard
+FROM co JOIN sz za ON co.s1 = za.source
+        JOIN sz zb ON co.s2 = zb.source
+ORDER BY s1, s2
+"""
+
+
+@_q11(
+    "source_overlap_jaccard",
+    _OVL_ORACLE,
+    "source-overlap audit: pairwise vocabulary Jaccard between every "
+    "pair of sources — the redundancy check behind mix decisions (a "
+    "mirrored/relabeled source shows up as a near-1.0 pair, and "
+    "temperature/DoReMi weights silently double-count it). Scale "
+    "shape: the pair join runs on the DISTINCT (source, word) TYPE "
+    "table (Heaps-bounded), never on token instances; a word present "
+    "in every source emits at most C(n_sources, 2) pair rows — "
+    "bounded by a config-sized constant squared, the same reason the "
+    "winnow df cap exists is NOT needed here. Denominator "
+    "n1+n2-common is integer-exact; one round-6 double division".format(),
+)
+def q_source_overlap_jaccard(spark, sf_dir):
+    from victor_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    sw = (
+        d.select(
+            "source",
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("word"),
+        )
+        .distinct()
+    )
+    sz = sw.groupBy("source").agg(F.count("*").alias("n"))
+    a = sw.alias("a")
+    b = sw.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    za = sz.select(
+        F.col("source").alias("s1"), F.col("n").alias("n_s1")
+    )
+    zb = sz.select(
+        F.col("source").alias("s2"), F.col("n").alias("n_s2")
+    )
+    return (
+        co.join(za, "s1")
+        .join(zb, "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_common",
+            "n_s1",
+            "n_s2",
+            F.round(
+                F.col("n_common").cast("double")
+                / (
+                    F.col("n_s1") + F.col("n_s2") - F.col("n_common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("s1", "s2")
+    )
