@@ -371,3 +371,17 @@ def test_unigram_whole_word_seeding_lifts_the_fertility_floor(spark):
         for r in train_unigram(d, "text", **kw).collect()
     }
     assert again == base
+
+
+def test_source_overlap_plan_is_an_equi_join_on_word(spark):
+    # the pair join must reach the planner as an EQUI-join on the word
+    # key (source< is a post-join filter/condition), never a cartesian
+    # product, and it rides the distinct type table (plan carries the
+    # pre-join aggregate)
+    df = PENDING["source_overlap_jaccard"].build(spark, SF_SMOKE)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p and "MapInPandas" not in p
