@@ -385,3 +385,31 @@ def test_source_overlap_plan_is_an_equi_join_on_word(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p and "MapInPandas" not in p
+
+
+def test_corpus_entropy_detects_templated_text(spark, tmp_path):
+    # the audit's defining behavior: a corpus whose every bigram is
+    # fully determined by its predecessor (a repeated template) has
+    # ZERO conditional entropy / perplexity 1, while a mixed-order
+    # corpus of the same words does not; unigram entropy alone cannot
+    # tell them apart (same word marginals)
+    import os
+
+    from victor_spark.plans.catalog_r11 import q_corpus_entropy
+
+    template = [(i, "alpha beta gamma delta") for i in range(40)]
+    # same 4-word marginal, scrambled orders -> conditioning helps less
+    orders = ["alpha beta gamma delta", "beta alpha delta gamma",
+              "gamma delta alpha beta", "delta gamma beta alpha"]
+    mixed = [(i, orders[i % 4]) for i in range(40)]
+    for name, rows in [("tmpl", template), ("mixed", mixed)]:
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.parquet(os.path.join(str(tmp_path), name,
+                                     "documents.parquet"))
+    t = q_corpus_entropy(spark, os.path.join(str(tmp_path), "tmpl")).first()
+    m = q_corpus_entropy(spark, os.path.join(str(tmp_path), "mixed")).first()
+    assert t["bigram_cond_entropy"] == 0.0
+    assert t["bigram_perplexity"] == 1.0
+    assert m["bigram_cond_entropy"] > 0.5
+    assert abs(t["unigram_entropy"] - m["unigram_entropy"]) < 1e-6

@@ -155,6 +155,9 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # pairwise source-vocabulary Jaccard: the pair join rides the
     # DISTINCT (source, word) type table, never instances
     "source_overlap_jaccard": {"documents": ["doc_id"]},
+    # corpus predictability: one explode pass + two Heaps-bounded
+    # type-table aggs, 1-row result
+    "corpus_entropy": {"documents": ["doc_id"]},
 }
 
 # Hot-key variants: same query, but EVERY document (across every

@@ -1035,3 +1035,146 @@ def q_source_overlap_jaccard(spark, sf_dir):
         )
         .orderBy("s1", "s2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus entropy — the third corpus-shape audit axis: zipf_fit reads
+# the frequency CURVE, heaps_law_fit reads type GROWTH, this reads
+# PREDICTABILITY (the empirical unigram entropy and the bigram
+# conditional entropy H(w2|w1), whose exp is the perplexity a bigram
+# LM would train to on this corpus — the number that separates natural
+# text from templated/duplicated filler before any model is trained).
+# ---------------------------------------------------------------------------
+
+_ENT_ORACLE = f"""
+WITH d AS (SELECT doc_id, {SQL_TOKS.format(s='lower(text)')} t FROM documents),
+toks AS (SELECT unnest(t) AS w FROM d),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) c FROM toks GROUP BY w),
+un AS (SELECT sum(c) AS n FROM uc),
+-- per-term contributions rounded to 9 decimals and summed as DECIMAL:
+-- addition-only => exact in both engines (the zipf_fit parity recipe);
+-- ln() is libm in both, identical operands => identical doubles
+upts AS (SELECT CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)),
+                           9) AS DECIMAL(18, 9)) term
+         FROM uc CROSS JOIN un),
+bg AS (SELECT unnest(t[1:len(t)-1]) w1, unnest(t[2:len(t)]) w2
+       FROM d WHERE len(t) >= 2),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) c FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c) AS cw1 FROM bc GROUP BY w1),
+bn AS (SELECT sum(c) AS n FROM bc),
+bpts AS (SELECT CAST(round((CAST(bc.c AS DOUBLE) / CAST(bn.n AS DOUBLE))
+                           * ln(CAST(bc.c AS DOUBLE)
+                                / CAST(c1.cw1 AS DOUBLE)),
+                           9) AS DECIMAL(18, 9)) term
+         FROM bc JOIN c1 USING (w1) CROSS JOIN bn),
+s AS (SELECT (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM uc) n_tokens,
+             (SELECT CAST(count(*) AS BIGINT) FROM uc) n_types,
+             (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM bc) n_bigrams,
+             (SELECT CAST(count(*) AS BIGINT) FROM bc) n_bigram_types,
+             (SELECT CAST(coalesce(sum(term), 0) AS DOUBLE) FROM upts) hu,
+             (SELECT CAST(coalesce(sum(term), 0) AS DOUBLE) FROM bpts) hb)
+SELECT n_tokens, n_types, n_bigrams, n_bigram_types,
+       round(-hu, 6) AS unigram_entropy,
+       round(-hb, 6) AS bigram_cond_entropy,
+       round(exp(-hb), 6) AS bigram_perplexity
+FROM s
+"""
+
+
+@_q11(
+    "corpus_entropy",
+    _ENT_ORACLE,
+    "corpus predictability audit — the third corpus-shape axis after "
+    "zipf_fit (frequency curve) and heaps_law_fit (type growth): "
+    "empirical unigram entropy and bigram CONDITIONAL entropy "
+    "H(w2|w1) = -sum p(w1,w2) ln p(w2|w1), whose exp is the training "
+    "perplexity of a bigram LM on this corpus — templated or "
+    "duplicate-heavy text shows up as an anomalously low number "
+    "before any model is trained. Parity: per-term contributions "
+    "(double division * libm ln on identical operands) are committed "
+    "at 9 decimals as DECIMAL and summed addition-only (the zipf_fit "
+    "recipe); exp runs on the identical resulting double. Scale "
+    "shape: one explode pass, two Heaps-bounded type-table shuffles "
+    "(unigram + bigram counts, map-side partial), the instance table "
+    "is never pair-joined; all aggregates are 1-row",
+)
+def q_corpus_entropy(spark, sf_dir):
+    from victor_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    uc = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    un = F.broadcast(uc.agg(F.sum("c").alias("n")))
+    up = F.col("c").cast("double") / F.col("n").cast("double")
+    upts = uc.crossJoin(un).select(
+        F.round(up * F.log(up), 9).cast("decimal(18,9)").alias("term")
+    )
+    bg = (
+        d.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                    F.slice("t", 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = bc.groupBy("w1").agg(F.sum("c").alias("cw1"))
+    bn = F.broadcast(bc.agg(F.sum("c").alias("n")))
+    bpts = (
+        bc.join(c1, "w1")
+        .crossJoin(bn)
+        .select(
+            F.round(
+                (F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    F.col("c").cast("double")
+                    / F.col("cw1").cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("term")
+        )
+    )
+    stats = uc.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    bstats = bc.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.count("*").cast("long").alias("n_bigram_types"),
+    )
+    hu = upts.agg(
+        F.coalesce(F.sum("term"), F.lit(0))
+        .cast("double")
+        .alias("hu")
+    )
+    hb = bpts.agg(
+        F.coalesce(F.sum("term"), F.lit(0))
+        .cast("double")
+        .alias("hb")
+    )
+    return (
+        stats.crossJoin(bstats)
+        .crossJoin(F.broadcast(hu))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n_tokens",
+            "n_types",
+            "n_bigrams",
+            "n_bigram_types",
+            F.round(-F.col("hu"), 6).alias("unigram_entropy"),
+            F.round(-F.col("hb"), 6).alias("bigram_cond_entropy"),
+            F.round(F.exp(-F.col("hb")), 6).alias("bigram_perplexity"),
+        )
+    )
