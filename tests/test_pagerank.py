@@ -105,6 +105,28 @@ def test_non_positive_weights_raise(spark):
         assert "weights must be positive" in str(exc.value)
 
 
+def test_bad_weight_on_self_loop_still_raises(spark):
+    # advice-caught round 10: validation used to run AFTER the
+    # self-loop filter, so a NULL/zero/negative weight on a self-loop
+    # row silently passed the "weights must be POSITIVE — enforced"
+    # contract. Enforcement now precedes the filter: the contract holds
+    # on EVERY edge row, including ones the algorithm then drops.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    for bad in (-1.0, 0.0, None):
+        with pytest.raises((PySparkException, Py4JJavaError)) as exc:
+            pagerank(
+                spark.createDataFrame(
+                    [(0, 1, 1.0), (1, 0, 1.0), (1, 1, bad)],
+                    "src long, dst long, w double",
+                ),
+                weight="w",
+                iterations=1,
+            ).collect()
+        assert "weights must be positive" in str(exc.value)
+
+
 def test_self_loops_dropped_and_bad_iterations_raise(spark):
     got = _ranks(spark, [(0, 0), (0, 1), (1, 0)], iterations=2)
     # with the self-loop dropped this is the 2-cycle: uniform 1/2

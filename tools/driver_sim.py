@@ -8,11 +8,11 @@ before every round-end commit.
 
 Usage: python tools/driver_sim.py [--pending] [sf_dir] [query ...]
 
-``--pending`` overlays the staged-query modules: catalog_r9's and
-catalog_r10's specs are already registered (idempotent overlay), but
-catalog_r11's are NOT — the flag is the round-11 staged family's ONLY
-vanilla-session check until their registration, so keep using it before
-round-end commits.
+``--pending`` overlays the staged-query modules: catalog_r9's,
+catalog_r10's and catalog_r11's specs are already registered
+(idempotent overlay), but catalog_r12's are NOT — the flag is the
+round-12 staged family's ONLY vanilla-session check until their
+registration, so keep using it before round-end commits.
 """
 
 from __future__ import annotations
@@ -55,7 +55,14 @@ def main() -> int:
         from victor_spark.plans.catalog_r10 import PENDING as _P10
         from victor_spark.plans.catalog_r11 import PENDING as _P11
 
-        for name, spec in {**_P9, **_P10, **_P11}.items():
+        staged = {**_P9, **_P10, **_P11}
+        try:
+            from victor_spark.plans.catalog_r12 import PENDING as _P12
+
+            staged.update(_P12)
+        except ImportError:
+            pass
+        for name, spec in staged.items():
             queries[name] = spec.build
             sql = spec.oracle_sql(sf_dir)
             if sql is not None:

@@ -66,7 +66,7 @@ def pagerank(
     # weights (0.5 -> 0 made tw=0 and the iteration divide by zero —
     # review-caught); integer-weight sums stay exact as doubles
     w = F.lit(1.0) if weight is None else F.col(weight).cast("double")
-    e = edges.filter(F.col(src) != F.col(dst)).select(
+    e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("_w")
     )
     if weight is not None:
@@ -88,6 +88,27 @@ def pagerank(
                 )
             ),
         )
+        # the contract covers self-loop rows too (advice-caught round
+        # 10: dropping them first made enforcement partial relative to
+        # the docstring's claim). A standalone validate-then-filter
+        # sequence does NOT work — Catalyst legally pushes the
+        # `src != dst` predicate below the validation projection (it
+        # references neither branch), so the bad row is gone before the
+        # raise can fire. The assertion therefore lives INSIDE the
+        # drop predicate's own else-branch: a valid self-loop passes
+        # assert_true (NULL -> isNotNull() = false -> dropped), an
+        # invalid one raises right there.
+        keep = F.when(
+            F.col("src") != F.col("dst"), F.lit(True)
+        ).otherwise(
+            F.assert_true(
+                F.col("_w") > 0,
+                F.lit("pagerank: edge weights must be positive"),
+            ).isNotNull()
+        )
+        e = e.filter(keep)
+    else:
+        e = e.filter(F.col("src") != F.col("dst"))
     e = e.groupBy("src", "dst").agg(F.sum("_w").alias("w"))
     # loop invariants, materialized once: the edge matrix with its
     # source's total out-weight folded in (w and tw stay separate

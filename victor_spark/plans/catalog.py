@@ -8213,15 +8213,15 @@ def q_embedding_outliers(spark, sf_dir):
 # Builders/oracles touched in the CURRENT round — the only hand input.
 # Reset when a new round starts; the artifact-derived tiers handle the rest.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round 10: ingest_sitemap_roundtrip gained an explicit
-    # loc IS NOT NULL guard (advice-caught: explode_outer's entry-free
-    # all-NULL row would silently diverge from the static oracle on a
-    # future corpus) — output identical on today's corpora, but the
-    # builder changed, so the driver re-checks it this round. The 8
-    # catalog_r10 registrations are never-green and auto-front; the
-    # 9-query r6 tail + 33 oldest-r7 queries fill the rest of the
-    # 50-row window (rule 3), which drains the r6 tier to zero.
-    "ingest_sitemap_roundtrip",
+    # round 11: operators/pagerank.py moved its positive-weight
+    # validation BEFORE the self-loop filter (advice-caught: a bad
+    # weight on a self-loop row used to silently pass the "enforced"
+    # contract) — host_pagerank's output is identical (it calls
+    # unweighted) but its operator changed, so the driver re-checks it.
+    # The 9 catalog_r11 registrations are never-green and auto-front;
+    # the 18-query r7 tail + oldest-r8 queries fill the rest of the
+    # 50-row window (rule 3), which drains the r7 tier to zero.
+    "host_pagerank",
 ]
 
 
@@ -8238,19 +8238,22 @@ def _row_is_green(v: object) -> bool:
     )
 
 
-def _last_green_rounds() -> dict[str, int]:
+def _last_green_rounds(root: str | None = None) -> dict[str, int]:
     """query name -> latest round with a green driver row, read from the
-    committed CORRECTNESS_r*.json artifacts at the repo root. Missing or
-    unparsable artifacts are skipped (a clean checkout simply fronts
-    everything in catalog order, which is the right degenerate answer)."""
+    committed CORRECTNESS_r*.json artifacts at the repo root (or an
+    explicit ``root`` — test injection for synthetic future artifacts).
+    Missing or unparsable artifacts are skipped (a clean checkout simply
+    fronts everything in catalog order, which is the right degenerate
+    answer)."""
     import glob as _glob
     import json as _json
     import os as _os
     import re as _re
 
-    root = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
+    if root is None:
+        root = _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
     last: dict[str, int] = {}
     for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)", _os.path.basename(path))
@@ -8270,20 +8273,30 @@ def _last_green_rounds() -> dict[str, int]:
     return last
 
 
-def _gate_order() -> None:
-    last_green = _last_green_rounds()
-    pos = {n: i for i, n in enumerate(QUERIES)}
-    never = [n for n in QUERIES if n not in last_green]
-    touched = [
-        n for n in _TOUCHED_THIS_ROUND if n in QUERIES and n in last_green
-    ]
-    placed = set(never) | set(touched)
+def _ordering(
+    names: list[str], last_green: dict[str, int], touched: list[str]
+) -> list[str]:
+    """The pure gate-schedule function: never-green first (catalog
+    order), touched-and-green second, then the green tail oldest-first.
+    Total by construction for ANY ``last_green`` mapping — including one
+    containing a future round's artifact — so no driver CORRECTNESS
+    drop can make the schedule computation itself fail (the round-10
+    artifact-coupled-test lesson, pinned in test_gate_order.py)."""
+    pos = {n: i for i, n in enumerate(names)}
+    never = [n for n in names if n not in last_green]
+    t = [n for n in touched if n in pos and n in last_green]
+    placed = set(never) | set(t)
     tail = sorted(
-        (n for n in QUERIES if n not in placed),
+        (n for n in names if n not in placed),
         key=lambda n: (last_green[n], pos[n]),
     )
+    return never + t + tail
+
+
+def _gate_order() -> None:
+    last_green = _last_green_rounds()
     ordered: dict = {}
-    for n in never + touched + tail:
+    for n in _ordering(list(QUERIES), last_green, _TOUCHED_THIS_ROUND):
         ordered[n] = QUERIES[n]
     QUERIES.clear()
     QUERIES.update(ordered)
@@ -8307,5 +8320,17 @@ QUERIES.update(_catalog_r9.PENDING)
 from victor_spark.plans import catalog_r10 as _catalog_r10  # noqa: E402
 
 QUERIES.update(_catalog_r10.PENDING)
+
+# Round-11 registration (round-10 verdict item 2): the 9 corpus-shape /
+# unigram-LM / last-mile queries staged and oracle-hardened through
+# round 10 join the live registry, after the round-10 ADVICE items
+# against them were closed this round (zipf_fit's degenerate-corpus OLS
+# guards mirrored in both engines; unigram_tokenize's NULL-text
+# coalesce). Same circular-safe import shape; all 9 auto-front as
+# never-green, and the 18-query r7 stale tail + oldest-r8 fill the
+# remaining rotation slots.
+from victor_spark.plans import catalog_r11 as _catalog_r11  # noqa: E402
+
+QUERIES.update(_catalog_r11.PENDING)
 
 _gate_order()

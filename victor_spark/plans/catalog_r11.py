@@ -1,21 +1,11 @@
-"""Round-11 staged catalog queries — built and oracle-tested in round 10,
-NOT yet registered.
-
-Why staged (the standing round-8/9/10 pattern): the driver's correctness
-gate checks the FIRST 50 of ``QUERIES`` and never-green queries
-auto-front. Round 10's window is already exactly full (8 registered +
-the touched sitemap query + the 9-query r6 tail + 32 oldest-r7), so
-registering these now would evict stale-tier rotation slots. They carry
-full builders, dynamic oracles, pytest parity at BOTH the smoke SF and
-the driver's SF (tests/test_r11_pending.py), and plan/determinism
-assertions; ``tools/driver_sim.py --pending`` gives them a
-vanilla-session path.
-
-TO REGISTER AT ROUND-11 START: in ``catalog.py``, extend the round-10
-registration block to also merge this module's ``PENDING`` (one line),
-then update tests/test_r11_pending.py's registration test the way
-test_r10_pending.py was updated at round-10 start.
-"""
+"""Round-11 catalog queries — built and oracle-tested in round 10
+(staged, the standing round-8/9/10 pattern), REGISTERED at round-11
+start after the round-10 ADVICE items against them were closed
+(zipf_fit's degenerate-corpus OLS guards mirrored in both engines;
+unigram_tokenize's NULL-text coalesce). All 9 auto-front the round-11
+gate window as never-green; full builders, dynamic oracles, pytest
+parity at BOTH the smoke SF and the driver's SF
+(tests/test_r11_pending.py), and plan/determinism assertions."""
 
 from __future__ import annotations
 
@@ -286,8 +276,16 @@ def q_unigram_tokenize(spark, sf_dir):
     logps = {r["piece"]: r["logp"] for r in pieces}
     sample = d.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text")
     enc = apply_unigram(sample, "text", logps, out_col="toks")
+    # coalesce BEFORE split: NULL text must count as 0 words (the
+    # oracle replays len((text or '').split()) = 0 and apply_unigram's
+    # own None handling yields [] — an unguarded split would leave
+    # n_words NULL and silently break hash parity on a corpus with NULL
+    # text; advice-caught round 10)
     n_words = F.size(
-        F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+            lambda x: x != "",
+        )
     ).cast("long")
     return enc.select(
         "doc_id",
@@ -335,12 +333,23 @@ s AS (SELECT CAST(count(*) AS DOUBLE) k,
              CAST(sum(x * y) AS DOUBLE) sxy,
              CAST(sum(y * y) AS DOUBLE) syy
       FROM pts)
+-- degenerate-corpus guards (NULL, never a throw -- the heaps_law_fit
+-- pattern): a single-word corpus has one rank (zero x variance, slope
+-- undefined) and an all-equal-counts corpus (e.g. all-hapax) has zero
+-- y variance (r2 undefined); Spark 4's ANSI mode turns an unguarded
+-- division into a runtime error deep inside the job
 SELECT CAST(k AS BIGINT) AS n_ranks,
-       round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
-       round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k,
-             6) AS intercept,
-       round(pow(k * sxy - sx * sy, 2)
-             / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+       CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+            ELSE round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+       END AS slope,
+       CASE WHEN k * sxx - sx * sx = 0 THEN NULL
+            ELSE round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
+                        * sx) / k, 6)
+       END AS intercept,
+       CASE WHEN (k * sxx - sx * sx) * (k * syy - sy * sy) = 0 THEN NULL
+            ELSE round(pow(k * sxy - sx * sy, 2)
+                       / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6)
+       END AS r2
 FROM s
 """
 
@@ -394,23 +403,36 @@ def q_zipf_fit(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
     )
-    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # degenerate-corpus guards (match the oracle's CASE arms, the
+    # heaps_law_fit pattern): a single-rank corpus has zero x variance
+    # (slope/intercept undefined) and an all-equal-counts corpus (all
+    # hapax) has zero y variance (r2 undefined) -> NULL, never an ANSI
+    # DIVIDE_BY_ZERO mid-job (advice-caught round 10)
+    xden = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    r2den = xden * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / xden
     return s.select(
         F.col("k").cast("long").alias("n_ranks"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias(
-            "intercept"
-        ),
-        F.round(
-            F.pow(F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
-            / (
-                (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
-            ),
-            6,
-        ).alias("r2"),
+        F.when(xden == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, 6))
+        .alias("slope"),
+        F.when(xden == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6)
+        )
+        .alias("intercept"),
+        F.when(r2den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.pow(
+                    F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                    2,
+                )
+                / r2den,
+                6,
+            )
+        )
+        .alias("r2"),
     )
 
 
