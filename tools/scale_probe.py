@@ -158,6 +158,12 @@ PROBES: dict[str, dict[str, list[str]]] = {
     # corpus predictability: one explode pass + two Heaps-bounded
     # type-table aggs, 1-row result
     "corpus_entropy": {"documents": ["doc_id"]},
+    # round-12 staged SFT family: render + loss-mask are zero-shuffle
+    # per-row codegen (expect ~linear wall with corpus size); the
+    # screen adds one broadcast bench set + a bounded top-20 heap
+    "sft_render_conversations": {"documents": ["doc_id"]},
+    "sft_loss_mask_spans": {"documents": ["doc_id"]},
+    "sft_contamination_screen": {"documents": ["doc_id"]},
 }
 
 # Hot-key variants: same query, but EVERY document (across every
@@ -242,10 +248,11 @@ def main() -> int:
     from victor_spark.plans.catalog_r9 import PENDING as _P9
     from victor_spark.plans.catalog_r10 import PENDING as _P10
     from victor_spark.plans.catalog_r11 import PENDING as _P11
+    from victor_spark.plans.catalog_r12 import PENDING as _P12
 
     # staged queries probe through the same path; live registry wins on
     # any name collision (there are none by staging invariant)
-    registry = {**_P9, **_P10, **_P11, **QUERIES}
+    registry = {**_P9, **_P10, **_P11, **_P12, **QUERIES}
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
