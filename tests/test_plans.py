@@ -368,6 +368,21 @@ def test_textrank_joins_key_on_doc_and_token(spark):
     ), "iteration joins do not key on doc_id"
 
 
+def test_textrank_iteration_joins_never_broadcast(spark):
+    # the round-11 64x probe finding: AQE's runtime broadcast demotion
+    # judges the node-sized rank/out-weight/contribution tables by
+    # COMPRESSED shuffle bytes — repeated tokens + constant first-round
+    # scores compress far under the 64 MB session threshold while the
+    # deserialized HashedRelation runs to GiBs, and two concurrent
+    # demoted broadcasts OOMed the driver at 64x sf0.1. The iteration
+    # joins therefore carry merge hints (the safe hint direction: BLOCK
+    # broadcast, never force it) — no BroadcastHashJoin may appear
+    # anywhere in the iteration pipeline's plan.
+    p = plan("textrank_keywords", spark)
+    assert "BroadcastHashJoin" not in p
+    assert "SortMergeJoin" in p
+
+
 def test_zorder_audit_single_pass_aggregates(spark):
     # the morton key is a pure projection (no UDF, no extra shuffle): the
     # only exchanges are the two bucket aggregations and the 1-row bounds

@@ -7,6 +7,7 @@ driver gate runs, at BOTH the smoke SF and the gate's own SF."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE, SF_T2
 from tests.oracle_utils import compare, duck_connect
@@ -61,6 +62,41 @@ def test_unigram_estep_counts_are_exact_hand_check(spark):
     logps = _smooth_logps({"a": 2, "b": 2, "c": 1, "aa": 2})
     counts = _estep_counts(wc, logps, 2)
     assert counts == {"aa": 2, "b": 4, "c": 2}
+
+
+def test_distributed_seeding_matches_driver_reference_exactly(spark):
+    # the round-10 verdict watch item's fix contract: _seed_pieces_df
+    # (distributed, nothing corpus-sized ever on the driver) must be
+    # BIT-IDENTICAL to the driver reference _seed_pieces on the same
+    # type table — same counts (exact integer sums), same survivor set
+    # (same (count desc, piece asc) total order), both seeding modes
+    from victor_spark.operators.bpe import word_counts
+    from victor_spark.operators.unigram import (
+        _seed_pieces,
+        _seed_pieces_df,
+    )
+
+    rows = [
+        (i, f"hippopotamus aa bb aab w{i % 7} alpha beta alphabet")
+        for i in range(40)
+    ] + [(100, ""), (101, None)]
+    wc = word_counts(
+        spark.createDataFrame(rows, "doc_id long, text string"), "text"
+    )
+    vocab = [
+        (str(r["word"]), int(r["n"]))
+        for r in wc.orderBy(F.desc("n"), F.asc("word")).limit(1000).collect()
+    ]
+    for ww in (False, True):
+        for seed_size in (5, 40, 10_000):
+            ref = _seed_pieces(vocab, 5, seed_size, seed_whole_words=ww)
+            got = _seed_pieces_df(
+                wc.orderBy(F.desc("n"), F.asc("word")).limit(1000),
+                5,
+                seed_size,
+                seed_whole_words=ww,
+            )
+            assert got == ref, (ww, seed_size)
 
 
 def test_unigram_train_is_partitioning_invariant(spark):

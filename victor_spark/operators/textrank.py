@@ -83,9 +83,22 @@ def textrank_scores(
     Returns (id, token, pr). All joins/groupBys key on (id, token):
     co-partitioned throughout, no per-document driver work.
     """
+    # EVERY join below carries a merge (sort-merge) hint — the safe
+    # DIRECTION of hinting: it BLOCKS broadcast, never forces one. The
+    # rank/out-weight/contribution tables are node-sized, i.e.
+    # corpus-sized for per-doc graphs ((doc, token) pairs), and AQE's
+    # runtime broadcast demotion judges them by COMPRESSED shuffle
+    # bytes: a rank table of repeated tokens and constant first-round
+    # 1.0 scores compresses far below the 64 MB session threshold while
+    # its deserialized HashedRelation runs to GiBs. The 64x scale probe
+    # (round 11, SCALING.md) caught exactly that: two concurrent
+    # AQE-demoted broadcasts of the iteration tables OOMed the driver.
+    # Since the whole pipeline keys on (id, token), SMJ here rides the
+    # existing co-partitioning — broadcast bought nothing but the
+    # toy-scale case anyway.
     w = cooccurrence_edges(docs, id_col, text_col)
     ow = w.groupBy(id_col, "u").agg(F.sum("w").alias("ow"))
-    m = w.join(ow, [id_col, "u"]).select(
+    m = w.join(ow.hint("merge"), [id_col, "u"]).select(
         id_col, "u", "v", (F.col("w").cast("double") / F.col("ow")).alias("mc")
     )
     nodes = w.select(id_col, "u").distinct()
@@ -101,12 +114,12 @@ def textrank_scores(
     pr = nodes.select(id_col, "u", F.lit(1.0).alias("pr"))
     for _ in range(iters):
         contrib = (
-            m.join(pr, [id_col, "u"])
+            m.join(pr.hint("merge"), [id_col, "u"])
             .groupBy(id_col, "v")
             .agg(F.sum(F.col("mc") * F.col("pr")).alias("s"))
             .withColumnRenamed("v", "u")
         )
-        pr = nodes.join(contrib, [id_col, "u"], "left").select(
+        pr = nodes.join(contrib.hint("merge"), [id_col, "u"], "left").select(
             id_col,
             "u",
             (

@@ -8222,6 +8222,12 @@ _TOUCHED_THIS_ROUND: list[str] = [
     # the 18-query r7 tail + oldest-r8 queries fill the rest of the
     # 50-row window (rule 3), which drains the r7 tier to zero.
     "host_pagerank",
+    # round 11: operators/textrank.py's iteration joins gained merge
+    # hints after the 64x scale probe caught AQE demoting the
+    # node-sized rank tables to driver-OOMing broadcasts (compressed
+    # shuffle bytes under the 64 MB threshold, GiB-scale deserialized).
+    # Output identical; builder changed, so the driver re-checks it.
+    "textrank_keywords",
 ]
 
 
