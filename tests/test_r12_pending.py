@@ -179,6 +179,51 @@ def test_null_and_empty_text_render_the_bare_template(spark, tmp_path):
     assert not problems, problems
 
 
+def test_dpo_pairs_are_zero_shuffle(spark):
+    # the render shape: pure per-row codegen, no Exchange, no Generate,
+    # no Python — preference-pair assembly costs one scan at any size
+    p = _plan(spark, "dpo_pair_assembly")
+    assert "Exchange" not in p
+    assert "Generate" not in p
+    assert "EvalPython" not in p and "MapInPandas" not in p
+
+
+def test_dpo_chooses_the_prose_candidate(spark, tmp_path):
+    # the fluency prior's defining behavior: a conversation whose first
+    # assistant turn is keyword soup and whose second is prose must
+    # choose the prose turn (4); equal-score candidates tie-break to
+    # the EARLIER turn (2); margins are the exact ratio differences
+    from victor_spark.plans.catalog_r12 import q_dpo_pair_assembly
+
+    # doc 0: c1 = tokens 5..9 (soup), c3 = tokens 15..19 (prose-heavy)
+    soup_doc = " ".join(
+        ["q0 q1 q2 q3 q4"]  # c0
+        + ["kw1 kw2 kw3 kw4 kw5"]  # c1: zero stopwords
+        + ["q5 q6 q7 q8 q9"]  # c2
+        + ["the cat is in it"]  # c3: 4/5 stopwords
+    )
+    tie_doc = " ".join(f"t{j}" for j in range(20))  # no stopwords at all
+    _write_docs(spark, str(tmp_path), [(0, soup_doc), (10, tie_doc)])
+    got = {
+        r["conv_id"]: r
+        for r in q_dpo_pair_assembly(spark, str(tmp_path)).collect()
+    }
+    import hashlib
+
+    assert got[0]["chosen_turn"] == 4
+    assert got[0]["margin"] == 0.8  # 4/5 - 0/5
+    assert (
+        got[0]["chosen_md5"]
+        == hashlib.md5(b"the cat is in it").hexdigest()
+    )
+    assert (
+        got[0]["rejected_md5"]
+        == hashlib.md5(b"kw1 kw2 kw3 kw4 kw5").hexdigest()
+    )
+    assert got[10]["chosen_turn"] == 2  # tie -> earlier turn
+    assert got[10]["margin"] == 0.0
+
+
 def test_screen_flags_planted_contamination_only(spark, tmp_path):
     # a doc divisible by BOTH strides (970) seeds an eval prompt AND a
     # conversation — the screen must surface that conversation; convs

@@ -356,3 +356,104 @@ def q_sft_contamination_screen(spark, sf_dir):
         .orderBy(F.desc("n_shared"), F.asc("conv_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# 4) DPO / preference-pair assembly
+# ---------------------------------------------------------------------------
+
+# Candidate scoring: stopword fraction of the content's tokens (the
+# Gopher-style prose/fluency signal — real prose carries function
+# words; keyword soup does not). Integer-count ratio -> identical
+# doubles in both engines; zero-token contents score 0.0 (ANSI guard).
+
+_DPO_ORACLE_TEMPLATE = """
+WITH {cte},
+sc AS (
+  SELECT conv_id, c1, c3,
+         {t1} AS t1, {t3} AS t3,
+         {s1} AS s1, {s3} AS s3
+  FROM conv
+),
+sr AS (
+  SELECT conv_id,
+         CASE WHEN t1 = 0 THEN 0.0
+              ELSE CAST(s1 AS DOUBLE) / t1 END AS r1,
+         CASE WHEN t3 = 0 THEN 0.0
+              ELSE CAST(s3 AS DOUBLE) / t3 END AS r3,
+         c1, c3
+  FROM sc
+)
+SELECT conv_id,
+       CAST(CASE WHEN r1 >= r3 THEN 2 ELSE 4 END AS INTEGER)
+         AS chosen_turn,
+       round(CASE WHEN r1 >= r3 THEN r1 - r3 ELSE r3 - r1 END, 6)
+         AS margin,
+       md5(CASE WHEN r1 >= r3 THEN c1 ELSE c3 END) AS chosen_md5,
+       md5(CASE WHEN r1 >= r3 THEN c3 ELSE c1 END) AS rejected_md5
+FROM sr
+"""
+
+
+def _dpo_oracle_sql() -> str:
+    stop = list(__import__(
+        "victor_spark.functions.text", fromlist=["STOPWORDS"]
+    ).STOPWORDS)
+    toks = "len(" + SQL_TOKS.format(s="c{i}") + ")"
+    stops = (
+        "len(list_filter(" + SQL_TOKS.format(s="c{i}")
+        + f", x -> list_contains({stop!r}, x)))"
+    )
+    return _DPO_ORACLE_TEMPLATE.format(
+        cte=_CONV_CTE,
+        t1=toks.format(i=1),
+        t3=toks.format(i=3),
+        s1=stops.format(i=1),
+        s3=stops.format(i=3),
+    )
+
+
+@_q12(
+    "dpo_pair_assembly",
+    _dpo_oracle_sql(),
+    "DPO/preference-pair assembly — the post-training stage AFTER SFT: "
+    "each conversation's two assistant candidates are scored with a "
+    "deterministic fluency prior (stopword fraction, the Gopher-style "
+    "prose signal), the higher-scoring one becomes `chosen`, the other "
+    "`rejected`, with the score margin every DPO/RM trainer logs and "
+    "filters on (near-zero-margin pairs are label noise). Ties choose "
+    "the earlier turn — deterministic. Pure per-row codegen over the "
+    "conversation synthesis, ZERO shuffles (plan-pinned); the ratio is "
+    "an integer-count division (identical doubles both engines) with "
+    "a zero-token ANSI guard. At 100 TB: one scan, the render shape",
+)
+def q_dpo_pair_assembly(spark, sf_dir):
+    from victor_spark.functions.text import STOPWORDS
+
+    c = _conv_df(spark, sf_dir)
+
+    def ratio(col):
+        t = F.filter(F.split(F.col(col), " "), lambda x: x != "")
+        n = F.size(t)
+        s = F.size(F.filter(t, lambda x: x.isin(*[F.lit(w) for w in STOPWORDS])))
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            s.cast("double") / n.cast("double")
+        )
+
+    r1, r3 = ratio("c1"), ratio("c3")
+    first = r1 >= r3
+    return c.select(
+        "conv_id",
+        F.when(first, F.lit(2)).otherwise(F.lit(4))
+        .cast("int")
+        .alias("chosen_turn"),
+        F.round(
+            F.when(first, r1 - r3).otherwise(r3 - r1), 6
+        ).alias("margin"),
+        F.md5(F.when(first, F.col("c1")).otherwise(F.col("c3"))).alias(
+            "chosen_md5"
+        ),
+        F.md5(F.when(first, F.col("c3")).otherwise(F.col("c1"))).alias(
+            "rejected_md5"
+        ),
+    )
