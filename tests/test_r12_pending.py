@@ -84,12 +84,28 @@ def test_screen_adds_zero_corpus_shuffles(spark):
     # the contamination_check shape: the ONLY exchanges are the tiny
     # bench side's SinglePartition collect_set and its broadcast — the
     # conversation corpus never hash-partitions, and the top-20 is a
-    # bounded heap
+    # bounded heap. (Formatted explain puts the partitioning spec on an
+    # Arguments: line, so the check greps the bare "hashpartitioning"
+    # token — "Exchange hashpartitioning" never matches formatted mode.)
     p = _plan(spark, "sft_contamination_screen")
-    assert "Exchange hashpartitioning" not in p
+    assert "hashpartitioning" not in p
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p and "MapInPandas" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_pack_shuffles_once_by_bucket_only(spark):
+    # the pack_sequences shape: EXACTLY one hash exchange (by bucket —
+    # never a global unpartitioned cumsum), per-bucket windows, no
+    # Python anywhere
+    import re
+
+    p = _plan(spark, "sft_pack_conversations")
+    assert len(re.findall(r"hashpartitioning\(bucket", p)) == 1
+    assert len(re.findall(r"hashpartitioning", p)) == 1
+    assert "Window" in p
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "CartesianProduct" not in p
 
 
 # ---------------------------------------------------------------------------
@@ -177,6 +193,25 @@ def test_null_and_empty_text_render_the_bare_template(spark, tmp_path):
         con.execute(spec.oracle_sql(str(tmp_path))).fetchdf(),
     )
     assert not problems, problems
+
+
+def test_pack_tiles_each_bucket_without_gaps(spark):
+    # concat-then-chunk invariants on the real corpus: within a bucket,
+    # sorted start_offs + token counts tile the stream exactly (no
+    # holes, no overlaps); pack_id is the chunk the conversation STARTS
+    # in; and the loss budget is the exact token-count ratio
+    pdf = PENDING["sft_pack_conversations"].build(spark, SF_SMOKE).toPandas()
+    assert len(pdf) == 50
+    for _, g in pdf.groupby("bucket"):
+        g = g.sort_values("start_off")
+        starts = g["start_off"].to_numpy()
+        ends = (g["start_off"] + g["n_toks"]).to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == ends[:-1]).all()
+        assert (g["pack_id"] == g["start_off"] // 256).all()
+    expect = (pdf["n_assistant_toks"] / pdf["n_toks"]).round(6)
+    assert (pdf["loss_frac"] == expect).all()
+    assert (pdf["loss_frac"] < 1.0).all()  # template tokens never mask
 
 
 def test_dpo_pairs_are_zero_shuffle(spark):

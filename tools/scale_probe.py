@@ -165,6 +165,7 @@ PROBES: dict[str, dict[str, list[str]]] = {
     "sft_loss_mask_spans": {"documents": ["doc_id"]},
     "sft_contamination_screen": {"documents": ["doc_id"]},
     "dpo_pair_assembly": {"documents": ["doc_id"]},
+    "sft_pack_conversations": {"documents": ["doc_id"]},
 }
 
 # Hot-key variants: same query, but EVERY document (across every

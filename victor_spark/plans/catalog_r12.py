@@ -457,3 +457,95 @@ def q_dpo_pair_assembly(spark, sf_dir):
             "rejected_md5"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 5) SFT packing capstone — conversations into fixed training windows,
+#    carrying the loss budget
+# ---------------------------------------------------------------------------
+
+_SFT_SEQ_LEN = 256
+_SFT_BUCKETS = 8
+
+_SFT_PACK_ORACLE = f"""
+WITH {_CONV_CTE},
+cnt AS (
+  SELECT conv_id,
+         len({SQL_TOKS.format(s='rendered')}) AS n_toks,
+         len({SQL_TOKS.format(s='c1')}) + len({SQL_TOKS.format(s='c3')})
+           AS n_asst
+  FROM conv
+),
+h AS (SELECT conv_id, n_toks, n_asst,
+             {SQL_H32.format(x="concat('sftpack:', CAST(conv_id AS VARCHAR))")}
+               AS hh
+      FROM cnt),
+w AS (SELECT conv_id, n_toks, n_asst,
+             CAST(hh % {_SFT_BUCKETS} AS INTEGER) AS bucket,
+             sum(n_toks) OVER (PARTITION BY hh % {_SFT_BUCKETS}
+                               ORDER BY hh, conv_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h)
+SELECT CAST(conv_id AS BIGINT) AS conv_id,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(n_asst AS BIGINT) AS n_assistant_toks,
+       bucket,
+       CAST(cum - n_toks AS BIGINT) AS start_off,
+       CAST((cum - n_toks) // {_SFT_SEQ_LEN} AS BIGINT) AS pack_id,
+       round(CAST(n_asst AS DOUBLE) / n_toks, 6) AS loss_frac
+FROM w
+"""
+
+
+@_q12(
+    "sft_pack_conversations",
+    _SFT_PACK_ORACLE,
+    "SFT packing capstone: rendered conversations packed into "
+    "seq_len={sl} training windows over {nb} parallel bucket streams "
+    "(pack_sequences — salted-hash bucket, per-bucket running-sum "
+    "window; NEVER a global unpartitioned cumsum), each carrying its "
+    "loss budget: assistant-content tokens and loss_frac, the number "
+    "every SFT trainer needs per packed window to size the effective "
+    "batch (a pack of pure prompt tokens contributes zero gradient). "
+    "Whitespace-token geometry by design — packing is "
+    "tokenizer-agnostic and the BPE-encoded twin is "
+    "tokenize_pack_pipeline; composing the two is a config change. "
+    "loss_frac's denominator is >= the 5-token template skeleton for "
+    "every input (template literal, not data — no ANSI guard needed). "
+    "Scale shape: one scan, one shuffle by bucket, per-bucket windows; "
+    "buckets scale with the cluster".format(
+        sl=_SFT_SEQ_LEN, nb=_SFT_BUCKETS
+    ),
+)
+def q_sft_pack_conversations(spark, sf_dir):
+    from victor_spark.functions import text as T
+    from victor_spark.operators.packing import pack_sequences
+
+    c = _conv_df(spark, sf_dir)
+    counted = c.select(
+        "conv_id",
+        F.size(T.tokens(F.col("rendered"))).cast("int").alias("n_toks"),
+        (
+            F.size(T.tokens(F.col("c1"))) + F.size(T.tokens(F.col("c3")))
+        ).cast("long").alias("n_asst"),
+    )
+    packed = pack_sequences(
+        counted,
+        "conv_id",
+        "n_toks",
+        seq_len=_SFT_SEQ_LEN,
+        n_buckets=_SFT_BUCKETS,
+        salt="sftpack",
+    )
+    return packed.select(
+        "conv_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.col("n_asst").alias("n_assistant_toks"),
+        "bucket",
+        "start_off",
+        "pack_id",
+        F.round(
+            F.col("n_asst").cast("double") / F.col("n_toks").cast("double"),
+            6,
+        ).alias("loss_frac"),
+    )
