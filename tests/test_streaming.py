@@ -1437,3 +1437,65 @@ def test_type_drift_validates_and_handles_empty(spark, tmp_path):
     # no state on disk -> None, not an exception
     assert epoch_drift(spark, str(tmp_path / "nope")) is None
     assert cumulative_drift(spark, str(tmp_path / "nope")) is None
+
+
+def test_screen_stream_equals_batch_and_flags_planted_rows(spark, tmp_path):
+    """Topology 21 (streaming contamination screen): conversation-shaped
+    rows landing as parquet are screened against a FROZEN eval-prompt
+    shingle set BEFORE reaching the training lake — the gate form of the
+    batch plane's sft_contamination_screen (which reports; this flags
+    and keeps every row). stream == batch must hold exactly across
+    micro-batches, the planted contaminated rows (and ONLY those) must
+    flag, and an empty bench must flag nothing while dropping no rows."""
+    from victor_spark.streaming import (
+        screen_conversations,
+        stream_screened_conversations,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(i, f"clean{i} body text w{i}a w{i}b w{i}c w{i}d") for i in range(10)]
+    rows += [(100, f"prefix {shared} suffix"), (101, f"also has {shared} inside")]
+    docs = spark.createDataFrame(rows, "conv_id long, text string")
+    src = str(tmp_path / "landing")
+    docs.filter("conv_id < 5").repartition(1).write.mode("append").parquet(src)
+    docs.filter("conv_id >= 5").repartition(1).write.mode("append").parquet(src)
+
+    bench = spark.createDataFrame([(shared,)], "text string")
+    sink = str(tmp_path / "sink")
+    q = stream_screened_conversations(
+        spark, src, sink, str(tmp_path / "ckpt"), bench,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    got = {
+        (r["conv_id"], r["n_shingles"], r["n_shared"], r["contaminated"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["conv_id"], r["n_shingles"], r["n_shared"], r["contaminated"])
+        for r in screen_conversations(
+            spark.read.parquet(src), bench, "text"
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 12  # the gate KEEPS every row
+    flagged = {c for c, _ns, _sh, f in got if f}
+    assert flagged == {100, 101}
+    # empty bench: nothing flags, nothing drops
+    empty = spark.createDataFrame([], "text string")
+    eb = screen_conversations(docs, empty, "text").collect()
+    assert len(eb) == 12
+    assert all(not r["contaminated"] and r["n_shared"] == 0 for r in eb)
+
+
+def test_screen_conversations_validates_column_collisions(spark):
+    import pytest
+
+    from victor_spark.streaming import screen_conversations
+
+    d = spark.createDataFrame(
+        [(1, "x", True)], "conv_id long, text string, contaminated boolean"
+    )
+    b = spark.createDataFrame([("x",)], "text string")
+    with pytest.raises(ValueError, match="collide"):
+        screen_conversations(d, b, "text")

@@ -40,6 +40,10 @@ from victor_spark.streaming.stateful import (
     dedup_events_stream,
     sessionize_stream,
 )
+from victor_spark.streaming.screen_stream import (
+    screen_conversations,
+    stream_screened_conversations,
+)
 from victor_spark.streaming.tokenize_stream import (
     stream_tokenized_documents,
     tokenize_documents,
@@ -81,6 +85,8 @@ __all__ = [
     "sitemap_frontier_stream",
     "tokenize_documents",
     "stream_tokenized_documents",
+    "screen_conversations",
+    "stream_screened_conversations",
     "type_drift",
     "drift_metrics",
     "stream_vocab_drift",
