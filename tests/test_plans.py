@@ -310,7 +310,12 @@ def test_semdedup_pairs_join_is_equi_on_cell(spark):
     # centroid set. A CartesianProduct would mean global all-pairs.
     p = plan("semdedup", spark)
     assert "CartesianProduct" not in p
-    assert "BroadcastExchange" in p  # centroid set
+    # round-12 optimization: the assignment subtree (broadcast-centroid
+    # crossJoin + max_by) sits behind a localCheckpoint reuse barrier so
+    # its three consumers compute it ONCE — in explain it appears as a
+    # Scan ExistingRDD, and the centroid BroadcastExchange lives inside
+    # the hidden subtree (still forced by F.broadcast in the operator).
+    assert "Scan ExistingRDD" in p
     # the pair join must KEY on cell (shuffle-hash or sort-merge both fine);
     # in formatted mode the join keys print on their own "keys" lines
     assert any(
@@ -357,30 +362,33 @@ def test_bloom_screen_is_map_side(spark):
     assert "CartesianProduct" not in p
 
 
-def test_textrank_joins_key_on_doc_and_token(spark):
-    # every iteration joins and aggregates on (doc_id, token): no join in
-    # the plan may degenerate to a cartesian/nested-loop over docs
+def test_textrank_is_one_arrow_farm_zero_join(spark):
+    # round-12 optimization: a document's co-occurrence graph never
+    # spans rows, so the whole PageRank is row-local — ONE Arrow farm,
+    # zero joins, zero aggregation exchanges. The only Exchange allowed
+    # is fan_out's round-robin scan widening. This also retires the
+    # round-11 64x hazard (AQE demoting node-sized iteration tables to
+    # driver-OOMing broadcasts) structurally: there is no iteration
+    # table to broadcast.
     p = plan("textrank_keywords", spark)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert any(
-        "keys" in ln and "doc_id" in ln for ln in p.splitlines()
-    ), "iteration joins do not key on doc_id"
-
-
-def test_textrank_iteration_joins_never_broadcast(spark):
-    # the round-11 64x probe finding: AQE's runtime broadcast demotion
-    # judges the node-sized rank/out-weight/contribution tables by
-    # COMPRESSED shuffle bytes — repeated tokens + constant first-round
-    # scores compress far under the 64 MB session threshold while the
-    # deserialized HashedRelation runs to GiBs, and two concurrent
-    # demoted broadcasts OOMed the driver at 64x sf0.1. The iteration
-    # joins therefore carry merge hints (the safe hint direction: BLOCK
-    # broadcast, never force it) — no BroadcastHashJoin may appear
-    # anywhere in the iteration pipeline's plan.
-    p = plan("textrank_keywords", spark)
+    assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" not in p
-    assert "SortMergeJoin" in p
+    assert "MapInPandas" in p or "FlatMapGroupsInPandas" in p
+    # formatted explain prints each node twice (tree + numbered detail)
+    n_exchanges = p.count(") Exchange")
+    assert n_exchanges <= 1, "textrank must not shuffle beyond fan_out"
+
+
+def test_textrank_farm_ships_only_id_and_tokens(spark):
+    # the farm is opaque to Catalyst: an explicit pre-projection must
+    # keep the scan at (doc_id, text) — shipping documents' other
+    # columns through Arrow would both widen the scan and the boundary
+    p = plan("textrank_keywords", spark)
+    scan = next(ln for ln in p.splitlines() if "ReadSchema" in ln)
+    assert "text" in scan and "doc_id" in scan
+    assert "lang" not in scan and "source" not in scan and "n_chars" not in scan
 
 
 def test_zorder_audit_single_pass_aggregates(spark):

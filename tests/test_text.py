@@ -59,3 +59,35 @@ def test_fingerprint_equal_for_equal_docs(spark):
     fps = {r["id"]: r["fp"] for r in df.select("id", T.fingerprint64("text").alias("fp")).collect()}
     assert fps[1] == fps[2]
     assert fps[1] != fps[3]
+
+
+def test_term_counts_matches_grouped_counts(spark):
+    """term_counts (row-local sorted-run scan) must equal the explode +
+    groupBy multiset exactly — it replaced that shape in tfidf/bm25
+    (round-12 optimization)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(11)
+    vocab = ["a", "b", "cc", "ddd", "tok"]
+    rows = [
+        (i, " ".join(random.choice(vocab) for _ in range(random.randint(0, 30))))
+        for i in range(50)
+    ] + [(100, ""), (101, "   "), (102, None), (103, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = T.tokens(F.lower(F.col("text")))
+    got = {
+        (r["doc_id"], r["tc"]["tok"]): r["tc"]["c"]
+        for r in df.select(
+            "doc_id", F.explode(T.term_counts(t)).alias("tc")
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["tok"]): r["c"]
+        for r in df.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == want

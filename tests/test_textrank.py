@@ -101,3 +101,35 @@ def test_textrank_rejects_reserved_id_col(spark):
     docs = spark.createDataFrame([(1, "a b c")], "token long, text string")
     with pytest.raises(ValueError, match="collides"):
         cooccurrence_edges(docs, "token", "text")
+
+
+def test_keywords_farm_matches_scores_ranking(spark):
+    """The Arrow-farm textrank_keywords (round-12 optimization) must
+    reproduce the JVM textrank_scores recurrence exactly: same stabilized
+    rounded scores, same (score desc, token asc) row_number ranking."""
+    import random
+
+    from pyspark.sql import Window
+
+    random.seed(3)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(random.choice(vocab) for _ in range(random.randint(0, 40))))
+        for i in range(40)
+    ] + [(90, ""), (91, "one"), (92, "a a a a"), (93, "x y x y x")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rank): (r.keyword, r.score)
+        for r in textrank_keywords(docs, "doc_id", "text", top_k=3).collect()
+    }
+    pr = textrank_scores(docs, "doc_id", "text", iters=3)
+    score = F.round(F.col("pr") + F.lit(1e-9), 6)
+    win = Window.partitionBy("doc_id").orderBy(score.desc(), F.asc("token"))
+    want = {
+        (r.doc_id, r.rank): (r.token, r.score)
+        for r in pr.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == want

@@ -42,6 +42,48 @@ def token_count(s: ColumnOrName) -> Column:
     return F.size(tokens(s))
 
 
+def term_counts(t: ColumnOrName) -> Column:
+    """Distinct-term counts of a token array, computed ROW-LOCALLY:
+    array<struct<tok:string, c:bigint>> — one struct per distinct token
+    with its occurrence count, via a sorted-run scan (array_sort + run
+    boundaries). Exactly the multiset an explode + groupBy(doc, tok)
+    count produces, without the corpus-token-sized exchange: per-doc
+    term statistics are intra-row data, so at 100 TB this turns the
+    counting stage of TF-IDF/BM25-style scorers into a pure map.
+    Integer arithmetic throughout — bit-identical to the grouped form.
+    NULL/empty arrays yield an empty result (the rows explode() would
+    simply drop)."""
+    t = _col(t)
+    s = F.array_sort(t)
+    n = F.size(s)
+    # run starts: position 1, and every i where s[i] != s[i-1]
+    # (greatest(i-1, 1) keeps the i=1 probe in bounds under ANSI; its
+    # self-compare is false and the i==1 arm admits the position)
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1)
+        | (F.element_at(s, i) != F.element_at(s, F.greatest(i - 1, F.lit(1)))),
+    )
+    m = F.size(starts)
+    counted = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda j: F.struct(
+            F.element_at(s, F.element_at(starts, j)).alias("tok"),
+            (
+                F.coalesce(
+                    F.when(j < m, F.element_at(starts, j + 1)), n + 1
+                )
+                - F.element_at(starts, j)
+            )
+            .cast("long")
+            .alias("c"),
+        ),
+    )
+    return F.when(n >= 1, counted).otherwise(
+        F.array().cast("array<struct<tok:string,c:bigint>>")
+    )
+
+
 def c4_kept_lines(lines: Column) -> Column:
     """The C4 line-filter predicate (Raffel 2020 §2.2) over an
     ``array<string>`` of lines: keep lines with >= 3 whitespace tokens

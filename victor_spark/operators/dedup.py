@@ -483,6 +483,15 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         F.first("nv").alias("nv"),
         F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
     )
+    # assigned feeds THREE consumers (both sides of the within-cluster
+    # pair join + the final report join); without a reuse barrier
+    # Catalyst re-runs the scan -> normalize -> k-way centroid score ->
+    # max_by subtree once per consumer (the plan showed the crossJoin
+    # three times — measured ~2x the query). localCheckpoint truncates
+    # the lineage so the assignment pass runs once; at cluster scale the
+    # same role is played by persisting the assignment to a staging
+    # table (it is corpus-sized: one (id, nv, cell) row per vector).
+    assigned = assigned.localCheckpoint(eager=False)
     l, r = assigned.alias("l"), assigned.alias("r")
     sims = l.join(
         r, (F.col("l.cell") == F.col("r.cell")) & (F.col("l.doc") < F.col("r.doc"))

@@ -2092,32 +2092,62 @@ def _word_ngrams_all(t, n: int):
     "doc; all-integer until the final division, oracle exact",
 )
 def q_repetition_stats(spark, sf_dir):
+    # Round-12 optimization: both repetition signals are statistics of
+    # ONE document's own n-gram multiset, so the query is a row-local
+    # projection — the previous two explode + groupBy(doc, gram) +
+    # groupBy(doc) pipelines re-joined on doc_id (6 exchanges) moved
+    # only intra-row data. Per-gram counts come from a sorted-run fold
+    # over array_sort(grams): chars2 is the max over runs of
+    # run·len(gram) (the max over a run's prefixes IS the full run's
+    # value, so folding incrementally is exact), chars3 adds 2·len when
+    # a run reaches 2 and +len per further repeat — both all-integer,
+    # bit-identical to the grouped form and the unchanged oracle.
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         T.tokens(F.lower(F.col("text"))).alias("t"),
     ).select(
-        "doc_id", "t", F.length(F.array_join("t", " ")).alias("nc")
+        "doc_id",
+        "t",
+        # coalesce mirrors the oracle's coalesce(length(...), 0) —
+        # NULL text must take the nc=0 arms, not propagate NULL fracs
+        F.coalesce(F.length(F.array_join("t", " ")), F.lit(0)).alias("nc"),
     )
 
-    def _gram_chars(n, agg):
-        g = base.select(
-            "doc_id", F.explode(_word_ngrams_all(F.col("t"), n)).alias("g")
+    def _run_fold(arr, contrib, combine):
+        """Fold sorted runs: struct(prev, run, acc) over array_sort(arr);
+        ``contrib(run_new, x)`` is the value a run of length run_new
+        ending at x contributes, combined into acc by ``combine``."""
+        run = lambda a, x: F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).cast("long").alias("acc"),
+            ),
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                run(a, x).alias("run"),
+                combine(a.acc, contrib(run(a, x), x)).alias("acc"),
+            ),
+            lambda a: a.acc,
         )
-        c = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-        return agg(c)
 
-    m2 = _gram_chars(
-        2,
-        lambda c: c.groupBy("doc_id").agg(
-            F.max(F.col("c") * F.length("g")).alias("chars2")
-        ),
+    # max over distinct 2-grams of count * length(gram)
+    chars2 = _run_fold(
+        _word_ngrams_all(F.col("t"), 2),
+        lambda r, x: (r * F.length(x)).cast("long"),
+        F.greatest,
     )
-    m3 = _gram_chars(
-        3,
-        lambda c: c.filter(F.col("c") >= 2)
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("c") * F.length("g")).alias("chars3")),
+    # sum over distinct 3-grams with count >= 2 of count * length(gram)
+    chars3 = _run_fold(
+        _word_ngrams_all(F.col("t"), 3),
+        lambda r, x: F.when(r == 2, 2 * F.length(x))
+        .when(r > 2, F.length(x))
+        .otherwise(F.lit(0))
+        .cast("long"),
+        lambda a, c: a + c,
     )
     top2 = F.when(F.col("nc") == 0, F.lit(0.0)).otherwise(
         F.coalesce("chars2", F.lit(0)).cast("double") / F.col("nc")
@@ -2126,8 +2156,8 @@ def q_repetition_stats(spark, sf_dir):
         F.coalesce("chars3", F.lit(0)).cast("double") / F.col("nc")
     )
     return (
-        base.join(m2, "doc_id", "left")
-        .join(m3, "doc_id", "left")
+        base.withColumn("chars2", chars2)
+        .withColumn("chars3", chars3)
         .select(
             "doc_id",
             F.size("t").cast("long").alias("n_tokens"),
@@ -2331,24 +2361,36 @@ FROM r WHERE rn <= 3
     "rank-limit window (WindowGroupLimit keeps the per-doc heap bounded)",
 )
 def q_tfidf(spark, sf_dir):
+    # Round-12 optimization: per-(doc,term) counts and the per-doc token
+    # total are intra-row statistics — computed row-locally (sorted-run
+    # scan, T.term_counts) instead of the two corpus-token-sized
+    # groupBy(doc, tok) / groupBy(doc) exchanges the previous plan paid.
+    # Only the genuinely corpus-wide pieces shuffle: the Heaps-bounded
+    # document-frequency table and the rank window. The doc count rides
+    # along as a broadcast 1-row aggregate (the oracle's count(*)
+    # subquery) instead of an eager driver count() job — one fewer
+    # corpus scan. All counts are the same integers → values identical.
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     d = docs.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
     )
-    tc = d.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("s"))
+    tc = d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("s"),
+        F.explode(T.term_counts("t")).alias("tc"),
+    ).select("doc_id", "s", F.col("tc.tok").alias("tok"), F.col("tc.c").alias("c"))
     df_t = tc.groupBy("tok").agg(F.count("*").alias("df"))
     # nd counts ALL documents (the oracle's SELECT count(*) FROM d), not
     # just docs with >=1 token — empty/whitespace-only docs shift every idf
-    nd = docs.count()
+    nd = F.broadcast(d.agg(F.count("*").cast("double").alias("_nd")))
     w = (
-        tc.join(tot, "doc_id")
-        .join(F.broadcast(df_t), "tok")
+        tc.join(F.broadcast(df_t), "tok")
+        .crossJoin(nd)
         .select(
             "doc_id", "tok",
             (
                 (F.col("c").cast("double") / F.col("s"))
-                * F.log((1.0 + float(nd)) / (1.0 + F.col("df")))
+                * F.log((1.0 + F.col("_nd")) / (1.0 + F.col("df")))
             ).alias("tfidf"),
         )
     )
@@ -2788,62 +2830,79 @@ FROM j
     "composite pass flag (pretraining-corpus filter rules as a query)",
 )
 def q_quality_gopher(spark, sf_dir):
+    # Round-12 optimization: every Gopher signal is a statistic of ONE
+    # document's own token array, so the whole query is a row-local
+    # projection — the previous two explode + double-groupBy pipelines
+    # re-joined on doc_id (5 exchanges) moved only intra-row data
+    # between partitions. Per-token counts come from a sorted-run fold
+    # (array_sort + one aggregate), all-integer until the final
+    # divisions, so the values are bit-identical to the grouped form
+    # and the unchanged oracle. Zero shuffles beyond fan_out → at
+    # 100 TB this is a pure map over the corpus.
     d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
     )
-    tok = d.select("doc_id", F.explode("t").alias("tok"))
-    ts = (
-        tok.groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count("*").alias("n_unique"),
-            F.max("c").alias("top_c"),
-            F.sum(F.col("c") * F.length("tok")).alias("sum_len"),
-        )
+    t = F.col("t")
+    # NULL text → NULL token array; the oracle's grouped form yields 0
+    # (no exploded rows → coalesce), so mirror it here
+    n_tok = F.coalesce(F.size(t), F.lit(0)).cast("long")
+    sum_len = F.aggregate(
+        t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
+    # longest run over the sorted tokens == max per-token count
+    # (tokens are never '' — T.tokens filters empties — so the ''
+    # init sentinel cannot collide with a real first token)
+    def _max_run(arr):
+        run = lambda acc, x: F.when(x == acc.prev, acc.run + 1).otherwise(
+            F.lit(1)
+        )
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                run(acc, x).alias("run"),
+                F.greatest(acc.best, run(acc, x)).alias("best"),
+            ),
+            lambda acc: acc.best,
+        )
+
+    top_c = _max_run(t).cast("long")
+    n_unique = F.size(F.array_distinct(t)).cast("long")
     pairs = F.when(
-        F.size("t") >= 2,
+        F.size(t) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size("t") - 1),
+            F.sequence(F.lit(1), F.size(t) - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    gs = (
-        d.select("doc_id", F.explode(pairs).alias("g2"))
-        .groupBy("doc_id", "g2")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("total2"), F.count("*").alias("uniq2"))
-    )
-    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    total2 = F.size(pairs).cast("long")
+    uniq2 = F.size(F.array_distinct(pairs)).cast("long")
     frac_unique = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        F.col("n_unique").cast("double") / n_tok
+        n_unique.cast("double") / n_tok
     )
     top_frac = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        F.col("top_c").cast("double") / n_tok
+        top_c.cast("double") / n_tok
     )
     mwl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        F.col("sum_len").cast("double") / n_tok
+        sum_len.cast("double") / n_tok
     )
-    dup2 = F.when(F.coalesce(F.col("total2"), F.lit(0)) == 0, F.lit(0.0)).otherwise(
-        (F.col("total2") - F.col("uniq2")).cast("double") / F.col("total2")
+    dup2 = F.when(total2 == 0, F.lit(0.0)).otherwise(
+        (total2 - uniq2).cast("double") / total2
     )
-    j = (
-        d.select("doc_id")
-        .join(ts, "doc_id", "left")
-        .join(gs, "doc_id", "left")
-        .select(
-            "doc_id",
-            n_tok.alias("n_tokens"),
-            frac_unique.alias("_fu"),
-            top_frac.alias("_tf"),
-            mwl.alias("_mwl"),
-            dup2.alias("_d2"),
-        )
+    j = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        frac_unique.alias("_fu"),
+        top_frac.alias("_tf"),
+        mwl.alias("_mwl"),
+        dup2.alias("_d2"),
     )
     passes = (
         (F.col("n_tokens") >= 10)
@@ -4215,14 +4274,23 @@ LIMIT 100
     "count-distinct rollup",
 )
 def q_tpch_q16(spark, sf_dir):
-    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    # Round-12 optimization (guide §2.3/§3.2 — reduce the big side
+    # BEFORE shuffling it): the selective broadcast part-dim filter now
+    # runs before any exchange, and the standalone distinct is folded
+    # into countDistinct's own two-phase aggregate — the old plan
+    # shuffled the FULL (l_partkey, l_suppkey) projection through a
+    # corpus-wide distinct first and filtered after. Same result set:
+    # part.p_partkey is unique, so join-then-dedup == dedup-then-join,
+    # and count(DISTINCT l_suppkey) dedups (brand,type,size,suppkey)
+    # itself.
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     )
     return (
-        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),
@@ -6913,18 +6981,26 @@ FROM r WHERE rn <= 3
     "table + 1-row avg-length scalar, rank-limit window",
 )
 def q_bm25_top_terms(spark, sf_dir):
+    # Round-12 optimization (same move as tfidf_top_terms): per-(doc,
+    # term) counts and the per-doc length are row-local (T.term_counts /
+    # size(t)) — the groupBy(doc, tok) + groupBy(doc) exchanges and the
+    # tc ⋈ dl join are gone. avgl keeps its exact semantics: the mean
+    # length over docs WITH >= 1 token (the old dl table's domain).
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
     nd = F.broadcast(d.agg(F.count("*").cast("double").alias("nd")))
-    tc = d.select("doc_id", F.explode("t").alias("tok")).groupBy(
-        "doc_id", "tok"
-    ).agg(F.count("*").alias("c"))
-    dl = tc.groupBy("doc_id").agg(F.sum("c").alias("len"))
-    avgl = F.broadcast(dl.agg(F.avg(F.col("len").cast("double")).alias("al")))
+    tc = d.select(
+        "doc_id",
+        F.size("t").cast("long").alias("len"),
+        F.explode(T.term_counts("t")).alias("tc"),
+    ).select("doc_id", "len", F.col("tc.tok").alias("tok"), F.col("tc.c").alias("c"))
+    avgl = F.broadcast(
+        d.filter(F.size("t") >= 1)
+        .agg(F.avg(F.size("t").cast("long").cast("double")).alias("al"))
+    )
     df_t = tc.groupBy("tok").agg(F.count("*").alias("df"))
     w = (
-        tc.join(dl, "doc_id")
-        .join(df_t, "tok")
+        tc.join(df_t, "tok")
         .crossJoin(nd)
         .crossJoin(avgl)
         .select(
@@ -7399,21 +7475,33 @@ def q_zorder_audit(spark, sf_dir):
     )
     k = r.withColumn("zkey", morton_key(F.col("xs"), F.col("ys")))
 
-    def spans(bucket: Column, layout: str):
-        return (
-            k.select(bucket.alias("bucket"), "xs", "ys")
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("n"),
-                (F.max("xs") - F.min("xs")).cast("long").alias("x_span"),
-                (F.max("ys") - F.min("ys")).cast("long").alias("y_span"),
-            )
-            .select(F.lit(layout).alias("layout"), "bucket", "n", "x_span", "y_span")
-        )
-
+    # Round-12 optimization (guide §2.4): the two layouts' span audits
+    # used to be two full scan → rank → bucket → groupBy passes glued
+    # with a union (2 aggregation exchanges, the morton/rank projection
+    # computed twice). One explode of the two (layout, bucket) keys per
+    # row feeds a SINGLE grouped aggregation — same groups, same
+    # integer aggregates, half the passes.
     zb = F.floor(F.col("zkey") / F.lit((1 << 32) // 16)).cast("long")
     xb = F.floor(F.col("xs") / F.lit((1 << 16) // 16)).cast("long")
-    return spans(zb, "zorder").unionAll(spans(xb, "xsort"))
+    return (
+        k.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("zorder").alias("layout"), zb.alias("bucket")),
+                    F.struct(F.lit("xsort").alias("layout"), xb.alias("bucket")),
+                )
+            ).alias("lb"),
+            "xs",
+            "ys",
+        )
+        .groupBy(F.col("lb.layout").alias("layout"), F.col("lb.bucket").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.max("xs") - F.min("xs")).cast("long").alias("x_span"),
+            (F.max("ys") - F.min("ys")).cast("long").alias("y_span"),
+        )
+        .select("layout", "bucket", "n", "x_span", "y_span")
+    )
 
 
 # Histogram-quantile audit: events_quantiles' documented "approx sketch
@@ -8213,21 +8301,20 @@ def q_embedding_outliers(spark, sf_dir):
 # Builders/oracles touched in the CURRENT round — the only hand input.
 # Reset when a new round starts; the artifact-derived tiers handle the rest.
 _TOUCHED_THIS_ROUND: list[str] = [
-    # round 11: operators/pagerank.py moved its positive-weight
-    # validation BEFORE the self-loop filter (advice-caught: a bad
-    # weight on a self-loop row used to silently pass the "enforced"
-    # contract) — host_pagerank's output is identical (it calls
-    # unweighted) but its operator changed, so the driver re-checks it.
-    # The 9 catalog_r11 registrations are never-green and auto-front;
-    # the 18-query r7 tail + oldest-r8 queries fill the rest of the
-    # 50-row window (rule 3), which drains the r7 tier to zero.
-    "host_pagerank",
-    # round 11: operators/textrank.py's iteration joins gained merge
-    # hints after the 64x scale probe caught AQE demoting the
-    # node-sized rank tables to driver-OOMing broadcasts (compressed
-    # shuffle bytes under the 64 MB threshold, GiB-scale deserialized).
-    # Output identical; builder changed, so the driver re-checks it.
-    "textrank_keywords",
+    # round 12 (optimization round 1): builders restructured for plan
+    # shape — outputs identical (oracle-verified via driver_sim +
+    # test_oracle_parity), but every touched builder gets a fresh
+    # driver re-check. See OPTIMIZATION_r11.md for the per-query
+    # before/after plan evidence.
+    "textrank_keywords",   # iterative joins -> one Arrow farm (0 joins)
+    "semdedup",            # localCheckpoint reuse barrier on assignment
+    "quality_gopher",      # explode/groupBy/join-back -> row-local fold
+    "repetition_stats",    # same row-local sorted-run fold move
+    "tfidf_top_terms",     # row-local term counts; count() -> broadcast agg
+    "bm25_top_terms",      # row-local term counts + lengths
+    "phrase_search",       # posting-list join -> row-local adjacency scan
+    "tpch_q16",            # dim filter before the exchange; distinct folded
+    "zorder_audit",        # two span passes -> one exploded aggregation
 ]
 
 
