@@ -558,10 +558,20 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    if edges.count() <= driver_edge_limit:
-        return _clusters_union_find(edges)
+    # ONE job decides the strategy AND feeds the small path: collecting
+    # limit+1 rows either returns the complete edge list (<= limit -> the
+    # driver union-find consumes exactly these rows) or proves the graph
+    # is big. The previous eager-checkpoint + count() + collect() ran
+    # three jobs over the same tiny list (round-12 optimization); the
+    # lazy checkpoint still persists whatever the take computes, so the
+    # big path finishes materializing instead of recomputing.
+    head = edges.limit(driver_edge_limit + 1).collect()
+    if len(head) <= driver_edge_limit:
+        return _clusters_union_find_rows(
+            head, edges.sparkSession, edges.schema["src"].dataType
+        )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -593,7 +603,19 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
 
 def _clusters_union_find(edges: DataFrame) -> DataFrame:
-    """Driver-side path-compressed union-find over a (src, dst) edge list.
+    """Driver-side union-find over a (src, dst) edge DataFrame — one
+    collect (not toLocalIterator: that launches a job PER PARTITION),
+    then :func:`_clusters_union_find_rows` on the rows."""
+    return _clusters_union_find_rows(
+        edges.select("src", "dst").collect(),
+        edges.sparkSession,
+        edges.schema["src"].dataType,
+    )
+
+
+def _clusters_union_find_rows(rows, spark, id_type) -> DataFrame:
+    """Driver-side path-compressed union-find over collected (src, dst)
+    rows.
 
     Input edges are symmetric (both directions present), so the src column
     alone covers every node. Output matches the distributed propagation
@@ -609,10 +631,7 @@ def _clusters_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    # one collect, not toLocalIterator: the latter launches a job PER
-    # PARTITION sequentially (32 scheduler round trips for a 1k-edge list);
-    # the driver_edge_limit gate already bounds driver memory
-    for row in edges.select("src", "dst").collect():
+    for row in rows:
         a, b = row[0], row[1]
         if a not in parent:
             parent[a] = a
@@ -628,11 +647,10 @@ def _clusters_union_find(edges: DataFrame) -> DataFrame:
         cur = min_label.get(root)
         if cur is None or node < cur:
             min_label[root] = node
-    id_type = edges.schema["src"].dataType
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType(
         [StructField("doc", id_type, False), StructField("cluster", id_type, False)]
     )
-    rows = [(node, min_label[root]) for node, root in roots.items()]
-    return edges.sparkSession.createDataFrame(rows, schema)
+    out = [(node, min_label[root]) for node, root in roots.items()]
+    return spark.createDataFrame(out, schema)

@@ -6378,7 +6378,17 @@ def q_dsir_weights(spark, sf_dir):
             tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"))
         )
     )
-    ratio = F.broadcast(
+    # Round-12 optimization: the 64-row bucket log-ratio table is a
+    # model artifact (DSIR's hashed-ngram importance model — same O(k)
+    # class as the PQ codebook), so instead of joining every corpus
+    # token against it and re-aggregating per doc (a corpus-token
+    # shuffle + a left join back), collapse it to ONE broadcast map row
+    # and fold each doc's own token array map-side. n_tokens is the
+    # row-local size(t); the per-doc sum folds in array order (the
+    # grouped sum's order was partition-dependent already, and both
+    # engines round at 1e-6). Corpus tokens now never shuffle — the
+    # only exchanges left are the two 64-row bucket aggregations.
+    lr_map = F.broadcast(
         raw.join(tgt, "bkt", "left")
         .crossJoin(totals)
         .select(
@@ -6388,18 +6398,22 @@ def q_dsir_weights(spark, sf_dir):
                 - F.log((F.col("cr").cast("double") + 1.0) / (F.col("tr") + 64.0))
             ).alias("lr"),
         )
-    )
-    per_doc = tok.join(ratio, "bkt").groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"), F.sum("lr").alias("logw")
-    )
-    return (
-        d.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
-            F.round(F.coalesce("logw", F.lit(0.0)), 6).alias("log_weight"),
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("bkt"), F.col("lr")))
+            ).alias("_lr")
         )
+    )
+    t = F.col("t")
+    logw = F.aggregate(
+        t,
+        F.lit(0.0),
+        lambda a, w: a + F.element_at(F.col("_lr"), H._md5_32_expr(w) % 64),
+    )
+    return d.crossJoin(lr_map).select(
+        "doc_id",
+        F.coalesce(F.size(t), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.coalesce(logw, F.lit(0.0)), 6).alias("log_weight"),
     )
 
 
