@@ -564,7 +564,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # limit+1 rows either returns the complete edge list (<= limit -> the
     # driver union-find consumes exactly these rows) or proves the graph
     # is big. The previous eager-checkpoint + count() + collect() ran
-    # three jobs over the same tiny list (round-12 optimization); the
+    # three jobs over the same tiny list (round-11 optimization); the
     # lazy checkpoint still persists whatever the take computes, so the
     # big path finishes materializing instead of recomputing.
     head = edges.limit(driver_edge_limit + 1).collect()

@@ -2092,7 +2092,7 @@ def _word_ngrams_all(t, n: int):
     "doc; all-integer until the final division, oracle exact",
 )
 def q_repetition_stats(spark, sf_dir):
-    # Round-12 optimization: both repetition signals are statistics of
+    # Round-11 optimization: both repetition signals are statistics of
     # ONE document's own n-gram multiset, so the query is a row-local
     # projection — the previous two explode + groupBy(doc, gram) +
     # groupBy(doc) pipelines re-joined on doc_id (6 exchanges) moved
@@ -2361,7 +2361,7 @@ FROM r WHERE rn <= 3
     "rank-limit window (WindowGroupLimit keeps the per-doc heap bounded)",
 )
 def q_tfidf(spark, sf_dir):
-    # Round-12 optimization: per-(doc,term) counts and the per-doc token
+    # Round-11 optimization: per-(doc,term) counts and the per-doc token
     # total are intra-row statistics — computed row-locally (sorted-run
     # scan, T.term_counts) instead of the two corpus-token-sized
     # groupBy(doc, tok) / groupBy(doc) exchanges the previous plan paid.
@@ -2830,7 +2830,7 @@ FROM j
     "composite pass flag (pretraining-corpus filter rules as a query)",
 )
 def q_quality_gopher(spark, sf_dir):
-    # Round-12 optimization: every Gopher signal is a statistic of ONE
+    # Round-11 optimization: every Gopher signal is a statistic of ONE
     # document's own token array, so the whole query is a row-local
     # projection — the previous two explode + double-groupBy pipelines
     # re-joined on doc_id (5 exchanges) moved only intra-row data
@@ -4274,7 +4274,7 @@ LIMIT 100
     "count-distinct rollup",
 )
 def q_tpch_q16(spark, sf_dir):
-    # Round-12 optimization (guide §2.3/§3.2 — reduce the big side
+    # Round-11 optimization (guide §2.3/§3.2 — reduce the big side
     # BEFORE shuffling it): the selective broadcast part-dim filter now
     # runs before any exchange, and the standalone distinct is folded
     # into countDistinct's own two-phase aggregate — the old plan
@@ -6378,7 +6378,7 @@ def q_dsir_weights(spark, sf_dir):
             tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"))
         )
     )
-    # Round-12 optimization: the 64-row bucket log-ratio table is a
+    # Round-11 optimization: the 64-row bucket log-ratio table is a
     # model artifact (DSIR's hashed-ngram importance model — same O(k)
     # class as the PQ codebook), so instead of joining every corpus
     # token against it and re-aggregating per doc (a corpus-token
@@ -6995,7 +6995,7 @@ FROM r WHERE rn <= 3
     "table + 1-row avg-length scalar, rank-limit window",
 )
 def q_bm25_top_terms(spark, sf_dir):
-    # Round-12 optimization (same move as tfidf_top_terms): per-(doc,
+    # Round-11 optimization (same move as tfidf_top_terms): per-(doc,
     # term) counts and the per-doc length are row-local (T.term_counts /
     # size(t)) — the groupBy(doc, tok) + groupBy(doc) exchanges and the
     # tc ⋈ dl join are gone. avgl keeps its exact semantics: the mean
@@ -7489,7 +7489,7 @@ def q_zorder_audit(spark, sf_dir):
     )
     k = r.withColumn("zkey", morton_key(F.col("xs"), F.col("ys")))
 
-    # Round-12 optimization (guide §2.4): the two layouts' span audits
+    # Round-11 optimization (guide §2.4): the two layouts' span audits
     # used to be two full scan → rank → bucket → groupBy passes glued
     # with a union (2 aggregation exchanges, the morton/rank projection
     # computed twice). One explode of the two (layout, bucket) keys per

@@ -188,7 +188,7 @@ FROM m WHERE len(mm) > 0
 def q_phrase_search(spark, sf_dir):
     from victor_spark.functions.vector import bind
 
-    # Round-12 optimization: both phrase terms' posting lists live
+    # Round-11 optimization: both phrase terms' posting lists live
     # inside ONE document's token array, so the adjacency intersection
     # is row-local — the explode + collect_list groupBy + posting join
     # the previous plan ran (3 exchanges of corpus-token rows) moved
@@ -783,6 +783,14 @@ def q_domain_mix_doremi(spark, sf_dir):
     dom = nll.groupBy("source").agg(
         F.count("*").cast("long").alias("n_tokens"), F.sum("l").alias("sl")
     )
+    # dom is the 20-row per-domain partial table that EVERY downstream
+    # scalar (reference loss, normalizer, domain count) and the final
+    # report fold over; without a reuse barrier each consumer re-derived
+    # the whole corpus pipeline (explode -> dist -> token join -> agg)
+    # past the reused exchanges — measured 22 jobs for a 20-row result
+    # (round-11 optimization). The checkpoint bounds it: one corpus
+    # pass, then arithmetic on 20 rows.
+    dom = dom.localCheckpoint(eager=False)
     ref = F.broadcast(
         dom.agg(
             (
@@ -800,13 +808,15 @@ def q_domain_mix_doremi(spark, sf_dir):
         excess.alias("excess"),
         F.exp(F.lit(_DOREMI_ETA) * excess).alias("w"),
     )
-    z = F.broadcast(
-        ew.agg(F.sum(F.col("w").cast("decimal(20,12)")).alias("zsum"))
+    # one pass for BOTH normalization scalars (was two separate aggs)
+    zk = F.broadcast(
+        ew.agg(
+            F.sum(F.col("w").cast("decimal(20,12)")).alias("zsum"),
+            F.count("*").cast("double").alias("k"),
+        )
     )
-    k = F.broadcast(ew.agg(F.count("*").cast("double").alias("k")))
     return (
-        ew.crossJoin(z)
-        .crossJoin(k)
+        ew.crossJoin(zk)
         .select(
             "source",
             "n_tokens",

@@ -551,7 +551,12 @@ def q_heaps_law_fit(spark, sf_dir):
             ).alias("gram"),
         )
     )
-    pdg = gi.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    # per-doc gram count is row-local (n - 2 trigram positions) — the
+    # explode + groupBy(doc_id) it replaces shuffled one row per gram
+    # occurrence to compute what size(t) already knows (round-11 optimization)
+    pdg = toks.filter(F.size("t") >= 3).select(
+        "doc_id", (F.size("t") - 2).cast("long").alias("n_grams")
+    )
     nt = (
         gi.groupBy("gram")
         .agg(F.min("doc_id").alias("doc_id"))
@@ -1134,9 +1139,6 @@ def q_corpus_entropy(spark, sf_dir):
     )
     un = F.broadcast(uc.agg(F.sum("c").alias("n")))
     up = F.col("c").cast("double") / F.col("n").cast("double")
-    upts = uc.crossJoin(un).select(
-        F.round(up * F.log(up), 9).cast("decimal(18,9)").alias("term")
-    )
     bg = (
         d.filter(F.size("t") >= 2)
         .select(
@@ -1152,51 +1154,48 @@ def q_corpus_entropy(spark, sf_dir):
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
     c1 = bc.groupBy("w1").agg(F.sum("c").alias("cw1"))
     bn = F.broadcast(bc.agg(F.sum("c").alias("n")))
-    bpts = (
-        bc.join(c1, "w1")
-        .crossJoin(bn)
-        .select(
-            F.round(
-                (F.col("c").cast("double") / F.col("n").cast("double"))
-                * F.log(
-                    F.col("c").cast("double")
-                    / F.col("cw1").cast("double")
-                ),
-                9,
-            )
-            .cast("decimal(18,9)")
-            .alias("term")
-        )
-    )
-    stats = uc.agg(
+    # Round-11 optimization (guide §2.4): the type-table stats and the
+    # entropy term sums used to be FOUR separate 1-row aggregation
+    # subtrees (each re-deriving uc/bc past the reused exchange and
+    # running its own job); one pass over each distribution table now
+    # yields its counts AND its entropy sum together — 2 aggregations,
+    # same decimal-summed terms, same values.
+    ustats = uc.crossJoin(un).agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("n_types"),
-    )
-    bstats = bc.agg(
-        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_bigrams"),
-        F.count("*").cast("long").alias("n_bigram_types"),
-    )
-    hu = upts.agg(
-        F.coalesce(F.sum("term"), F.lit(0))
+        F.coalesce(F.sum(F.round(up * F.log(up), 9).cast("decimal(18,9)")), F.lit(0))
         .cast("double")
-        .alias("hu")
+        .alias("hu"),
     )
-    hb = bpts.agg(
-        F.coalesce(F.sum("term"), F.lit(0))
-        .cast("double")
-        .alias("hb")
-    )
-    return (
-        stats.crossJoin(bstats)
-        .crossJoin(F.broadcast(hu))
-        .crossJoin(F.broadcast(hb))
-        .select(
-            "n_tokens",
-            "n_types",
-            "n_bigrams",
-            "n_bigram_types",
-            F.round(-F.col("hu"), 6).alias("unigram_entropy"),
-            F.round(-F.col("hb"), 6).alias("bigram_cond_entropy"),
-            F.round(F.exp(-F.col("hb")), 6).alias("bigram_perplexity"),
+    bstats = (
+        bc.join(c1, "w1")
+        .crossJoin(bn)
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("n_bigram_types"),
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        (F.col("c").cast("double") / F.col("n").cast("double"))
+                        * F.log(
+                            F.col("c").cast("double")
+                            / F.col("cw1").cast("double")
+                        ),
+                        9,
+                    ).cast("decimal(18,9)")
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("hb"),
         )
+    )
+    return ustats.crossJoin(F.broadcast(bstats)).select(
+        "n_tokens",
+        "n_types",
+        "n_bigrams",
+        "n_bigram_types",
+        F.round(-F.col("hu"), 6).alias("unigram_entropy"),
+        F.round(-F.col("hb"), 6).alias("bigram_cond_entropy"),
+        F.round(F.exp(-F.col("hb")), 6).alias("bigram_perplexity"),
     )
