@@ -130,3 +130,94 @@ def test_anomalous_merge_table_falls_back_to_scan_semantics(spark):
     # and a clean table still rides the fast path to the same answers
     out3 = apply_bpe(docs, "text", [("b", "c"), ("bc", "d")]).first()
     assert list(out3["bpe_tokens"]) == ["bcd"]
+
+
+def test_incremental_trainer_matches_recount_reference():
+    """The round-11 incremental pair-count loop must choose exactly the
+    merges (and record the pair counts) of a full recount per rank."""
+    import random
+
+    from victor_spark.operators.bpe import _train_merges_from_vocab
+
+    def reference(vocab, num_merges):
+        vocab = [(list(s), n) for s, n in vocab]
+        merges = []
+        for rank in range(1, num_merges + 1):
+            counts = {}
+            for syms, n in vocab:
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + n
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (left, right), cnt = best
+            merged = left + right
+            merges.append((rank, left, right, merged, cnt))
+            new_vocab = []
+            for syms, n in vocab:
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab.append((out, n))
+            vocab = new_vocab
+        return merges
+
+    rng = random.Random(7)
+    for trial in range(120):
+        alpha = "abcd" if trial % 2 else "ab"
+        vocab = [
+            (
+                list("".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))),
+                rng.randint(1, 5),
+            )
+            for _ in range(rng.randint(1, 30))
+        ]
+        nm = rng.randint(1, 25)
+        assert _train_merges_from_vocab(
+            [(list(s), n) for s, n in vocab], nm
+        ) == reference(vocab, nm)
+    # edges: empty vocab, unmergeable single symbols, intra-word repeats
+    assert _train_merges_from_vocab([], 5) == []
+    assert _train_merges_from_vocab([(["a"], 3)], 5) == []
+    v = [(list("ababab"), 2), (list("aaaa"), 1)]
+    assert _train_merges_from_vocab(
+        [(list(s), n) for s, n in v], 10
+    ) == reference(v, 10)
+
+
+def test_bpe_token_count_equals_apply_bpe_size(spark):
+    """bpe_token_count must count exactly what apply_bpe segments —
+    including NULL/empty text and passthrough of non-text columns."""
+    from victor_spark.operators.bpe import bpe_token_count, train_bpe_merges
+
+    m = train_bpe_merges(_corpus(spark), "text", num_merges=4).collect()
+    merges = [(r["left"], r["right"]) for r in m]
+    rows = [
+        (1, "low lowest newer"),
+        (2, ""),
+        (3, None),
+        (4, "WIDER wider  low"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    via_apply = {
+        r["doc_id"]: len(r["bpe_tokens"])
+        for r in apply_bpe(docs, "text", merges).collect()
+    }
+    via_count = {
+        r["doc_id"]: r["n_bpe"]
+        for r in bpe_token_count(docs, "text", merges).collect()
+    }
+    assert via_count == via_apply
+    assert set(bpe_token_count(docs, "text", merges).columns) == {
+        "doc_id",
+        "n_bpe",
+    }

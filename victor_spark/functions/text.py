@@ -54,34 +54,58 @@ def term_counts(t: ColumnOrName) -> Column:
     NULL/empty arrays yield an empty result (the rows explode() would
     simply drop)."""
     t = _col(t)
-    s = F.array_sort(t)
-    n = F.size(s)
-    # run starts: position 1, and every i where s[i] != s[i-1]
-    # (greatest(i-1, 1) keeps the i=1 probe in bounds under ANSI; its
-    # self-compare is false and the i==1 arm admits the position)
-    starts = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i == 1)
-        | (F.element_at(s, i) != F.element_at(s, F.greatest(i - 1, F.lit(1)))),
-    )
-    m = F.size(starts)
-    counted = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda j: F.struct(
-            F.element_at(s, F.element_at(starts, j)).alias("tok"),
-            (
-                F.coalesce(
-                    F.when(j < m, F.element_at(starts, j + 1)), n + 1
-                )
-                - F.element_at(starts, j)
+
+    # Both the sorted array and the run-start index array are routed
+    # through bind() so each evaluates ONCE per row. Referencing the
+    # array_sort expression directly inside the index lambdas re-ran the
+    # whole sort per ELEMENT (HOF lambdas interpret their captured
+    # subtrees per call — the O(n²) hazard bind() exists for), which
+    # round-11 wall-timing caught as a 20x regression on long docs.
+    def _with_sorted(s: Column) -> Column:
+        n = F.size(s)
+        # run starts: position 1, and every i where s[i] != s[i-1]
+        # (greatest(i-1, 1) keeps the i=1 probe in bounds under ANSI;
+        # its self-compare is false and the i==1 arm admits the
+        # position). The index array is guarded BEFORE the filter:
+        # bind() evaluates its argument eagerly, and sequence(1, 0)
+        # descends to [1, 0] whose 0 index would trip ANSI element_at
+        # on empty/NULL arrays (the old form only ever evaluated these
+        # under the n >= 1 branch).
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+        starts_expr = F.filter(
+            idx,
+            lambda i: (i == 1)
+            | (
+                F.element_at(s, i)
+                != F.element_at(s, F.greatest(i - 1, F.lit(1)))
+            ),
+        )
+
+        def _with_starts(starts: Column) -> Column:
+            m = F.size(starts)
+            counted = F.transform(
+                F.sequence(F.lit(1), m),
+                lambda j: F.struct(
+                    F.element_at(s, F.element_at(starts, j)).alias("tok"),
+                    (
+                        F.coalesce(
+                            F.when(j < m, F.element_at(starts, j + 1)), n + 1
+                        )
+                        - F.element_at(starts, j)
+                    )
+                    .cast("long")
+                    .alias("c"),
+                ),
             )
-            .cast("long")
-            .alias("c"),
-        ),
-    )
-    return F.when(n >= 1, counted).otherwise(
-        F.array().cast("array<struct<tok:string,c:bigint>>")
-    )
+            return F.when(n >= 1, counted).otherwise(
+                F.array().cast("array<struct<tok:string,c:bigint>>")
+            )
+
+        return bind(starts_expr, _with_starts)
+
+    return bind(F.array_sort(t), _with_sorted)
 
 
 def c4_kept_lines(lines: Column) -> Column:

@@ -2002,18 +2002,34 @@ FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 def q_unigram_logprob(spark, sf_dir):
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
-    tok = d.select("doc_id", F.explode("t").alias("tok"))
-    dist = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    # Round-11 optimization (guide §2.3 "aggregate before you shuffle"):
+    # per-doc token counts are intra-row data (term_counts, the
+    # tfidf/bm25 move), so the distribution join and the per-doc
+    # aggregation now move one row per DISTINCT (doc, token) pair
+    # instead of one row per token occurrence; the unigram distribution
+    # itself is the same integer sum of those per-doc counts. avg_logp
+    # becomes the weighted form sum(c*lp)/sum(c) — same quantity, float
+    # fold order already partition-dependent in the grouped AVG, both
+    # engines round at 1e-6 (the dsir_weights precedent); oracle-green.
+    tc = d.select(
+        "doc_id", F.explode(T.term_counts("t")).alias("p")
+    ).select("doc_id", F.col("p.tok").alias("tok"), F.col("p.c").alias("c"))
+    dist = tc.groupBy("tok").agg(F.sum("c").alias("cd"))
     # the corpus token total rides along as a broadcast 1-row cross join
     # (the oracle's CROSS JOIN total) — one lazy dataflow, no eager job at
-    # plan-build time, and the dist aggregation's shuffle is reused by
-    # Spark's exchange reuse instead of being computed twice
-    total = F.broadcast(dist.agg(F.sum("c").cast("double").alias("_total")))
-    scored = tok.join(dist, "tok").crossJoin(total).select(
-        "doc_id", F.log(F.col("c").cast("double") / F.col("_total")).alias("lp")
+    # plan-build time
+    total = F.broadcast(dist.agg(F.sum("cd").cast("double").alias("_total")))
+    scored = tc.join(dist, "tok").crossJoin(total).select(
+        "doc_id",
+        "c",
+        F.log(F.col("cd").cast("double") / F.col("_total")).alias("lp"),
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"), F.avg("lp").alias("avg_logp")
+        F.sum("c").alias("n_tokens"),
+        (
+            F.sum(F.col("c").cast("double") * F.col("lp"))
+            / F.sum("c").cast("double")
+        ).alias("avg_logp"),
     )
     return (
         d.select("doc_id")
@@ -2757,7 +2773,7 @@ def _bpe_encode_oracle(sf_dir: str) -> str:
     "train + encode",
 )
 def q_bpe_encode(spark, sf_dir):
-    from victor_spark.operators.bpe import apply_bpe, train_bpe_merges
+    from victor_spark.operators.bpe import bpe_token_count, train_bpe_merges
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
     merges = [
@@ -2766,10 +2782,9 @@ def q_bpe_encode(spark, sf_dir):
         .orderBy("rank").collect()
     ]
     subset = d.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text")
-    enc = apply_bpe(subset, "text", merges, out_col="bpe_tokens")
-    return enc.select(
-        "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
-    )
+    # count-only farm: same segmentation, no token array shipped back
+    # (round-11 optimization, guide §4.1)
+    return bpe_token_count(subset, "text", merges, out_col="n_bpe_tokens")
 
 
 # Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1): unlike
@@ -3177,11 +3192,20 @@ FROM events GROUP BY 1
 )
 def q_events_json(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
+    # parse the JSON path ONCE in a projection below the aggregate —
+    # three aggregate arguments each carrying their own
+    # get_json_object would otherwise rely on codegen subexpression
+    # elimination to avoid parsing the props string three times per row
+    # (round-11 optimization, guide §1.2 "per-task work")
     k = F.get_json_object("props", "$.k").try_cast("double")
-    return e.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum(k) / F.count(k), 4).alias("avg_k"),
-        F.round(F.max(k), 4).alias("max_k"),
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("k") / F.count("k"), 4).alias("avg_k"),
+            F.round(F.max("k"), 4).alias("max_k"),
+        )
     )
 
 
@@ -3910,13 +3934,23 @@ LIMIT 100
     "distinct projection → dim joins → per-group top-1 window",
 )
 def q_tpch_q2(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    # Round-11 optimization (guide §2.3/§3.2 — the tpch_q16 move):
+    # the selective part-dim filter runs as a broadcast SEMI join BEFORE
+    # the distinct, so only matching (partkey, suppkey) pairs pay the
+    # dedup exchange; p_partkey is unique, so filter-then-distinct ==
+    # distinct-then-join.
     ps = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
         .distinct()
-    )
-    p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
     )
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -3974,6 +4008,32 @@ def q_tpch_q7(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    # Round-11 optimization (guide §3.2 — reduce the big side BEFORE
+    # shuffling it): only lineitems supplied by the two nations of
+    # interest can survive the final n1 join, so a broadcast SEMI join
+    # against that supplier slice (2/25 of the supplier dim the plan
+    # already broadcasts) drops ~92% of lineitem rows before the
+    # orderkey exchange. Inner joins commute with this filter —
+    # identical results. The slice is built from FRESH scans (own expr
+    # ids) so the main chain's s/n1 references stay unambiguous.
+    pre_s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    pre_n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select("n_nationkey")
+    )
+    li = li.join(
+        F.broadcast(
+            pre_s.join(
+                F.broadcast(pre_n),
+                pre_s.s_nationkey == pre_n.n_nationkey,
+            ).select(F.col("s_suppkey").alias("_pre_suppkey"))
+        ),
+        li.l_suppkey == F.col("_pre_suppkey"),
+        "left_semi",
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -4136,6 +4196,13 @@ def q_tpch_q11(spark, sf_dir):
     # broadcast, never an empty-partition window (which would shuffle the
     # whole (nation, part) aggregate into a single task — the exact
     # anti-pattern pack_sequences' plan test forbids)
+    #
+    # Round-11 optimization: vbp feeds both the threshold scalar and the
+    # final filter — the lazy checkpoint stops the join + groupBy
+    # subtree from being derived twice (the semdedup/doremi reuse-
+    # barrier precedent; the checkpointed table is the (nation, partkey)
+    # aggregate, part-dimension-sized, never lineitem-sized).
+    vbp = vbp.localCheckpoint(eager=False)
     total = vbp.agg(F.sum("val").cast("double").alias("_tot"))
     return (
         vbp.crossJoin(F.broadcast(total))
@@ -4474,12 +4541,19 @@ def q_tpch_q21(spark, sf_dir):
         F.max("l_shipdate").alias("max_ship"),
         F.countDistinct("l_suppkey").alias("n_supp"),
     )
+    # Round-11 optimization (guide §2.4 "two operations keyed the same
+    # way can often share one exchange"): joining on the orderkey ALONE
+    # and filtering the shipdate equality afterwards keeps the join
+    # keyed exactly like per_order's groupBy (its exchange is reused)
+    # and like the groupBy below (no re-shuffle); the old compound
+    # equi-join key (orderkey, shipdate) forced a fresh exchange of
+    # both sides and a third one for the final groupBy. Identical inner
+    # join result — the dropped key is reapplied as a filter.
     lastg = (
-        f.join(
-            per_order,
-            (f.l_orderkey == F.col("po_key")) & (f.l_shipdate == F.col("max_ship")),
+        f.join(per_order, f.l_orderkey == F.col("po_key"))
+        .filter(
+            (F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") > 1)
         )
-        .filter(F.col("n_supp") > 1)
         .groupBy("l_orderkey")
         .agg(
             F.min("l_suppkey").alias("the_supp"),
@@ -6285,30 +6359,43 @@ def q_bigram_logprob(spark, sf_dir):
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
     t = F.col("t")
+    # Round-11 optimization (guide §2.3 — the unigram_logprob move on
+    # bigrams): per-doc bigram counts are intra-row (term_counts over
+    # the "prev cur" gram strings; tokens are whitespace-split so the
+    # single space splits back unambiguously), so every downstream
+    # exchange moves one row per DISTINCT (doc, bigram) instead of one
+    # per occurrence. The pair/context tables are the same integer sums;
+    # avg_logp is the weighted form sum(c*lp)/sum(c) (dsir precedent,
+    # both engines round at 1e-6); oracle-green.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat(
+            F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+        ),
+    )
     pairs = (
         d.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(T.term_counts(grams)).alias("p"))
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
-                    lambda i: F.struct(
-                        F.element_at(t, i).alias("prev"),
-                        F.element_at(t, i + 1).alias("cur"),
-                    ),
-                )
-            ).alias("pc"),
+            F.substring_index(F.col("p.tok"), " ", 1).alias("prev"),
+            F.substring_index(F.col("p.tok"), " ", -1).alias("cur"),
+            F.col("p.c").alias("c"),
         )
-        .select("doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
     )
-    cpair = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cp"))
-    cctx = pairs.groupBy("prev").agg(F.count("*").alias("cc"))
+    cpair = pairs.groupBy("prev", "cur").agg(F.sum("c").alias("cp"))
+    cctx = pairs.groupBy("prev").agg(F.sum("c").alias("cc"))
     scored = pairs.join(cpair, ["prev", "cur"]).join(cctx, ["prev"]).select(
         "doc_id",
+        "c",
         F.log(F.col("cp").cast("double") / F.col("cc").cast("double")).alias("lp"),
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"), F.avg("lp").alias("avg_logp")
+        F.sum("c").alias("n_bigrams"),
+        (
+            F.sum(F.col("c").cast("double") * F.col("lp"))
+            / F.sum("c").cast("double")
+        ).alias("avg_logp"),
     )
     return (
         d.select("doc_id")
@@ -6604,9 +6691,14 @@ FROM wau LEFT JOIN dau ON wau.wd = dau.d
 )
 def q_events_rolling_active(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
-    du = e.select(
-        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
-    ).distinct()
+    # the distinct (day, user) table feeds BOTH rollups; the lazy
+    # checkpoint keeps the scan + distinct from running twice (round-11
+    # optimization, the semdedup/doremi reuse-barrier precedent)
+    du = (
+        e.select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     maxd = F.broadcast(du.agg(F.max("d").alias("md")))
     contrib = du.select(
         F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("wd"),
@@ -6618,7 +6710,12 @@ def q_events_rolling_active(spark, sf_dir):
         .groupBy("wd")
         .agg(F.countDistinct("user_id").alias("w"))
     )
-    dau = du.groupBy("d").agg(F.countDistinct("user_id").alias("a"))
+    # du is already distinct on (d, user_id), so the per-day distinct
+    # count is a plain count(*) — countDistinct here paid a second
+    # expand + exchange round for a set that is distinct by construction
+    # (round-11 optimization, guide §2.4 "a distinct on data that is
+    # already unique")
+    dau = du.groupBy("d").agg(F.count("*").alias("a"))
     return (
         wau.join(dau, wau["wd"] == dau["d"], "left")
         .select(
@@ -6681,27 +6778,43 @@ def q_events_rolling_active_approx(spark, sf_dir):
     from victor_spark.functions.hashing import md5_32
 
     e = load_table(spark, sf_dir, "events")
-    du = e.select(
-        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
-    ).distinct()
-    maxd = F.broadcast(du.agg(F.max("d").alias("md")))
-    contrib = (
-        du.select(
-            F.explode(
-                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
-            ).alias("wd"),
-            "user_id",
-        )
-        .crossJoin(maxd)
-        .filter(F.col("wd") <= F.col("md"))
-    )
     u = F.col("user_id").cast("string")
     w = md5_32(F.concat(F.lit("hll:"), u))
     rho = F.when(w == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(w)))
-    pre = contrib.select(
-        "wd", (md5_32(u) % F.lit(1024)).alias("bucket"), rho.alias("rho")
+    # Round-11 optimization (guide §2.3 "shuffle keys and metadata
+    # instead of payloads"): HLL registers merge by max, so the per-DAY
+    # registers are computed FIRST and the 7-day window explode rides on
+    # <= 1024 register rows per day instead of on per-user rows. The old
+    # plan shuffled every (day, user) row once for the distinct and 7x
+    # more through the window explode; per-user rows now never shuffle
+    # at all (map-side max partials), and the distinct is dropped
+    # outright — max(rho) over duplicate user rows equals max(rho) over
+    # distinct users, which is the whole point of the register algebra.
+    # Same registers, same estimate, bit-for-bit.
+    day_regs = (
+        e.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            (md5_32(u) % F.lit(1024)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("rho").alias("r0"))
+        .localCheckpoint(eager=False)
     )
-    regs = pre.groupBy("wd", "bucket").agg(F.max("rho").alias("r"))
+    maxd = F.broadcast(day_regs.agg(F.max("d").alias("md")))
+    regs = (
+        day_regs.select(
+            F.explode(
+                F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+            ).alias("wd"),
+            "bucket",
+            "r0",
+        )
+        .crossJoin(maxd)
+        .filter(F.col("wd") <= F.col("md"))
+        .groupBy("wd", "bucket")
+        .agg(F.max("r0").alias("r"))
+    )
     # algebraic densification: the 1024 - count(*) empty registers each
     # contribute 2^0 to the harmonic sum — no spine join per day
     agg = regs.groupBy("wd").agg(
@@ -7578,20 +7691,50 @@ def q_hist_quantiles(spark, sf_dir):
     from victor_spark.operators.sketches import histogram_quantile, value_histogram
 
     e = load_table(spark, sf_dir, "events")
-    h = value_histogram(e, "event_type", "value", bins=256)
-    ests = [
-        histogram_quantile(h, "event_type", q, bins=256, out_col=f"est_p{int(q*100)}")
-        for q in (0.5, 0.9, 0.99)
-    ]
+    # Round-11 optimization (guide §2.4): the three quantile walks used
+    # to be three separate histogram_quantile calls — each re-derived
+    # the whole histogram subtree (scan + bounds agg + bin groupBy),
+    # ran its own cumulative window, and joined back separately. The
+    # checkpoint bounds the histogram to one derivation, and ONE window
+    # pass + ONE grouped aggregation now answers all three quantiles:
+    # per q, min_by over rows where cum >= q*n picks exactly the row
+    # histogram_quantile's filter+min_by picked, with the identical
+    # interpolation expression — bit-for-bit the same estimates.
+    from pyspark.sql import Window as _W
+
+    h = value_histogram(e, "event_type", "value", bins=256).localCheckpoint(
+        eager=False
+    )
+    w = (
+        _W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    hc = h.withColumn("cum", F.sum("cnt").over(w))
+
+    def _est(q: float):
+        t = F.lit(q) * F.col("n")
+        est = (
+            F.col("mn")
+            + (F.col("bin") + (t - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+            * (F.col("mx") - F.col("mn"))
+            / F.lit(256.0)
+        )
+        hit = F.col("cum") >= t
+        return F.min_by(F.when(hit, est), F.when(hit, F.col("bin")))
+
+    ests = hc.groupBy("event_type").agg(
+        _est(0.5).alias("est_p50"),
+        _est(0.9).alias("est_p90"),
+        _est(0.99).alias("est_p99"),
+    )
     exact = e.groupBy("event_type").agg(
         F.count("value").alias("n"),
         F.percentile("value", 0.5).alias("x50"),
         F.percentile("value", 0.9).alias("x90"),
         F.percentile("value", 0.99).alias("x99"),
     )
-    out = exact
-    for est in ests:
-        out = out.join(est, "event_type")
+    out = exact.join(ests, "event_type")
     return out.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
@@ -7664,26 +7807,47 @@ FROM r2 WHERE rk <= 5
 def q_retrieve_rerank(spark, sf_dir):
     from victor_spark.functions.embedder import embed
 
-    d = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        to_double_array(embed("text", _EMBED_DIM)).alias("v"),
-        F.array_distinct(T.tokens(F.lower(F.col("text")))).alias("toks"),
+    # Round-11 optimization (guide §8 "decide with small rows, move big
+    # rows once"): stage 1's bounded heap now carries ONLY (doc_id, _s)
+    # — the old plan computed the distinct-token array for EVERY corpus
+    # document and dragged it (plus a copy of the query doc's tokens)
+    # through the TakeOrdered heap, purely so stage 2 could rerank 20
+    # rows. Tokens are now computed for exactly 21 documents: the 20
+    # winners are re-attached to the corpus by a broadcast hash join on
+    # doc_id (20-row build side) placed BELOW the token projection, and
+    # the query doc's tokens ride the same broadcast pattern. Same
+    # stage-1 ordering (score expression, tie-break, norm guard), same
+    # 5-row output.
+    d0 = fan_out(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    emb = d0.select(
+        "doc_id", to_double_array(embed("text", _EMBED_DIM)).alias("v")
     )
+    toks_of = F.array_distinct(T.tokens(F.lower(F.col("text"))))
     q = F.broadcast(
-        d.filter(F.col("doc_id") == _RERANK_QID).select(
-            F.col("v").alias("qv"), F.col("toks").alias("qtoks")
-        ).withColumn("qn", norm("qv"))
+        emb.filter(F.col("doc_id") == _RERANK_QID)
+        .select(F.col("v").alias("qv"))
+        .withColumn("qn", norm("qv"))
     )
     top20 = (
-        d.filter(F.col("doc_id") != _RERANK_QID)
+        emb.filter(F.col("doc_id") != _RERANK_QID)
         .crossJoin(q)
         .filter(norm("v") > 0)
         .select(
-            "doc_id", "toks", "qtoks",
+            "doc_id",
             (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("_s"),
         )
         .orderBy(F.desc("_s"), F.asc("doc_id"))
         .limit(20)
+    )
+    qt = F.broadcast(
+        d0.filter(F.col("doc_id") == _RERANK_QID).select(
+            toks_of.alias("qtoks")
+        )
+    )
+    cand = (
+        d0.join(F.broadcast(top20), "doc_id")
+        .crossJoin(qt)
+        .select("doc_id", "_s", toks_of.alias("toks"), "qtoks")
     )
     jac = (
         F.size(F.array_intersect("toks", "qtoks"))
@@ -7691,7 +7855,7 @@ def q_retrieve_rerank(spark, sf_dir):
     )
     w2 = Window.orderBy(F.desc("_j"), F.asc("doc_id"))
     return (
-        top20.select("doc_id", "_s", jac.alias("_j"))
+        cand.select("doc_id", "_s", jac.alias("_j"))
         .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= 5)
         .select(

@@ -318,7 +318,7 @@ GROUP BY pred_lang
 )
 def q_tokenizer_fertility(spark, sf_dir):
     from victor_spark.functions import text as T
-    from victor_spark.operators.bpe import apply_bpe, train_bpe_merges
+    from victor_spark.operators.bpe import bpe_token_count, train_bpe_merges
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = [
@@ -327,14 +327,20 @@ def q_tokenizer_fertility(spark, sf_dir):
         .orderBy("rank")
         .collect()
     ]
-    enc = apply_bpe(d, "text", merges)
-    per_doc = enc.select(
+    # Round-11 optimization (guide §4.1): the farm now returns one count
+    # per doc instead of the full subword array (which was immediately
+    # collapsed to size()), and the JVM-side text statistics are
+    # computed BELOW the farm so they pass through it as scalars — the
+    # text column crosses into Python once and nothing array-sized
+    # crosses back.
+    pre = d.select(
         "doc_id",
         T.lang_id("text").alias("pred_lang"),
         T.token_count("text").cast("long").alias("n_words"),
         F.length("text").cast("long").alias("n_chars"),
-        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        "text",
     )
+    per_doc = bpe_token_count(pre, "text", merges, out_col="n_bpe")
     # word-free docs (empty/whitespace-only text) carry no fertility
     # signal and would make a group's sum(n_words)=0 divide by zero
     # under ANSI mode (review-caught) — excluded in BOTH engines

@@ -938,7 +938,7 @@ FROM w
     ),
 )
 def q_tokenize_pack_pipeline(spark, sf_dir):
-    from victor_spark.operators.bpe import apply_bpe, train_bpe_merges
+    from victor_spark.operators.bpe import bpe_token_count, train_bpe_merges
     from victor_spark.operators.packing import pack_sequences
     from victor_spark.operators.sampling import hash_split
 
@@ -949,11 +949,11 @@ def q_tokenize_pack_pipeline(spark, sf_dir):
         .orderBy("rank")
         .collect()
     ]
-    counted = apply_bpe(
-        d.select("doc_id", "text"), "text", merges, out_col="bpe_tokens"
-    ).select(
-        "doc_id", F.size("bpe_tokens").cast("int").alias("n_tok")
-    )
+    # count-only farm: same segmentation, no token array shipped back
+    # (round-11 optimization, guide §4.1)
+    counted = bpe_token_count(
+        d.select("doc_id", "text"), "text", merges, out_col="n_tok"
+    ).select("doc_id", F.col("n_tok").cast("int").alias("n_tok"))
     packed = pack_sequences(
         counted,
         "doc_id",
