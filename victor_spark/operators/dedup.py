@@ -554,24 +554,23 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     the already-checkpointed edge list, so the big path pays one extra
     count over materialized blocks, not a recompute.
     """
+    # Round-11 measurement note: a single limit(N+1).collect() probe
+    # (replacing eager checkpoint + count + collect, "3 fewer jobs") was
+    # tried and REVERTED. Wall-timing on the cluster-consuming queries
+    # is noise-band either way on this host (they swing 2-3x run to
+    # run), but the probe's CollectLimit executes the expensive
+    # upstream minhash pipeline in serial partition ramp-up waves,
+    # while the eager checkpoint materializes it in one fully-parallel
+    # job and the count/collect that follow are metadata-cheap reads of
+    # cached blocks — the parallel shape is the safer one at any scale.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
-    # ONE job decides the strategy AND feeds the small path: collecting
-    # limit+1 rows either returns the complete edge list (<= limit -> the
-    # driver union-find consumes exactly these rows) or proves the graph
-    # is big. The previous eager-checkpoint + count() + collect() ran
-    # three jobs over the same tiny list (round-11 optimization); the
-    # lazy checkpoint still persists whatever the take computes, so the
-    # big path finishes materializing instead of recomputing.
-    head = edges.limit(driver_edge_limit + 1).collect()
-    if len(head) <= driver_edge_limit:
-        return _clusters_union_find_rows(
-            head, edges.sparkSession, edges.schema["src"].dataType
-        )
+    if edges.count() <= driver_edge_limit:
+        return _clusters_union_find(edges)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -159,6 +159,11 @@ def _seed_pieces_df(
                 F.array().cast("array<string>")
             ),
         )
+    # NOTE (round-11): a lazy localCheckpoint reuse barrier here was
+    # tried and REVERTED — matched A/B wall-timing showed +35% on
+    # unigram_lm_train: Spark's exchange reuse already shares the
+    # aggregation between the two collects, so the barrier only added a
+    # materialization and disabled AQE below it.
     counts = (
         top.select(F.explode(subs).alias("piece"), "n")
         .groupBy("piece")

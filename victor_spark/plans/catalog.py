@@ -2000,36 +2000,26 @@ FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     "shuffles, empty docs score 0",
 )
 def q_unigram_logprob(spark, sf_dir):
+    # Round-11 measurement note: a distinct-(doc, token)-pair rewrite via
+    # term_counts (the row-local sorted-run scan) was tried and REVERTED
+    # — matched A/B wall-timing at sf0.1 showed the interpreted HOF scan
+    # costs more than the codegen explode + partial-agg pipeline saves
+    # (2.52s -> 3.69s). The occurrence-row form below is the measured
+    # winner on this plan shape.
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
-    # Round-11 optimization (guide §2.3 "aggregate before you shuffle"):
-    # per-doc token counts are intra-row data (term_counts, the
-    # tfidf/bm25 move), so the distribution join and the per-doc
-    # aggregation now move one row per DISTINCT (doc, token) pair
-    # instead of one row per token occurrence; the unigram distribution
-    # itself is the same integer sum of those per-doc counts. avg_logp
-    # becomes the weighted form sum(c*lp)/sum(c) — same quantity, float
-    # fold order already partition-dependent in the grouped AVG, both
-    # engines round at 1e-6 (the dsir_weights precedent); oracle-green.
-    tc = d.select(
-        "doc_id", F.explode(T.term_counts("t")).alias("p")
-    ).select("doc_id", F.col("p.tok").alias("tok"), F.col("p.c").alias("c"))
-    dist = tc.groupBy("tok").agg(F.sum("c").alias("cd"))
+    tok = d.select("doc_id", F.explode("t").alias("tok"))
+    dist = tok.groupBy("tok").agg(F.count("*").alias("c"))
     # the corpus token total rides along as a broadcast 1-row cross join
     # (the oracle's CROSS JOIN total) — one lazy dataflow, no eager job at
-    # plan-build time
-    total = F.broadcast(dist.agg(F.sum("cd").cast("double").alias("_total")))
-    scored = tc.join(dist, "tok").crossJoin(total).select(
-        "doc_id",
-        "c",
-        F.log(F.col("cd").cast("double") / F.col("_total")).alias("lp"),
+    # plan-build time, and the dist aggregation's shuffle is reused by
+    # Spark's exchange reuse instead of being computed twice
+    total = F.broadcast(dist.agg(F.sum("c").cast("double").alias("_total")))
+    scored = tok.join(dist, "tok").crossJoin(total).select(
+        "doc_id", F.log(F.col("c").cast("double") / F.col("_total")).alias("lp")
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        (
-            F.sum(F.col("c").cast("double") * F.col("lp"))
-            / F.sum("c").cast("double")
-        ).alias("avg_logp"),
+        F.count("*").alias("n_tokens"), F.avg("lp").alias("avg_logp")
     )
     return (
         d.select("doc_id")
@@ -2377,30 +2367,26 @@ FROM r WHERE rn <= 3
     "rank-limit window (WindowGroupLimit keeps the per-doc heap bounded)",
 )
 def q_tfidf(spark, sf_dir):
-    # Round-11 optimization: per-(doc,term) counts and the per-doc token
-    # total are intra-row statistics — computed row-locally (sorted-run
-    # scan, T.term_counts) instead of the two corpus-token-sized
-    # groupBy(doc, tok) / groupBy(doc) exchanges the previous plan paid.
-    # Only the genuinely corpus-wide pieces shuffle: the Heaps-bounded
-    # document-frequency table and the rank window. The doc count rides
-    # along as a broadcast 1-row aggregate (the oracle's count(*)
-    # subquery) instead of an eager driver count() job — one fewer
-    # corpus scan. All counts are the same integers → values identical.
+    # Round-11 measurement note: a row-local term_counts rewrite of the
+    # per-(doc,term) counting was tried and REVERTED — matched A/B
+    # wall-timing at sf0.1 showed the interpreted sorted-run HOF costs
+    # more than the codegen explode + partial-agg exchanges it removed
+    # (1.93s -> 2.50s). What SURVIVES from that attempt is the doc-count
+    # fix: the eager driver count() (a full extra corpus scan at 100 TB)
+    # is a broadcast 1-row aggregate riding the same plan.
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     d = docs.select(
-        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
     )
-    tc = d.select(
-        "doc_id",
-        F.size("t").cast("long").alias("s"),
-        F.explode(T.term_counts("t")).alias("tc"),
-    ).select("doc_id", "s", F.col("tc.tok").alias("tok"), F.col("tc.c").alias("c"))
+    tc = d.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("s"))
     df_t = tc.groupBy("tok").agg(F.count("*").alias("df"))
     # nd counts ALL documents (the oracle's SELECT count(*) FROM d), not
     # just docs with >=1 token — empty/whitespace-only docs shift every idf
-    nd = F.broadcast(d.agg(F.count("*").cast("double").alias("_nd")))
+    nd = F.broadcast(docs.agg(F.count("*").cast("double").alias("_nd")))
     w = (
-        tc.join(F.broadcast(df_t), "tok")
+        tc.join(tot, "doc_id")
+        .join(F.broadcast(df_t), "tok")
         .crossJoin(nd)
         .select(
             "doc_id", "tok",
@@ -6359,43 +6345,35 @@ def q_bigram_logprob(spark, sf_dir):
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
     t = F.col("t")
-    # Round-11 optimization (guide §2.3 — the unigram_logprob move on
-    # bigrams): per-doc bigram counts are intra-row (term_counts over
-    # the "prev cur" gram strings; tokens are whitespace-split so the
-    # single space splits back unambiguously), so every downstream
-    # exchange moves one row per DISTINCT (doc, bigram) instead of one
-    # per occurrence. The pair/context tables are the same integer sums;
-    # avg_logp is the weighted form sum(c*lp)/sum(c) (dsir precedent,
-    # both engines round at 1e-6); oracle-green.
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("t") - 1),
-        lambda i: F.concat(
-            F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
-        ),
-    )
+    # Round-11 measurement note: a distinct-(doc, bigram) rewrite via
+    # term_counts was tried and REVERTED — matched A/B wall-timing at
+    # sf0.1 showed 2.25s -> 5.39s (the interpreted sorted-run HOF over
+    # gram strings costs far more than the codegen explode + partial-agg
+    # pipeline it replaced).
     pairs = (
         d.filter(F.size("t") >= 2)
-        .select("doc_id", F.explode(T.term_counts(grams)).alias("p"))
         .select(
             "doc_id",
-            F.substring_index(F.col("p.tok"), " ", 1).alias("prev"),
-            F.substring_index(F.col("p.tok"), " ", -1).alias("cur"),
-            F.col("p.c").alias("c"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("prev"),
+                        F.element_at(t, i + 1).alias("cur"),
+                    ),
+                )
+            ).alias("pc"),
         )
+        .select("doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
     )
-    cpair = pairs.groupBy("prev", "cur").agg(F.sum("c").alias("cp"))
-    cctx = pairs.groupBy("prev").agg(F.sum("c").alias("cc"))
+    cpair = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cp"))
+    cctx = pairs.groupBy("prev").agg(F.count("*").alias("cc"))
     scored = pairs.join(cpair, ["prev", "cur"]).join(cctx, ["prev"]).select(
         "doc_id",
-        "c",
         F.log(F.col("cp").cast("double") / F.col("cc").cast("double")).alias("lp"),
     )
     per_doc = scored.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"),
-        (
-            F.sum(F.col("c").cast("double") * F.col("lp"))
-            / F.sum("c").cast("double")
-        ).alias("avg_logp"),
+        F.count("*").alias("n_bigrams"), F.avg("lp").alias("avg_logp")
     )
     return (
         d.select("doc_id")
@@ -7108,26 +7086,23 @@ FROM r WHERE rn <= 3
     "table + 1-row avg-length scalar, rank-limit window",
 )
 def q_bm25_top_terms(spark, sf_dir):
-    # Round-11 optimization (same move as tfidf_top_terms): per-(doc,
-    # term) counts and the per-doc length are row-local (T.term_counts /
-    # size(t)) — the groupBy(doc, tok) + groupBy(doc) exchanges and the
-    # tc ⋈ dl join are gone. avgl keeps its exact semantics: the mean
-    # length over docs WITH >= 1 token (the old dl table's domain).
+    # Round-11 measurement note: the row-local term_counts rewrite was
+    # tried and REVERTED here too — matched A/B wall-timing at sf0.1
+    # showed 2.58s -> 3.03s (same verdict as tfidf_top_terms: the
+    # interpreted sorted-run HOF costs more locally than the codegen
+    # explode + partial-agg exchanges it removed).
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
     nd = F.broadcast(d.agg(F.count("*").cast("double").alias("nd")))
-    tc = d.select(
-        "doc_id",
-        F.size("t").cast("long").alias("len"),
-        F.explode(T.term_counts("t")).alias("tc"),
-    ).select("doc_id", "len", F.col("tc.tok").alias("tok"), F.col("tc.c").alias("c"))
-    avgl = F.broadcast(
-        d.filter(F.size("t") >= 1)
-        .agg(F.avg(F.size("t").cast("long").cast("double")).alias("al"))
-    )
+    tc = d.select("doc_id", F.explode("t").alias("tok")).groupBy(
+        "doc_id", "tok"
+    ).agg(F.count("*").alias("c"))
+    dl = tc.groupBy("doc_id").agg(F.sum("c").alias("len"))
+    avgl = F.broadcast(dl.agg(F.avg(F.col("len").cast("double")).alias("al")))
     df_t = tc.groupBy("tok").agg(F.count("*").alias("df"))
     w = (
-        tc.join(df_t, "tok")
+        tc.join(dl, "doc_id")
+        .join(df_t, "tok")
         .crossJoin(nd)
         .crossJoin(avgl)
         .select(

@@ -95,6 +95,10 @@ def q_kneser_ney_bigram(spark, sf_dir):
         "doc_id",
         F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("t"),
     )
+    # Round-11 measurement note: a distinct-(doc, bigram) rewrite via
+    # term_counts was tried and REVERTED — matched A/B wall-timing at
+    # sf0.1 showed 1.99s -> 3.24s (interpreted sorted-run HOF vs codegen
+    # explode + partial agg; same verdict as bigram_logprob).
     bg = d.filter(F.size("t") >= 2).select(
         "doc_id",
         F.explode(
@@ -188,30 +192,14 @@ FROM m WHERE len(mm) > 0
 def q_phrase_search(spark, sf_dir):
     from victor_spark.functions.vector import bind
 
-    # Round-11 optimization: both phrase terms' posting lists live
-    # inside ONE document's token array, so the adjacency intersection
-    # is row-local — the explode + collect_list groupBy + posting join
-    # the previous plan ran (3 exchanges of corpus-token rows) moved
-    # only intra-row data. mm below IS the oracle's
-    # list_filter(pa, x -> contains(pb, x+1)): ascending positions i
-    # with t[i]=term1 and t[i+1]=term2. The lossless contains()
-    # prefilter still drops non-candidate docs at the scan, so at
-    # 100 TB the query is a pushed-down scan + projection — nothing
-    # shuffles at all (the former skew watch item is moot: there is no
-    # postings key to run hot).
-    t = F.col("t")
-    matches = bind(
-        F.filter(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: (F.element_at(t, i) == _PHRASE[0])
-            & (F.element_at(t, i + 1) == _PHRASE[1]),
-        ),
-        lambda mm: F.struct(
-            F.size(mm).alias("n"),
-            F.try_element_at(mm, F.lit(1)).alias("fp"),
-        ),
-    )
-    return (
+    # Round-11 measurement note: a row-local adjacency-scan rewrite
+    # (filter over sequence(1, n-1) with element_at probes) was tried
+    # and REVERTED — matched A/B wall-timing at sf0.1 showed 0.75s ->
+    # 1.93s: the interpreted per-element HOF scan over every candidate
+    # doc's full token array costs more than the posting-list pipeline,
+    # whose explode is pre-filtered to the two phrase terms (document-
+    # frequency-bounded) before anything shuffles.
+    d = (
         load_table(spark, sf_dir, "documents")
         .filter(
             F.col("text").contains(_PHRASE[0])
@@ -221,15 +209,39 @@ def q_phrase_search(spark, sf_dir):
             "doc_id",
             F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("t"),
         )
-        # a 1-token doc would make sequence(1, 0) descend; candidates
-        # hold both substrings but guard anyway (cheap, and exact)
-        .filter(F.size(t) >= 2)
+    )
+    post = (
+        d.select("doc_id", F.posexplode("t").alias("pos0", "tok"))
+        .filter(F.col("tok").isin(*_PHRASE))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    pl = post.groupBy("doc_id", "tok").agg(
+        F.sort_array(F.collect_list("pos")).alias("plist")
+    )
+    a = pl.filter(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("plist").alias("pa")
+    )
+    b = pl.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", F.col("plist").alias("pb")
+    )
+    matches = bind(
+        F.filter(F.col("pa"), lambda x: F.array_contains(F.col("pb"), x + 1)),
+        lambda mm: F.struct(
+            # try_element_at: the struct is computed BEFORE the n>0
+            # filter, and a doc holding both terms without adjacency has
+            # an empty match array (element_at would throw)
+            F.size(mm).alias("n"),
+            F.try_element_at(mm, F.lit(1)).alias("fp"),
+        ),
+    )
+    return (
+        a.join(b, "doc_id")
         .select("doc_id", matches.alias("_m"))
         .filter(F.col("_m.n") > 0)
         .select(
             "doc_id",
-            F.col("_m.n").cast("int").alias("n_matches"),
-            F.col("_m.fp").cast("int").alias("first_pos"),
+            F.col("_m.n").alias("n_matches"),
+            F.col("_m.fp").alias("first_pos"),
         )
     )
 
