@@ -323,15 +323,23 @@ def test_semdedup_pairs_join_is_equi_on_cell(spark):
     ), "pair join does not key on cell"
 
 
-def test_dsir_scoring_join_is_broadcast(spark):
-    # the 64-row bucket log-ratio table must broadcast so per-token
-    # scoring is map-side — the corpus token stream never shuffles for it
+def test_dsir_scoring_is_map_side(spark):
+    # round-11 optimization: the 64-bucket log-ratio model collapses to
+    # ONE broadcast map row built in a single corpus pass (totals and
+    # entries fold over one collected bucket-stats array); per-token
+    # scoring folds each doc's own token array against the broadcast map
+    # — no join keyed on bkt, no corpus-token shuffle, and exactly TWO
+    # parquet scans total (model-build pass + scoring pass, the minimum:
+    # scoring cannot start before the model exists)
     p = plan("dsir_weights", spark)
-    assert "BroadcastHashJoin" in p
-    # in formatted mode the join keys print on their own lines
-    assert any(
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert not any(
         "keys" in ln and "bkt" in ln for ln in p.splitlines()
-    ), "scoring join does not key on bkt"
+    ), "scoring must not shuffle tokens on bkt"
+    import re
+
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, flags=re.M))
+    assert n_scans == 2, f"expected 2 corpus scans, plan has {n_scans}"
 
 
 def test_hll_registers_partial_aggregate(spark):

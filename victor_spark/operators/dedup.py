@@ -417,9 +417,10 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     Scale shape (the paper's recipe): k is chosen so clusters are small
     (they use k=50 000 on LAION), making the within-cluster O(c²) compare
     the budgeted cost; the join is an equi-join on the cell key, so there
-    is never a global all-pairs path, and assignment is one broadcast
-    crossJoin + max_by aggregation (map-side partial, one row per id
-    crosses the shuffle).
+    is never a global all-pairs path, and assignment is a map-side fold
+    over the literal centroid array (the model-sized centroid table is
+    already collected for validation — zero exchanges, no k-fold row
+    inflation).
 
     Returns (id, cell, max_lower_sim, keep): max_lower_sim is the highest
     cosine to any lower-id cluster member (-2.0 sentinel when the row is
@@ -440,7 +441,9 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     within-cluster compare are plain dots — one fold per pair instead of
     dot + two norms (measured 3× on the pair stage).
     """
-    from victor_spark.functions.vector import dot, l2_normalize, norm
+    import math
+
+    from victor_spark.functions.vector import bind, dot, l2_normalize, norm
     from victor_spark.sources.tables import fan_out
 
     v_all = fan_out(df).select(
@@ -463,34 +466,81 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
         F.col("cell").cast("long").alias("cell"),
         to_double_array("cv").alias("_cv"),
     )
-    # ONE bounded collect validates both caller-error cases (centroids
-    # are a model-sized table, like the PQ codebook): zero-norm cells,
-    # and an EMPTY table — which would otherwise silently drop every
-    # non-sentinel row from the report via the empty crossJoin
-    cells = cdf.select("cell", (norm("_cv") == 0.0).alias("_z")).collect()
-    if not cells:
+    # ONE bounded collect serves two jobs (centroids are a model-sized
+    # table, like the PQ codebook, whose k·d floats the PQ operators
+    # already bake into the plan as literals): it validates both
+    # caller-error cases — zero-norm cells, and an EMPTY table, which
+    # would otherwise silently drop every non-sentinel row from the
+    # report — and it brings the vectors driver-side so cell assignment
+    # runs MAP-SIDE as a per-row fold over the literal centroid array
+    # (round-11 optimization). The old shape (broadcast crossJoin +
+    # max_by groupBy) inflated the corpus k-fold through a shuffle
+    # purely to pick each row's argmax — the fold computes the same k
+    # dots per row with zero exchanges.
+    #
+    # The normalization below replays l2_normalize's exact arithmetic
+    # (left-to-right double fold of x*x from 0.0, IEEE sqrt, then x/n
+    # per element), so the literal values are bit-identical to what the
+    # broadcast plan computed — assignment ties break identically.
+    rows = cdf.collect()
+    if not rows:
         raise ValueError("semantic_dedup: centroids table is empty")
-    for r in cells:
-        if r["_z"]:
+    ncents = []
+    for r in rows:
+        cv = r["_cv"]
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        n = math.sqrt(acc)
+        if n == 0.0:
             raise ValueError(
                 f"semantic_dedup: centroid cell {r['cell']} has zero norm"
             )
-    cent = F.broadcast(cdf.select("cell", l2_normalize("_cv").alias("ncv")))
-    scored = v.crossJoin(cent).select(
-        "doc", "nv", "cell", dot(F.col("nv"), F.col("ncv")).alias("_cs")
+        ncents.append((int(r["cell"]), [x / n for x in cv]))
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cell).cast("long").alias("cell"),
+                F.array(*[F.lit(x) for x in ncv]).alias("ncv"),
+            )
+            for cell, ncv in ncents
+        ]
     )
-    assigned = scored.groupBy("doc").agg(
-        F.first("nv").alias("nv"),
-        F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
+    # fold semantics == max_by(cell, struct(cs, -cell)): strictly-higher
+    # cosine wins; an exactly-equal cosine wins only with a lower cell
+    # id. The init sentinel (-2.0) sits below any unit-vector cosine, so
+    # the first centroid always replaces it — no NULL three-valued logic.
+    init = F.struct(
+        F.lit(-2.0).alias("cs"), F.lit(-(2 ** 62)).cast("long").alias("cell")
+    )
+    assigned = v.select(
+        "doc",
+        "nv",
+        bind(
+            F.col("nv"),
+            lambda nv: F.aggregate(
+                cent_arr,
+                init,
+                lambda acc, c: bind(
+                    dot(nv, c["ncv"]),
+                    lambda cs: F.when(
+                        (cs > acc["cs"])
+                        | ((cs == acc["cs"]) & (c["cell"] < acc["cell"])),
+                        F.struct(cs.alias("cs"), c["cell"].alias("cell")),
+                    ).otherwise(acc),
+                ),
+                lambda a: a["cell"],
+            ),
+        ).alias("cell"),
     )
     # assigned feeds THREE consumers (both sides of the within-cluster
     # pair join + the final report join); without a reuse barrier
-    # Catalyst re-runs the scan -> normalize -> k-way centroid score ->
-    # max_by subtree once per consumer (the plan showed the crossJoin
-    # three times — measured ~2x the query). localCheckpoint truncates
-    # the lineage so the assignment pass runs once; at cluster scale the
-    # same role is played by persisting the assignment to a staging
-    # table (it is corpus-sized: one (id, nv, cell) row per vector).
+    # Catalyst re-runs the scan -> normalize -> k-way centroid fold
+    # subtree once per consumer (measured ~2x the query on the crossJoin
+    # form). localCheckpoint truncates the lineage so the assignment
+    # pass runs once; at cluster scale the same role is played by
+    # persisting the assignment to a staging table (it is corpus-sized:
+    # one (id, nv, cell) row per vector).
     assigned = assigned.localCheckpoint(eager=False)
     l, r = assigned.alias("l"), assigned.alias("r")
     sims = l.join(
@@ -563,10 +613,25 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # while the eager checkpoint materializes it in one fully-parallel
     # job and the count/collect that follow are metadata-cheap reads of
     # cached blocks — the parallel shape is the safer one at any scale.
+    # Round-11 optimization: both directions of every pair come out of ONE
+    # map-side explode — the old unionAll duplicated the (expensive) pair
+    # pipeline subtree across two branches and then paid a distinct
+    # exchange + aggregation to merge them. The distinct was semantically
+    # dead weight: union-find is duplicate-edge-tolerant, and min-label
+    # propagation takes min() over neighbors, so repeated edges change
+    # nothing on either path (a duplicate-emitting caller only inflates
+    # the strategy-probe count, which errs toward the distributed path —
+    # the conservative direction).
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .localCheckpoint()
     )
     if edges.count() <= driver_edge_limit:

@@ -2011,9 +2011,14 @@ def q_unigram_logprob(spark, sf_dir):
     tok = d.select("doc_id", F.explode("t").alias("tok"))
     dist = tok.groupBy("tok").agg(F.count("*").alias("c"))
     # the corpus token total rides along as a broadcast 1-row cross join
-    # (the oracle's CROSS JOIN total) — one lazy dataflow, no eager job at
-    # plan-build time, and the dist aggregation's shuffle is reused by
-    # Spark's exchange reuse instead of being computed twice
+    # (the oracle's CROSS JOIN total) — one lazy dataflow, no eager job
+    # at plan-build time. Round-11 measurement note: a lazy-checkpoint
+    # reuse barrier on dist was tried and REVERTED (min-of-5 matched A/B
+    # at sf0.1: 1.18s -> 1.57s). The initial explain prints dist twice,
+    # but AQE's runtime stage reuse already shares the aggregation
+    # (qmetrics: task count identical with and without the barrier), so
+    # the barrier only added a materialization sync — the same verdict
+    # as the unigram-trainer barrier revert.
     total = F.broadcast(dist.agg(F.sum("c").cast("double").alias("_total")))
     scored = tok.join(dist, "tok").crossJoin(total).select(
         "doc_id", F.log(F.col("c").cast("double") / F.col("_total")).alias("lp")
@@ -2221,6 +2226,10 @@ def q_ccnet_buckets(spark, sf_dir):
         "doc_id", "lang", T.tokens(F.lower(F.col("text"))).alias("t")
     )
     tok = d.select("doc_id", F.explode("t").alias("tok"))
+    # round-11 measurement note: a dist reuse barrier was tried and
+    # REVERTED here too (min-of-5 matched A/B 1.19s -> 1.42s) — AQE's
+    # runtime stage reuse already shares the aggregation (see
+    # unigram_logprob)
     dist = tok.groupBy("tok").agg(F.count("*").alias("c"))
     total = F.broadcast(dist.agg(F.sum("c").cast("double").alias("_s")))
     scored = tok.join(dist, "tok").crossJoin(total).select(
@@ -2375,18 +2384,29 @@ def q_tfidf(spark, sf_dir):
     # fix: the eager driver count() (a full extra corpus scan at 100 TB)
     # is a broadcast 1-row aggregate riding the same plan.
     docs = fan_out(load_table(spark, sf_dir, "documents"))
+    # Round-11 optimization: the per-doc token total is size(t) — a
+    # row-local fact known BEFORE the explode — so it rides the
+    # (doc, tok) aggregation as a first() payload instead of being
+    # re-derived by a groupBy(doc_id) shuffle of the pair table plus a
+    # doc-keyed join back onto it (sum(c) over a doc's pairs == size(t)
+    # exactly, both count every token occurrence). Two corpus-pair
+    # exchanges disappear: the tot aggregation and the join re-shuffle.
     d = docs.select(
-        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("tok")
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
+    ).select("doc_id", F.size("t").alias("s"), F.explode("t").alias("tok"))
+    tc = d.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("c"), F.first("s").alias("s")
     )
-    tc = d.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("s"))
+    # reuse barrier: tc feeds the df aggregation AND the scoring join,
+    # and Catalyst reuses neither (the captured plan re-tokenized the
+    # corpus for the broadcast side) — materialize the pair table once
+    tc = tc.localCheckpoint(eager=False)
     df_t = tc.groupBy("tok").agg(F.count("*").alias("df"))
     # nd counts ALL documents (the oracle's SELECT count(*) FROM d), not
     # just docs with >=1 token — empty/whitespace-only docs shift every idf
     nd = F.broadcast(docs.agg(F.count("*").cast("double").alias("_nd")))
     w = (
-        tc.join(tot, "doc_id")
-        .join(F.broadcast(df_t), "tok")
+        tc.join(F.broadcast(df_t), "tok")
         .crossJoin(nd)
         .select(
             "doc_id", "tok",
@@ -6287,7 +6307,7 @@ FROM cells c LEFT JOIN sims s ON c.vec_id = s.vec_id
     "SemDeDup (arXiv:2303.09540): nearest-centroid clustering, then cosine "
     "dedup WITHIN clusters only — per-cluster O(c²) instead of global "
     "all-pairs; lowest id in a duplicate set survives (keep=1). Centroid "
-    "assignment is a broadcast crossJoin + max_by aggregation; the "
+    "assignment is a map-side fold over the literal centroid array; the "
     "within-cluster compare is an equi-join on the cell key",
 )
 def q_semdedup(spark, sf_dir):
@@ -6367,7 +6387,16 @@ def q_bigram_logprob(spark, sf_dir):
         .select("doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
     )
     cpair = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cp"))
-    cctx = pairs.groupBy("prev").agg(F.count("*").alias("cc"))
+    # Round-11 optimization, two moves (see OPTIMIZATION_r11.md): the
+    # type table feeds multiple consumers with no Catalyst exchange
+    # reuse (the kneser_ney finding), so the lazy checkpoint
+    # materializes it once; and the context counts derive from the TYPE
+    # table, not the occurrence stream — sum(cp) over cur == count(*)
+    # over occurrences exactly (integer sums), so the second
+    # corpus-wide tokenize + explode + shuffle on prev becomes a
+    # Heaps-law-bounded aggregation of cpair.
+    cpair = cpair.localCheckpoint(eager=False)
+    cctx = cpair.groupBy("prev").agg(F.sum("cp").alias("cc"))
     scored = pairs.join(cpair, ["prev", "cur"]).join(cctx, ["prev"]).select(
         "doc_id",
         F.log(F.col("cp").cast("double") / F.col("cc").cast("double")).alias("lp"),
@@ -6434,14 +6463,17 @@ def q_dsir_weights(spark, sf_dir):
     tok = d.select("doc_id", "lang", F.explode("t").alias("w")).select(
         "doc_id", "lang", (H._md5_32_expr(F.col("w")) % 64).alias("bkt")
     )
-    raw = tok.groupBy("bkt").agg(F.count("*").alias("cr"))
-    tgt = tok.filter(F.col("lang") == "en").groupBy("bkt").agg(F.count("*").alias("ct"))
-    # coalesce: an empty target slice must give tt = 0 (matching the
-    # oracle's count(*)), not a NULL that would null out every weight
-    totals = F.broadcast(
-        raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).cast("double").alias("tr")).crossJoin(
-            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("tt"))
-        )
+    # ONE corpus pass builds BOTH bucket-count columns (round-11
+    # optimization): the old raw/tgt split aggregated the token stream
+    # twice — two tokenize + explode + hash passes over the corpus,
+    # because the target side's pre-aggregation filter makes the
+    # subtrees differ and defeats exchange reuse. count_if(lang = 'en')
+    # in the same grouped aggregation produces the identical ct values
+    # (0 where the old left join coalesced a missing bucket) for half
+    # the scans and half the bucket exchanges.
+    bk = tok.groupBy("bkt").agg(
+        F.count("*").alias("cr"),
+        F.count_if(F.col("lang") == "en").alias("ct"),
     )
     # Round-11 optimization: the 64-row bucket log-ratio table is a
     # model artifact (DSIR's hashed-ngram importance model — same O(k)
@@ -6453,19 +6485,48 @@ def q_dsir_weights(spark, sf_dir):
     # grouped sum's order was partition-dependent already, and both
     # engines round at 1e-6). Corpus tokens now never shuffle — the
     # only exchanges left are the two 64-row bucket aggregations.
+    # The totals tr/tt are sums over the SAME 64-row bucket table, so
+    # deriving them as array folds over one collected-to-a-row copy of
+    # it (collect_list of 64 structs) keeps the whole model build ONE
+    # subtree — the previous shape aggregated bk twice (once for the
+    # totals, once for the entries) and Catalyst planned two full
+    # tokenize passes for it (exchange reuse missed across the
+    # differing projections). Integer fold order is irrelevant (exact),
+    # and the ln() inputs are the identical integers, so every lr value
+    # is bit-identical to the joined form's.
     lr_map = F.broadcast(
-        raw.join(tgt, "bkt", "left")
-        .crossJoin(totals)
+        bk.agg(F.collect_list(F.struct("bkt", "cr", "ct")).alias("_rows"))
         .select(
-            "bkt",
-            (
-                F.log((F.coalesce("ct", F.lit(0)).cast("double") + 1.0) / (F.col("tt") + 64.0))
-                - F.log((F.col("cr").cast("double") + 1.0) / (F.col("tr") + 64.0))
-            ).alias("lr"),
-        )
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("bkt"), F.col("lr")))
+            bind(
+                F.col("_rows"),
+                lambda rows: bind(
+                    F.aggregate(
+                        rows, F.lit(0).cast("long"), lambda a, r: a + r["cr"]
+                    ).cast("double"),
+                    lambda tr: bind(
+                        F.aggregate(
+                            rows, F.lit(0).cast("long"), lambda a, r: a + r["ct"]
+                        ).cast("double"),
+                        lambda tt: F.map_from_entries(
+                            F.transform(
+                                rows,
+                                lambda r: F.struct(
+                                    r["bkt"].alias("bkt"),
+                                    (
+                                        F.log(
+                                            (r["ct"].cast("double") + 1.0)
+                                            / (tt + 64.0)
+                                        )
+                                        - F.log(
+                                            (r["cr"].cast("double") + 1.0)
+                                            / (tr + 64.0)
+                                        )
+                                    ).alias("lr"),
+                                ),
+                            )
+                        ),
+                    ),
+                ),
             ).alias("_lr")
         )
     )
@@ -6568,6 +6629,15 @@ def q_dedup_recall_audit(spark, sf_dir):
         num_hashes=MINHASH_NUM, bands=MINHASH_BANDS, shingle_n=3, unit="word",
         hashed=hashed,
     )
+    # Round-11 measurement note: a lazy-checkpoint reuse barrier on cand
+    # (it feeds the n_candidates aggregate AND the label join) was tried
+    # and REVERTED — qmetrics showed it does eliminate real recompute
+    # (586 -> 331 tasks), but matched min-of-5 A/B wall-timing at sf0.1
+    # never beat the barrier-free tree (2.76s -> 3.54s best-of-four
+    # experiments): materializing the banding join's output and cutting
+    # AQE off below it costs more here than the duplicated-but-parallel
+    # subtree. At cluster scale the candidate table would be persisted
+    # to a staging table by the surrounding pipeline anyway.
     ncand = F.broadcast(cand.agg(F.count("*").cast("long").alias("n_candidates")))
     labeled = truth.join(
         cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left"
@@ -7094,15 +7164,33 @@ def q_bm25_top_terms(spark, sf_dir):
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     d = docs.select("doc_id", T.tokens(F.lower(F.col("text"))).alias("t"))
     nd = F.broadcast(d.agg(F.count("*").cast("double").alias("nd")))
-    tc = d.select("doc_id", F.explode("t").alias("tok")).groupBy(
-        "doc_id", "tok"
-    ).agg(F.count("*").alias("c"))
-    dl = tc.groupBy("doc_id").agg(F.sum("c").alias("len"))
-    avgl = F.broadcast(dl.agg(F.avg(F.col("len").cast("double")).alias("al")))
+    # Round-11 optimization (the tfidf move): the per-doc length is
+    # size(t), known before the explode, so it rides the (doc, tok)
+    # aggregation as a first() payload — the dl groupBy(doc_id) shuffle
+    # and the doc-keyed join that re-shuffled the whole pair table are
+    # gone (sum(c) over a doc's pairs == size(t) exactly). The average
+    # length re-derives from the pair table itself: sum(c) is the same
+    # total-token numerator and count_distinct(doc_id) the same
+    # with-tokens-doc denominator as avg(len) over dl — integer-exact
+    # sums, so the division is bit-identical.
+    tc = d.select(
+        "doc_id", F.size("t").alias("len"), F.explode("t").alias("tok")
+    ).groupBy("doc_id", "tok").agg(
+        F.count("*").alias("c"), F.first("len").alias("len")
+    )
+    # reuse barrier (the tfidf move): tc feeds avgl, df_t and the
+    # scoring join with no Catalyst exchange reuse between them
+    tc = tc.localCheckpoint(eager=False)
+    avgl = F.broadcast(
+        tc.agg(
+            (
+                F.sum("c").cast("double") / F.count_distinct("doc_id")
+            ).alias("al")
+        )
+    )
     df_t = tc.groupBy("tok").agg(F.count("*").alias("df"))
     w = (
-        tc.join(dl, "doc_id")
-        .join(df_t, "tok")
+        tc.join(df_t, "tok")
         .crossJoin(nd)
         .crossJoin(avgl)
         .select(

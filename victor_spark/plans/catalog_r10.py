@@ -109,6 +109,14 @@ def q_kneser_ney_bigram(spark, sf_dir):
         ).alias("_p"),
     ).select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # Round-11 optimization: bgc feeds FOUR consumers (c1, cont, bt, and
+    # the scoring join) and Catalyst reuses none of them — the captured
+    # plan ran SIX parquet scans, re-tokenizing the corpus once per
+    # consumer. The lazy checkpoint materializes the Heaps-law-bounded
+    # type table once (the semdedup/tpch_q11 reuse-barrier precedent;
+    # unlike the unigram-trainer case, there is demonstrably no exchange
+    # reuse here to lose).
+    bgc = bgc.localCheckpoint(eager=False)
     c1 = bgc.groupBy("w1").agg(
         F.sum("c").alias("cw1"), F.count("*").alias("n1out")
     )

@@ -1132,6 +1132,11 @@ def q_corpus_entropy(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.tokens(F.lower(F.col("text"))).alias("t")
     )
+    # round-11 measurement note: lazy reuse barriers on uc/bc were tried
+    # and REVERTED (min-of-5 matched A/B 0.89s -> 1.18s) — the initial
+    # explain prints the type tables per consumer, but AQE's runtime
+    # stage reuse already shares them (task count identical either way),
+    # so the barriers only added materialization syncs
     uc = (
         d.select(F.explode("t").alias("w"))
         .groupBy("w")
