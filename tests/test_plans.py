@@ -104,6 +104,31 @@ def test_tpch_q20_q21_in_subqueries_are_semi_joins(spark):
     assert "LeftSemi" in plan("tpch_q21", spark)
 
 
+def test_tpch_q20_part_total_is_one_window_pass(spark):
+    # round-11 optimization: the per-part total is a window sum over the
+    # shipped aggregate, NOT a second groupBy + join back — the old shape
+    # evaluated the lineitem ⋈ part aggregation subtree twice (one scan
+    # of each per join side)
+    p = plan("tpch_q20", spark)
+    assert "Window" in p
+    assert p.count(") Scan parquet") == 4, (
+        "expected exactly 4 scans (lineitem, part, supplier, nation once "
+        "each) — a duplicate shipped subtree re-scans lineitem and part"
+    )
+
+
+def test_line_dedup_first_occurrence_is_one_window_pass(spark):
+    # round-11 optimization: first-occurrence detection is one window min
+    # over the exploded lines, not a groupBy(line) + self-join of the
+    # explode with its own aggregate (which evaluated the explode twice)
+    p = plan("line_dedup_global", spark)
+    assert "Window" in p
+    assert p.count(") Scan parquet") == 2, (
+        "expected exactly 2 document scans (window pass + reassembly) — "
+        "a first-occurrence join re-derives the explode subtree"
+    )
+
+
 def test_tpch_q22_not_exists_is_anti_join(spark):
     # NOT EXISTS → left-anti hash join (no row expansion, no subquery loop)
     p = plan("tpch_q22", spark)

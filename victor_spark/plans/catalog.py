@@ -1936,11 +1936,19 @@ def q_line_dedup_global(spark, sf_dir):
     l = d.select(
         "doc_id", F.posexplode("lines").alias("pos0", "line")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
-    firsts = l.groupBy("line").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first_occ")
+    # Round-11 optimization (guide §2.4): first-occurrence detection is
+    # ONE window min over the exploded lines instead of a groupBy(line)
+    # + join of the explode with its own aggregate — the old shape
+    # evaluated the explode subtree twice (agg input + join probe side)
+    # and paid the aggregate exchange AND the join exchange on the same
+    # key. min(struct(doc_id, pos)) OVER (PARTITION BY line) is exactly
+    # the old first_occ, and the inner join matched every row, so the
+    # filter sees identical values.
+    first_occ = F.min(F.struct("doc_id", "pos")).over(
+        Window.partitionBy("line")
     )
     dropped = (
-        l.join(firsts, "line")
+        l.withColumn("first_occ", first_occ)
         .filter(
             (F.col("doc_id") != F.col("first_occ.doc_id"))
             | (F.col("pos") != F.col("first_occ.pos"))
@@ -4100,6 +4108,20 @@ def q_tpch_q8(spark, sf_dir):
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    # Round-11 optimization (guide §3.2, the q7/q2 precedent): the n2/r
+    # joins projected NO columns into the output — they only filtered
+    # customers to AMERICA nations (both join keys unique, so no row
+    # duplication either). Folding them into ONE broadcast left-semi on
+    # customer applies the same filter BEFORE the o ⋈ c join: at bench SF
+    # the plan is all-broadcast either way; at 100 TB, where o ⋈ c is a
+    # sort-merge join, ~80% of customer rows now drop before the custkey
+    # exchange instead of after it.
+    amer = n2.join(
+        F.broadcast(r), F.col("n2_region") == r.r_regionkey
+    ).select("n2_key")
+    c = c.join(
+        F.broadcast(amer), c.c_nationkey == F.col("n2_key"), "left_semi"
+    )
     volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
     nation_one = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
         F.lit(0).cast("decimal(24,8)")
@@ -4108,8 +4130,6 @@ def q_tpch_q8(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
-        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
@@ -4490,9 +4510,19 @@ def q_tpch_q20(spark, sf_dir):
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(24,8)")).alias("qty"))
     )
-    part_tot = shipped.groupBy(F.col("l_partkey").alias("tp")).agg(F.sum("qty").alias("tot"))
+    # Round-11 optimization (guide §2.4): the per-part total is a window
+    # sum over `shipped` instead of a second groupBy + join back — the
+    # old shape evaluated the whole lineitem ⋈ part aggregation subtree
+    # TWICE (once per join side; the captured before-plan shows two
+    # lineitem and two part scans) and paid the aggregate + join
+    # exchanges on top. sum(qty) OVER (PARTITION BY l_partkey) is
+    # exactly part_tot's sum (same decimal sum, order-independent), and
+    # the old inner join matched every row (every shipped row has a
+    # part_tot row), so the filter sees identical (qty, tot) pairs.
     heavy = (
-        shipped.join(part_tot, shipped.l_partkey == F.col("tp"))
+        shipped.withColumn(
+            "tot", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
         .filter(F.col("qty").cast("double") > F.lit(0.3) * F.col("tot").cast("double"))
         .select("l_suppkey")
         .distinct()
@@ -7573,9 +7603,12 @@ def q_bloom_screen(spark, sf_dir):
     words = bloom_build(bench_vals, "hv")
     bl = bench_vals.agg(F.collect_set("hv").alias("bl"))
     cand = hs.filter(F.col("doc_id") >= 20)
+    # Round-11 optimization (guide §2.4): the two 1-row model sides
+    # (packed filter words + exact blocklist) fuse into ONE 1x1-row
+    # crossJoin BEFORE broadcasting, so the corpus side pays a single
+    # broadcast join instead of two back-to-back nested-loop joins.
     fl = (
-        cand.crossJoin(F.broadcast(words))
-        .crossJoin(F.broadcast(bl))
+        cand.crossJoin(F.broadcast(words.crossJoin(bl)))
         .select(
             "doc_id",
             F.exists(
