@@ -69,6 +69,10 @@ def test_tpch_q5_dims_broadcast(spark):
     # its join keys
     p = plan("tpch_q5", spark)
     assert p.count("BroadcastHashJoin") >= 3
+    # r11: the ASIA nation-key set semi-filters customer (and the supplier
+    # broadcast side) BEFORE any exchange — the region join projected no
+    # columns, so the semi is lossless given c_nationkey = s_nationkey
+    assert "LeftSemi" in p
 
 
 def test_tpch_q18_having_semi_join_single_fact_agg(spark):

@@ -3742,6 +3742,22 @@ def q_tpch_q5(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Round-11 optimization (guide §3.2, the q8/q7 precedent): the region
+    # join only FILTERED (no projected columns, unique keys); the theta
+    # condition c_nationkey = s_nationkey means every surviving row has
+    # BOTH nation keys inside ASIA — so one broadcast semi against the
+    # ASIA nation-key set, applied to customer BEFORE its custkey
+    # exchange and to the supplier broadcast side, is lossless and drops
+    # ~80% of customer rows before anything shuffles at scale.
+    asia = n.join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("_asia_nk"))
+    c = c.join(
+        F.broadcast(asia), c.c_nationkey == F.col("_asia_nk"), "left_semi"
+    )
+    s = s.join(
+        F.broadcast(asia), s.s_nationkey == F.col("_asia_nk"), "left_semi"
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -3750,7 +3766,6 @@ def q_tpch_q5(spark, sf_dir):
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(
@@ -7383,6 +7398,13 @@ def q_mix_weights(spark, sf_dir):
         .groupBy("source")
         .agg(F.sum("n").cast("long").alias("n_tokens"))
     )
+    # Round-11 measurement note: a reuse barrier on s (it feeds the
+    # total aggregate, the sqrt-weight projection and the normalizer)
+    # was tried and REVERTED — qmetrics with the barrier was IDENTICAL
+    # (8 jobs / 39 tasks both ways), i.e. AQE's runtime stage reuse
+    # already shares the corpus tokenize across the scalar subtrees
+    # here, so the barrier could only add a materialization sync (the
+    # unigram_logprob/ccnet/corpus_entropy verdict, reproduced again).
     t = F.broadcast(s.agg(F.sum("n_tokens").cast("double").alias("total")))
     w = s.crossJoin(t).select(
         "source",
@@ -7450,6 +7472,12 @@ def q_cms_heavy_hitters(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
     )
+    # Round-11 measurement note: a reuse barrier on tc (it feeds the
+    # sketch build, the exact top-20 and the final join) was tried and
+    # REVERTED — qmetrics with the barrier was IDENTICAL (9 jobs /
+    # 40 tasks both ways): AQE's runtime stage reuse already shares the
+    # token groupBy across consumers here (the unigram_logprob/ccnet
+    # verdict), so the barrier could only add a materialization sync.
     sketch = cms_sketch(tc, "tok", "c", depth=4, width=2048, salt="cms")
     top = tc.orderBy(F.desc("c"), F.asc("tok")).limit(20)
     est = cms_lookup(sketch, top.select("tok"), "tok", depth=4, width=2048)
