@@ -511,3 +511,36 @@ def test_corpus_entropy_detects_templated_text(spark, tmp_path):
     assert t["bigram_perplexity"] == 1.0
     assert m["bigram_cond_entropy"] > 0.5
     assert abs(t["unigram_entropy"] - m["unigram_entropy"]) < 1e-6
+
+
+def test_unigram_token_count_equals_apply_unigram_size(spark):
+    # r11 optimization (the bpe_token_count precedent): the count-only
+    # farm must count exactly what apply_unigram segments — including
+    # NULL/empty text, unknown chars, and passthrough of non-text cols
+    from victor_spark.operators.unigram import (
+        apply_unigram,
+        train_unigram,
+        unigram_token_count,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps " * (i % 3 + 1)) for i in range(8)],
+        "doc_id long, text string",
+    )
+    logps = {
+        r["piece"]: r["logp"]
+        for r in train_unigram(
+            corpus, "text", vocab_size=40, seed_max_len=4,
+            seed_size=200, em_iters=1,
+        ).collect()
+    }
+    rows = [(1, "the quick fox"), (2, ""), (3, None), (4, "QUICK  zebra!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    via_apply = {
+        r["doc_id"]: len(r["unigram_tokens"])
+        for r in apply_unigram(docs, "text", logps).collect()
+    }
+    counted = unigram_token_count(docs, "text", logps)
+    via_count = {r["doc_id"]: r["n_unigram"] for r in counted.collect()}
+    assert via_count == via_apply
+    assert set(counted.columns) == {"doc_id", "n_unigram"}

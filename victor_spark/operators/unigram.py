@@ -341,3 +341,56 @@ def apply_unigram(
             yield pdf
 
     return docs.mapInPandas(_encode, schema=schema)
+
+
+def unigram_token_count(
+    docs: DataFrame,
+    text_col: str,
+    logps: dict[str, float],
+    out_col: str = "n_unigram",
+) -> DataFrame:
+    """Per-row unigram-LM token COUNT — same Viterbi segmentation as
+    :func:`apply_unigram` (identical DP, identical word cache), but the
+    farm returns one long per row instead of the full piece array, and
+    the text column is consumed inside Python rather than shipped back.
+    For count-consuming queries (fertility audits) this removes the
+    Python->JVM token-array transfer AND the text round-trip (the
+    bpe_token_count treatment, guide §4.1 "pass only the columns the
+    function needs" — in both directions). All non-text columns pass
+    through untouched."""
+    import pandas as pd
+
+    table = dict(logps)
+    max_piece_len = max((len(p) for p in table), default=1)
+
+    keep = [f for f in docs.schema.fields if f.name != text_col]
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keep)
+    schema = f"{fields}, {out_col} bigint" if fields else f"{out_col} bigint"
+    keep_names = [f.name for f in keep]
+
+    def _count(batches):
+        cache: dict[str, int] = {}
+
+        def cnt(w: str) -> int:
+            r = cache.get(w)
+            if r is None:
+                if len(cache) >= (1 << 17):
+                    cache.clear()
+                r = len(viterbi_segment(w, table, max_piece_len))
+                cache[w] = r
+            return r
+
+        for pdf in batches:
+            counts = [
+                sum(
+                    cnt(w)
+                    for w in ("" if t is None else str(t)).lower().split(" ")
+                    if w
+                )
+                for t in pdf[text_col]
+            ]
+            out = pdf[keep_names].copy()
+            out[out_col] = pd.Series(counts, index=pdf.index, dtype="int64")
+            yield out
+
+    return docs.mapInPandas(_count, schema=schema)

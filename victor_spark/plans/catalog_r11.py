@@ -262,7 +262,7 @@ FROM (VALUES {values}) AS t(doc_id, n_tokens, n_words)
     "Python replay of train + encode",
 )
 def q_unigram_tokenize(spark, sf_dir):
-    from victor_spark.operators.unigram import apply_unigram, train_unigram
+    from victor_spark.operators.unigram import train_unigram, unigram_token_count
 
     d = load_table(spark, sf_dir, "documents")
     pieces = train_unigram(
@@ -275,10 +275,9 @@ def q_unigram_tokenize(spark, sf_dir):
     ).collect()
     logps = {r["piece"]: r["logp"] for r in pieces}
     sample = d.filter(F.col("doc_id") % 25 == 0).select("doc_id", "text")
-    enc = apply_unigram(sample, "text", logps, out_col="toks")
     # coalesce BEFORE split: NULL text must count as 0 words (the
-    # oracle replays len((text or '').split()) = 0 and apply_unigram's
-    # own None handling yields [] — an unguarded split would leave
+    # oracle replays len((text or '').split()) = 0 and the farm's
+    # own None handling yields 0 — an unguarded split would leave
     # n_words NULL and silently break hash parity on a corpus with NULL
     # text; advice-caught round 10)
     n_words = F.size(
@@ -287,10 +286,19 @@ def q_unigram_tokenize(spark, sf_dir):
             lambda x: x != "",
         )
     ).cast("long")
+    # r11 optimization (guide §4.1, the bpe_token_count treatment §24):
+    # n_words is a JVM-side statistic of text, so it is computed BELOW
+    # the farm and rides through as a scalar; the farm itself returns
+    # only the token COUNT (the old apply_unigram path shipped text into
+    # Python AND the full piece array back out, both immediately
+    # collapsed to size()). Same Viterbi DP, same word cache —
+    # equality pinned in tests/test_unigram.py.
+    pre = sample.select("doc_id", n_words.alias("n_words"), "text")
+    enc = unigram_token_count(pre, "text", logps, out_col="n_tokens")
     return enc.select(
         "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        n_words.alias("n_words"),
+        F.col("n_tokens"),
+        "n_words",
     ).select(
         "doc_id",
         "n_tokens",
