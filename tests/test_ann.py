@@ -138,3 +138,48 @@ def test_ivfpq_topk_shape_and_determinism(spark):
     cents, cb, q = collect_ivfpq_model(e, "vec_id", "v", 7)
     assert len(cb) == 16 and len(q) == 64
     assert all(r["cell"] in cents for r in out)
+
+
+def test_assign_cells_fold_matches_crossjoin_reference(spark):
+    """The round-11 map-side assign_cells fold must reproduce the old
+    broadcast-crossJoin + max_by(cell, struct(cs, -cell)) argmax exactly —
+    including tie-breaks (duplicate centroids → lowest cell) and zero-norm
+    rows (NaN cosine against every centroid → first/lowest cell under
+    Spark's NaN-greatest ordering, same as max_by)."""
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions.vector import cosine
+    from victor_spark.operators.ivfpq import assign_cells
+
+    df = _clustered(spark)
+    # adversarial rows: a zero-norm vector and an exact duplicate of a
+    # centroid (ties across the duplicate centroids below)
+    extra = spark.createDataFrame(
+        [(900, [0.0] * 16), (901, [1.0] + [0.0] * 15)],
+        "vec_id long, v array<double>",
+    )
+    df = df.unionAll(extra)
+    centroids = {
+        0: [1.0] + [0.0] * 15,
+        5: [0.0, 1.0] + [0.0] * 14,
+        7: [1.0] + [0.0] * 15,  # duplicate of cell 0 → ties break to 0
+    }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in assign_cells(df, "vec_id", "v", centroids).collect()
+    }
+    # reference: the pre-round-11 crossJoin + max_by shape, inlined
+    cent_df = F.broadcast(spark.createDataFrame(
+        [(c, v) for c, v in sorted(centroids.items())],
+        "cell long, _cv array<double>",
+    ))
+    ref = {
+        r["vec_id"]: r["cell"]
+        for r in df.crossJoin(cent_df)
+        .select("vec_id", "cell", cosine(F.col("v"), "_cv").alias("_cs"))
+        .groupBy("vec_id")
+        .agg(F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"))
+        .collect()
+    }
+    assert got == ref
+    assert got[901] == 0  # duplicate-centroid tie broke to the lowest cell

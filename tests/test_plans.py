@@ -331,6 +331,35 @@ def test_ann_ivf_batch_probe_is_equi_join(spark):
     p = plan("ann_ivf_batch", spark)
     assert "BroadcastHashJoin" in p and "[cell" in p
     assert "SortMergeJoin" not in p
+    # round-11 optimization: cell assignment is a map-side fold over the
+    # collected centroid literals — the corpus's float vectors must never
+    # shuffle through a groupBy(vec_id) argmax exchange
+    assert "hashpartitioning(vec_id" not in p
+
+
+def test_ann_ivf_topk_is_map_side_zero_exchange(spark):
+    # round-11 optimization: one fused model collect (centroids + query),
+    # probe cells picked driver-side, assignment as a literal-centroid
+    # fold, scoring against the literal query — the whole query is a
+    # single map-side TakeOrderedAndProject pass with ZERO exchanges
+    # (the old shape shuffled one (vec_id, v) row per vector purely to
+    # run the argmax)
+    p = plan("ann_ivf_topk", spark)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ann_ivfpq_topk_is_map_side_zero_exchange(spark):
+    # round-11 optimization: ivfpq.assign_cells is a map-side fold over
+    # the collected centroid literals (the semantic_dedup precedent), so
+    # the probe + encode + ADC-score pipeline is one map-side pass into a
+    # bounded heap — no broadcast crossJoin row inflation, no groupBy
+    # argmax exchange
+    p = plan("ann_ivfpq_topk", spark)
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    assert "CartesianProduct" not in p
 
 
 def test_semdedup_pairs_join_is_equi_on_cell(spark):

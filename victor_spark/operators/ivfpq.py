@@ -95,23 +95,55 @@ def _residual(v: list[float], centroids: dict) -> list[float]:
 
 def assign_cells(df: DataFrame, id_col: str, vec_col: str,
                  centroids: dict) -> DataFrame:
-    """(id, vec, cell): nearest centroid by cosine, broadcast argmax —
-    at scale this is the partitioning job that writes partitionBy('cell')."""
-    spark = df.sparkSession
-    cent_df = F.broadcast(spark.createDataFrame(
-        [(cell, vs) for cell, vs in sorted(centroids.items())],
-        "cell long, _cv array<double>",
-    ))
-    scored = df.crossJoin(cent_df).select(
-        F.col(id_col), F.col(vec_col), "cell",
-        cosine(F.col(vec_col), "_cv").alias("_cs"),
+    """(id, vec, cell): nearest centroid by cosine, as a MAP-SIDE fold —
+    at scale this is the partitioning job that writes partitionBy('cell').
+
+    The centroid dict is a collected model artifact (the caller already
+    holds it driver-side), so assignment bakes it into the plan as a
+    literal array and picks each row's argmax with a per-row ``aggregate``
+    fold — zero exchanges, no k-fold row inflation (round-11 optimization,
+    the semantic_dedup precedent). The old shape (broadcast crossJoin +
+    max_by groupBy) shuffled one row per id purely to run the argmax.
+
+    Fold semantics == ``max_by(cell, struct(cs, -cell))`` exactly: a
+    strictly-higher cosine wins; an exactly-equal cosine (incl. NaN ==
+    NaN, true under Spark's SQL ordering) wins only with a lower cell id;
+    NULL cosines skip (the ``when`` condition is NULL → keep acc), just
+    as max_by ignores NULL keys. The same :func:`cosine` helper runs per
+    element, so scores are bit-identical to the crossJoin plan's. The
+    init sentinel -2.0 sits below any real cosine, and NaN (zero-norm
+    rows) compares greater than it under Spark's ordering, so the first
+    centroid always replaces the sentinel — no NULL three-valued logic.
+    """
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(int(cell)).cast("long").alias("cell"),
+            F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+        )
+        for cell, cv in sorted(centroids.items())
+    ])
+    init = F.struct(
+        F.lit(-2.0).alias("cs"), F.lit(-(2 ** 62)).cast("long").alias("cell")
     )
-    # argmax as a max_by aggregation (ties → lowest cell via the negated
-    # key): partial aggregation combines map-side, so the shuffle carries
-    # one row per id instead of sorting every (row, centroid) pair
-    return scored.groupBy(id_col).agg(
-        F.first(vec_col).alias(vec_col),
-        F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bind(
+            F.col(vec_col),
+            lambda v: F.aggregate(
+                cent_arr,
+                init,
+                lambda acc, c: bind(
+                    cosine(v, c["cv"]),
+                    lambda cs: F.when(
+                        (cs > acc["cs"])
+                        | ((cs == acc["cs"]) & (c["cell"] < acc["cell"])),
+                        F.struct(cs.alias("cs"), c["cell"].alias("cell")),
+                    ).otherwise(acc),
+                ),
+                lambda a: a["cell"],
+            ),
+        ).alias("cell"),
     )
 
 

@@ -914,43 +914,132 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def _ivf_collect_model(e, qid_filter):
+    """ONE fused driver collect for the IVF model artifacts: the centroid
+    rows (every 250th vector — the deterministic stand-in for a k-means
+    fit) and the query vector(s) selected by ``qid_filter``, in a single
+    union'd round trip (the ann_recall ACTION-1 precedent: each serial
+    driver action is a full job-launch barrier on a busy scheduler).
+
+    Returns (cents, qrows): cents is [(cell, cv, cn)] sorted by cell with
+    cn replaying norm()'s exact arithmetic (left-to-right double fold of
+    x*x from 0.0, IEEE sqrt — bit-identical to the JVM fold, the
+    semantic_dedup normalization precedent); qrows is [(vec_id, qv, qn)]
+    sorted by vec_id with qn replayed the same way."""
+    import math
+
+    def _norm(vs):
+        acc = 0.0
+        for x in vs:
+            acc += x * x
+        return math.sqrt(acc)
+
+    rows = (
+        e.filter(F.col("vec_id") % 250 == 0)
+        .select("vec_id", "v", F.lit("cent").alias("_part"))
+        .unionAll(qid_filter.select("vec_id", "v", F.lit("q").alias("_part")))
+    ).collect()
+    cents = []
+    for r in sorted((r for r in rows if r["_part"] == "cent"),
+                    key=lambda r: r["vec_id"]):
+        cv = [float(x) for x in r["v"]]
+        cents.append((int(r["vec_id"]), cv, _norm(cv)))
+    qrows = []
+    for r in sorted((r for r in rows if r["_part"] == "q"),
+                    key=lambda r: r["vec_id"]):
+        qv = [float(x) for x in r["v"]]
+        qrows.append((int(r["vec_id"]), qv, _norm(qv)))
+    return cents, qrows
+
+
+def _ivf_assign_map_side(e, cents):
+    """(vec_id, v, cell): nearest-centroid assignment as a MAP-SIDE fold
+    over the literal centroid array (round-11 optimization, the
+    ivfpq.assign_cells / semantic_dedup precedent). Replays the crossJoin
+    form's exact arithmetic — norm(v) folds ONCE per row (bound), each
+    element computes dot(v, cv)/(vn·cn) with cn a driver-replayed literal
+    — and the fold's (strictly-greater | equal-and-lower-cell) update is
+    max_by(cell, struct(cs, -cell)) exactly, so assignments and ties are
+    bit-identical to the old broadcast crossJoin + groupBy argmax, with
+    zero exchanges and no centroid-fold row inflation."""
+    from victor_spark.functions.vector import bind
+
+    if not cents:
+        # the crossJoin form yielded an EMPTY frame with no centroids
+        return e.select("vec_id", "v", F.lit(0).cast("long").alias("cell")).filter(
+            F.lit(False)
+        )
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(cell).cast("long").alias("cell"),
+            F.array(*[F.lit(x) for x in cv]).alias("cv"),
+            F.lit(cn).alias("cn"),
+        )
+        for cell, cv, cn in cents
+    ])
+    init = F.struct(
+        F.lit(-2.0).alias("cs"), F.lit(-(2 ** 62)).cast("long").alias("cell")
+    )
+    return e.select(
+        "vec_id",
+        "v",
+        bind(
+            norm("v"),
+            lambda vn: F.aggregate(
+                cent_arr,
+                init,
+                lambda acc, c: bind(
+                    dot(F.col("v"), c["cv"]) / (vn * c["cn"]),
+                    lambda cs: F.when(
+                        (cs > acc["cs"])
+                        | ((cs == acc["cs"]) & (c["cell"] < acc["cell"])),
+                        F.struct(cs.alias("cs"), c["cell"].alias("cell")),
+                    ).otherwise(acc),
+                ),
+                lambda a: a["cell"],
+            ),
+        ).alias("cell"),
+    )
+
+
 def _ivf_topk(spark, sf_dir, qid: int, k: int) -> DataFrame:
     """IVF candidates for vec ``qid`` (nprobe=2), top-k by exact cosine;
-    returns (vec_id, _s) with _s unrounded."""
+    returns (vec_id, _s) with _s unrounded.
+
+    Round-11 shape (the ivfpq_topk treatment): ONE fused model collect
+    (centroids + query), probe cells picked DRIVER-side from the model,
+    cell assignment as a map-side fold, scoring against the literal query
+    — the whole query is collect + one map-side TakeOrdered pass, zero
+    exchanges (the old shape shuffled one (vec_id, v) row per vector
+    through a groupBy purely to run the argmax — at 100 TB that is a
+    corpus-sized float-vector shuffle)."""
     e = _emb(spark, sf_dir).select("vec_id", "v")
-    cent = F.broadcast(
-        e.filter(F.col("vec_id") % 250 == 0).select(
-            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-        ).withColumn("cn", norm("cv"))
+    cents, qrows = _ivf_collect_model(e, e.filter(F.col("vec_id") == qid))
+    if not qrows:
+        # the broadcast form yielded an EMPTY frame when qid was missing
+        return e.select("vec_id", F.lit(0.0).alias("_s")).filter(F.lit(False))
+    _, qv, qn = qrows[0]
+
+    def _pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    # probe selection replays the qcells expression driver-side:
+    # dot(cv, qv)/(cn·qn) in the same left-to-right fold, desc with
+    # cell-asc tie-break — identical top-2 set
+    probed = sorted(
+        ((cell, _pydot(cv, qv) / (cn * qn)) for cell, cv, cn in cents),
+        key=lambda t: (-t[1], t[0]),
+    )[:2]
+    probe_cells = [c for c, _ in probed]
+    qv_lit = F.array(*[F.lit(x) for x in qv])
+    cand = _ivf_assign_map_side(e, cents).filter(
+        F.col("cell").isin(probe_cells) if probe_cells else F.lit(False)
     )
-    # cell assignment: argmax cosine over the broadcast centroid set, as a
-    # max_by AGGREGATION (tie → lowest cell via the negated key) — partial
-    # aggregation combines map-side, so the shuffle carries one row per
-    # vec_id instead of sorting every (vec, centroid) pair like a window
-    # would (~2.7× faster here, and the gap widens with centroid count)
-    # norm(v) folds once per vec (not once per (vec, centroid) pair —
-    # identical arithmetic, ~centroid-count-x fewer folds)
-    scored_cells = e.withColumn("_vn", norm("v")).crossJoin(cent).select(
-        "vec_id", "v", "cell",
-        (dot("v", "cv") / (F.col("_vn") * F.col("cn"))).alias("_cs"),
-    )
-    cells = scored_cells.groupBy("vec_id").agg(
-        F.first("v").alias("v"),
-        F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
-    )
-    q = F.broadcast(
-        e.filter(F.col("vec_id") == qid).select(F.col("v").alias("qv")).withColumn("qn", norm("qv"))
-    )
-    qcells = F.broadcast(
-        cent.crossJoin(q)
-        .select("cell", (dot("cv", "qv") / (F.col("cn") * F.col("qn"))).alias("_qs"))
-        .orderBy(F.desc("_qs"), F.asc("cell"))
-        .limit(2)
-        .select("cell")
-    )
-    cand = cells.join(qcells, "cell")
-    out = cand.crossJoin(q).select(
-        "vec_id", (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("_s")
+    out = cand.select(
+        "vec_id", (dot("v", qv_lit) / (norm("v") * F.lit(qn))).alias("_s")
     )
     return out.orderBy(F.desc("_s"), F.asc("vec_id")).limit(k)
 
@@ -1004,38 +1093,36 @@ FROM ranked WHERE rn <= 3
 )
 def q_ann_ivf_batch(spark, sf_dir):
     e = _emb(spark, sf_dir).select("vec_id", "v")
-    cent = F.broadcast(
-        e.filter(F.col("vec_id") % 250 == 0).select(
-            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
-        ).withColumn("cn", norm("cv"))
+    # Round-11 shape (the _ivf_topk treatment, batched): ONE fused model
+    # collect brings back the centroid rows AND the bounded query set
+    # (vec_id % 100 = 11 — n/100 rows, a model-sized artifact); the
+    # per-query probe list is computed driver-side replaying the qcells
+    # window's exact expression (dot(cv,qv)/(cn·qn), desc, cell-asc
+    # tie-break), and cell assignment is the map-side fold — the corpus
+    # never shuffles (the old groupBy argmax moved one (vec_id, v) float
+    # row per vector), and the only join left is the probed-cell
+    # BroadcastHashJoin the serving path needs.
+    cents, qrows = _ivf_collect_model(
+        e, e.filter(F.col("vec_id") % 100 == 11)
     )
-    # norm(v) folds once per vec, not once per (vec, centroid) pair
-    scored_cells = e.withColumn("_vn", norm("v")).crossJoin(cent).select(
-        "vec_id", "v", "cell",
-        (dot("v", "cv") / (F.col("_vn") * F.col("cn"))).alias("_cs"),
-    )
-    # argmax as max_by aggregation (see _ivf_topk) — one shuffled row per
-    # vec_id, map-side combined
-    cells = scored_cells.groupBy("vec_id").agg(
-        F.first("v").alias("v"),
-        F.max_by("cell", F.struct(F.col("_cs"), -F.col("cell"))).alias("cell"),
-    )
-    q = e.filter(F.col("vec_id") % 100 == 11).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    ).withColumn("qn", norm("qv"))
-    qw = Window.partitionBy("query_id").orderBy(
-        F.desc("_qs"), F.asc("cell")
-    )
-    probe = F.broadcast(
-        q.crossJoin(cent)
-        .select(
-            "query_id", "qv", "qn", "cell",
-            (dot("cv", "qv") / (F.col("cn") * F.col("qn"))).alias("_qs"),
-        )
-        .withColumn("rn", F.row_number().over(qw))
-        .filter(F.col("rn") <= 2)
-        .select("query_id", "qv", "qn", "cell")
-    )
+
+    def _pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    probe_rows = []
+    for query_id, qv, qn in qrows:
+        top2 = sorted(
+            ((cell, _pydot(cv, qv) / (cn * qn)) for cell, cv, cn in cents),
+            key=lambda t: (-t[1], t[0]),
+        )[:2]
+        probe_rows.extend((query_id, qv, qn, cell) for cell, _ in top2)
+    probe = F.broadcast(spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, qn double, cell long"
+    ))
+    cells = _ivf_assign_map_side(e, cents)
     scored = cells.join(probe, "cell").select(
         "query_id", "vec_id",
         (dot("v", "qv") / (norm("v") * F.col("qn"))).alias("_s"),
