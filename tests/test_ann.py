@@ -183,3 +183,182 @@ def test_assign_cells_fold_matches_crossjoin_reference(spark):
     }
     assert got == ref
     assert got[901] == 0  # duplicate-centroid tie broke to the lowest cell
+
+
+def _pq_encode_builder_reference(df, vec_col, codebook, m=8, out_col="pq_code"):
+    """The pre-round-11 builder-API encode, kept as the differential
+    reference for the one-SQL-string form (identical trees by contract)."""
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions.vector import bind, lit_doubles_2d
+
+    d = len(codebook[0])
+    dsub = d // m
+    cb_sub = [
+        [c[j * dsub:(j + 1) * dsub] for c in codebook] for j in range(m)
+    ]
+
+    def _sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    def argmin(j, qsub):
+        cbj = lit_doubles_2d(cb_sub[j])
+        tagged = F.transform(
+            cbj,
+            lambda c, i: F.struct(
+                _sqdist(qsub, c).alias("d"), (i + 1).alias("code")
+            ),
+        )
+        return F.array_min(tagged)["code"]
+
+    def _argmin_at(j):
+        return lambda q: argmin(j, q)
+
+    codes = bind(
+        F.col(vec_col),
+        lambda v: F.array(
+            *[bind(F.slice(v, j * dsub + 1, dsub), _argmin_at(j))
+              for j in range(m)]
+        ),
+    )
+    return df.withColumn(out_col, codes.cast("array<int>"))
+
+
+def test_pq_encode_sql_matches_builder_reference(spark):
+    """encode()'s one-SQL-string expression must produce exactly the codes
+    the builder-API form produced (same argmin, same tie-breaks)."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(60)
+    ]
+    # adversarial: duplicated codebook rows force argmin ties
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cb = [rows[i][1] for i in range(8)]
+    cb[3] = list(cb[0])  # duplicate row → tie broken by smallest code
+    got = {r["vec_id"]: r["pq_code"]
+           for r in pq.encode(df, "v", cb, m=4).collect()}
+    ref = {r["vec_id"]: r["pq_code"]
+           for r in _pq_encode_builder_reference(df, "v", cb, m=4).collect()}
+    assert got == ref
+
+
+def test_pq_adc_sql_matches_builder_reference(spark):
+    """adc_topk()'s one-SQL-string score must rank exactly as the builder
+    form (same left-to-right term sum, same doubles)."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions.vector import bind, lit_doubles_2d
+
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cb = [rows[i][1] for i in range(8)]
+    q = [rng.uniform(-2, 2) for _ in range(16)]
+    enc = pq.encode(df, "v", cb, m=4)
+    got = pq.adc_topk(enc, q, cb, k=60, m=4).collect()
+
+    lut = pq.adc_lut(q, cb, m=4)
+    lut_lit = lit_doubles_2d(lut)
+
+    def _score(lut_b):
+        score = None
+        for j in range(4):
+            term = F.element_at(
+                F.element_at(lut_b, j + 1),
+                F.element_at(F.col("pq_code"), j + 1),
+            )
+            score = term if score is None else score + term
+        return score
+
+    ref = (
+        enc.select(F.col("vec_id"), bind(lut_lit, _score).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(60)
+        .collect()
+    )
+    assert [(r["vec_id"], struct.pack("d", r["adc_dist"])) for r in got] == [
+        (r["vec_id"], struct.pack("d", r["adc_dist"])) for r in ref
+    ]
+
+
+def test_ivf_assign_sql_matches_builder_reference(spark):
+    """The catalog's one-SQL-string IVF assignment must reproduce the
+    Column-builder fold exactly: dot(v, cv)/(vn·cn) per element with vn
+    bound once per row, max_by-style (strictly-greater | equal-and-
+    lower-cell) updates."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions.vector import bind, dot, lit_doubles, norm
+    from victor_spark.plans.catalog import _ivf_assign_map_side
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(80)]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def _pynorm(vs):
+        acc = 0.0
+        for x in vs:
+            acc += x * x
+        return math.sqrt(acc)
+
+    cents = []
+    for cell in (0, 5, 7):
+        cv = list(rows[cell][1])
+        cents.append((cell, cv, _pynorm(cv)))
+    cents[2] = (7, list(cents[0][1]), cents[0][2])  # duplicate → ties
+
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in _ivf_assign_map_side(e, cents).collect()
+    }
+
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(cell).cast("long").alias("cell"),
+            lit_doubles(cv).alias("cv"),
+            F.lit(cn).alias("cn"),
+        )
+        for cell, cv, cn in cents
+    ])
+    init = F.struct(
+        F.lit(-2.0).alias("cs"), F.lit(-(2 ** 62)).cast("long").alias("cell")
+    )
+    ref = {
+        r["vec_id"]: r["cell"]
+        for r in e.select(
+            "vec_id",
+            bind(
+                norm("v"),
+                lambda vn: F.aggregate(
+                    cent_arr,
+                    init,
+                    lambda acc, c: bind(
+                        dot(F.col("v"), c["cv"]) / (vn * c["cn"]),
+                        lambda cs: F.when(
+                            (cs > acc["cs"])
+                            | ((cs == acc["cs"]) & (c["cell"] < acc["cell"])),
+                            F.struct(cs.alias("cs"), c["cell"].alias("cell")),
+                        ).otherwise(acc),
+                    ),
+                    lambda a: a["cell"],
+                ),
+            ).alias("cell"),
+        ).collect()
+    }
+    assert got == ref
+    # the duplicated centroid's ties all broke to the lower cell id
+    assert 7 not in set(got.values())

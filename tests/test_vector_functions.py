@@ -178,3 +178,47 @@ def test_l2_normalize_matches_cosine_contract(spark):
     # zero-norm: NaN components (cosine's contract), never a job error
     assert all(math.isnan(x) for x in rows[1]["na"])
     assert math.isnan(rows[1]["nd"]) and math.isnan(rows[1]["c"])
+
+
+def test_lit_doubles_bit_exact_vs_per_element_lits(spark):
+    """The round-11 one-expr literal builders must parse to the SAME
+    doubles as per-element F.lit — bit-for-bit, including subnormals, max
+    double, -0.0, NaN/Inf and random 64-bit patterns (repr round-trips
+    shortest-exact; the parser's Double.parseDouble is correctly
+    rounded)."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions.vector import lit_doubles, lit_doubles_2d
+
+    rng = random.Random(7)
+    vals = [
+        5e-324, 1.7976931348623157e308, -0.0, 0.1 + 0.2, 1 / 3, -1e-300,
+        float("nan"), float("inf"), float("-inf"),
+    ] + [
+        struct.unpack("d", struct.pack("<Q", rng.getrandbits(64)))[0]
+        for _ in range(100)
+    ]
+    df = spark.range(1)
+    got = df.select(lit_doubles(vals).alias("a")).collect()[0]["a"]
+    ref = df.select(
+        F.array(*[F.lit(float(x)) for x in vals]).alias("a")
+    ).collect()[0]["a"]
+    assert [struct.pack("d", x) for x in got] == [
+        struct.pack("d", x) for x in ref
+    ]
+    # nested form + empty forms keep the declared types
+    got2 = df.select(lit_doubles_2d([vals[:5], vals[5:9]]).alias("a")).collect()[0]["a"]
+    assert [struct.pack("d", x) for r in got2 for x in r] == [
+        struct.pack("d", x) for x in vals[:9]
+    ]
+    assert (
+        df.select(lit_doubles([]).alias("a")).schema["a"].dataType.simpleString()
+        == "array<double>"
+    )
+    assert (
+        df.select(lit_doubles_2d([]).alias("a")).schema["a"].dataType.simpleString()
+        == "array<array<double>>"
+    )

@@ -47,6 +47,53 @@ def to_double_array(v: ColumnOrName) -> Column:
     return _col(v).cast("array<double>")
 
 
+def _dlit_sql(x: float) -> str:
+    """SQL source for one double literal. ``repr`` emits the shortest
+    string that round-trips the double exactly, and the parser's
+    Double.parseDouble is correctly rounded, so the parsed literal is
+    bit-identical to ``F.lit(x)`` (probe-verified over subnormals, max
+    double, -0.0 and 200 random bit patterns)."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def lit_doubles(vals) -> Column:
+    """array<double> literal built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) for x in vals])`` costs one py4j round trip per
+    element — ~26 ms per 64-d vector, which made the literal-heavy ANN
+    plans (codebooks, LUTs, centroid arrays) spend SECONDS of driver time
+    in plan construction before any job ran (guide §7.3: planning time as
+    the bottleneck). One ``F.expr`` call parses the same CreateArray-of-
+    Literals tree in the JVM ~9× faster; resolved trees and values are
+    identical."""
+    if len(vals) == 0:  # len(), not truthiness: numpy arrays reject bool()
+        return F.expr("CAST(array() AS array<double>)")
+    return F.expr(
+        "array(" + ",".join(_dlit_sql(float(x)) for x in vals) + ")"
+    )
+
+
+def lit_doubles_2d(rows) -> Column:
+    """array<array<double>> literal via one parsed SQL expression (see
+    :func:`lit_doubles`) — the nested-LUT / pre-sliced-codebook shape."""
+    if len(rows) == 0:  # len(), not truthiness: numpy arrays reject bool()
+        return F.expr("CAST(array() AS array<array<double>>)")
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(_dlit_sql(float(x)) for x in r) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Σ aᵢ·bᵢ as a sequential fold (zip_with + aggregate).
 
@@ -118,7 +165,7 @@ def cosine_to_literal(v: ColumnOrName, q: list[float]) -> Column:
     # 10-22); restore NaN explicitly so zero-norm vectors score NaN and
     # the caller's NaN policy (VectorIndex.search strict/drop) decides.
     return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
-        dot(v, F.array(*[F.lit(float(x)) for x in q])) / denom
+        dot(v, lit_doubles(q)) / denom
     )
 
 
@@ -139,7 +186,7 @@ def euclidean(a: ColumnOrName, b: ColumnOrName) -> Column:
 
 def euclidean_to_literal(v: ColumnOrName, q: list[float]) -> Column:
     """Euclidean distance of each row to one fixed query vector."""
-    return euclidean(v, F.array(*[F.lit(float(x)) for x in q]))
+    return euclidean(v, lit_doubles(q))
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,7 @@ from victor_spark.functions.vector import (
     dequantize,
     euclidean,
     euclidean_to_literal,
+    lit_doubles_2d,
     quantize,
 )
 from victor_spark.operators.pca import PCAModel, fit_pca, project_column
@@ -1416,9 +1417,7 @@ class VectorIndex:
             codes = codes.join(allowed, "id", "leftsemi")
 
         def _score_for(lut):
-            lut_lit = F.array(
-                *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
-            )
+            lut_lit = lit_doubles_2d(lut)
 
             def _s(lut_b):
                 score = None

@@ -497,11 +497,13 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                 f"semantic_dedup: centroid cell {r['cell']} has zero norm"
             )
         ncents.append((int(r["cell"]), [x / n for x in cv]))
+    from victor_spark.functions.vector import lit_doubles
+
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(cell).cast("long").alias("cell"),
-                F.array(*[F.lit(x) for x in ncv]).alias("ncv"),
+                lit_doubles(ncv).alias("ncv"),
             )
             for cell, ncv in ncents
         ]

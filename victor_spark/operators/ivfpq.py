@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from victor_spark.functions import hashing as H
-from victor_spark.functions.vector import bind, cosine
+from victor_spark.functions.vector import _dlit_sql
 from victor_spark.operators import pq as PQ
 
 
@@ -109,41 +109,48 @@ def assign_cells(df: DataFrame, id_col: str, vec_col: str,
     strictly-higher cosine wins; an exactly-equal cosine (incl. NaN ==
     NaN, true under Spark's SQL ordering) wins only with a lower cell id;
     NULL cosines skip (the ``when`` condition is NULL → keep acc), just
-    as max_by ignores NULL keys. The same :func:`cosine` helper runs per
-    element, so scores are bit-identical to the crossJoin plan's. The
+    as max_by ignores NULL keys. The per-element cosine is the
+    ``functions.vector.cosine`` tree replicated verbatim in SQL, so
+    scores are bit-identical to the crossJoin plan's. The
     init sentinel -2.0 sits below any real cosine, and NaN (zero-norm
     rows) compares greater than it under Spark's ordering, so the first
     centroid always replaces the sentinel — no NULL three-valued logic.
     """
-    cent_arr = F.array(*[
-        F.struct(
-            F.lit(int(cell)).cast("long").alias("cell"),
-            F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+    # One parsed SQL expression (the PQ.encode rationale — the builder
+    # form's nested binds/lambdas cost ~0.3 s of py4j per call). The
+    # string replicates the builder tree exactly: the same cosine
+    # expression (norm·norm == 0 → NaN guard, denom subtree embedded in
+    # both CASE branches just as the Column form embeds it), the same
+    # bind idiom around v and around each element's cosine, the same
+    # fold update — pinned by the fold-vs-crossJoin differential test.
+    def _arr(vs):
+        return "array(" + ",".join(_dlit_sql(float(x)) for x in vs) + ")"
+
+    cents_sql = "array(" + ",".join(
+        "named_struct('cell', CAST({c} AS BIGINT), 'cv', {cv})".format(
+            c=int(cell), cv=_arr(cv)
         )
         for cell, cv in sorted(centroids.items())
-    ])
-    init = F.struct(
-        F.lit(-2.0).alias("cs"), F.lit(-(2 ** 62)).cast("long").alias("cell")
-    )
+    ) + ")"
+    _dot = ("aggregate(zip_with({a}, {b}, (_zx, _zy) -> _zx * _zy), "
+            "0.0D, (_zacc, _zx) -> _zacc + _zx)")
+    _norm = "sqrt(" + _dot + ")"
+    denom = (_norm.format(a="_av", b="_av")
+             + " * " + _norm.format(a="_ac.cv", b="_ac.cv"))
+    cos_sql = (
+        "CASE WHEN ({denom}) = 0.0D THEN CAST('NaN' AS DOUBLE) "
+        "ELSE {dot} / ({denom}) END"
+    ).format(denom=denom, dot=_dot.format(a="_av", b="_ac.cv"))
+    assign_sql = (
+        "get(transform(array(`{v}`), _av -> aggregate({cents}, "
+        "named_struct('cs', -2.0D, 'cell', CAST({init_cell} AS BIGINT)), "
+        "(_aa, _ac) -> get(transform(array({cos}), _acs -> "
+        "CASE WHEN (_acs > _aa.cs) OR ((_acs = _aa.cs) AND "
+        "(_ac.cell < _aa.cell)) THEN named_struct('cs', _acs, 'cell', "
+        "_ac.cell) ELSE _aa END), 0), _af -> _af.cell)), 0)"
+    ).format(v=vec_col, cents=cents_sql, init_cell=-(2 ** 62), cos=cos_sql)
     return df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        bind(
-            F.col(vec_col),
-            lambda v: F.aggregate(
-                cent_arr,
-                init,
-                lambda acc, c: bind(
-                    cosine(v, c["cv"]),
-                    lambda cs: F.when(
-                        (cs > acc["cs"])
-                        | ((cs == acc["cs"]) & (c["cell"] < acc["cell"])),
-                        F.struct(cs.alias("cs"), c["cell"].alias("cell")),
-                    ).otherwise(acc),
-                ),
-                lambda a: a["cell"],
-            ),
-        ).alias("cell"),
+        F.col(id_col), F.col(vec_col), F.expr(assign_sql).alias("cell")
     )
 
 
@@ -172,22 +179,32 @@ def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
     cand = assigned.filter(F.col("cell").isin([int(c) for c in probed]))
 
     # residual = v - centroid[cell]: centroid literal selected by the
-    # (already probe-filtered) cell column
-    def _resid_bound(v):
-        expr = None
-        for c in probed:
-            cv = F.array(*[F.lit(float(x)) for x in centroids[c]])
-            sub = F.zip_with(v, cv, lambda x, y: x - y)
-            cond = F.col("cell") == int(c)
-            expr = F.when(cond, sub) if expr is None else expr.when(cond, sub)
-        return expr
+    # (already probe-filtered) cell column. One parsed SQL expression per
+    # projection (the PQ.encode rationale — the builder form's when-chains
+    # and lambdas cost ~2,100 py4j round trips per call): v binds once,
+    # the CASE picks the probed cell's centroid, no ELSE (non-probed rows
+    # were filtered; a stray cell yields NULL, as the when-chain did).
+    def _arr_sql(vs):
+        return "array(" + ",".join(_dlit_sql(float(x)) for x in vs) + ")"
 
-    resid = cand.select(
-        F.col(id_col), "cell", bind(F.col(vec_col), _resid_bound).alias("_r")
+    resid_sql = (
+        "get(transform(array(`{v}`), _iv -> CASE {whens} END), 0)"
+    ).format(
+        v=vec_col,
+        whens=" ".join(
+            "WHEN `cell` = {c} THEN zip_with(_iv, {cv}, "
+            "(_ix, _iy) -> _ix - _iy)".format(
+                c=int(c), cv=_arr_sql(centroids[c])
+            )
+            for c in probed
+        ),
     )
+    resid = cand.select(F.col(id_col), "cell", F.expr(resid_sql).alias("_r"))
     enc = PQ.encode(resid, "_r", codebook, m=m)
 
-    # per-cell ADC LUT over the query's residual against that cell
+    # per-cell ADC LUT over the query's residual against that cell; each
+    # cell's LUT binds once per row, terms sum left-to-right (the
+    # PQ.adc_topk expression, dispatched by the CASE on cell)
     luts = {
         c: PQ.adc_lut(
             [qx - cx for qx, cx in zip(query, centroids[c])], codebook, m
@@ -195,28 +212,24 @@ def ivfpq_topk(df: DataFrame, id_col: str, vec_col: str, query_id,
         for c in probed
     }
 
-    def _score_for(lut):
-        lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in lut])
+    def _lut_score_sql(lut):
+        return "get(transform(array({lut}), _pql -> {terms}), 0)".format(
+            lut="array(" + ",".join(_arr_sql(row) for row in lut) + ")",
+            terms=" + ".join(
+                f"element_at(element_at(_pql, {j + 1}), "
+                f"element_at(`pq_code`, {j + 1}))"
+                for j in range(m)
+            ),
+        )
 
-        def _s(lut_b):
-            score = None
-            for j in range(m):
-                term = F.element_at(
-                    F.element_at(lut_b, j + 1), F.element_at(F.col("pq_code"), j + 1)
-                )
-                score = term if score is None else score + term
-            return score
-
-        return bind(lut_lit, _s)
-
-    score = None
-    for c in probed:
-        cond = F.col("cell") == int(c)
-        s = _score_for(luts[c])
-        score = F.when(cond, s) if score is None else score.when(cond, s)
-
+    score_sql = "CASE {whens} END".format(
+        whens=" ".join(
+            f"WHEN `cell` = {int(c)} THEN {_lut_score_sql(luts[c])}"
+            for c in probed
+        )
+    )
     return (
-        enc.select(F.col(id_col), "cell", score.alias("adc_dist"))
+        enc.select(F.col(id_col), "cell", F.expr(score_sql).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from victor_spark.functions.vector import to_double_array
+from victor_spark.functions.vector import lit_doubles, to_double_array
 
 
 @dataclass
@@ -126,12 +126,12 @@ def project_column(vec: Column | str, model: PCAModel) -> Column:
     v = to_double_array(vec)
     centered = F.zip_with(
         v,
-        F.array(*[F.lit(float(m)) for m in model.means]),
+        lit_doubles(model.means),
         lambda x, m: x - m,
     )
     comps = []
     for j in range(k):
-        col_j = F.array(*[F.lit(float(c)) for c in model.components[:, j]])
+        col_j = lit_doubles(model.components[:, j])
         comps.append(
             F.aggregate(
                 F.zip_with(centered, col_j, lambda x, c: x * c),

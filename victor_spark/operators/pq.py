@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from victor_spark.functions import hashing as H
-from victor_spark.functions.vector import bind
+from victor_spark.functions.vector import _dlit_sql
 
 
 def codebook_vectors(df: DataFrame, id_col: str, vec_col: str,
@@ -84,57 +84,55 @@ def codebook_and_query(df: DataFrame, id_col: str, vec_col: str,
     return codebook, query
 
 
-def _sub(v: Column, j: int, dsub: int) -> Column:
-    return F.slice(v, j * dsub + 1, dsub)
-
-
-def _sqdist(a: Column, b: Column) -> Column:
-    # sequential left-to-right fold — the order the oracle replays
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
+def _cb_sub_sql(cb_sub_j: list[list[float]]) -> str:
+    return "array(" + ",".join(
+        "array(" + ",".join(_dlit_sql(float(x)) for x in c) + ")"
+        for c in cb_sub_j
+    ) + ")"
 
 
 def encode(df: DataFrame, vec_col: str, codebook: list[list[float]],
            m: int = 8, out_col: str = "pq_code") -> DataFrame:
     """Attach `out_col`: array<int> of length m, the 1-based codebook index
     whose j-th subvector is nearest (squared L2; first minimum wins ties).
+
+    The expression is assembled as ONE SQL string and parsed JVM-side —
+    the builder-API form cost 1,858 py4j round trips per call (~0.55 s of
+    driver time per encode, profiled; guide §7.3 "planning time as the
+    bottleneck"), almost all in higher-order-function lambda construction.
+    The parsed tree is the same expression the builders produced, pinned
+    by `tests/test_ann.py::test_pq_encode_sql_matches_builder_reference`:
+
+    - per j, the query subvector binds once (the repo's get/transform
+      bind idiom) so each of the k distance folds reads a slot;
+    - one pass tags each distance with its 1-based code and a struct
+      array_min picks (smallest dist, then smallest code) — where
+      array_position(d, array_min(d)) would evaluate the transform twice;
+    - the codebook subvectors are pre-sliced driver-side literals, so
+      executors never re-slice the codebook per row;
+    - 0.0D init + left-to-right (x-y)² folds — the order the oracle
+      replays.
     """
     d = len(codebook[0])
     dsub = d // m
-    # one literal per (j, code) SUBvector, pre-sliced driver-side, so the
-    # executors never re-slice the codebook per row
     cb_sub = [
         [c[j * dsub : (j + 1) * dsub] for c in codebook] for j in range(m)
     ]
 
-    def argmin(j: int, qsub: Column) -> Column:
-        # one pass: tag each distance with its 1-based code, struct-min picks
-        # (smallest dist, then smallest code) — evaluates the k-entry
-        # distance transform once, where array_position(d, array_min(d))
-        # would evaluate it twice; qsub is a bound variable, so each of the
-        # k distance folds reads it as a slot, not a fresh slice
-        cbj = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb_sub[j]])
-        tagged = F.transform(
-            cbj,
-            lambda c, i: F.struct(_sqdist(qsub, c).alias("d"), (i + 1).alias("code")),
-        )
-        return F.array_min(tagged)["code"]
+    def argmin_sql(j: int) -> str:
+        return (
+            "get(transform(array(slice(_pqv, {s}, {n})), _pqq -> "
+            "array_min(transform({cbj}, (_pqc, _pqi) -> named_struct("
+            "'d', aggregate(zip_with(_pqq, _pqc, "
+            "(_pqx, _pqy) -> (_pqx - _pqy) * (_pqx - _pqy)), 0.0D, "
+            "(_pqs, _pqx) -> _pqs + _pqx), "
+            "'code', _pqi + 1))).code), 0)"
+        ).format(s=j * dsub + 1, n=dsub, cbj=_cb_sub_sql(cb_sub[j]))
 
-    def _argmin_at(j: int):
-        # single-parameter closure: pyspark's transform() inspects lambda
-        # arity, so a (q, j=j) default would receive the element INDEX as j
-        return lambda q: argmin(j, q)
-
-    codes = bind(
-        F.col(vec_col),
-        lambda v: F.array(
-            *[bind(_sub(v, j, dsub), _argmin_at(j)) for j in range(m)]
-        ),
+    codes_sql = "get(transform(array(`{v}`), _pqv -> array({body})), 0)".format(
+        v=vec_col, body=",".join(argmin_sql(j) for j in range(m))
     )
-    return df.withColumn(out_col, codes.cast("array<int>"))
+    return df.withColumn(out_col, F.expr(codes_sql).cast("array<int>"))
 
 
 def adc_lut(query: list[float], codebook: list[list[float]], m: int = 8) -> list[list[float]]:
@@ -166,19 +164,19 @@ def adc_topk(encoded: DataFrame, query: list[float], codebook: list[list[float]]
     shuffle beyond the bounded top-k merge.
     """
     lut = adc_lut(query, codebook, m)
-    lut_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in lut])
-
-    def _score(lut_b: Column) -> Column:
-        score = None
-        for j in range(m):
-            term = F.element_at(
-                F.element_at(lut_b, j + 1), F.element_at(F.col(code_col), j + 1)
-            )
-            score = term if score is None else score + term
-        return score
-
+    # one parsed SQL expression (the encode() rationale): the LUT literal
+    # binds once per row, terms sum left-to-right — identical tree to the
+    # builder form, pinned by the adc differential test
+    score_sql = "get(transform(array({lut}), _pql -> {terms}), 0)".format(
+        lut=_cb_sub_sql(lut),
+        terms=" + ".join(
+            f"element_at(element_at(_pql, {j + 1}), "
+            f"element_at(`{code_col}`, {j + 1}))"
+            for j in range(m)
+        ),
+    )
     return (
-        encoded.select(F.col(id_col), bind(lut_lit, _score).alias("adc_dist"))
+        encoded.select(F.col(id_col), F.expr(score_sql).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )

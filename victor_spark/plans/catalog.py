@@ -35,6 +35,7 @@ from victor_spark.functions.vector import (
     dequantize,
     dot,
     euclidean,
+    lit_doubles,
     norm,
     quantize,
     to_double_array,
@@ -961,45 +962,42 @@ def _ivf_assign_map_side(e, cents):
     — and the fold's (strictly-greater | equal-and-lower-cell) update is
     max_by(cell, struct(cs, -cell)) exactly, so assignments and ties are
     bit-identical to the old broadcast crossJoin + groupBy argmax, with
-    zero exchanges and no centroid-fold row inflation."""
-    from victor_spark.functions.vector import bind
+    zero exchanges and no centroid-fold row inflation. Assembled as ONE
+    parsed SQL expression (the PQ.encode rationale — builder-API lambda
+    construction is hundreds of py4j round trips per call); equality with
+    the Column-builder fold is pinned by
+    tests/test_ann.py::test_ivf_assign_sql_matches_builder_reference."""
+    from victor_spark.functions.vector import _dlit_sql
 
     if not cents:
         # the crossJoin form yielded an EMPTY frame with no centroids
         return e.select("vec_id", "v", F.lit(0).cast("long").alias("cell")).filter(
             F.lit(False)
         )
-    cent_arr = F.array(*[
-        F.struct(
-            F.lit(cell).cast("long").alias("cell"),
-            F.array(*[F.lit(x) for x in cv]).alias("cv"),
-            F.lit(cn).alias("cn"),
+    cents_sql = "array(" + ",".join(
+        "named_struct('cell', CAST({c} AS BIGINT), 'cv', array({cv}), "
+        "'cn', {cn})".format(
+            c=int(cell),
+            cv=",".join(_dlit_sql(float(x)) for x in cv),
+            cn=_dlit_sql(float(cn)),
         )
         for cell, cv, cn in cents
-    ])
-    init = F.struct(
-        F.lit(-2.0).alias("cs"), F.lit(-(2 ** 62)).cast("long").alias("cell")
-    )
-    return e.select(
-        "vec_id",
-        "v",
-        bind(
-            norm("v"),
-            lambda vn: F.aggregate(
-                cent_arr,
-                init,
-                lambda acc, c: bind(
-                    dot(F.col("v"), c["cv"]) / (vn * c["cn"]),
-                    lambda cs: F.when(
-                        (cs > acc["cs"])
-                        | ((cs == acc["cs"]) & (c["cell"] < acc["cell"])),
-                        F.struct(cs.alias("cs"), c["cell"].alias("cell")),
-                    ).otherwise(acc),
-                ),
-                lambda a: a["cell"],
-            ),
-        ).alias("cell"),
-    )
+    ) + ")"
+    # per-element score replays dot(v, cv)/(vn·cn): v read as the outer
+    # column (the builder bound only norm(v)), vn bound once per row
+    dot_sql = ("aggregate(zip_with(`v`, _ac.cv, (_zx, _zy) -> _zx * _zy), "
+               "0.0D, (_zacc, _zx) -> _zacc + _zx)")
+    norm_sql = ("sqrt(aggregate(zip_with(`v`, `v`, (_zx, _zy) -> _zx * _zy), "
+                "0.0D, (_zacc, _zx) -> _zacc + _zx))")
+    assign_sql = (
+        "get(transform(array({vn}), _avn -> aggregate({cents}, "
+        "named_struct('cs', -2.0D, 'cell', CAST({init_cell} AS BIGINT)), "
+        "(_aa, _ac) -> get(transform(array({dot} / (_avn * _ac.cn)), "
+        "_acs -> CASE WHEN (_acs > _aa.cs) OR ((_acs = _aa.cs) AND "
+        "(_ac.cell < _aa.cell)) THEN named_struct('cs', _acs, 'cell', "
+        "_ac.cell) ELSE _aa END), 0), _af -> _af.cell)), 0)"
+    ).format(vn=norm_sql, cents=cents_sql, init_cell=-(2 ** 62), dot=dot_sql)
+    return e.select("vec_id", "v", F.expr(assign_sql).alias("cell"))
 
 
 def _ivf_topk(spark, sf_dir, qid: int, k: int) -> DataFrame:
@@ -1034,7 +1032,7 @@ def _ivf_topk(spark, sf_dir, qid: int, k: int) -> DataFrame:
         key=lambda t: (-t[1], t[0]),
     )[:2]
     probe_cells = [c for c, _ in probed]
-    qv_lit = F.array(*[F.lit(x) for x in qv])
+    qv_lit = lit_doubles(qv)
     cand = _ivf_assign_map_side(e, cents).filter(
         F.col("cell").isin(probe_cells) if probe_cells else F.lit(False)
     )
@@ -1462,7 +1460,7 @@ def q_ann_recall(spark, sf_dir):
     model = (centroids, [_residual(v, centroids) for v in cb], q7v)
 
     def _lit(vec):
-        return F.array(*[F.lit(float(x)) for x in vec])
+        return lit_doubles(vec)
 
     def _coslit(q):
         qn = math.sqrt(sum(x * x for x in q))
@@ -1872,7 +1870,7 @@ def q_search_text(spark, sf_dir):
     from victor_spark.functions.embedder import embed, embed_query
 
     qv = embed_query(_SEARCH_TEXT_QUERY, _EMBED_DIM)
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qlit = lit_doubles(qv)
     d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", to_double_array(embed("text", _EMBED_DIM)).alias("v")
     )
