@@ -334,3 +334,43 @@ def test_bloom_null_probe_is_definitely_absent(spark):
     ).collect()}
     assert got["a"] is True and got["z"] is False
     assert got[None] is False  # not NULL — negated filters keep the row
+
+
+def test_hashing_sql_fast_paths_match_builders(spark):
+    """The round-11 one-SQL-string fast paths (taken for string column
+    names) must produce exactly what the Column-builder paths produce —
+    signatures, band keys, simhash fingerprints and LSH buckets, incl.
+    empty arrays and negative/32-bit-boundary hash values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions import hashing as H
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(40):
+        n = rng.randrange(0, 12)
+        rows.append((
+            i,
+            [rng.randrange(0, 2 ** 32) for _ in range(n)],
+            [rng.uniform(-2, 2) for _ in range(16)],
+        ))
+    rows.append((100, [], [0.0] * 16))  # empty hash set, zero vector
+    df = spark.createDataFrame(rows, "i long, h array<bigint>, v array<double>")
+
+    got = df.select(
+        "i",
+        H.minhash_signature("h", 16).alias("sig"),
+        H.simhash32("h").alias("sh"),
+        H.hyperplane_bucket("v", 8).alias("bk"),
+    ).withColumn("bands", H.band_keys("sig", 8, 2))
+    ref = df.select(
+        "i",
+        H.minhash_signature(F.col("h"), 16).alias("sig"),
+        H.simhash32(F.col("h")).alias("sh"),
+        H.hyperplane_bucket(F.col("v"), 8).alias("bk"),
+    ).withColumn("bands", H.band_keys(F.col("sig"), 8, 2))
+    g = {r["i"]: (r["sig"], r["bands"], r["sh"], r["bk"]) for r in got.collect()}
+    r = {r["i"]: (r["sig"], r["bands"], r["sh"], r["bk"]) for r in ref.collect()}
+    assert g == r

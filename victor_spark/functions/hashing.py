@@ -104,14 +104,32 @@ def minhash_signature(hashes: ColumnOrName, num_hashes: int = 16, seed: int = 42
 
     array<bigint> of length num_hashes. Empty input → signature of p (the
     hash family's max), keeping the column total.
+
+    A string input (a column NAME — the cached shingle-hash table's hot
+    path) takes the one-parsed-SQL-string fast path: the builder form
+    costs one py4j round trip per expression node (hundreds per
+    signature; guide §7.3 planning-time bottleneck), the parsed string
+    one. Column inputs keep the builder path; the two are pinned equal by
+    tests/test_sketches.py::test_hashing_sql_fast_paths_match_builders.
     """
+    params = hash_params(num_hashes, seed)
+    if isinstance(hashes, str):
+        elems = ",".join(
+            "coalesce(array_min(transform(_mh, _mx -> "
+            f"(_mx * {a} + {b}) % {MERSENNE31})), {MERSENNE31})"
+            for a, b in params
+        )
+        return F.expr(
+            f"get(transform(array(`{hashes}`), _mh -> array({elems})), 0)"
+        )
+
     def _lin(a: int, b: int):
         return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
 
     def _sig(hs: Column) -> Column:
         sig = [
             F.array_min(F.transform(hs, _lin(a, b)))
-            for a, b in hash_params(num_hashes, seed)
+            for a, b in params
         ]
         return F.array(
             *[F.coalesce(c, F.lit(MERSENNE31)).alias(f"h{i}") for i, c in enumerate(sig)]
@@ -124,7 +142,22 @@ def band_keys(sig: ColumnOrName, bands: int, rows_per_band: int) -> Column:
     """LSH banding: split the signature into `bands` bands of `rows_per_band`
     and key each band by its joined values. array<string> of length bands;
     element j = 'j:v1_v2_...'. Docs sharing any band key are candidates.
+
+    String input (column name) → one parsed SQL expression (see
+    :func:`minhash_signature`); Column input keeps the builder path.
     """
+    if isinstance(sig, str):
+        keys = ",".join(
+            "concat_ws('_', '{j}', {parts})".format(
+                j=j,
+                parts=",".join(
+                    f"CAST(`{sig}`[{j * rows_per_band + r}] AS STRING)"
+                    for r in range(rows_per_band)
+                ),
+            )
+            for j in range(bands)
+        )
+        return F.expr(f"array({keys})")
     sig = _col(sig)
     keys = []
     for j in range(bands):
@@ -140,7 +173,23 @@ def simhash32(token_hashes: ColumnOrName) -> Column:
 
     bit i of the fingerprint = 1 iff (count of tokens with bit i set) >
     n_tokens/2. Strict majority in both engines. Returns bigint.
+
+    String input (column name) → one parsed SQL expression (the
+    :func:`minhash_signature` rationale — the builder form is 32 filter
+    lambdas, ~1,000 py4j round trips); Column input keeps the builder.
     """
+    if isinstance(token_hashes, str):
+        bits = " + ".join(
+            "CASE WHEN (size(filter(_sh, _sx -> (_sx & {m}) != 0)) * 2) > "
+            "size(_sh) THEN CAST({m} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            .format(m=1 << i)
+            for i in range(32)
+        )
+        return F.expr(
+            "get(transform(array(`{h}`), _sh -> "
+            "CAST(0 AS BIGINT) + {bits}), 0)".format(h=token_hashes, bits=bits)
+        )
+
     def _bit_set(mask: int):
         return lambda x: x.bitwiseAND(F.lit(mask)) != 0
 
@@ -196,7 +245,30 @@ def hyperplane_bucket(v: ColumnOrName, num_planes: int = 8) -> Column:
     1 − θ/π per plane (Charikar 2002) — the bucket is a coarse partition key
     for ANN; at 100 TB the bucket column is what the join shuffles on
     instead of the O(n²) cross product.
+
+    String input (column name) → one parsed SQL expression (the
+    :func:`minhash_signature` rationale — the builder form is num_planes
+    aggregate/zip_with/transform chains, hundreds of py4j round trips);
+    Column input keeps the builder path.
     """
+    if isinstance(v, str):
+        from victor_spark.functions.vector import _dlit_sql
+
+        planes = " + ".join(
+            "CASE WHEN aggregate(zip_with(_hv, transform(sequence(0, "
+            "size(_hv) - 1), _hi -> sin({off} + CAST(_hi AS DOUBLE) * "
+            "78.233D)), (_hx, _hp) -> _hx * _hp), 0.0D, "
+            "(_ha, _hx) -> _ha + _hx) > 0.0D THEN CAST({m} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END".format(
+                off=_dlit_sql(float(j) * 12.9898), m=1 << j
+            )
+            for j in range(num_planes)
+        )
+        return F.expr(
+            "get(transform(array(`{v}`), _hv -> "
+            "CAST(0 AS BIGINT) + {planes}), 0)".format(v=v, planes=planes)
+        )
+
     def _plane(j: int):
         return lambda i: hyperplane_value(j, i)
 

@@ -337,20 +337,23 @@ def simhash_fingerprints(df: DataFrame, id_col: str, content_col: str) -> DataFr
         F.col(id_col).alias("doc"),
         F.explode_outer(tokens(content_col)).alias("tok"),
     ).select("doc", H._md5_32_expr(F.col("tok")).alias("h"))
+    # the 32 bit-counter aggregates and the majority fold parse as SQL
+    # strings (round-11: the builder forms cost ~5k py4j round trips per
+    # build — guide §7.3; identical expressions, pinned by the operator's
+    # oracle twin and tests/test_dedup.py)
     counts = exploded.groupBy("doc").agg(
         F.count("h").alias("n"),
         *[
-            F.count_if(F.col("h").bitwiseAND(F.lit(1 << i)) != 0).alias(f"b{i}")
+            F.expr(f"count_if((`h` & {1 << i}) != 0)").alias(f"b{i}")
             for i in range(32)
         ],
     )
-    sim = None
-    for i in range(32):
-        bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = bit if sim is None else sim + bit
-    return counts.select("doc", sim.alias("simhash"))
+    sim = " + ".join(
+        f"CASE WHEN `b{i}` * 2 > `n` THEN CAST({1 << i} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for i in range(32)
+    )
+    return counts.select("doc", F.expr(sim).alias("simhash"))
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, content_col: str,

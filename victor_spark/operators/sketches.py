@@ -260,7 +260,13 @@ def _bloom_pos(x: Column, j: int, m: int, salt: str) -> Column:
 # building literal columns needs an active session, and this module
 # must import without one (pytest collection, driver-side tools).
 def _pow2() -> Column:
-    return F.array(*[F.lit(1 << i).cast("long") for i in range(_WORD_BITS)])
+    # one parsed SQL expression instead of _WORD_BITS per-element F.lit
+    # round trips (round-11, guide §7.3); identical long values
+    return F.expr(
+        "array("
+        + ",".join(f"CAST({1 << i} AS BIGINT)" for i in range(_WORD_BITS))
+        + ")"
+    )
 
 
 def bloom_build(
