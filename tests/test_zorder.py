@@ -122,3 +122,29 @@ def test_zorder_write_roundtrips_rows(spark, tmp_path):
     assert back.select(F.sum("event_id")).collect() == ev.select(
         F.sum("event_id")
     ).collect()
+
+def test_zorder_sql_fast_paths_match_builders(spark):
+    """Round-11: column NAMES route int_rank/morton_key through one parsed
+    SQL string; the expression must be bit-identical to the builder form
+    (incl. the span==0 rank, negative domains, and the 2^31 bit literal)."""
+    rows = [
+        (0, 0, 0, 100, -50, 50),
+        (100, 37, 0, 100, -50, 50),
+        (-50, 50, -50, 50, -50, 50),
+        (7, 7, 7, 7, 7, 7),  # span == 0 on x
+        (123456, 65535, 0, 200000, 0, 65535),
+    ]
+    df = spark.createDataFrame(
+        rows, "x long, y long, xmin long, xmax long, ymin long, ymax long"
+    )
+    both = df.select(
+        int_rank("x", "xmin", "xmax").alias("rs"),
+        int_rank(F.col("x"), F.col("xmin"), F.col("xmax")).alias("rb"),
+        morton_key("x", "y").alias("ms"),
+        morton_key(F.col("x"), F.col("y")).alias("mb"),
+        morton_key("x", "y", bits=16).alias("ms16"),
+    ).collect()
+    for r in both:
+        assert r.rs == r.rb
+        assert r.ms == r.mb
+        assert r.ms16 == r.ms

@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def int_rank(x: Column, xmin: Column, xmax: Column, bits: int = 16) -> Column:
+def int_rank(x: Column | str, xmin: Column | str, xmax: Column | str,
+             bits: int = 16) -> Column:
     """Scale an integer column into [0, 2^bits) — exact integer math.
 
     ``(x - xmin) * (2^bits - 1) div (xmax - xmin)``; a constant column
@@ -32,7 +33,23 @@ def int_rank(x: Column, xmin: Column, xmax: Column, bits: int = 16) -> Column:
     exact while ``(xmax - xmin) * 2^bits < 2^53`` — holds for any
     bits=16 column with span < ~1.4e11 (every column here); pre-bucket
     wider domains (e.g. epoch-micros timestamps → minutes) first.
+
+    Column NAMES take a one-parsed-SQL-string fast path (round-11,
+    guide §7.3 — the hashing-kernel precedent): identical expression,
+    pinned by ``tests/test_zorder.py``'s differential test; Column
+    inputs keep the builder path.
     """
+    if isinstance(x, str) and isinstance(xmin, str) and isinstance(xmax, str):
+        top = (1 << bits) - 1
+        span = f"CAST((`{xmax}` - `{xmin}`) AS BIGINT)"
+        return F.expr(
+            f"CASE WHEN {span} = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(FLOOR((CAST(`{x}` AS BIGINT) - CAST(`{xmin}` AS BIGINT))"
+            f" * {top} / {span}) AS BIGINT) END"
+        )
+    x, xmin, xmax = F.col(x) if isinstance(x, str) else x, \
+        F.col(xmin) if isinstance(xmin, str) else xmin, \
+        F.col(xmax) if isinstance(xmax, str) else xmax
     top = F.lit((1 << bits) - 1)
     span = (xmax - xmin).cast("long")
     return F.when(span == 0, F.lit(0).cast("long")).otherwise(
@@ -40,12 +57,24 @@ def int_rank(x: Column, xmin: Column, xmax: Column, bits: int = 16) -> Column:
     )
 
 
-def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
+def morton_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     """Bit-interleave two ranks in [0, 2^bits) into one 2·bits-bit key.
 
     Bit i of x lands at position 2i, bit i of y at 2i+1 — one codegen
     expression of 2·bits div/mod terms, no UDF.
+
+    Column NAMES take the one-parsed-SQL fast path (the int_rank note);
+    the builder form costs ~2·bits·6 py4j round trips per call.
     """
+    if isinstance(x, str) and isinstance(y, str):
+        terms = []
+        for i in range(bits):
+            terms.append(
+                f"(CAST(FLOOR((`{x}` / {1 << i})) AS BIGINT) % 2) * {1 << (2 * i)}"
+                f" + (CAST(FLOOR((`{y}` / {1 << i})) AS BIGINT) % 2)"
+                f" * {1 << (2 * i + 1)}"
+            )
+        return F.expr("(" + ") + (".join(terms) + ")")
     terms = []
     for i in range(bits):
         xbit = (F.floor(x / F.lit(1 << i)).cast("long") % 2) * F.lit(1 << (2 * i))

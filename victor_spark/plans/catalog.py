@@ -7806,10 +7806,10 @@ def q_zorder_audit(spark, sf_dir):
         )
     )
     r = ev.crossJoin(b).select(
-        int_rank(F.col("x"), F.col("xmin"), F.col("xmax")).alias("xs"),
-        int_rank(F.col("y"), F.col("ymin"), F.col("ymax")).alias("ys"),
+        int_rank("x", "xmin", "xmax").alias("xs"),
+        int_rank("y", "ymin", "ymax").alias("ys"),
     )
-    k = r.withColumn("zkey", morton_key(F.col("xs"), F.col("ys")))
+    k = r.withColumn("zkey", morton_key("xs", "ys"))
 
     # Round-11 optimization (guide §2.4): the two layouts' span audits
     # used to be two full scan → rank → bucket → groupBy passes glued
