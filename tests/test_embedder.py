@@ -131,3 +131,26 @@ def test_hash_embedder_splits_on_space_only():
 
     assert _embed_one("a\tb", 16) != _embed_one("a b", 16)  # one token vs two
     assert _embed_one("a  b", 16) == _embed_one("a b", 16)  # empties dropped
+
+
+def test_batch_embed_bit_exact_vs_scalar_reference():
+    """Round-11: the vectorized batch path (np.add.at + memo) must be
+    BIT-identical to the per-row scalar reference — the ±1 accumulations
+    and squared-norm sums are exact integers in float64, so summation
+    order cannot change them; sqrt/divide/float32-cast are the same IEEE
+    ops. Covers NULL/empty text, repeated tokens, unicode, long docs,
+    and the warm-memo second pass."""
+    import numpy as np
+    import pandas as pd
+
+    from victor_spark.functions.embedder import _embed_texts
+
+    cases = [
+        "hello world hello", "", None, "a  b\tc", "ünïcödé tøkens",
+        "x " * 500, "the the the the", " leading and trailing ",
+    ]
+    for _pass in range(2):  # second pass exercises the token memo
+        got = _embed_texts(pd.Series(cases), 64)
+        for t, v in zip(cases, got):
+            ref = np.asarray(_embed_one(t or "", 64), dtype=np.float32)
+            assert (v == ref).all(), repr(t)

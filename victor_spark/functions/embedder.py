@@ -116,10 +116,45 @@ def _embed_one(text: str, dim: int) -> list[float]:
     return vec
 
 
+# Per-worker token→(dim-index, sign) memo for the hash backend, keyed by
+# dim (round-11 optimization, guide §4.2: do the heavy lifting vectorized
+# inside the batch). Tokens are Zipf-distributed, so the md5 is computed
+# once per DISTINCT token per worker instead of once per occurrence.
+# Bounded: past the cap new tokens are hashed without being cached.
+_TOKEN_MEMO: dict[int, dict[str, tuple[int, float]]] = {}
+_TOKEN_MEMO_MAX = 1 << 20
+
+
 def _embed_texts(texts: pd.Series, dim: int) -> pd.Series:
-    return pd.Series(
-        [np.asarray(_embed_one(t or "", dim), dtype=np.float32) for t in texts]
-    )
+    """Batch twin of _embed_one — bit-identical by construction: the ±1.0
+    accumulations and the squared-norm sums are exact small integers in
+    float64 (order-independent), and sqrt/divide/float32-cast are the same
+    IEEE operations the scalar path applies."""
+    memo = _TOKEN_MEMO.setdefault(dim, {})
+    out = np.zeros((len(texts), dim), dtype=np.float64)
+    rows: list[int] = []
+    cols: list[int] = []
+    signs: list[float] = []
+    for i, t in enumerate(texts):
+        # split on ' ' exactly like _embed_one (and the SQL twins)
+        for tok in (t or "").lower().split(" "):
+            if not tok:
+                continue
+            e = memo.get(tok)
+            if e is None:
+                h = hashlib.md5(tok.encode("utf-8")).digest()
+                e = (int.from_bytes(h[:4], "big") % dim,
+                     1.0 if h[4] & 1 else -1.0)
+                if len(memo) < _TOKEN_MEMO_MAX:
+                    memo[tok] = e
+            rows.append(i)
+            cols.append(e[0])
+            signs.append(e[1])
+    np.add.at(out, (rows, cols), signs)
+    norms = np.sqrt((out * out).sum(axis=1))
+    nz = norms > 0
+    out[nz] /= norms[nz, None]
+    return pd.Series([r.astype(np.float32) for r in out])
 
 
 def embed_udf(dim: int = DEFAULT_DIM):
