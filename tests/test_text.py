@@ -91,3 +91,31 @@ def test_term_counts_matches_grouped_counts(spark):
         .collect()
     }
     assert got == want
+
+
+def test_text_sql_fast_paths_match_builders(spark):
+    """Round-11: column NAMES route quality_score/lang_id through one
+    parsed SQL string; values must be IDENTICAL to the builder form
+    (doubles bit-equal) over empty/NULL/unicode/stopword-heavy/marker
+    edge cases, incl. the all-zero-marker 'und' arm and argmax ties."""
+    from pyspark.sql import functions as F
+
+    from victor_spark.functions.text import lang_id, quality_score
+
+    rows = [
+        ("",), (None,), ("the and of to in",), ("der die und das ist",),
+        ("le la et les des el la los que de",),  # fr/es tie -> fr
+        ("xyzzy plugh",), ("a. b! c? loooooooongword",),
+        ("The AND Of tO iN mixed Case the the",),
+        ("ünïcödé tøkens the and",), ((". " * 60).strip(),),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        quality_score("text").alias("qs"),
+        quality_score(F.col("text")).alias("qb"),
+        lang_id("text").alias("ls"),
+        lang_id(F.col("text")).alias("lb"),
+    ).collect()
+    for r in got:
+        assert r.qs == r.qb, r
+        assert r.ls == r.lb, r

@@ -170,13 +170,55 @@ def stopword_ratio(s: ColumnOrName) -> Column:
     return bind(tokens(s), _ratio)
 
 
+def _is_simple_name(s) -> bool:
+    """True for a plain column identifier a SQL fast path may backtick
+    (dots/odd chars fall back to the builder, where F.col resolves them)."""
+    return isinstance(s, str) and s.replace("_", "").isalnum()
+
+
+_STOPWORD_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def _quality_score_sql(s: str) -> str:
+    """One-parsed-SQL twin of quality_score's builder tree (round-11,
+    guide §7.3 — the hashing-kernel precedent): same bind() structure,
+    same duplicated subtrees, double literals suffixed D so no decimal
+    types sneak in. Pinned == builder by tests/test_text.py."""
+    toks = f"filter(split(`{s}`, ' '), _t -> _t != '')"
+    pr = (
+        f"CASE WHEN length(`{s}`) = 0 THEN 0.0D "
+        f"ELSE CAST(size(regexp_extract_all(`{s}`, '{PUNCT_RE}', 0)) AS DOUBLE)"
+        f" / length(`{s}`) END"
+    )
+    atl = (
+        "CASE WHEN size(_t) = 0 THEN 0.0D "
+        "ELSE aggregate(_t, 0.0D, (a, x) -> a + length(x)) / size(_t) END"
+    )
+    hits = f"size(filter(_t, _x -> lower(_x) IN {_STOPWORD_IN}))"
+    sr = (
+        f"CASE WHEN size(_t) = 0 THEN 0.0D "
+        f"ELSE CAST({hits} AS DOUBLE) / size(_t) END"
+    )
+    len_ok = "least(CAST(size(_t) AS DOUBLE) / 50.0D, 1.0D)"
+    tok_ok = f"CASE WHEN ({atl}) >= 3.0D AND ({atl}) <= 10.0D THEN 1.0D ELSE 0.5D END"
+    punct_ok = f"CASE WHEN ({pr}) <= 0.2D THEN 1.0D ELSE 0.5D END"
+    stop_ok = f"least(({sr}) * 10.0D, 1.0D)"
+    body = f"((({len_ok}) + ({tok_ok}) + ({punct_ok}) + ({stop_ok})) / 4.0D)"
+    return f"get(transform(array({toks}), _t -> {body}), 0)"
+
+
 def quality_score(s: ColumnOrName) -> Column:
     """Heuristic document quality in [0, 1].
 
     Combines length sufficiency, reasonable mean token length, punctuation
     sanity and stopword presence — the standard cheap pre-filter stack for
     pretraining-data curation (C4/Gopher-style rules).
+
+    Column NAMES take a one-parsed-SQL fast path (~1.2k py4j round trips
+    on the builder path); Column inputs keep the builder.
     """
+    if _is_simple_name(s):
+        return F.expr(_quality_score_sql(s))
     pr = punct_ratio(s)
 
     def _score(t: Column) -> Column:
@@ -221,6 +263,33 @@ def lang_scores(s: ColumnOrName) -> dict[str, Column]:
     }
 
 
+def _lang_id_sql(s: str) -> str:
+    """One-parsed-SQL twin of lang_id's builder tree: the same nested
+    binds and the same unrolled argmax when-chains (generated by the
+    same loop, so the chain structure cannot drift). Pinned == builder
+    by tests/test_text.py."""
+    toks = f"filter(split(`{s}`, ' '), _t -> _t != '')"
+    lowered = f"get(transform(array({toks}), _t -> transform(_t, _x -> lower(_x))), 0)"
+    counts = ", ".join(
+        "size(filter(_lt, _x -> _x IN ("
+        + ", ".join(f"'{w}'" for w in m)
+        + ")))"
+        for m in LANG_MARKERS.values()
+    )
+    scores = (
+        f"get(transform(array({lowered}), _lt -> array({counts})), 0)"
+    )
+    langs = list(LANG_MARKERS)
+    best_lang = f"'{langs[0]}'"
+    best_score = "get(_sc, 0)"
+    for i, lang in enumerate(langs[1:], start=1):
+        cond = f"get(_sc, {i}) > ({best_score})"
+        best_lang = f"CASE WHEN {cond} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"CASE WHEN {cond} THEN get(_sc, {i}) ELSE ({best_score}) END"
+    body = f"CASE WHEN ({best_score}) > 0 THEN {best_lang} ELSE 'und' END"
+    return f"get(transform(array({scores}), _sc -> {body}), 0)"
+
+
 def lang_id(s: ColumnOrName) -> Column:
     """Predicted language = argmax marker count; 'und' if all zero.
 
@@ -230,7 +299,12 @@ def lang_id(s: ColumnOrName) -> Column:
     The argmax when-chain references each score several times; scores are
     bound (see ``bind``) so each reference is a slot read, not a fresh
     token-scan — the naive composition is exponential in chain depth.
+
+    Column NAMES take a one-parsed-SQL fast path (~1.5k py4j round trips
+    on the builder path); Column inputs keep the builder.
     """
+    if _is_simple_name(s):
+        return F.expr(_lang_id_sql(s))
     lowered = bind(tokens(s), lambda t: F.transform(t, F.lower))
 
     def _argmax(sc: Column) -> Column:

@@ -387,11 +387,13 @@ def embedding_near_duplicates(df: DataFrame, id_col: str, vec_col: str,
     """
     from victor_spark.sources.tables import fan_out
 
+    # name the double array first so hyperplane_bucket takes its
+    # one-parsed-SQL fast path (round-11: the builder form here cost
+    # ~5.6k py4j round trips per build); same value, slot-read reference
     v = fan_out(df).select(
         F.col(id_col).alias("doc"),
         to_double_array(vec_col).alias("vec"),
-        H.hyperplane_bucket(to_double_array(vec_col), num_planes).alias("bucket"),
-    )
+    ).withColumn("bucket", H.hyperplane_bucket("vec", num_planes))
     l, r = v.alias("l"), v.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc") < F.col("r.doc")))
