@@ -114,6 +114,30 @@ def main() -> None:
         if k in out
     }
     print(json.dumps(headline))
+    # Round-11 verdict item 1: the driver's PERF comparison reads only the
+    # TAIL of stdout, and the full first line's per-query map is long enough
+    # that truncation eats its head — PERF_r11 recovered zero common queries.
+    # Repeat the per-query MINIMA as the FINAL lines, split into small
+    # labeled JSON chunks (each well under 2 KB) so every chunk survives any
+    # plausible tail window. Values rounded to 0.01 s; additions only — the
+    # first line and the headline line above are unchanged.
+    items = sorted(per_query_min.items())
+    chunks: list[dict[str, float]] = []
+    cur: dict[str, float] = {}
+    for q, t in items:
+        cur[q] = round(t, 2)
+        if len(json.dumps(cur)) > 1500:
+            chunks.append(cur)
+            cur = {}
+    if cur:
+        chunks.append(cur)
+    for i, ch in enumerate(chunks):
+        print(json.dumps({
+            "metric": "per_query_min_sec",
+            "chunk": i + 1,
+            "n_chunks": len(chunks),
+            "queries": ch,
+        }))
 
 
 def run_suite() -> None:

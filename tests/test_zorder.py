@@ -148,3 +148,36 @@ def test_zorder_sql_fast_paths_match_builders(spark):
         assert r.rs == r.rb
         assert r.ms == r.mb
         assert r.ms16 == r.ms
+
+
+def test_morton_key_mixed_str_column_args(spark):
+    """Round-12 advice fix: a mixed (str, Column) call must resolve the
+    string as a COLUMN, not a string literal (which yielded NULL keys or
+    an ANSI cast failure), and equal the all-Column builder result."""
+    df = spark.range(64).select(
+        (F.col("id") % 7).alias("xs"), (F.col("id") % 5).alias("ys")
+    )
+    ref = df.select(morton_key(F.col("xs"), F.col("ys"), 4).alias("k")).collect()
+    for a, b in ((F.col("xs"), "ys"), ("xs", F.col("ys"))):
+        got = df.select(morton_key(a, b, 4).alias("k")).collect()
+        assert got == ref
+
+
+def test_zorder_fast_path_guard_rejects_odd_names(spark):
+    """Dotted names must fall back to the builder, where F.col resolves
+    them as struct-field access — not be backticked into the SQL fast
+    path as a single literal identifier (unresolvable)."""
+    df = spark.range(8).select(
+        F.struct(
+            (F.col("id") % 3).alias("x"), (F.col("id") % 2).alias("y")
+        ).alias("s")
+    )
+    ref = df.select(
+        morton_key(F.col("s.x"), F.col("s.y"), 4).alias("k"),
+        int_rank(F.col("s.x"), F.lit(0), F.lit(2), 4).alias("r"),
+    ).collect()
+    got = df.select(
+        morton_key("s.x", "s.y", 4).alias("k"),
+        int_rank(F.col("s.x"), F.lit(0), F.lit(2), 4).alias("r"),
+    ).collect()
+    assert got == ref

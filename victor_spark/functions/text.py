@@ -176,6 +176,23 @@ def _is_simple_name(s) -> bool:
     return isinstance(s, str) and s.replace("_", "").isalnum()
 
 
+# The SQL fast paths below interpolate these constants into single-quoted
+# SQL literals verbatim. A future word with an apostrophe ("don't") or a
+# regex with a quote/backslash would break the F.expr parse or silently
+# diverge from the builder path — fail loudly at import time instead
+# (round-11 advice item).
+assert all(
+    "'" not in w and "\\" not in w
+    for words in LANG_MARKERS.values()
+    for w in words
+), "LANG_MARKERS words must be quote/backslash-free (SQL fast path)"
+assert all(
+    "'" not in w and "\\" not in w for w in STOPWORDS
+), "STOPWORDS must be quote/backslash-free (SQL fast path)"
+assert "'" not in PUNCT_RE and "\\" not in PUNCT_RE, (
+    "PUNCT_RE must be quote/backslash-free (SQL fast path)"
+)
+
 _STOPWORD_IN = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 
 

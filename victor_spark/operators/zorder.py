@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from victor_spark.functions.text import _is_simple_name
+
 
 def int_rank(x: Column | str, xmin: Column | str, xmax: Column | str,
              bits: int = 16) -> Column:
@@ -39,7 +41,9 @@ def int_rank(x: Column | str, xmin: Column | str, xmax: Column | str,
     pinned by ``tests/test_zorder.py``'s differential test; Column
     inputs keep the builder path.
     """
-    if isinstance(x, str) and isinstance(xmin, str) and isinstance(xmax, str):
+    if _is_simple_name(x) and _is_simple_name(xmin) and _is_simple_name(xmax):
+        # simple identifiers only — dotted/odd names fall through to the
+        # builder, where F.col resolves them (same guard as quality_score)
         top = (1 << bits) - 1
         span = f"CAST((`{xmax}` - `{xmin}`) AS BIGINT)"
         return F.expr(
@@ -66,7 +70,7 @@ def morton_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     Column NAMES take the one-parsed-SQL fast path (the int_rank note);
     the builder form costs ~2·bits·6 py4j round trips per call.
     """
-    if isinstance(x, str) and isinstance(y, str):
+    if _is_simple_name(x) and _is_simple_name(y):
         terms = []
         for i in range(bits):
             terms.append(
@@ -75,6 +79,12 @@ def morton_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
                 f" * {1 << (2 * i + 1)}"
             )
         return F.expr("(" + ") + (".join(terms) + ")")
+    # mixed str/Column args land here: coerce names via F.col BEFORE the
+    # builder loop — a bare str would otherwise reach Column.__rtruediv__
+    # and be treated as a STRING LITERAL (silent NULL keys / ANSI cast
+    # failure), the round-11 advice item
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
     terms = []
     for i in range(bits):
         xbit = (F.floor(x / F.lit(1 << i)).cast("long") % 2) * F.lit(1 << (2 * i))
