@@ -1197,6 +1197,8 @@ def _progressive_scan(
                 if is_dc:
                     if ah == 0:
                         s = _huff_decode(reader, tbl)
+                        if s > 11:  # T.81 F.1.2.1: 8-bit DC categories 0-11
+                            raise ValueError("JPEG DC category out of range")
                         preds[ci] += _extend(reader.receive(s), s)
                         blk[0] = preds[ci] << al
                     elif reader.read_bit():
@@ -1391,6 +1393,8 @@ def _decode_jpeg_inner(payload: bytes):
                     for bh in range(hi):
                         zz = np.zeros(64, dtype=np.int64)
                         s = _huff_decode(reader, dc)
+                        if s > 11:  # T.81 F.1.2.1: 8-bit DC categories 0-11
+                            raise ValueError("JPEG DC category out of range")
                         diff = _extend(reader.receive(s), s)
                         preds[ci] += diff
                         zz[0] = preds[ci]
