@@ -6766,22 +6766,55 @@ def q_dedup_recall_audit(spark, sf_dir):
     # never beat the barrier-free tree (2.76s -> 3.54s best-of-four
     # experiments): materializing the banding join's output and cutting
     # AQE off below it costs more here than the duplicated-but-parallel
-    # subtree. At cluster scale the candidate table would be persisted
-    # to a staging table by the surrounding pipeline anyway.
-    ncand = F.broadcast(cand.agg(F.count("*").cast("long").alias("n_candidates")))
-    labeled = truth.join(
-        cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left"
-    ).select("jaccard", F.coalesce("_c", F.lit(0)).alias("caught"))
-    th = F.broadcast(spark.createDataFrame([(0.5,), (0.7,)], "threshold double"))
-    lab = labeled.crossJoin(th).filter(F.col("jaccard") >= F.col("threshold"))
-    return (
-        lab.groupBy("threshold")
-        .agg(
-            F.count("*").cast("long").alias("n_true"),
-            F.sum("caught").cast("long").alias("n_caught"),
-            F.round(F.sum("caught").cast("double") / F.count("*"), 6).alias("recall"),
+    # subtree.
+    #
+    # Round-12 (guide §2.4/§1.2, verdict item 3): instead of a barrier,
+    # make the plan consume cand ONCE — a FULL OUTER join of truth and
+    # cand feeds a single global aggregation that computes n_true /
+    # n_caught per tau (conditional aggregates; cand-only rows have NULL
+    # jaccard and never satisfy jaccard >= tau) AND n_candidates
+    # (sum of the cand-side indicator over the same rows), then a 1-row
+    # explode reshapes to the per-tau output. This deletes the second
+    # banding-join evaluation (sig recompute + band self-join + distinct,
+    # plan nodes 73-92 of the r12 before-dump) and the crossJoin(tau)
+    # row doubling. A tau group appears only when n_true > 0 — exactly
+    # when the old groupBy produced it. Matched min-of-5 A/B at sf0.1:
+    # 2.03s -> 1.67s (every pass lower); output verified identical at
+    # sf0.001 and sf0.01 before switching.
+    outer = truth.join(
+        cand.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "full"
+    ).select(
+        "jaccard",
+        F.coalesce("_c", F.lit(0)).alias("caught"),
+        F.col("_c").alias("_isc"),
+    )
+    taus = [0.5, 0.7]
+    aggs = []
+    for i, t in enumerate(taus):
+        hit = F.col("jaccard") >= F.lit(t)
+        aggs.append(F.count(F.when(hit, 1)).alias(f"_nt{i}"))
+        aggs.append(
+            F.sum(F.when(hit, F.col("caught")).otherwise(F.lit(0))).alias(f"_nc{i}")
         )
-        .crossJoin(ncand)
+    aggs.append(F.sum("_isc").cast("long").alias("n_candidates"))
+    one = outer.agg(*aggs)
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"_nt{i}").cast("long").alias("n_true"),
+                F.col(f"_nc{i}").cast("long").alias("n_caught"),
+                F.round(
+                    F.col(f"_nc{i}").cast("double") / F.col(f"_nt{i}"), 6
+                ).alias("recall"),
+            )
+            for i, t in enumerate(taus)
+        ])
+    ).alias("r")
+    return (
+        one.select(rows, "n_candidates")
+        .filter(F.col("r.n_true") > 0)
+        .select("r.threshold", "r.n_true", "r.n_caught", "r.recall", "n_candidates")
     )
 
 
@@ -7192,7 +7225,10 @@ FROM d LEFT JOIN cleaned ON d.doc_id = cleaned.doc_id
 )
 def q_dedup_substring_global(spark, sf_dir):
     W = _SUBSTR_W
-    d = _dup_corpus(spark, sf_dir).select(
+    # Round-12: fan_out — the corpus union entered with 2 partitions, so
+    # the per-token window hashing (the dominant cost) ran on 2 of 32
+    # cores (qmetrics: 11 tasks total). Guide §2.5 input skew.
+    d = fan_out(_dup_corpus(spark, sf_dir)).select(
         "doc_id", T.tokens(F.col("text")).alias("t")
     )
     occ = d.filter(F.size("t") >= W).select(
@@ -7212,12 +7248,23 @@ def q_dedup_substring_global(spark, sf_dir):
             )
         ).alias("o"),
     ).select("doc_id", F.col("o.pos").alias("pos"), F.col("o.h").alias("h"))
-    firsts = occ.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("f")
-    )
-    dups = occ.join(firsts, "h").filter(
-        (F.col("doc_id") != F.col("f.doc_id")) | (F.col("pos") != F.col("f.pos"))
-    )
+    # Round-12 (guide §2.4/§1.2): the old groupBy(h).min(struct) +
+    # join-back evaluated the occ subtree TWICE (plan showed the window
+    # Generate at two nodes — the whole corpus re-tokenized and re-hashed
+    # for the aggregate side), and the "broadcast firsts" shape is a
+    # mirage at 100 TB: firsts is one row per DISTINCT window hash
+    # (nearly corpus-sized), far over the broadcast cap, so the join
+    # degrades to a second occ-sized exchange on h anyway. The
+    # row_number window is the oracle's own formulation: ONE evaluation
+    # of occ, ONE exchange by h. (doc_id, pos) is unique per h, so the
+    # rank is total-ordered and deterministic. Known trade: a window
+    # cannot split a single hot hash the way AQE skew-join can — at
+    # this window width (8-gram) a key that hot means a corpus-scale
+    # boilerplate string that substring dedup is designed to remove.
+    # Matched A/B min-of-5 at sf0.1: 2.97s -> 1.31s; sf0.01 output
+    # verified identical across shapes before switching.
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    dups = occ.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") > 1)
     # Reassembly rides the COVERED set (round-9 dedup perf refactor):
     # per-doc covered positions collapse into one array, and each doc is
     # rebuilt by a codegen index-filter over its original token array.
