@@ -4208,20 +4208,17 @@ def q_tpch_q8(spark, sf_dir):
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    # Round-11 optimization (guide §3.2, the q7/q2 precedent): the n2/r
-    # joins projected NO columns into the output — they only filtered
-    # customers to AMERICA nations (both join keys unique, so no row
-    # duplication either). Folding them into ONE broadcast left-semi on
-    # customer applies the same filter BEFORE the o ⋈ c join: at bench SF
-    # the plan is all-broadcast either way; at 100 TB, where o ⋈ c is a
-    # sort-merge join, ~80% of customer rows now drop before the custkey
-    # exchange instead of after it.
-    amer = n2.join(
-        F.broadcast(r), F.col("n2_region") == r.r_regionkey
-    ).select("n2_key")
-    c = c.join(
-        F.broadcast(amer), c.c_nationkey == F.col("n2_key"), "left_semi"
-    )
+    # Round-12 REVERT of the round-11 broadcast-semi customer pre-filter
+    # (verdict item 5: probe the four weak-evidence keeps at 64x, revert
+    # any loser). Two independent 64x-replica probes measured the
+    # pre-filtered shape slightly SLOWER (min-of-3 2.80 vs 2.73; min-of-4
+    # 2.85 vs 2.61) and never faster: the semi join only shrinks the
+    # CUSTOMER side of the o ⋈ c exchange — the orders/lineitem side,
+    # which dominates the shuffle bytes, is untouched — so the extra
+    # broadcast probe buys nothing measurable at any scale tried. The n2/r
+    # inner joins below are the original shape (both keys unique: pure
+    # filters, no row duplication; results identical — asserted at sf0.01
+    # before reverting).
     volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,8)")
     nation_one = F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
         F.lit(0).cast("decimal(24,8)")
@@ -4230,6 +4227,8 @@ def q_tpch_q8(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
