@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from victor_spark.functions.vector import _col, bind, ColumnOrName
+from victor_spark.functions.vector import (
+    _col,
+    _is_simple_name,  # noqa: F401 — canonical impl lives in vector.py
+    bind,
+    ColumnOrName,
+)
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
 # heuristic. Deterministic and oracle-expressible; real deployments would
@@ -32,13 +37,29 @@ WORD_RE = "[A-Za-z0-9]+"
 PUNCT_RE = "[^A-Za-z0-9 ]"
 
 
+def _tokens_sql(ref: str) -> str:
+    """SQL source of tokens() over a pre-rendered operand (backticked
+    name or embedded expression) — the same string _quality_score_sql
+    and _lang_id_sql inline."""
+    return f"filter(split({ref}, ' '), _t -> _t != '')"
+
+
 def tokens(s: ColumnOrName) -> Column:
-    """Whitespace tokens (empties removed) — array<string>."""
+    """Whitespace tokens (empties removed) — array<string>.
+
+    Column NAMES take a one-parsed-SQL fast path (round-12, guide §7.3
+    — ~130 py4j round trips on the builder path, and tokens() is the
+    most-called builder in the catalog); Column inputs keep the builder.
+    """
+    if _is_simple_name(s):
+        return F.expr(_tokens_sql(f"`{s}`"))
     return F.filter(F.split(_col(s), " "), lambda t: t != "")
 
 
 def token_count(s: ColumnOrName) -> Column:
     """Whitespace token count."""
+    if _is_simple_name(s):
+        return F.expr(f"size({_tokens_sql(f'`{s}`')})")
     return F.size(tokens(s))
 
 
@@ -170,11 +191,8 @@ def stopword_ratio(s: ColumnOrName) -> Column:
     return bind(tokens(s), _ratio)
 
 
-def _is_simple_name(s) -> bool:
-    """True for a plain column identifier a SQL fast path may backtick
-    (dots/odd chars fall back to the builder, where F.col resolves them)."""
-    return isinstance(s, str) and s.replace("_", "").isalnum()
-
+# _is_simple_name is imported from vector.py (one canonical guard for
+# every SQL fast path in the repo).
 
 # The SQL fast paths below interpolate these constants into single-quoted
 # SQL literals verbatim. A future word with an apostrophe ("don't") or a

@@ -21,9 +21,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from victor_spark.functions.vector import bind
+from victor_spark.functions.vector import _is_simple_name, bind
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a single-quoted Spark SQL literal
+    (default parser mode: backslash escapes active, so both backslashes
+    and quotes are escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def canonical_url(url) -> Column:
@@ -34,7 +41,14 @@ def canonical_url(url) -> Column:
     never name a distinct crawlable resource, and keeping them would
     split aliases (stated here because it IS a collapse beyond pure
     case/port normalization). Malformed URLs (no scheme/host) return
-    NULL — filter or quarantine, the usual contract."""
+    NULL — filter or quarantine, the usual contract.
+
+    Column NAMES take a one-parsed-SQL twin of the builder tree
+    (round-12, guide §7.3 — ~770 py4j round trips on the builder path);
+    Column inputs keep the builder. Equality pinned by
+    tests/test_r12_fastpaths.py."""
+    if _is_simple_name(url):
+        return F.expr(_canonical_url_sql(f"`{url}`"))
     c = F.col(url) if isinstance(url, str) else url
     proto = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
     host = F.lower(F.try_parse_url(c, F.lit("HOST")))
@@ -71,6 +85,43 @@ def canonical_url(url) -> Column:
     return F.when(proto.isNotNull() & host.isNotNull(), out)
 
 
+_PORT_RX = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?[^/?#]*?:(\d+)(?=[/?#]|$)"
+
+
+def _canonical_url_sql(ref: str) -> str:
+    """One-parsed-SQL twin of the canonical_url builder tree over a
+    pre-rendered operand: same subtree duplication, same CASE shapes."""
+    proto = f"lower(try_parse_url({ref}, 'PROTOCOL'))"
+    host = f"lower(try_parse_url({ref}, 'HOST'))"
+    port = f"regexp_extract({ref}, {_sql_str(_PORT_RX)}, 1)"
+    default_port = "coalesce(" + ", ".join(
+        f"CASE WHEN {proto} = '{k}' THEN '{v}' END"
+        for k, v in _DEFAULT_PORTS.items()
+    ) + ", '')"
+    port_part = (
+        f"CASE WHEN (({port}) != '') AND (({port}) != ({default_port})) "
+        f"THEN concat(':', {port}) ELSE '' END"
+    )
+    path = f"try_parse_url({ref}, 'PATH')"
+    path_part = (
+        f"CASE WHEN (({path}) IS NULL) OR (({path}) = '') THEN '/' "
+        f"ELSE {path} END"
+    )
+    query = f"try_parse_url({ref}, 'QUERY')"
+    query_part = (
+        f"CASE WHEN ({query}) IS NOT NULL THEN concat('?', {query}) "
+        f"ELSE '' END"
+    )
+    out = (
+        f"concat({proto}, '://', {host}, {port_part}, {path_part}, "
+        f"{query_part})"
+    )
+    return (
+        f"CASE WHEN (({proto}) IS NOT NULL) AND (({host}) IS NOT NULL) "
+        f"THEN {out} END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # robots.txt longest-match (RFC 9309 §2.2.2) as pure expressions
 # ---------------------------------------------------------------------------
@@ -90,7 +141,14 @@ def robots_rule(prefix, allow) -> Column:
     ``is_literal=true`` so the hot path stays a plain ``startswith`` —
     the overwhelming majority of real robots lines — and only wildcard
     rules pay the regex. Precedence length is the RAW pattern's octet
-    length (the RFC ranks by pattern length, specials included)."""
+    length (the RFC ranks by pattern length, specials included).
+
+    PYTHON-LITERAL (str, bool) inputs take a one-parsed-SQL twin of the
+    builder tree (round-12, guide §7.3 — ~560 py4j round trips on the
+    builder path, and rule-set literals build several per query);
+    Column inputs keep the builder."""
+    if isinstance(prefix, str) and isinstance(allow, bool):
+        return F.expr(_robots_rule_sql(prefix, allow))
     p = F.lit(prefix) if isinstance(prefix, str) else prefix
     a = F.lit(allow) if isinstance(allow, bool) else allow
     anchored = p.endswith("$")
@@ -117,6 +175,34 @@ def robots_rule(prefix, allow) -> Column:
         a.alias("allow"),
         is_literal.alias("is_literal"),
         rx.alias("rx"),
+    )
+
+
+def _robots_rule_sql(prefix: str, allow: bool) -> str:
+    """One-parsed-SQL twin of the robots_rule builder tree for Python
+    literal inputs — same subtree shapes (the constant folding the
+    optimizer does to the builder's literal tree applies identically)."""
+    p = _sql_str(prefix)
+    a = "TRUE" if allow else "FALSE"
+    meta_rx = _sql_str(r"([.\\+?\[\]()^${}|*])")
+    meta_rep = _sql_str(r"\\$1")
+    star = _sql_str(r"\*")
+    anchored = f"endswith({p}, '$')"
+    body = (
+        f"CASE WHEN {anchored} THEN substring({p}, 1, length({p}) - 1) "
+        f"ELSE {p} END"
+    )
+    escaped = f"regexp_replace({body}, {meta_rx}, {meta_rep})"
+    rx = (
+        f"concat('^', replace({escaped}, {star}, '.*'), "
+        f"CASE WHEN {anchored} THEN '$' ELSE '' END)"
+    )
+    is_literal = f"NOT (contains({p}, '*') OR {anchored})"
+    return (
+        f"named_struct('plen', octet_length({p}), "
+        f"'arank', CAST({a} AS INT), "
+        f"'prefix', {p}, 'allow', {a}, "
+        f"'is_literal', {is_literal}, 'rx', {rx})"
     )
 
 

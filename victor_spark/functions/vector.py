@@ -24,6 +24,14 @@ def _col(c: ColumnOrName) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _is_simple_name(s) -> bool:
+    """True for a plain column identifier a SQL fast path may backtick
+    (dots/odd chars fall back to the builder, where F.col resolves them).
+    Canonical home of the guard shared by every one-parsed-SQL fast path
+    (text/zorder re-export it)."""
+    return isinstance(s, str) and s.replace("_", "").isalnum()
+
+
 def bind(col: ColumnOrName, fn) -> Column:
     """Evaluate ``col`` once per row and hand it to ``fn`` as a lambda
     variable, returning ``fn``'s result.
@@ -94,12 +102,31 @@ def lit_doubles_2d(rows) -> Column:
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """SQL source of dot()'s exact fold over two pre-rendered operand
+    expressions (backticked names or literal array sources)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (_vx, _vy) -> _vx * _vy), "
+        f"0.0D, (_vacc, _vx) -> _vacc + _vx)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
 def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
     """Σ aᵢ·bᵢ as a sequential fold (zip_with + aggregate).
 
     Mirrors /root/reference/src/similarity.rs:10-13 (`dot`). Sequential
     left-to-right accumulation matches the oracle's evaluation order.
+
+    Column NAMES take a one-parsed-SQL fast path (round-12, guide §7.3
+    — ~250 py4j round trips on the builder path); Column inputs keep the
+    builder. Equality pinned by tests/test_r12_fastpaths.py.
     """
+    if _is_simple_name(a) and _is_simple_name(b):
+        return F.expr(_dot_sql(f"`{a}`", f"`{b}`"))
     return F.aggregate(
         F.zip_with(_col(a), _col(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -109,6 +136,8 @@ def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
 
 def norm(a: ColumnOrName) -> Column:
     """L2 norm √Σ aᵢ² (reference similarity.rs:15-17 via dot(a,a))."""
+    if _is_simple_name(a):
+        return F.expr(_norm_sql(f"`{a}`"))
     return F.sqrt(dot(a, a))
 
 
@@ -121,7 +150,19 @@ def l2_normalize(a: ColumnOrName) -> Column:
     Zero-norm inputs yield NaN components — the same contract as
     ``cosine`` (reference's IEEE division, similarity.rs:10-22); under
     Spark 4's default ANSI mode the bare x/0 would otherwise be a hard
-    DIVIDE_BY_ZERO job failure."""
+    DIVIDE_BY_ZERO job failure.
+
+    Column NAMES take a one-parsed-SQL twin of the nested binds (~560
+    py4j round trips on the builder path)."""
+    if _is_simple_name(a):
+        return F.expr(
+            "get(transform(array(`{a}`), _la -> "
+            "get(transform(array({n}), _ln -> "
+            "transform(_la, _lx -> CASE WHEN _ln = 0.0D THEN "
+            "CAST('NaN' AS DOUBLE) ELSE _lx / _ln END)), 0)), 0)".format(
+                a=a, n=_norm_sql("_la")
+            )
+        )
     return bind(
         _col(a),
         lambda arr: bind(
@@ -146,7 +187,16 @@ def cosine(a: ColumnOrName, b: ColumnOrName) -> Column:
     would instead be a hard DIVIDE_BY_ZERO job failure (hypothesis-caught:
     a subnormal-only vector's norm underflows to exactly 0.0). The caller's
     NaN policy (VectorIndex.search strict/drop) then decides.
+
+    Column NAMES take a one-parsed-SQL fast path (~900 py4j round trips
+    on the builder path — the heaviest composite builder in the repo).
     """
+    if _is_simple_name(a) and _is_simple_name(b):
+        na, nb = _norm_sql(f"`{a}`"), _norm_sql(f"`{b}`")
+        return F.expr(
+            f"CASE WHEN ({na} * {nb}) = 0.0D THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE {_dot_sql(f'`{a}`', f'`{b}`')} / ({na} * {nb}) END"
+        )
     denom = norm(a) * norm(b)
     return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(dot(a, b) / denom)
 
@@ -159,11 +209,25 @@ def cosine_to_literal(v: ColumnOrName, q: list[float]) -> Column:
     (reference db.rs:250 scoring loop) and stays fully inside codegen.
     """
     qnorm = sum(x * x for x in q) ** 0.5
-    denom = norm(v) * F.lit(qnorm)
     # Spark 4 runs ANSI SQL by default, so 0/0 would be DIVIDE_BY_ZERO
     # instead of the reference's IEEE NaN (f32 division, similarity.rs:
     # 10-22); restore NaN explicitly so zero-norm vectors score NaN and
     # the caller's NaN policy (VectorIndex.search strict/drop) decides.
+    if _is_simple_name(v):
+        # one parsed SQL string: the query literal embeds via _dlit_sql
+        # (bit-identical to F.lit) and the whole scoring kernel — the ANN
+        # hot path — costs one py4j round trip to build
+        arr = (
+            "array(" + ",".join(_dlit_sql(float(x)) for x in q) + ")"
+            if len(q)
+            else "CAST(array() AS array<double>)"
+        )
+        denom_sql = f"({_norm_sql(f'`{v}`')} * {_dlit_sql(float(qnorm))})"
+        return F.expr(
+            f"CASE WHEN {denom_sql} = 0.0D THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE {_dot_sql(f'`{v}`', arr)} / {denom_sql} END"
+        )
+    denom = norm(v) * F.lit(qnorm)
     return F.when(denom == 0.0, F.lit(float("nan"))).otherwise(
         dot(v, lit_doubles(q)) / denom
     )
@@ -175,6 +239,8 @@ def euclidean(a: ColumnOrName, b: ColumnOrName) -> Column:
     Used by projected-mode search — where, unlike the reference's
     farthest-k bug (SURVEY.md §2.3), our callers order ASCENDING.
     """
+    if _is_simple_name(a) and _is_simple_name(b):
+        return F.expr(_euclid_sql(f"`{a}`", f"`{b}`"))
     return F.sqrt(
         F.aggregate(
             F.zip_with(_col(a), _col(b), lambda x, y: (x - y) * (x - y)),
@@ -184,8 +250,22 @@ def euclidean(a: ColumnOrName, b: ColumnOrName) -> Column:
     )
 
 
+def _euclid_sql(a: str, b: str) -> str:
+    return (
+        f"sqrt(aggregate(zip_with({a}, {b}, (_vx, _vy) -> "
+        f"(_vx - _vy) * (_vx - _vy)), 0.0D, (_vacc, _vx) -> _vacc + _vx))"
+    )
+
+
 def euclidean_to_literal(v: ColumnOrName, q: list[float]) -> Column:
     """Euclidean distance of each row to one fixed query vector."""
+    if _is_simple_name(v):
+        arr = (
+            "array(" + ",".join(_dlit_sql(float(x)) for x in q) + ")"
+            if len(q)
+            else "CAST(array() AS array<double>)"
+        )
+        return F.expr(_euclid_sql(f"`{v}`", arr))
     return euclidean(v, lit_doubles(q))
 
 
